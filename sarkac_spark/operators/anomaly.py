@@ -1,0 +1,110 @@
+"""The 3-sigma anomaly scan — the reference's flagship computation.
+
+Score: ``threeSigma = (value - mean) / (3 * stddev)``; anomaly iff
+``|threeSigma| > 1`` (the 68-95-99.7 rule, reference
+lib/dsl/DSLHandler.js:191-192, README.md:32-33). Guards replicated
+behaviorally: stddev = 0 suppresses the score (the reference drops
++/-Infinity, DSLHandler.js:194-197); fewer than 3 events in the window
+means no stats and therefore no score (DSLHandler.js:243-254).
+
+Plan shape (the Spark-first translation of the reference's
+cache-then-score hot path, DSLHandler.js:178-234):
+
+    facts -> trailing_window_stats (1 shuffle, tiny output)
+          -> facts JOIN broadcast(stats) ON group key   (no shuffle)
+          -> score + filter                              (codegen'd)
+
+The stats side is |groups| x |windows| rows — always broadcastable, so the
+scoring pass is a map-only stage over the fact stream: exactly the
+reference's "scoring reads only the cache" design (DSLHandler.js:166,
+182-189), but expressed relationally so it holds at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from sarkac_spark.config import MIN_EVENTS_FOR_STATS, humanize_duration
+from sarkac_spark.operators.stats import trailing_window_stats, with_as_of
+
+
+def score_three_sigma(
+    df: DataFrame,
+    value_col: str = "value",
+    mean_col: str = "mean",
+    stddev_col: str = "stddev_pop",
+    out_col: str = "three_sigma",
+) -> DataFrame:
+    """Attach the 3-sigma score; rows with stddev<=0 get NULL (the
+    reference's Infinity guard, DSLHandler.js:194-197)."""
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.col(stddev_col) > 0,
+            (F.col(value_col) - F.col(mean_col)) / (F.lit(3.0) * F.col(stddev_col)),
+        ),
+    )
+
+
+def sigma_scan(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    ts_col: str = "ts",
+    windows: Sequence[int] = (86400,),
+    min_count: int = MIN_EVENTS_FOR_STATS,
+    path: str = "value",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Batch sigma scan: flag every in-window row whose |3-sigma score|
+    exceeds 1, for every configured trailing window.
+
+    Output schema follows the reference anomaly record
+    (DSLHandler.js:217-227; see FIXTURES.md F4): topic (the first group
+    col), path, window seconds + human form, value, median (actually the
+    mean — SigmaModel.js:48), std_dev, three_sigma. ``round_digits``
+    stabilizes float comparison against the DuckDB oracle.
+    """
+    group_cols = list(group_cols)
+    facts = with_as_of(df, ts_col=ts_col, as_of_col="__as_of")
+    stats = trailing_window_stats(
+        facts,
+        group_cols,
+        value_col,
+        ts_col,
+        windows,
+        min_count=min_count,
+        as_of_col="__as_of",
+    )
+
+    joined = facts.join(F.broadcast(stats), on=group_cols, how="inner")
+    # window length is a *column* after the stats unpivot, so the in-window
+    # predicate compares epoch micros against window_seconds * 1e6 directly.
+    in_win = F.unix_micros(F.col(ts_col).cast("timestamp")) >= (
+        F.unix_micros(F.col("__as_of").cast("timestamp"))
+        - F.col("window_seconds") * F.lit(1_000_000)
+    )
+    scored = score_three_sigma(
+        joined.filter(in_win), value_col=value_col
+    ).filter(F.abs(F.col("three_sigma")) > 1.0)
+
+    rnd = (lambda c: F.round(c, round_digits)) if round_digits is not None else (lambda c: c)
+    # humanWindow is a tiny driver-side lookup over the configured window
+    # list — expressed as a chained CASE so it stays inside codegen.
+    human = F.lit(None).cast("string")
+    for w in sorted(set(windows)):
+        human = F.when(F.col("window_seconds") == w, F.lit(humanize_duration(w))).otherwise(human)
+
+    return scored.select(
+        F.col(group_cols[0]).alias("topic"),
+        F.lit(path).alias("path"),
+        F.col("window_seconds"),
+        human.alias("human_window"),
+        F.col(value_col).alias("value"),
+        rnd(F.col("mean")).alias("median"),
+        rnd(F.col("stddev_pop")).alias("std_dev"),
+        rnd(F.col("three_sigma")).alias("three_sigma"),
+        *[F.col(c) for c in df.columns if c not in (value_col, ts_col, *group_cols)],
+    )

@@ -1,0 +1,145 @@
+"""Trailing-window statistics — the reference's entire "query engine".
+
+The reference computes, per (topic, field, window), over a *trailing*
+interval ``produced >= now - window``:
+
+- mean   (named "median"; reference admits no median support,
+  lib/db/model/SigmaModel.js:48)        -> A1
+- population stddev (SigmaModel.js:75-100)  -> A2
+- count, with a ``count >= 3`` min-support guard
+  (SigmaModel.js:102-122, DSLHandler.js:243-254)  -> A3
+- the (topic x field x window) fan-out is a driver-side task list with
+  concurrency 2 (DSLHandler.js:272-314)  -> A6
+
+Scale design: the whole cross product is ONE grouped aggregation with
+per-window *conditional* aggregates — a single scan and a single shuffle
+regardless of how many windows are configured (trailing windows nest, so
+exploding rows per window would duplicate the fact stream W times before
+the shuffle; conditional aggregation keeps it 1x with map-side partial
+aggregation). The wide result (a few columns per window) is then unpivoted
+with ``stack`` into the long (group, window, mean, stddev, n) shape —
+that unpivot runs on the already-aggregated, tiny relation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from sarkac_spark.config import MIN_EVENTS_FOR_STATS
+
+
+def with_as_of(
+    df: DataFrame, ts_col: str = "ts", as_of_col: str = "as_of"
+) -> DataFrame:
+    """Attach the evaluation instant as a column.
+
+    The reference uses wall-clock ``Date.now()`` in every stats query
+    (SigmaModel.js:54,81,108); for deterministic batch evaluation we pin
+    "now" to ``max(ts)`` of the input. Computed as a 1-row aggregate
+    broadcast-nested-loop-joined to the fact stream — no driver collect,
+    scale-independent.
+    """
+    as_of = df.agg(F.max(ts_col).alias(as_of_col))
+    return df.crossJoin(F.broadcast(as_of))
+
+
+def _in_window(ts_col: str, as_of_col: str, window_seconds: int) -> Column:
+    # epoch-microsecond arithmetic: exact, type-stable, and identical to
+    # the DuckDB oracle's `epoch_us(ts) >= epoch_us(as_of) - w*1e6`.
+    return F.unix_micros(F.col(ts_col).cast("timestamp")) >= (
+        F.unix_micros(F.col(as_of_col).cast("timestamp"))
+        - F.lit(window_seconds * 1_000_000)
+    )
+
+
+def trailing_window_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    ts_col: str,
+    windows: Sequence[int],
+    min_count: int = MIN_EVENTS_FOR_STATS,
+    as_of_col: str | None = None,
+) -> DataFrame:
+    """Stats per (group x trailing window), evaluated at ``as_of``.
+
+    Returns ``group_cols + (window_seconds, mean, stddev_pop, n)`` with the
+    reference's min-support guard applied (count < min_count rows dropped —
+    the analogue of "clear the cache entry", DSLHandler.js:243-254).
+
+    One scan + one shuffle for ALL windows (see module docstring).
+    """
+    if as_of_col is None:
+        df = with_as_of(df, ts_col=ts_col, as_of_col="__as_of")
+        as_of_col = "__as_of"
+    windows = sorted(set(windows))
+
+    aggs: list[Column] = []
+    for w in windows:
+        cond_val = F.when(_in_window(ts_col, as_of_col, w), F.col(value_col))
+        aggs.append(F.avg(cond_val).alias(f"__mean_{w}"))
+        aggs.append(F.stddev_pop(cond_val).alias(f"__std_{w}"))
+        aggs.append(F.count(cond_val).alias(f"__n_{w}"))
+
+    wide = df.groupBy(*group_cols).agg(*aggs)
+
+    stack_args = ", ".join(
+        f"bigint({w}), __mean_{w}, __std_{w}, __n_{w}" for w in windows
+    )
+    stacked = wide.selectExpr(
+        *group_cols,
+        f"stack({len(windows)}, {stack_args}) AS (window_seconds, mean, stddev_pop, n)",
+    )
+    return stacked.filter(F.col("n") >= min_count)
+
+
+def retention_filter(
+    df: DataFrame,
+    ts_col: str,
+    retention_seconds: int,
+    as_of_col: str | None = None,
+) -> DataFrame:
+    """Drop rows older than the retention horizon (max window) — the batch
+    analogue of the reference's pre-scan delete (SigmaModel.js:39-45,
+    DSLHandler.js:240-241). In streaming this is ``withWatermark`` state
+    eviction instead."""
+    if as_of_col is None:
+        df = with_as_of(df, ts_col=ts_col, as_of_col="__as_of")
+        as_of_col = "__as_of"
+    return df.filter(_in_window(ts_col, as_of_col, retention_seconds))
+
+
+def total_count(df: DataFrame) -> DataFrame:
+    """A4: total stored events (reference SigmaModel.js:124-143, for the
+    /status endpoint)."""
+    return df.agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def rate_series(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """W7: message-rate series — count per (group, aligned time bucket).
+
+    The reference *intends* a ``__topic_frequency`` virtual field (1 per
+    message, DSLHandler.js:14-15,30-35,133-146) but the shipped code never
+    stores it (the synthetic message lacks .value/.topic, so getByPath
+    throws and is swallowed — DSLHandler.js:156,161-164). This implements
+    the intent: bucketed counts that can then be sigma-scored like any
+    value series.
+    """
+    bucket = F.timestamp_seconds(
+        (F.unix_micros(F.col(ts_col).cast("timestamp")) / 1_000_000).cast("bigint")
+        - (
+            (F.unix_micros(F.col(ts_col).cast("timestamp")) / 1_000_000).cast("bigint")
+            % bucket_seconds
+        )
+    ).cast("timestamp_ntz")
+    return (
+        df.groupBy(*group_cols, bucket.alias("bucket_ts"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,62 @@
+"""SparkSession construction.
+
+Defaults are tuned so the same code runs on local[N] for tests and on a
+large cluster for the 100 TB target:
+
+- AQE on (runtime coalesce, skew-join splitting) so static
+  ``spark.sql.shuffle.partitions`` only needs to be an upper bound.
+- Arrow on: every Pandas UDF path transfers columnar batches.
+- Session timezone pinned to UTC so results compare bit-for-bit with the
+  DuckDB oracle (DuckDB timestamps are UTC-naive).
+- ``spark.sql.legacy.parquet.nanosAsLong``: the driver's ``events`` table
+  carries TIMESTAMP(NANOS) which Spark's parquet reader otherwise rejects;
+  we read it as a long and convert (see ``sources.tables``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sarkac_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master``/``shuffle_partitions`` default from env so the same entry
+    points work under the driver harness (SPARK_GRAFT_CPUS) and in tests.
+    On a real cluster, pass ``master=None`` with spark-submit providing the
+    master URL; everything here is additive config.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: ~1 partition per core. On a cluster this is overridden
+        # by AQE coalescing anyway — it is only the pre-AQE upper bound.
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

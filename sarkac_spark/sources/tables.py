@@ -1,0 +1,57 @@
+"""Batch table loading for the driver's parquet test data.
+
+One quirk: ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
+rejects; with ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in
+``session.get_spark``) it arrives as a nanosecond long, converted here to
+``timestamp_ntz`` by truncating to microseconds — identical to how DuckDB
+coerces ns -> its native us timestamps, so oracle comparisons line up.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def ensure_confs(spark: SparkSession) -> None:
+    """Runtime confs the engine depends on, set defensively so entry points
+    also work under an externally-created session (the driver's)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # ns long -> us timestamp_ntz; integer `div` truncates like DuckDB.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view (matches the DuckDB oracle
+    environment, where the same names are pre-registered)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

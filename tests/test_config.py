@@ -1,0 +1,80 @@
+"""Duration parsing (reference DSLHandler.js:79-87 via juration) and DSL
+model tests — vectors from FIXTURES.md F5."""
+
+import pytest
+
+from sarkac_spark.config import (
+    DSL,
+    FieldSpec,
+    humanize_duration,
+    parse_duration,
+)
+
+
+@pytest.mark.parametrize(
+    ("text", "seconds"),
+    [
+        ("30s", 30),
+        ("1m", 60),
+        ("3m", 180),
+        ("5m", 300),
+        ("15m", 900),
+        ("1h", 3600),
+        ("12h", 43200),
+        ("2d", 172800),
+        ("1w", 604800),
+        ("1.5h", 5400),
+        (900, 900),
+    ],
+)
+def test_parse_duration(text, seconds):
+    assert parse_duration(text) == seconds
+
+
+@pytest.mark.parametrize("bad", ["", "abc", "12", "5 parsecs"])
+def test_parse_duration_rejects(bad):
+    with pytest.raises(ValueError):
+        parse_duration(bad)
+
+
+@pytest.mark.parametrize(
+    ("seconds", "text"),
+    [(30, "30s"), (900, "15m"), (3600, "1h"), (43200, "12h"), (86400, "1d"), (604800, "1w"), (90, "90s")],
+)
+def test_humanize(seconds, text):
+    assert humanize_duration(seconds) == text
+
+
+def test_dsl_parse_fixture():
+    # example/example.js:26-39 shape
+    dsl = DSL.parse(
+        {
+            "test-topic": {
+                "fields": {
+                    "sub.one": {"windows": ["1m", "bogus"]},
+                    "two": {"windows": ["3m", "1h"]},
+                }
+            }
+        }
+    )
+    spec = dsl.topics["test-topic"]
+    by_path = {f.path: f for f in spec.fields}
+    assert by_path["sub.one"].windows == (60,)  # invalid window dropped
+    assert by_path["two"].windows == (180, 3600)
+    assert by_path["two"].retention_seconds == 3600
+    assert dsl.kafka_topics() == ["test-topic"]
+    assert ("test-topic", "two", 180) in dsl.tasks()
+
+
+def test_dsl_defaults_when_all_windows_invalid():
+    dsl = DSL.parse({"t": {"fields": {"x": {"windows": ["nope"]}}}})
+    assert dsl.topics["t"].fields[0].windows == (900,)  # DEFAULT_FIELD_WINDOWS
+
+
+def test_merge_discovered_fixed_config_wins():
+    base = DSL.parse({"t": {"fields": {"a": {"windows": ["1m"]}}}})
+    merged = base.merge_discovered({"t": ["a", "b"], "u": ["c"]})
+    t_fields = {f.path: f for f in merged.topics["t"].fields}
+    assert t_fields["a"].windows == (60,)  # fixed config kept
+    assert t_fields["b"].windows == (900,)  # discovered gets default
+    assert merged.topics["u"].fields == (FieldSpec("c", (900,)),)

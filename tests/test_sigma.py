@@ -1,0 +1,85 @@
+"""Sigma-scan behavior tests — the batch analogue of the reference's
+example fixture (example/produceExampleMessages.js: steady baseline with
+planted spikes must be flagged; see SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sarkac_spark.operators.anomaly import sigma_scan
+from sarkac_spark.operators.stats import (
+    rate_series,
+    retention_filter,
+    trailing_window_stats,
+)
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [(i, T0 + dt.timedelta(seconds=s), "t", float(v)) for i, (s, v) in enumerate(rows)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+
+
+def test_planted_spike_flagged(spark):
+    # baseline jitters around 15.5 (needs nonzero stddev), one planted spike
+    rows = [(i * 10, 15.5 + (0.1 if i % 2 else -0.1)) for i in range(20)]
+    rows.append((205, 150.5))  # the reference example's spike value
+    df = _mk_events(spark, rows)
+    out = sigma_scan(df, windows=(3600,)).collect()
+    assert len(out) == 1
+    a = out[0]
+    assert a.value == 150.5 and a.topic == "t" and a.human_window == "1h"
+    assert abs(a.three_sigma) > 1
+
+
+def test_zero_stddev_suppressed(spark):
+    # constant series + spike within same window: stddev>0 case flags, but a
+    # fully-constant window (stddev=0) must emit nothing (DSLHandler.js:194-197)
+    df = _mk_events(spark, [(i * 10, 42.0) for i in range(10)])
+    assert sigma_scan(df, windows=(3600,)).count() == 0
+
+
+def test_min_count_guard(spark):
+    # two in-window events -> no stats -> no anomalies (DSLHandler.js:243-254)
+    df = _mk_events(spark, [(0, 1.0), (10, 100.0)])
+    assert sigma_scan(df, windows=(3600,)).count() == 0
+    stats = trailing_window_stats(df, ["event_type"], "value", "ts", [3600])
+    assert stats.count() == 0
+
+
+def test_trailing_window_excludes_old_rows(spark):
+    # 5 old rows far outside the 1h window + 3 recent: stats over recent only
+    rows = [(-90000 + i, 1000.0) for i in range(5)] + [(0, 10.0), (10, 20.0), (20, 30.0)]
+    df = _mk_events(spark, rows)
+    stats = trailing_window_stats(df, ["event_type"], "value", "ts", [3600]).collect()
+    assert len(stats) == 1
+    assert stats[0].n == 3 and abs(stats[0].mean - 20.0) < 1e-9
+
+
+def test_retention_filter(spark):
+    rows = [(-90000, 1.0), (-10, 2.0), (0, 3.0)]
+    df = _mk_events(spark, rows)
+    kept = retention_filter(df, "ts", 3600)
+    assert kept.count() == 2
+
+
+def test_rate_series_buckets(spark):
+    # 6 events in minute 0, 2 in minute 1
+    rows = [(i, 1.0) for i in range(6)] + [(60 + i, 1.0) for i in range(2)]
+    df = _mk_events(spark, rows)
+    out = {r.bucket_ts.second + r.bucket_ts.minute * 60: r.n for r in rate_series(df, ["event_type"], "ts", 60).collect()}
+    assert out == {0: 6, 60: 2}
+
+
+def test_multi_window_fanout(spark):
+    rows = [(i * 100, 10.0 + (i % 3)) for i in range(40)]
+    df = _mk_events(spark, rows)
+    stats = trailing_window_stats(df, ["event_type"], "value", "ts", [600, 3600, 7200])
+    got = {r.window_seconds: r.n for r in stats.collect()}
+    assert set(got) == {600, 3600, 7200}
+    assert got[600] < got[3600] <= got[7200]

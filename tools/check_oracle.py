@@ -1,0 +1,103 @@
+"""Local emulation of the driver's t2 correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at the given sf dir and
+compares against ``oracle_sql()`` via DuckDB: row count, column names, and
+an order-insensitive value comparison (sorted rows, stringified).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entrymod
+from sarkac_spark.session import get_spark
+from sarkac_spark.sources.tables import TABLES
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # collapse -0.0 / 0.0 and format stably
+        if v == 0:
+            return "0"
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"OK*   {name}: rows={len(s_rows)} (rows-only check, no oracle)")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            d_cols = res.columns
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+
+        ok = True
+        if sorted(s_cols) != sorted(d_cols):
+            print(f"FAIL  {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            ok = False
+        elif len(s_rows) != len(d_rows):
+            print(f"FAIL  {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+            ok = False
+        else:
+            ns, nd = _norm_rows(s_cols, s_rows), _norm_rows(d_cols, d_rows)
+            if ns != nd:
+                diff = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
+                print(f"FAIL  {name}: value mismatch, first diffs: {diff}")
+                ok = False
+        if ok:
+            print(f"OK    {name}: rows={len(s_rows)}")
+        else:
+            failures += 1
+
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
