@@ -56,7 +56,9 @@ def sigma_scan(
     windows: Sequence[int] = (86400,),
     min_count: int = MIN_EVENTS_FOR_STATS,
     path: str = "value",
+    path_col: str | None = None,
     round_digits: int | None = 6,
+    keep_ts: bool = False,
 ) -> DataFrame:
     """Batch sigma scan: flag every in-window row whose |3-sigma score|
     exceeds 1, for every configured trailing window.
@@ -66,6 +68,10 @@ def sigma_scan(
     col), path, window seconds + human form, value, median (actually the
     mean — SigmaModel.js:48), std_dev, three_sigma. ``round_digits``
     stabilizes float comparison against the DuckDB oracle.
+
+    For the multi-field fan-out (A6), group on (topic, field_path) and
+    pass ``path_col="field_path"`` — the path then comes from the data
+    instead of the ``path`` literal.
     """
     group_cols = list(group_cols)
     facts = with_as_of(df, ts_col=ts_col, as_of_col="__as_of")
@@ -97,14 +103,25 @@ def sigma_scan(
     for w in sorted(set(windows)):
         human = F.when(F.col("window_seconds") == w, F.lit(humanize_duration(w))).otherwise(human)
 
+    path_expr = F.col(path_col) if path_col is not None else F.lit(path)
+    ts_cols = (
+        [F.unix_micros(F.col(ts_col).cast("timestamp")).alias("event_ts_us")]
+        if keep_ts
+        else []
+    )
     return scored.select(
+        *ts_cols,
         F.col(group_cols[0]).alias("topic"),
-        F.lit(path).alias("path"),
+        path_expr.alias("path"),
         F.col("window_seconds"),
         human.alias("human_window"),
         F.col(value_col).alias("value"),
         rnd(F.col("mean")).alias("median"),
         rnd(F.col("stddev_pop")).alias("std_dev"),
         rnd(F.col("three_sigma")).alias("three_sigma"),
-        *[F.col(c) for c in df.columns if c not in (value_col, ts_col, *group_cols)],
+        *[
+            F.col(c)
+            for c in df.columns
+            if c not in (value_col, ts_col, path_col, *group_cols)
+        ],
     )

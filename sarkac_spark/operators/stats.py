@@ -132,14 +132,13 @@ def rate_series(
     the intent: bucketed counts that can then be sigma-scored like any
     value series.
     """
-    bucket = F.timestamp_seconds(
-        (F.unix_micros(F.col(ts_col).cast("timestamp")) / 1_000_000).cast("bigint")
-        - (
-            (F.unix_micros(F.col(ts_col).cast("timestamp")) / 1_000_000).cast("bigint")
-            % bucket_seconds
-        )
-    ).cast("timestamp_ntz")
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket_us = epoch - (epoch % F.lit(bucket_seconds * 1_000_000))
     return (
-        df.groupBy(*group_cols, bucket.alias("bucket_ts"))
+        df.groupBy(*group_cols, bucket_us.alias("bucket_us"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "bucket_ts",
+            F.timestamp_micros(F.col("bucket_us")).cast("timestamp_ntz"),
+        )
     )

@@ -1,0 +1,448 @@
+"""Core reference-parity queries (SURVEY.md §2.1-§2.5) over the driver's
+``events`` table: ``event_type`` plays the role of the Kafka topic,
+``value`` the tracked numeric field, ``props`` the nested-JSON payload.
+
+Every query has a DuckDB oracle. Portability rules used throughout:
+- float aggregates rounded to 6 digits on both sides;
+- hashes via md5 (identical across engines; the reference's murmur3 ids
+  are opaque tokens, SURVEY.md §2.2 P7);
+- time arithmetic in epoch microseconds (integers — bit-identical);
+- try_cast for JSON numeric extraction (null-on-miss on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sarkac_spark.functions.paths import numeric_leaf
+from sarkac_spark.operators.anomaly import sigma_scan
+from sarkac_spark.operators.cooldown import cooldown_bucketed
+from sarkac_spark.operators.fields import to_sigma_store
+from sarkac_spark.operators.stats import (
+    rate_series,
+    retention_filter,
+    total_count,
+    trailing_window_stats,
+)
+from sarkac_spark.sources.tables import load_table
+
+SIGMA_WINDOWS = (3600, 43200, 86400, 604800)  # 1h/12h/1d (reference freq windows) + 1w
+
+_WINS_VALUES = (
+    "(VALUES (BIGINT '3600','1h'), (BIGINT '43200','12h'), (BIGINT '86400','1d'),"
+    " (BIGINT '604800','1w')) AS w(window_seconds, human_window)"
+)
+
+# the store fan-out used by multi-field queries: the raw value column plus
+# the props.k JSON leaf (P1 path projection)
+_STORE_FIELDS = ("value", "props.k")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return to_sigma_store(
+        ev,
+        topic_col="event_type",
+        ts_col="ts",
+        fields={"value": F.col("value"), "props.k": numeric_leaf("props", "k")},
+        extra_cols=["event_id"],
+    )
+
+
+_STORE_SQL = """
+  SELECT event_type AS topic, ts AS produced, event_id,
+         'value' AS field_path, value
+  FROM events WHERE value IS NOT NULL
+  UNION ALL
+  SELECT event_type, ts, event_id, 'props.k',
+         TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+  FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
+"""
+
+
+# --- S1-ish flagship + stats (A1, A2, A3, A5, A6, P6, W1, W2) -------------
+
+
+def q_sigma_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sigma_scan(_events(spark, sf_dir), windows=SIGMA_WINDOWS).drop("props")
+
+
+def q_trailing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = trailing_window_stats(
+        _events(spark, sf_dir), ["event_type"], "value", "ts", SIGMA_WINDOWS
+    )
+    return stats.select(
+        "event_type",
+        "window_seconds",
+        F.round("mean", 6).alias("mean"),
+        F.round("stddev_pop", 6).alias("stddev_pop"),
+        "n",
+    )
+
+
+def q_total_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return total_count(_events(spark, sf_dir))  # A4
+
+
+# --- P1/P2/P3/P4: projection & filters ------------------------------------
+
+
+def q_path_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "event_type",
+        numeric_leaf("props", "k").alias("k_value"),
+    ).filter(F.col("k_value").isNotNull())
+
+
+def q_sigma_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _store(spark, sf_dir)
+    return st.select(
+        "topic",
+        "field_path",
+        "value",
+        F.unix_micros(F.col("produced").cast("timestamp")).alias("produced_us"),
+        "event_id",
+    )
+
+
+# --- A6/W2: multi-field x multi-window fan-out -----------------------------
+
+
+def q_multi_field_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _store(spark, sf_dir)
+    return sigma_scan(
+        st,
+        group_cols=("topic", "field_path"),
+        value_col="value",
+        ts_col="produced",
+        windows=(86400, 604800),
+        path_col="field_path",
+    )
+
+
+# --- S6/W3: retention -------------------------------------------------------
+
+
+def q_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    kept = retention_filter(ev, "ts", 604800)
+    return kept.groupBy(F.col("event_type")).agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# --- P7: series-key hashing -------------------------------------------------
+
+
+def q_series_key_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _store(spark, sf_dir)
+    return (
+        st.select("topic", "field_path")
+        .distinct()
+        .withColumn("series_key", F.md5(F.concat_ws(":", "topic", "field_path")))
+    )
+
+
+# --- P9/E1/E2: topic sets ----------------------------------------------------
+
+_KNOWN_TOPICS = ("click", "view", "legacy_topic")
+_BLACKLIST = ("error",)
+
+
+def q_topic_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(F.col("event_type").alias("topic"))
+        .distinct()
+        .filter(~F.col("topic").isin(*_BLACKLIST))
+    )
+
+
+def q_topic_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    current = ev.select(F.col("event_type").alias("topic")).distinct()
+    known = spark.createDataFrame([(t,) for t in _KNOWN_TOPICS], "topic string")
+    created = current.join(known, "topic", "left_anti").withColumn(
+        "change", F.lit("created")
+    )
+    deleted = known.join(current, "topic", "left_anti").withColumn(
+        "change", F.lit("deleted")
+    )
+    return created.unionByName(deleted)
+
+
+# --- W6: cooldown dedup ------------------------------------------------------
+
+
+def q_anomaly_cooldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    anomalies = sigma_scan(
+        _events(spark, sf_dir), windows=(86400,), keep_ts=True
+    ).drop("props")
+    return cooldown_bucketed(
+        anomalies,
+        key_cols=("topic", "path", "window_seconds"),
+        ts_col="event_ts_us",
+        tiebreak_cols=("event_id",),
+    )
+
+
+# --- W7: message-rate anomalies ----------------------------------------------
+
+
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    buckets = rate_series(ev, ["event_type"], "ts", 3600).drop("bucket_ts")
+    stats = buckets.groupBy("event_type").agg(
+        F.avg("n").alias("mean"),
+        F.stddev_pop("n").alias("sd"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    joined = buckets.join(F.broadcast(stats), "event_type")
+    score = (F.col("n") - F.col("mean")) / (F.lit(3.0) * F.col("sd"))
+    return (
+        joined.filter((F.col("nb") >= 3) & (F.col("sd") > 0) & (F.abs(score) > 1))
+        .select(
+            F.col("event_type").alias("topic"),
+            F.lit("__topic_frequency").alias("path"),
+            "bucket_us",
+            "n",
+            F.round("mean", 6).alias("median"),
+            F.round("sd", 6).alias("std_dev"),
+            F.round(score, 6).alias("three_sigma"),
+        )
+    )
+
+
+# --- P5/S3/P7: anomaly output payload ----------------------------------------
+
+
+def q_anomaly_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = sigma_scan(_events(spark, sf_dir), windows=(86400,), keep_ts=True)
+    win_str = F.col("window_seconds").cast("string")
+    anomaly_id = F.md5(
+        F.concat_ws(
+            ":", "topic", "path", win_str, F.col("event_ts_us").cast("string")
+        )
+    )
+    kafka_key = F.md5(F.concat_ws(":", "topic", "path", win_str))
+    payload = F.concat(
+        F.lit('{"id":"'),
+        anomaly_id,
+        F.lit('","topic":"'),
+        F.col("topic"),
+        F.lit('","path":"'),
+        F.col("path"),
+        F.lit('","window":'),
+        win_str,
+        F.lit(',"value":'),
+        F.round(F.col("value"), 2).cast("decimal(18,2)").cast("string"),
+        F.lit("}"),
+    )
+    return a.select(kafka_key.alias("key"), payload.alias("value"))
+
+
+QUERIES = {
+    "sigma_scan": q_sigma_scan,
+    "trailing_stats": q_trailing_stats,
+    "total_count": q_total_count,
+    "path_projection": q_path_projection,
+    "sigma_store": q_sigma_store,
+    "multi_field_sigma": q_multi_field_sigma,
+    "retention_prune": q_retention_prune,
+    "series_key_hash": q_series_key_hash,
+    "topic_blacklist": q_topic_blacklist,
+    "topic_diff": q_topic_diff,
+    "anomaly_cooldown": q_anomaly_cooldown,
+    "rate_anomaly": q_rate_anomaly,
+    "anomaly_payload": q_anomaly_payload,
+}
+
+
+ORACLE = {
+    "sigma_scan": f"""
+WITH eval_at AS (SELECT max(ts) AS as_of FROM events),
+wins AS (SELECT * FROM {_WINS_VALUES}),
+stats AS (
+  SELECT e.event_type, w.window_seconds, w.human_window,
+         avg(e.value) AS mean, stddev_pop(e.value) AS sd, count(e.value) AS n
+  FROM events e, eval_at a, wins w
+  WHERE epoch_us(e.ts) >= epoch_us(a.as_of) - w.window_seconds * 1000000
+  GROUP BY 1, 2, 3
+)
+SELECT e.event_type AS topic,
+       'value' AS path,
+       s.window_seconds,
+       s.human_window,
+       e.value AS value,
+       round(s.mean, 6) AS median,
+       round(s.sd, 6) AS std_dev,
+       round((e.value - s.mean) / (3 * s.sd), 6) AS three_sigma,
+       e.event_id,
+       e.user_id
+FROM events e
+CROSS JOIN eval_at a
+JOIN stats s ON e.event_type = s.event_type
+WHERE s.n >= 3 AND s.sd > 0
+  AND epoch_us(e.ts) >= epoch_us(a.as_of) - s.window_seconds * 1000000
+  AND abs((e.value - s.mean) / (3 * s.sd)) > 1
+""",
+    "trailing_stats": f"""
+WITH eval_at AS (SELECT max(ts) AS as_of FROM events),
+wins AS (SELECT * FROM {_WINS_VALUES})
+SELECT e.event_type, w.window_seconds,
+       round(avg(e.value), 6) AS mean,
+       round(stddev_pop(e.value), 6) AS stddev_pop,
+       count(e.value) AS n
+FROM events e, eval_at a, wins w
+WHERE epoch_us(e.ts) >= epoch_us(a.as_of) - w.window_seconds * 1000000
+GROUP BY 1, 2
+HAVING count(e.value) >= 3
+""",
+    "total_count": "SELECT count(*) AS n_events FROM events",
+    "path_projection": """
+SELECT event_id, event_type,
+       TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_value
+FROM events
+WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
+""",
+    "sigma_store": f"""
+WITH store AS ({_STORE_SQL})
+SELECT topic, field_path, value, epoch_us(produced) AS produced_us, event_id
+FROM store
+""",
+    "multi_field_sigma": f"""
+WITH store AS ({_STORE_SQL}),
+eval_at AS (SELECT max(produced) AS as_of FROM store),
+wins AS (SELECT * FROM (VALUES (BIGINT '86400','1d'), (BIGINT '604800','1w'))
+         AS w(window_seconds, human_window)),
+stats AS (
+  SELECT st.topic, st.field_path, w.window_seconds, w.human_window,
+         avg(st.value) AS mean, stddev_pop(st.value) AS sd, count(st.value) AS n
+  FROM store st, eval_at a, wins w
+  WHERE epoch_us(st.produced) >= epoch_us(a.as_of) - w.window_seconds * 1000000
+  GROUP BY 1, 2, 3, 4
+)
+SELECT st.topic,
+       st.field_path AS path,
+       s.window_seconds,
+       s.human_window,
+       st.value AS value,
+       round(s.mean, 6) AS median,
+       round(s.sd, 6) AS std_dev,
+       round((st.value - s.mean) / (3 * s.sd), 6) AS three_sigma,
+       st.event_id
+FROM store st
+CROSS JOIN eval_at a
+JOIN stats s ON st.topic = s.topic AND st.field_path = s.field_path
+WHERE s.n >= 3 AND s.sd > 0
+  AND epoch_us(st.produced) >= epoch_us(a.as_of) - s.window_seconds * 1000000
+  AND abs((st.value - s.mean) / (3 * s.sd)) > 1
+""",
+    "retention_prune": """
+WITH eval_at AS (SELECT max(ts) AS as_of FROM events)
+SELECT e.event_type, count(*) AS n_kept
+FROM events e, eval_at a
+WHERE epoch_us(e.ts) >= epoch_us(a.as_of) - BIGINT '604800' * 1000000
+GROUP BY 1
+""",
+    "series_key_hash": f"""
+WITH store AS ({_STORE_SQL})
+SELECT DISTINCT topic, field_path,
+       md5(topic || ':' || field_path) AS series_key
+FROM store
+""",
+    "topic_blacklist": """
+SELECT DISTINCT event_type AS topic FROM events WHERE event_type NOT IN ('error')
+""",
+    "topic_diff": """
+WITH known(topic) AS (VALUES ('click'), ('view'), ('legacy_topic')),
+cur AS (SELECT DISTINCT event_type AS topic FROM events)
+SELECT topic, 'created' AS change FROM cur
+WHERE topic NOT IN (SELECT topic FROM known)
+UNION ALL
+SELECT topic, 'deleted' AS change FROM known
+WHERE topic NOT IN (SELECT topic FROM cur)
+""",
+    "anomaly_cooldown": """
+WITH eval_at AS (SELECT max(ts) AS as_of FROM events),
+stats AS (
+  SELECT e.event_type,
+         avg(e.value) AS mean, stddev_pop(e.value) AS sd, count(e.value) AS n
+  FROM events e, eval_at a
+  WHERE epoch_us(e.ts) >= epoch_us(a.as_of) - BIGINT '86400' * 1000000
+  GROUP BY 1
+),
+anom AS (
+  SELECT epoch_us(e.ts) AS event_ts_us,
+         e.event_type AS topic, 'value' AS path,
+         BIGINT '86400' AS window_seconds, '1d' AS human_window,
+         e.value AS value,
+         round(s.mean, 6) AS median, round(s.sd, 6) AS std_dev,
+         round((e.value - s.mean) / (3 * s.sd), 6) AS three_sigma,
+         e.event_id, e.user_id
+  FROM events e CROSS JOIN eval_at a
+  JOIN stats s ON e.event_type = s.event_type
+  WHERE s.n >= 3 AND s.sd > 0
+    AND epoch_us(e.ts) >= epoch_us(a.as_of) - BIGINT '86400' * 1000000
+    AND abs((e.value - s.mean) / (3 * s.sd)) > 1
+)
+SELECT event_ts_us, topic, path, window_seconds, human_window, value,
+       median, std_dev, three_sigma, event_id, user_id
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY topic, path, window_seconds,
+                 event_ts_us - event_ts_us % (BIGINT '120' * 1000000)
+    ORDER BY event_ts_us, event_id
+  ) AS rn
+  FROM anom
+) WHERE rn = 1
+""",
+    "rate_anomaly": """
+WITH b AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(ts) % (BIGINT '3600' * 1000000) AS bucket_us,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, avg(n) AS mean, stddev_pop(n) AS sd, count(*) AS nb
+  FROM b GROUP BY 1
+)
+SELECT b.event_type AS topic, '__topic_frequency' AS path, b.bucket_us, b.n,
+       round(s.mean, 6) AS median, round(s.sd, 6) AS std_dev,
+       round((b.n - s.mean) / (3 * s.sd), 6) AS three_sigma
+FROM b JOIN s USING (event_type)
+WHERE s.nb >= 3 AND s.sd > 0 AND abs((b.n - s.mean) / (3 * s.sd)) > 1
+""",
+    "anomaly_payload": """
+WITH eval_at AS (SELECT max(ts) AS as_of FROM events),
+stats AS (
+  SELECT e.event_type,
+         avg(e.value) AS mean, stddev_pop(e.value) AS sd, count(e.value) AS n
+  FROM events e, eval_at a
+  WHERE epoch_us(e.ts) >= epoch_us(a.as_of) - BIGINT '86400' * 1000000
+  GROUP BY 1
+),
+anom AS (
+  SELECT e.event_type AS topic, 'value' AS path, BIGINT '86400' AS window_seconds,
+         e.value AS value, epoch_us(e.ts) AS event_ts_us
+  FROM events e CROSS JOIN eval_at a
+  JOIN stats s ON e.event_type = s.event_type
+  WHERE s.n >= 3 AND s.sd > 0
+    AND epoch_us(e.ts) >= epoch_us(a.as_of) - BIGINT '86400' * 1000000
+    AND abs((e.value - s.mean) / (3 * s.sd)) > 1
+)
+SELECT md5(topic || ':' || path || ':' || window_seconds::varchar) AS key,
+       '{"id":"' || md5(topic || ':' || path || ':' || window_seconds::varchar
+                        || ':' || event_ts_us::varchar)
+       || '","topic":"' || topic || '","path":"' || path
+       || '","window":' || window_seconds::varchar
+       || ',"value":' || CAST(round(value, 2) AS DECIMAL(18,2))::varchar
+       || '}' AS value
+FROM anom
+""",
+}

@@ -53,6 +53,7 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    lines: list[str] = []
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -62,40 +63,46 @@ def main() -> int:
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {e}")
+            lines.append(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"OK*   {name}: rows={len(s_rows)} (rows-only check, no oracle)")
+            lines.append(f"OK*   {name}: rows={len(s_rows)} (rows-only check, no oracle)")
             continue
         try:
             res = con.sql(oracles[name])
             d_cols = res.columns
             d_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {e}")
+            lines.append(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
             continue
 
         ok = True
         if sorted(s_cols) != sorted(d_cols):
-            print(f"FAIL  {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            lines.append(
+                f"FAIL  {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}"
+            )
             ok = False
         elif len(s_rows) != len(d_rows):
-            print(f"FAIL  {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+            lines.append(
+                f"FAIL  {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}"
+            )
             ok = False
         else:
             ns, nd = _norm_rows(s_cols, s_rows), _norm_rows(d_cols, d_rows)
             if ns != nd:
                 diff = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
-                print(f"FAIL  {name}: value mismatch, first diffs: {diff}")
+                lines.append(f"FAIL  {name}: value mismatch, first diffs: {diff}")
                 ok = False
         if ok:
-            print(f"OK    {name}: rows={len(s_rows)}")
+            lines.append(f"OK    {name}: rows={len(s_rows)}")
         else:
             failures += 1
 
     spark.stop()
+    print()
+    print("\n".join(lines), flush=True)
     return 1 if failures else 0
 
 
