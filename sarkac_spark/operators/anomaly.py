@@ -27,7 +27,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 
 from sarkac_spark.config import MIN_EVENTS_FOR_STATS, humanize_duration
-from sarkac_spark.operators.stats import trailing_window_stats, with_as_of
+from sarkac_spark.operators.stats import trailing_window_stats
 
 
 def score_three_sigma(
@@ -59,6 +59,7 @@ def sigma_scan(
     path_col: str | None = None,
     round_digits: int | None = 6,
     keep_ts: bool = False,
+    score_df: DataFrame | None = None,
 ) -> DataFrame:
     """Batch sigma scan: flag every in-window row whose |3-sigma score|
     exceeds 1, for every configured trailing window.
@@ -72,9 +73,16 @@ def sigma_scan(
     For the multi-field fan-out (A6), group on (topic, field_path) and
     pass ``path_col="field_path"`` — the path then comes from the data
     instead of the ``path`` literal.
+
+    ``score_df``: when given, stats come from ``df`` (the retained store)
+    but only ``score_df``'s rows (same shape) are scored — the streaming
+    hot path, where each micro-batch must be scored exactly once against
+    store-wide stats (reference DSLHandler.js:178-189: incoming messages
+    scored against the cached stats, never re-scored).
     """
     group_cols = list(group_cols)
-    facts = with_as_of(df, ts_col=ts_col, as_of_col="__as_of")
+    as_of = df.agg(F.max(ts_col).alias("__as_of"))
+    facts = df.crossJoin(F.broadcast(as_of))
     stats = trailing_window_stats(
         facts,
         group_cols,
@@ -85,7 +93,8 @@ def sigma_scan(
         as_of_col="__as_of",
     )
 
-    joined = facts.join(F.broadcast(stats), on=group_cols, how="inner")
+    target = facts if score_df is None else score_df.crossJoin(F.broadcast(as_of))
+    joined = target.join(F.broadcast(stats), on=group_cols, how="inner")
     # window length is a *column* after the stats unpivot, so the in-window
     # predicate compares epoch micros against window_seconds * 1e6 directly.
     in_win = F.unix_micros(F.col(ts_col).cast("timestamp")) >= (

@@ -1,0 +1,290 @@
+"""The streaming lift of the sigma engine (SURVEY.md §3.2/§3.3, stage 4).
+
+The reference runs two coupled loops: a per-message hot path that scores
+values against *cached* stats, and a 15 s control loop that recomputes the
+stats from the stored points (lib/Sarkac.js:74-99, DSLHandler.js:236-314).
+Spark-first, both collapse into ONE micro-batch loop —
+``foreachBatch`` with the trigger period playing the scan period:
+
+    every trigger (default 15 s), for the new micro-batch:
+      1. extract DSL fields         -> long (topic, field_path, value, ts)
+      2. append to the value store  (parquet; the SigmaModel collection)
+      3. recompute trailing stats from the retained store  (A1-A3, A5)
+      4. score the *batch* rows against those stats        (P6)
+      5. cooldown-suppress per (topic, path, window)       (W6, exact
+         emit-then-suppress semantics, seeded from persisted state)
+      6. append anomalies           (-> Kafka sink shape / parquet)
+
+This gives exact trailing-window-from-"now" semantics (the reference's
+``Date.now()`` boundary, SigmaModel.js:54) rather than Spark's aligned
+sliding windows — the SURVEY hard-part (1) tradeoff, resolved the cheap
+way. Scoring uses stats refreshed in the same trigger, i.e. at most one
+trigger period stale — the same staleness model as the reference (W5).
+
+Scale notes: steps 1/4 are map-only over the batch; step 3 is one grouped
+aggregation over the retained store (bounded by retention x rate); the
+stats relation is tiny and broadcast. The store is partitioned by topic
+so per-topic scans prune files. For unbounded-rate deployments where
+re-scanning retained data per trigger is unaffordable, use
+``windowed_stats_stream`` (pure Structured Streaming sliding windows +
+watermark) and accept aligned-window semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sarkac_spark.config import (
+    ANOMALY_COOLDOWN_SECONDS,
+    DEFAULT_ANOMALY_SCAN_SECONDS,
+    MIN_EVENTS_FOR_STATS,
+    DSL,
+)
+from sarkac_spark.operators.anomaly import sigma_scan
+from sarkac_spark.operators.fields import dsl_field_exprs, to_sigma_store
+
+STORE_SCHEMA = "topic string, produced timestamp, key string, field_path string, value double"
+STATE_SCHEMA = "topic string, path string, window_seconds long, last_emit_us long"
+
+
+@dataclass
+class SigmaStreamConfig:
+    store_dir: str
+    anomaly_dir: str
+    trigger_seconds: int = DEFAULT_ANOMALY_SCAN_SECONDS
+    min_count: int = MIN_EVENTS_FOR_STATS
+    cooldown_seconds: int = ANOMALY_COOLDOWN_SECONDS
+
+
+class SigmaStreamPipeline:
+    """foreachBatch-driven sigma pipeline over an envelope stream
+    (topic, key, value: json-string, ts)."""
+
+    def __init__(self, spark: SparkSession, dsl: DSL, cfg: SigmaStreamConfig):
+        self.spark = spark
+        self.dsl = dsl
+        self.cfg = cfg
+        self._state_dir = cfg.store_dir.rstrip("/") + "_cooldown_state"
+        self.anomaly_batches = 0
+
+    # -- step 1: DSL field extraction (P1-P4) ------------------------------
+
+    def extract(self, batch: DataFrame) -> DataFrame:
+        parts = []
+        for t in self.dsl.topics.values():
+            if not t.fields:
+                continue
+            exprs = dsl_field_exprs("value", [f.path for f in t.fields])
+            parts.append(
+                to_sigma_store(
+                    batch.filter(F.col("topic") == t.topic),
+                    topic_col="topic",
+                    ts_col="ts",
+                    fields=exprs,
+                    extra_cols=["key"],
+                )
+            )
+        if not parts:
+            return self.spark.createDataFrame([], STORE_SCHEMA)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -- steps 2-6 ----------------------------------------------------------
+
+    def _read_store(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(STORE_SCHEMA).parquet(self.cfg.store_dir)
+        except Exception:  # first batch: store doesn't exist yet
+            return self.spark.createDataFrame([], STORE_SCHEMA)
+
+    def _read_state(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(STATE_SCHEMA).parquet(self._state_dir)
+        except Exception:
+            return self.spark.createDataFrame([], STATE_SCHEMA)
+
+    def _apply_cooldown(self, anomalies: DataFrame) -> DataFrame:
+        """Exact emit-then-suppress, seeded from persisted last-emit state."""
+        state = self._read_state()
+        joined = anomalies.join(
+            state, on=["topic", "path", "window_seconds"], how="left"
+        )
+        out_schema = ", ".join(
+            f"{c} {t}" for c, t in joined.dtypes if c != "last_emit_us"
+        )
+        cd_us = self.cfg.cooldown_seconds * 1_000_000
+
+        def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("event_ts_us")
+            last = pdf["last_emit_us"].iloc[0]
+            last = None if pd.isna(last) else int(last)
+            keep = []
+            for i, t in zip(pdf.index, pdf["event_ts_us"]):
+                if last is None or (t - last) >= cd_us:
+                    keep.append(i)
+                    last = int(t)
+            return pdf.loc[keep].drop(columns=["last_emit_us"])
+
+        return joined.groupBy("topic", "path", "window_seconds").applyInPandas(
+            scan, schema=out_schema
+        )
+
+    def _update_state(self, emitted: DataFrame) -> None:
+        new_last = emitted.groupBy("topic", "path", "window_seconds").agg(
+            F.max("event_ts_us").alias("last_emit_us")
+        )
+        merged = (
+            self._read_state()
+            .unionByName(new_last)
+            .groupBy("topic", "path", "window_seconds")
+            .agg(F.max("last_emit_us").alias("last_emit_us"))
+        )
+        # tiny relation (one row per configured series); rewrite atomically
+        tmp = self._state_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self._state_dir):
+            shutil.rmtree(self._state_dir)
+        os.replace(tmp, self._state_dir)
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        extracted = self.extract(batch)
+
+        # 2. append new points to the store (S4); partitioned by topic so
+        # the stats scan prunes per-topic files
+        extracted.write.mode("append").partitionBy("topic").parquet(
+            self.cfg.store_dir
+        )
+
+        # 3+4. stats over retained store; score ONLY this batch's rows
+        # (score_df) so an anomaly is emitted at most once — the reference
+        # scores each incoming message exactly once against cached stats
+        # (DSLHandler.js:178-189). One sigma_scan per distinct window set
+        # is avoided by scanning all windows and semi-joining the task list.
+        store = self._read_store()
+        windows = sorted({w for _, _, w in self.dsl.tasks()})
+        if not windows:
+            return
+        anomalies = sigma_scan(
+            store,
+            group_cols=("topic", "field_path"),
+            value_col="value",
+            ts_col="produced",
+            windows=windows,
+            min_count=self.cfg.min_count,
+            path_col="field_path",
+            keep_ts=True,
+            score_df=extracted,
+        )
+        tasks = self.spark.createDataFrame(
+            self.dsl.tasks(), "topic string, path string, window_seconds long"
+        )
+        anomalies = anomalies.join(
+            F.broadcast(tasks), on=["topic", "path", "window_seconds"], how="semi"
+        )
+
+        # 5. cooldown (W6) with persisted state
+        emitted = self._apply_cooldown(anomalies)
+        emitted.persist()
+        try:
+            if emitted.limit(1).count() > 0:
+                self._update_state(emitted)
+                emitted.write.mode("append").parquet(self.cfg.anomaly_dir)
+                self.anomaly_batches += 1
+        finally:
+            emitted.unpersist()
+
+    def compact_store(self) -> None:
+        """Physical retention prune (S6) — rewrite the store keeping only
+        rows inside each topic's max retention. Run offline/periodically;
+        logical pruning already happens in every stats scan."""
+        store = self._read_store()
+        retention = {
+            t.topic: max((f.retention_seconds for f in t.fields), default=0)
+            for t in self.dsl.topics.values()
+        }
+        ret_df = self.spark.createDataFrame(
+            list(retention.items()), "topic string, retention_s long"
+        )
+        as_of = store.agg(F.max("produced").alias("as_of"))
+        kept = (
+            store.crossJoin(F.broadcast(as_of))
+            .join(F.broadcast(ret_df), "topic", "left")
+            .filter(
+                F.unix_micros(F.col("produced").cast("timestamp"))
+                >= F.unix_micros(F.col("as_of").cast("timestamp"))
+                - F.coalesce(F.col("retention_s"), F.lit(0)) * 1_000_000
+            )
+            .select(*store.columns)
+        )
+        tmp = self.cfg.store_dir + ".compact"
+        kept.write.mode("overwrite").partitionBy("topic").parquet(tmp)
+        state_backup = None
+        if os.path.exists(self._state_dir):
+            state_backup = tmp + ".state"
+            shutil.move(self._state_dir, state_backup)
+        shutil.rmtree(self.cfg.store_dir)
+        os.replace(tmp, self.cfg.store_dir)
+        if state_backup:
+            shutil.move(state_backup, self._state_dir)
+
+    def start(self, envelope_stream: DataFrame, checkpoint_dir: str):
+        """Attach to an envelope stream and run."""
+        return (
+            envelope_stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{self.cfg.trigger_seconds} seconds")
+            .start()
+        )
+
+
+def windowed_stats_stream(
+    envelope: DataFrame,
+    dsl: DSL,
+    slide_seconds: int = DEFAULT_ANOMALY_SCAN_SECONDS,
+):
+    """Pure Structured Streaming alternative for the stats plane (W1/W2 with
+    *aligned* sliding windows instead of trailing-from-now): one windowed
+    aggregation per distinct window length, unioned; watermark = window
+    length gives W3/W4 state eviction. Output: append-mode stats rows."""
+    spark = envelope.sparkSession
+    parts = []
+    for t in dsl.topics.values():
+        exprs = dsl_field_exprs("value", [f.path for f in t.fields])
+        long_df = to_sigma_store(
+            envelope.filter(F.col("topic") == t.topic),
+            topic_col="topic",
+            ts_col="ts",
+            fields=exprs,
+        )
+        by_window: dict[int, list[str]] = {}
+        for f in t.fields:
+            for w in f.windows:
+                by_window.setdefault(w, []).append(f.path)
+        for w, paths in by_window.items():
+            agg = (
+                long_df.filter(F.col("field_path").isin(paths))
+                .withWatermark("produced", f"{w} seconds")
+                .groupBy(
+                    F.window("produced", f"{w} seconds", f"{slide_seconds} seconds"),
+                    "topic",
+                    "field_path",
+                )
+                .agg(
+                    F.avg("value").alias("mean"),
+                    F.stddev_pop("value").alias("stddev_pop"),
+                    F.count("value").alias("n"),
+                )
+                .withColumn("window_seconds", F.lit(w).cast("long"))
+            )
+            parts.append(agg)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,174 @@
+"""Streaming lift tests: the golden fixture end-to-end through the
+foreachBatch pipeline, the pure windowed-stats stream, discovery loop,
+and the Kafka builder configs (no broker available — builders only)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from sarkac_spark.config import DSL
+from sarkac_spark.sources.kafka import KafkaSourceConfig, anomaly_sink_frame
+from sarkac_spark.sources.synthetic import (
+    SPIKE_EVERY,
+    TOPIC,
+    example_messages,
+    expected_anomaly_indices,
+)
+from sarkac_spark.streaming.discovery_loop import DiscoveryLoop
+from sarkac_spark.streaming.listener import EventBus, StatsCounters, status
+from sarkac_spark.streaming.pipeline import (
+    SigmaStreamConfig,
+    SigmaStreamPipeline,
+    windowed_stats_stream,
+)
+
+DSL_FIXTURE = DSL.parse(
+    {TOPIC: {"fields": {"sub.one": {"windows": ["5m"]}, "two": {"windows": ["5m"]}}}}
+)
+
+
+@pytest.fixture()
+def pipeline(spark, tmp_path):
+    cfg = SigmaStreamConfig(
+        store_dir=str(tmp_path / "store"),
+        anomaly_dir=str(tmp_path / "anomalies"),
+        cooldown_seconds=0,  # isolate scoring behavior; cooldown tested apart
+    )
+    return SigmaStreamPipeline(spark, DSL_FIXTURE, cfg)
+
+
+def _read_anomalies(spark, pipeline):
+    try:
+        return spark.read.parquet(pipeline.cfg.anomaly_dir)
+    except Exception:
+        return None
+
+
+def test_golden_fixture_batch_mode(spark, pipeline):
+    """Drive the foreachBatch body directly with the reference fixture:
+    planted spikes/dips must be flagged, baseline must not."""
+    msgs = example_messages(spark, n=96)
+    pipeline.process_batch(msgs, epoch_id=0)
+
+    anomalies = _read_anomalies(spark, pipeline)
+    assert anomalies is not None
+    rows = anomalies.collect()
+    spikes, dips = expected_anomaly_indices(96)
+    got_one = sorted(int(r.key) for r in rows if r.path == "sub.one")
+    got_two = sorted(int(r.key) for r in rows if r.path == "two")
+    assert got_one == spikes
+    assert got_two == dips
+    # every flagged value is a planted one
+    assert {r.value for r in rows if r.path == "sub.one"} == {150.5}
+    assert {r.value for r in rows if r.path == "two"} == {-100.0}
+
+
+def test_incremental_batches_and_cooldown(spark, tmp_path):
+    """Two micro-batches: state (store + cooldown) persists across them."""
+    cfg = SigmaStreamConfig(
+        store_dir=str(tmp_path / "store"),
+        anomaly_dir=str(tmp_path / "anomalies"),
+        cooldown_seconds=3600,  # suppress all but the first per series
+    )
+    p = SigmaStreamPipeline(spark, DSL_FIXTURE, cfg)
+    msgs = example_messages(spark, n=96).cache()
+    first = msgs.filter(F.col("key").cast("long") < 48)
+    second = msgs.filter(F.col("key").cast("long") >= 48)
+    p.process_batch(first, 0)
+    p.process_batch(second, 1)
+
+    rows = spark.read.parquet(cfg.anomaly_dir).collect()
+    # 96 msgs * 2.5 s = 4 min < 1h cooldown => exactly one emit per path
+    per_path = {}
+    for r in rows:
+        per_path.setdefault(r.path, []).append(int(r.key))
+    assert per_path["sub.one"] == [SPIKE_EVERY - 1]
+    assert per_path["two"] == [2 * SPIKE_EVERY - 1]
+
+
+def test_store_compaction(spark, pipeline):
+    msgs = example_messages(spark, n=96)
+    pipeline.process_batch(msgs, 0)
+    before = spark.read.parquet(pipeline.cfg.store_dir).count()
+    pipeline.compact_store()
+    after = spark.read.parquet(pipeline.cfg.store_dir).count()
+    # 5m retention over a 4-minute fixture: nothing evicted, data intact
+    assert before == after == 96 * 2
+
+
+def test_windowed_stats_stream(spark, tmp_path):
+    """Pure Structured Streaming stats plane over a file source."""
+    # needs enough event-time span for windows to close past the watermark
+    # (window=5m, watermark=5m => ~10 minutes of data minimum; 400 msgs = 1000 s)
+    src = tmp_path / "src"
+    example_messages(spark, n=400).write.parquet(str(src))
+    envelope = (
+        spark.readStream.schema("topic string, key string, value string, ts timestamp")
+        .parquet(str(src))
+    )
+    stats = windowed_stats_stream(envelope, DSL_FIXTURE, slide_seconds=300)
+    q = (
+        stats.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stats_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT topic, field_path, mean, n FROM stats_out WHERE n >= 3"
+    ).collect()
+    assert out, "windowed stats produced no closed windows"
+    assert {r.topic for r in out} == {TOPIC}
+    assert {r.field_path for r in out} == {"sub.one", "two"}
+    # spike contribution visible: sub.one window means exceed the baseline
+    assert any(r.mean > 16 for r in out if r.field_path == "sub.one")
+
+
+def test_discovery_loop_merges_dsl():
+    calls = []
+    loop = DiscoveryLoop(
+        DSL.parse({"t": {"fields": {"a": {"windows": ["1m"]}}}}),
+        blacklist=["internal"],
+        output_topic="anomalies-out",
+        on_dsl_change=calls.append,
+    )
+    created, deleted = loop.step_topics(["t", "u", "internal", "anomalies-out"])
+    assert created == ["u"] and deleted == []
+    changed = loop.step_fields("u", json.dumps({"x": 1.5, "s": "txt"}))
+    assert changed and calls, "DSL change must fire the restart callback"
+    assert ("u", "x", 900) in loop.dsl.tasks()
+    # same schema again: hash match, no change
+    assert not loop.step_fields("u", json.dumps({"x": 2.0, "s": "other"}))
+
+
+def test_kafka_config_and_sink_shape(spark):
+    cfg = KafkaSourceConfig(
+        bootstrap_servers="broker:9092", subscribe_pattern="events-.*"
+    )
+    opts = cfg.options()
+    assert opts["subscribePattern"] == "events-.*"
+    assert opts["maxOffsetsPerTrigger"] == "500"  # reference batch size
+    with pytest.raises(ValueError):
+        KafkaSourceConfig(bootstrap_servers="b").options()
+
+    df = spark.createDataFrame(
+        [("t", "p", 86400, 150.5)], "topic string, path string, window_seconds long, value double"
+    )
+    out = anomaly_sink_frame(df, ["topic", "path", "window_seconds"]).collect()[0]
+    assert out.key == "t:p:86400"
+    assert json.loads(out.value)["value"] == 150.5
+
+
+def test_listener_counters_and_status():
+    bus, counters = EventBus(), StatsCounters()
+    seen = []
+    bus.on("anomaly", seen.append)
+    bus.emit("anomaly", {"path": "x"})
+    counters.anomalies_detected += 1
+    assert seen == [{"path": "x"}]
+    doc = status(counters, stored_events=42)
+    assert doc["storedEvents"] == 42 and doc["stats"]["anomalies_detected"] == 1
