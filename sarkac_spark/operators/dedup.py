@@ -1,0 +1,318 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json mandate): exact dedup,
+MinHash+LSH near-dup, SimHash near-dup, and n-gram Jaccard similarity,
+each expressed as declarative DataFrame plans that scale:
+
+- exact: one hash-shuffle on the text digest.
+- minhash: shingle explode -> ONE grouped aggregation computes all k
+  minhashes (conditional-agg pattern: k ``min`` aggregates over the same
+  shuffle); LSH banding turns O(n^2) comparison into an equi-join on
+  band keys; only candidate pairs get the exact Jaccard verification.
+- simhash: word explode -> one grouped aggregation computes all bit
+  sums; banding on bit chunks turns hamming search into an equi-join.
+- ngram_jaccard: candidate pairs from a shared-shingle equi-join
+  (inverted-index style), exact Jaccard on candidates. At very large n,
+  prefilter with minhash_lsh_candidates instead — the shared-shingle
+  join is quadratic in hot shingles (df blacklisting mitigates).
+
+Portability: all hashing is md5-derived (identical in Spark and DuckDB),
+so every operator here is oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# 60-bit hash from the md5 hex prefix: fits a signed 64-bit long in both
+# engines (Spark: conv(hex,16,10) cast long; DuckDB: ('0x'||hex)::bigint).
+_HASH_HEX_LEN = 15
+SIMHASH_BITS = 60
+
+
+def _h60(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, _HASH_HEX_LEN), 16, 10).cast("long")
+
+
+def words_col(text_col: str) -> F.Column:
+    """Whitespace tokenization, shared by dedup/text ops."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    Built with sequence+transform (JVM higher-order functions, no Python)
+    then exploded — the explode is the scale cost, ~words x n per doc.
+    """
+    w = words_col(text_col)
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    # guard: docs shorter than n words produce no shingles (Spark's
+    # sequence() would otherwise run DESCENDING for size-n < 0 and
+    # element_at(0) errors under ANSI mode)
+    safe = F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return df.select(F.col(id_col), F.explode(safe).alias("shingle"))
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by text digest; keeps min(id) as canonical.
+    Returns (text_hash, canonical_id, n_dups). One shuffle on the digest —
+    at 100 TB this is the cheapest possible full-corpus dedup."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+# LCG minhash family over one md5-derived base hash: h_i = (A_i*h + B_i)
+# mod P. ONE md5 per shingle (the old md5-per-(i,shingle) scheme cost k
+# digests per row — the dominant cost at scale); the k variants are pure
+# 64-bit integer ops, identical in Spark and DuckDB. P prime < 2^31 keeps
+# A_i*h < 2^62 (no int64 overflow). Constants are fixed engine contract.
+MINHASH_P = 2147483647
+_LCG_A = [1103515245 + 12820163 * i for i in range(64)]
+_LCG_B = [377003613 + 1013904223 * i for i in range(64)]
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """k minhashes per doc in ONE aggregation pass: minhash_i = min over
+    shingles of ``(A_i * h60(shingle) mod P + B_i) mod P``. Returns
+    (id, mh_0..mh_{k-1}) as longs."""
+    sh = shingles(df, id_col, text_col, n=shingle_n)
+    base = (_h60(F.col("shingle")) % MINHASH_P).alias("h")
+    hashed = sh.select(F.col(id_col), base)
+    aggs = [
+        F.min(
+            (F.lit(_LCG_A[i] % MINHASH_P) * F.col("h") + F.lit(_LCG_B[i] % MINHASH_P))
+            % MINHASH_P
+        ).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, id_col: str, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band signatures into ``bands`` buckets of k/bands rows; docs sharing
+    any band key become a candidate pair (id_a < id_b). The band equi-join
+    replaces the O(n^2) cross product — the core LSH scale move."""
+    rows = k // bands
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)],
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs via the shingle inverted index:
+    |A ∩ B| from a pair-conditioned equi-join, |A ∪ B| = |A|+|B|-|A∩B|.
+    Returns (id_a, id_b, jaccard) above threshold."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        candidates
+        .join(sh.withColumnRenamed(id_col, "id_a"), "id_a")
+        .join(
+            sh.withColumnRenamed(id_col, "id_b"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def dedup_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash -> LSH banding -> exact-Jaccard verification. Returns
+    near-duplicate pairs (id_a, id_b, jaccard >= threshold)."""
+    sh = shingles(df, id_col, text_col, n=shingle_n)
+    sigs = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n)
+    cands = minhash_lsh_candidates(sigs, id_col, k=k, bands=bands)
+    return jaccard_verify(cands, sh, id_col, threshold)
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash per doc: per-word 60-bit md5 hash; bit j of the
+    fingerprint is 1 iff the count-weighted sum of (+1/-1) over words'
+    bit j is positive. One explode + ONE grouped aggregation with 60
+    conditional sums — no per-bit shuffle."""
+    w = words_col(text_col)
+    words = df.select(F.col(id_col), F.explode(w).alias("word"))
+    counts = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("cnt"))
+    h = _h60(F.col("word"))
+    bit_sums = [
+        F.sum(
+            F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = counts.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def dedup_simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    Candidates via bit-chunk banding (pigeonhole: distance <= bands-1
+    guarantees one equal chunk; with max_hamming=3, bands=4 is exact),
+    verified with bit_count(xor)."""
+    fps = simhash(df, id_col, text_col)
+    chunk = SIMHASH_BITS // bands
+    mask = (1 << chunk) - 1
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                F.shiftright(F.col("simhash"), b * chunk).bitwiseAND(
+                    F.lit(mask)
+                ).cast("string"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = fps.select(F.col(id_col), F.col("simhash"), F.explode(band_keys).alias("bk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- n-gram Jaccard (no minhash approximation) --------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold via the shingle inverted index:
+    ONE self-join on shingle counts |A ∩ B| for every co-occurring pair
+    directly (no candidates-distinct-then-rejoin round trip — that shape
+    cost 2 extra joins over the exploded relation). Correct but
+    hot-shingle-quadratic; at large n use dedup_minhash (same verify,
+    LSH candidates)."""
+    sh = shingles(df, id_col, text_col, n=shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.withColumnRenamed(id_col, "id_a")
+    b = sh.withColumnRenamed(id_col, "id_b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # sizes joins stay un-hinted: AQE broadcasts them while they fit and
+    # falls back to shuffle joins at billion-doc scale
+    return (
+        inter.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

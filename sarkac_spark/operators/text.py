@@ -1,0 +1,147 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure column expressions / one grouped aggregation — no Python in the
+data path, every op oracle-checkable. Scale shape: token ops are map-only
+per document; lang-ID is one explode + one aggregation (stopword dim is a
+broadcast literal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from sarkac_spark.operators.dedup import words_col
+
+# tiny per-language stopword profiles — an n-gram/stopword-ratio heuristic
+# (fastText-style lang-id is out of scope: no model files in this env)
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "es", "los"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "est", "que"),
+    "zh": ("de", "le", "shi", "zai", "he", "you", "wo", "ta", "men", "bu"),
+}
+
+
+def token_count(text_col: str) -> Column:
+    """Whitespace token count (the cheap pre-BPE budget estimate)."""
+    return F.size(words_col(text_col))
+
+
+def bpe_ish_token_count(text_col: str) -> Column:
+    """BPE-ish upper bound: word-piece segments from a regex split on
+    non-alphanumerics plus a 4-chars-per-piece length penalty — a cheap,
+    deterministic stand-in for a real tokenizer's count."""
+    pieces = F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+")
+    return F.aggregate(
+        F.filter(pieces, lambda p: p != ""),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + F.ceil(F.length(p) / F.lit(4.0)).cast("long"),
+    )
+
+
+def doc_fingerprint(text_col: str) -> Column:
+    """Deterministic fingerprint of whitespace-normalized, lowercased
+    text — the exact-dedup key that survives formatting noise."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality signals: lengths, punctuation/digit/space ratios,
+    unique-word ratio, mean word length — the usual pre-training filters."""
+    w = words_col(text_col)
+    n_chars = F.length(F.col(text_col))
+    return df.withColumns(
+        {
+            "n_words": F.size(w),
+            "n_unique_words": F.size(F.array_distinct(w)),
+            "unique_ratio": F.round(
+                F.size(F.array_distinct(w)) / F.size(w), 6
+            ),
+            "mean_word_len": F.round(
+                F.aggregate(
+                    w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+                )
+                / F.size(w),
+                6,
+            ),
+            "punct_ratio": F.round(
+                (n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", "")))
+                / n_chars,
+                6,
+            ),
+            "digit_ratio": F.round(
+                (n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", "")))
+                / n_chars,
+                6,
+            ),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0-1 quality score: rewards lexical diversity and sane
+    word lengths, penalizes punctuation/digit noise. Weights are the
+    operator's contract (documented, deterministic), not a claim of
+    linguistic truth.
+
+    Arithmetic note: the weighted sum is computed in exact integer
+    micro-units (inputs are 6-decimal-rounded ratios, scale 1e6; weights
+    x100) and divided once by 1e8 — float summation can land exactly on
+    a rounding boundary and flip the 6th decimal between engines, which
+    broke oracle comparison; integer math cannot.
+    """
+    feats = quality_features(df, text_col)
+
+    def micro(col: str) -> F.Column:
+        return F.round(F.col(col) * 1_000_000).cast("long")
+
+    len_term6 = F.least(F.col("n_words") * 10_000, F.lit(1_000_000))
+    score_scaled = (
+        35 * micro("unique_ratio")
+        + 35 * len_term6
+        + 15 * (1_000_000 - micro("punct_ratio"))
+        + 15 * (1_000_000 - micro("digit_ratio"))
+    )
+    return feats.withColumn(
+        "quality_score", score_scaled / F.lit(100_000_000.0)
+    )
+
+
+def lang_id(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Stopword-profile language ID: explode words, count hits per
+    language profile, argmax with (count desc, lang asc) tiebreak; docs
+    with zero hits in every profile get 'und' (undetermined).
+
+    One explode + one aggregation; the profile table is a literal
+    broadcast dim.
+    """
+    spark = df.sparkSession
+    profile = spark.createDataFrame(
+        [(lang, word) for lang, ws in STOPWORDS.items() for word in ws],
+        "lang_cand string, word string",
+    )
+    words = df.select(
+        F.col(id_col), F.explode(words_col(text_col)).alias("word")
+    ).withColumn("word", F.lower(F.col("word")))
+    hits = (
+        words.join(F.broadcast(profile), "word")
+        .groupBy(id_col, "lang_cand")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("n_hits").desc(), F.col("lang_cand")
+    )
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("lang_cand").alias("lang_pred"), "n_hits")
+    )
+    return df.select(id_col).join(best, id_col, "left").fillna(
+        {"lang_pred": "und", "n_hits": 0}
+    )

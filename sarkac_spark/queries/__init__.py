@@ -13,9 +13,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sarkac_spark.queries import core
+from sarkac_spark.queries import core, llm
 
-_MODULES = [core]
+_MODULES = [core, llm]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

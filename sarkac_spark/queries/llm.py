@@ -1,0 +1,435 @@
+"""LLM-training-data pipeline queries (beyond-reference mandate,
+BASELINE.json): dedup family, similarity search, text analysis — all over
+the driver's ``documents`` / ``embeddings`` tables, each with a DuckDB
+oracle built from the same md5-derived hash machinery so results match
+bit-for-bit.
+
+The verbose oracle SQL (60 simhash bit sums, banded minhash) is
+*generated* by the same Python loops that build the Spark plans —
+one source of truth for constants like k/bands/thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sarkac_spark.operators.dedup import (
+    _LCG_A,
+    _LCG_B,
+    MINHASH_P,
+    SIMHASH_BITS,
+    dedup_exact,
+    dedup_minhash,
+    dedup_simhash,
+    ngram_jaccard_pairs,
+)
+from sarkac_spark.operators.similarity import cosine, cosine_topk, ivf_topk
+from sarkac_spark.operators.text import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from sarkac_spark.sources.tables import load_table
+
+MINHASH_K = 16
+MINHASH_BANDS = 4
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 3
+# the synthetic embeddings have no true near-dups (max pairwise cosine
+# ~0.51); 0.45 exercises the operator with a non-trivial result set
+EMB_NEARDUP_THRESHOLD = 0.45
+TOPK = 3
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+N_CENTROIDS = 8  # vec_id < 8 double as IVF centroids
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- queries -----------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup_exact(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return dedup_minhash(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup_simhash(
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=SIMHASH_MAX_HAMMING
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=JACCARD_THRESHOLD
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from sarkac_spark.operators.similarity import cosine_with_norms, norm
+
+    e = _embs(spark, sf_dir)
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    ).withColumn("na", norm(F.col("va")))
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    ).withColumn("nb", norm(F.col("vb")))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(
+            cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+        ).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= EMB_NEARDUP_THRESHOLD)
+
+
+def q_cosine_topk(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return cosine_topk(e, e.filter(F.col("vec_id") < N_QUERIES), k=TOPK)
+
+
+def q_ivf_topk(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    centroids = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return ivf_topk(e, e.filter(F.col("vec_id") < N_QUERIES), centroids, k=TOPK)
+
+
+def q_token_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return quality_score(d, "text").select(
+        "doc_id",
+        "n_words",
+        "unique_ratio",
+        "mean_word_len",
+        "punct_ratio",
+        "digit_ratio",
+        "quality_score",
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir), "doc_id", "text")
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_neardup": q_embedding_neardup,
+    "cosine_topk": q_cosine_topk,
+    "ivf_topk": q_ivf_topk,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+}
+
+
+# --- oracle SQL generation ------------------------------------------------
+
+_WORDS = "string_split_regex(trim(text), '\\s+')"
+
+_SHINGLES_CTE = f"""
+ws AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, u.s AS shingle
+  FROM ws, UNNEST(
+    CASE WHEN len(w) >= 3 THEN
+      list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    ELSE [] END
+  ) AS u(s)
+)
+"""
+
+
+def _minhash_sql() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    mh_aggs = ",\n    ".join(
+        f"min(({_LCG_A[i] % MINHASH_P} * h + {_LCG_B[i] % MINHASH_P}) % {MINHASH_P})"
+        f" AS mh_{i}"
+        for i in range(MINHASH_K)
+    )
+    band_exprs = ",\n      ".join(
+        "'{b}|' || {cols}".format(
+            b=b,
+            cols=" || '|' || ".join(
+                f"mh_{b * rows + r}::varchar" for r in range(rows)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::bigint % {MINHASH_P} AS h
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id, {mh_aggs}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, UNNEST([
+      {band_exprs}
+  ]) AS band_key FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(n_common / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE round(n_common / (na.n_sh + nb.n_sh - n_common), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _ngram_jaccard_sql() -> str:
+    return f"""
+WITH {_SHINGLES_CTE},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(n_common / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE round(n_common / (na.n_sh + nb.n_sh - n_common), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _simhash_sql() -> str:
+    chunk = SIMHASH_BITS // 4
+    mask = (1 << chunk) - 1
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h & {1 << j}) != 0 THEN cnt ELSE -cnt END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    band_exprs = ",\n      ".join(
+        f"'{b}:' || ((simhash >> {b * chunk}) & {mask})::varchar" for b in range(4)
+    )
+    return f"""
+WITH ws AS (
+  SELECT doc_id, UNNEST({_WORDS}) AS word FROM documents
+),
+wc AS (
+  SELECT doc_id, word, count(*) AS cnt,
+         ('0x' || substr(md5(word), 1, 15))::bigint AS h
+  FROM ws GROUP BY doc_id, word
+),
+sums AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM wc GROUP BY doc_id
+),
+fps AS (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+),
+bands AS (
+  SELECT doc_id, simhash, UNNEST([
+      {band_exprs}
+  ]) AS bk FROM fps
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM pairs
+WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _cosine_topk_sql() -> str:
+    cos = _COS.format(a="q.v", b="c.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
+  FROM e q JOIN e c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+  ) AS rank FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
+def _ivf_topk_sql() -> str:
+    cent_cos = _COS.format(a="v.v", b="c.v")
+    cos = _COS.format(a="q.v", b="n.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS bucket, v FROM e WHERE vec_id < {N_CENTROIDS}),
+assign_all AS (
+  SELECT vec_id, bucket, rn FROM (
+    SELECT v.vec_id, c.bucket, row_number() OVER (
+      PARTITION BY v.vec_id ORDER BY {cent_cos} DESC, c.bucket
+    ) AS rn
+    FROM e v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {cos} AS cos_sim
+  FROM e q
+  JOIN assign_all qa ON qa.vec_id = q.vec_id
+  JOIN assign_all na ON na.bucket = qa.bucket AND na.vec_id != q.vec_id
+  JOIN e n ON n.vec_id = na.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+  ) AS rank FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
+def _lang_id_sql() -> str:
+    profile_rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in STOPWORDS.items() for w in ws
+    )
+    return f"""
+WITH profile(lang_cand, word) AS (VALUES {profile_rows}),
+words AS (
+  SELECT doc_id, lower(UNNEST({_WORDS})) AS word FROM documents
+),
+hits AS (
+  SELECT w.doc_id, p.lang_cand, count(*) AS n_hits
+  FROM words w JOIN profile p ON w.word = p.word
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang_cand AS lang_pred, n_hits FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY n_hits DESC, lang_cand
+    ) AS rn FROM hits
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       coalesce(b.lang_pred, 'und') AS lang_pred,
+       coalesce(b.n_hits, 0) AS n_hits
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+"""
+
+
+ORACLE = {
+    "dedup_exact": """
+SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+    "dedup_minhash": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "ngram_jaccard": _ngram_jaccard_sql(),
+    "embedding_neardup": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_COS.format(a="a.v", b="b.v")} AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COS.format(a="a.v", b="b.v")} >= {EMB_NEARDUP_THRESHOLD}
+""",
+    "cosine_topk": _cosine_topk_sql(),
+    "ivf_topk": _ivf_topk_sql(),
+    "token_stats": f"""
+SELECT doc_id,
+       len({_WORDS}) AS n_tokens,
+       CAST(list_sum(list_transform(
+           list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                       p -> p != ''),
+           p -> CAST(ceil(length(p) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+""",
+    "quality_score": f"""
+WITH feats AS (
+  SELECT doc_id,
+         len({_WORDS}) AS n_words,
+         len(list_distinct({_WORDS})) AS n_uniq,
+         round(len(list_distinct({_WORDS})) / len({_WORDS}), 6) AS unique_ratio,
+         round(CAST(list_sum(list_transform({_WORDS}, x -> length(x))) AS BIGINT)
+               / len({_WORDS}), 6) AS mean_word_len,
+         round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               / length(text), 6) AS punct_ratio,
+         round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               / length(text), 6) AS digit_ratio
+  FROM documents
+)
+SELECT doc_id, n_words, unique_ratio, mean_word_len, punct_ratio, digit_ratio,
+       (35 * CAST(round(unique_ratio * 1000000) AS BIGINT)
+      + 35 * least(n_words * 10000, 1000000)
+      + 15 * (1000000 - CAST(round(punct_ratio * 1000000) AS BIGINT))
+      + 15 * (1000000 - CAST(round(digit_ratio * 1000000) AS BIGINT))
+       ) / 100000000.0 AS quality_score
+FROM feats
+""",
+    "lang_id": _lang_id_sql(),
+}

@@ -1,0 +1,205 @@
+"""Dedup / similarity / text / multimodal operator tests on controlled
+inputs (planted duplicates, known vectors)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sarkac_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash,
+    dedup_simhash,
+    ngram_jaccard_pairs,
+    shingles,
+)
+from sarkac_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    media_metadata,
+    payload_stats,
+)
+from sarkac_spark.operators.similarity import cosine, cosine_topk, ivf_topk
+from sarkac_spark.operators.text import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+NEAR = "the quick brown fox jumps over the lazy dog near the old river bank yesterday"
+OTHER = "completely different words about spark query engines and distributed joins"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)], "doc_id long, text string"
+    )
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "a b c d")], "doc_id long, text string")
+    got = shingles(df, "doc_id", "text").collect()
+    assert {r.doc_id for r in got} == {2}  # <3 words -> no shingles, no error
+    assert {r.shingle for r in got} == {"a b c", "b c d"}
+
+
+def test_dedup_exact(docs):
+    groups = dedup_exact(docs, "doc_id", "text").filter(F.col("n_dups") > 1).collect()
+    assert len(groups) == 1
+    assert groups[0].canonical_id == 1 and groups[0].n_dups == 2
+
+
+def test_dedup_minhash_finds_near_dup(docs):
+    pairs = {(r.id_a, r.id_b) for r in dedup_minhash(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert (1, 2) in pairs  # exact dup: jaccard 1.0
+    assert (1, 3) in pairs and (2, 3) in pairs  # near dup
+    assert not any(4 in p for p in pairs)  # unrelated doc untouched
+
+
+def test_ngram_jaccard_values(docs):
+    rows = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1).collect()}
+    assert rows[(1, 2)] == 1.0
+    assert 0.5 < rows[(1, 3)] < 1.0
+
+
+def test_dedup_simhash(docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dedup_simhash(docs, "doc_id", "text", max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0  # identical text -> identical fingerprint
+    assert (1, 3) in pairs  # near dup within hamming budget
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r.c for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got[0] == pytest.approx(0.0)
+    assert got[1] == pytest.approx(1.0)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 2-d unit-ish vectors at known angles; vec 0/1 near each other
+    rows = []
+    for i, deg in enumerate([0, 5, 90, 180, 45, 10]):
+        rows.append((i, [math.cos(math.radians(deg)), math.sin(math.radians(deg))]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk(vectors):
+    out = cosine_topk(vectors, vectors.filter("vec_id = 0"), k=2).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [1, 5]
+
+
+def test_ivf_topk_prunes_to_bucket(vectors):
+    cents = vectors.filter("vec_id in (0, 2)").select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = ivf_topk(vectors, vectors.filter("vec_id = 1"), cents, k=5).collect()
+    # bucket of centroid 0 holds {0,1,4,5} (within 45 deg); 90/180 deg vecs
+    # fall to centroid 2's bucket and must not appear
+    got = {r.neighbor_id for r in out}
+    assert got == {0, 4, 5}
+
+
+def test_token_counts_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello   world  "), (2, "hello world"), (3, "internationalization")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("tc"),
+            bpe_ish_token_count("text").alias("bpe"),
+            doc_fingerprint("text").alias("fp"),
+        ).collect()
+    }
+    assert rows[1].tc == 2 and rows[2].tc == 2
+    assert rows[1].fp == rows[2].fp  # whitespace/case-normalized
+    assert rows[3].bpe == 5  # ceil(20/4)
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "varied words every one distinct here now"), (2, "spam spam spam spam spam")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.quality_score for r in quality_score(df).collect()}
+    assert 0 <= rows[2] < rows[1] <= 1
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat of the mat and it is that"),
+            (2, "der hund und die katze ist ein tier von hier"),
+            (3, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.lang_pred for r in lang_id(df, "doc_id").collect()}
+    assert rows[1] == "en" and rows[2] == "de" and rows[3] == "und"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", "image/png", b"\x89PNG1234", 64, 64, None),
+        (2, "video", "video/mp4", b"\x00mp4data", 640, 480, 3500),
+        (3, "audio", "audio/wav", None, None, None, 2000),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id long, kind string, mime string, payload binary, "
+        "width int, height int, duration_ms long",
+    )
+
+
+def test_multimodal_metadata_prunes_payload(spark, media, tmp_path):
+    # pruning is only observable on a real scan: the parquet ReadSchema
+    # must not include the (potentially huge) payload column
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    plan = (
+        media_metadata(spark.read.parquet(path))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "payload" not in plan
+
+
+def test_payload_stats(media):
+    rows = {r.media_id: r for r in payload_stats(media).collect()}
+    assert rows[1].n_bytes == 8
+    assert rows[1].head_hex.startswith("89504e47")  # PNG magic
+    assert rows[3].n_bytes is None
+
+
+def test_extract_features_stub_and_injected(media):
+    with pytest.raises(Exception, match="NotImplementedError|decoder"):
+        extract_features(media).collect()
+
+    def fake_decoder(raw: bytes, kind: str) -> list[float]:
+        return [float(len(raw)), float(raw[0]) if raw else -1.0]
+
+    rows = {r.media_id: r for r in extract_features(media, decoder=fake_decoder).collect()}
+    assert rows[1].feature == [8.0, 137.0]
+    assert rows[3].feature == [0.0, -1.0]
+    assert rows[2].n_bytes == 8 and len(rows[2].sha_prefix) == 16
+
+
+def test_frame_sample_plan(media):
+    rows = frame_sample_plan(media, every_ms=1000).collect()
+    assert {r.media_id for r in rows} == {2}
+    assert sorted(r.sample_ms for r in rows) == [0, 1000, 2000, 3000]
