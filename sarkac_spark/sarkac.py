@@ -1,0 +1,166 @@
+"""Top-level orchestrator — the ``Sarkac`` class (reference
+lib/Sarkac.js:39-122) re-expressed over Spark.
+
+A reference user writes (example/example.js):
+
+    const sarkac = new Sarkac(config);
+    sarkac.on("anomaly", ...);
+    sarkac.analyse();
+
+The Spark-native equivalent keeps that shape:
+
+    sarkac = Sarkac(spark, config)
+    sarkac.on("anomaly", callback)
+    sarkac.analyse(envelope_stream)   # or .analyse() with kafka config
+    ...
+    sarkac.close()
+
+``analyse()`` wires: DSL parse (DSLHandler.prepare) -> store/anomaly dirs
+-> streaming query start (Stream.js) -> discovery loop (Discovery.js) ->
+counters (HttpServer /status). The event bus carries the reference's
+event names; anomaly events are surfaced per micro-batch from the
+pipeline's sink.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sarkac_spark.config import DSL, DEFAULT_ANOMALY_SCAN_SECONDS
+from sarkac_spark.sources.kafka import KafkaSourceConfig, envelope, kafka_stream
+from sarkac_spark.streaming.discovery_loop import DiscoveryLoop
+from sarkac_spark.streaming.listener import EventBus, StatsCounters, status
+from sarkac_spark.streaming.pipeline import SigmaStreamConfig, SigmaStreamPipeline
+
+
+class Sarkac:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: dict[str, Any],
+        work_dir: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.config = config
+        self.dsl = DSL.parse(config.get("dsl", {}))
+        self.bus = EventBus()
+        self.counters = StatsCounters()
+        self.work_dir = work_dir or tempfile.mkdtemp(prefix="sarkac_spark_")
+        discovery_cfg = config.get("discovery", {})
+        self.discovery = DiscoveryLoop(
+            self.dsl,
+            blacklist=discovery_cfg.get("topicBlacklist", []),
+            output_topic=(config.get("target") or {}).get("topic"),
+            on_dsl_change=self._on_dsl_change,
+            window_config=config.get("hooks", {}).get("beforeDiscoveryFieldConfig"),
+        )
+        self.pipeline: SigmaStreamPipeline | None = None
+        self.query = None
+        self._pending_restart = False
+
+    # -- events (reference EventEmitter surface, Sarkac.js:55-68) ----------
+
+    def on(self, event: str, fn) -> None:
+        self.bus.on(event, fn)
+
+    def _on_dsl_change(self, new_dsl: DSL) -> None:
+        self.dsl = new_dsl
+        self.bus.emit("discovered-fields", new_dsl.tasks())
+        self.counters.field_updates += 1
+        # Spark cannot swap a running query's plan; flag for restart at the
+        # next micro-batch boundary (O3, DSLHandler.js:316-343)
+        self._pending_restart = True
+
+    # -- lifecycle (Sarkac.js:39-72, 111-122) --------------------------------
+
+    def analyse(
+        self,
+        envelope_stream: DataFrame | None = None,
+        trigger_seconds: int = DEFAULT_ANOMALY_SCAN_SECONDS,
+    ):
+        """Start the engine. Either pass a prepared envelope stream
+        (topic, key, value, ts) — any source — or configure ``kafka`` in
+        the config dict to consume like the reference does."""
+        if envelope_stream is None:
+            kcfg = self.config.get("kafka")
+            if not kcfg:
+                raise ValueError("no envelope stream and no kafka config")
+            src = KafkaSourceConfig(
+                bootstrap_servers=kcfg["bootstrapServers"],
+                topics=self.dsl.kafka_topics(),
+                subscribe_pattern=kcfg.get("subscribePattern"),
+                max_offsets_per_trigger=kcfg.get("maxOffsetsPerTrigger", 500),
+            )
+            envelope_stream = envelope(kafka_stream(self.spark, src))
+
+        cfg = SigmaStreamConfig(
+            store_dir=os.path.join(self.work_dir, "store"),
+            anomaly_dir=os.path.join(self.work_dir, "anomalies"),
+            trigger_seconds=trigger_seconds,
+        )
+        self.pipeline = _BusSigmaPipeline(
+            self.spark, self.dsl, cfg, self.bus, self.counters
+        )
+        self.query = self.pipeline.start(
+            envelope_stream, checkpoint_dir=os.path.join(self.work_dir, "ckpt")
+        )
+        return self.query
+
+    def anomalies(self) -> DataFrame:
+        """All anomalies produced so far (the batch-queryable sink)."""
+        return self.spark.read.parquet(self.pipeline.cfg.anomaly_dir)
+
+    def get_status(self) -> dict:
+        """/status analogue (HttpServer.js:55-66)."""
+        stored = None
+        if self.pipeline is not None:
+            try:
+                stored = self.pipeline._read_store().count()
+            except Exception:
+                stored = 0
+        return status(self.counters, stored_events=stored)
+
+    def close(self) -> None:
+        if self.query is not None:
+            self.query.stop()
+            self.query = None
+
+
+class _BusSigmaPipeline(SigmaStreamPipeline):
+    """Pipeline subclass that surfaces per-batch anomalies on the event
+    bus (reference emits 'anomaly' per record, DSLHandler.js:229) and
+    keeps the scan counters."""
+
+    def __init__(self, spark, dsl, cfg, bus: EventBus, counters: StatsCounters):
+        super().__init__(spark, dsl, cfg)
+        self.bus = bus
+        self.counters = counters
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            n_msgs = batch.count()
+            before = self.anomaly_batches
+            super().process_batch(batch, epoch_id)
+            self.counters.scan_runs += 1
+            self.counters.analysed_messages += n_msgs
+            self.bus.emit("message", n_msgs)
+            if self.anomaly_batches > before:
+                new_rows = (
+                    self.spark.read.parquet(self.cfg.anomaly_dir)
+                    .orderBy("event_ts_us")
+                    .collect()
+                )
+                # emit only this batch's tail; small by construction
+                for r in new_rows[self.counters.anomalies_detected :]:
+                    self.bus.emit("anomaly", r.asDict())
+                self.counters.anomalies_detected = len(new_rows)
+        except Exception as e:  # noqa: BLE001 — parity: errors swallowed + counted
+            self.counters.errors += 1
+            self.bus.emit("error", e)
+        finally:
+            batch.unpersist()
