@@ -44,22 +44,24 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
 
     Built with sequence+transform (JVM higher-order functions, no Python)
     then exploded — the explode is the scale cost, ~words x n per doc.
+
+    The words array is MATERIALIZED in its own projection first: an
+    expression referenced inside a lambda is re-evaluated per array
+    element (no common-subexpression elimination across the HOF
+    boundary), so inlining the regex split made shingling ~15x slower —
+    one split per shingle per leg instead of one per document.
     """
-    w = words_col(text_col)
+    words = df.select(F.col(id_col), words_col(text_col).alias("__w"))
+    w = F.col("__w")
     idx = F.sequence(F.lit(0), F.size(w) - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, n), " "))
     # guard: docs shorter than n words produce no shingles (Spark's
-    # sequence() would otherwise run DESCENDING for size-n < 0 and
-    # element_at(0) errors under ANSI mode)
+    # sequence() would otherwise run DESCENDING for size-n < 0 and slice
+    # errors on index 0 under ANSI mode)
     safe = F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
-    return df.select(F.col(id_col), F.explode(safe).alias("shingle"))
+    return words.select(F.col(id_col), F.explode(safe).alias("shingle"))
 
 
 # --- exact dedup ------------------------------------------------------------

@@ -85,25 +85,11 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    from sarkac_spark.operators.similarity import cosine_with_norms, norm
+    from sarkac_spark.operators.similarity import cosine_all_pairs
 
-    e = _embs(spark, sf_dir)
-    a = e.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").cast("array<double>").alias("va"),
-    ).withColumn("na", norm(F.col("va")))
-    b = e.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").cast("array<double>").alias("vb"),
-    ).withColumn("nb", norm(F.col("vb")))
-    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.round(
-            cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
-        ).alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= EMB_NEARDUP_THRESHOLD)
+    return cosine_all_pairs(
+        _embs(spark, sf_dir), threshold=EMB_NEARDUP_THRESHOLD
+    )
 
 
 def q_cosine_topk(spark, sf_dir):
