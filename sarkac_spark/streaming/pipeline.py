@@ -99,12 +99,18 @@ class SigmaStreamPipeline:
     # -- steps 2-6 ----------------------------------------------------------
 
     def _read_store(self) -> DataFrame:
+        # existence pre-check: an AnalysisException here would be caught
+        # anyway, but Spark logs the miss loudly on every first batch
+        if not os.path.exists(self.cfg.store_dir):
+            return self.spark.createDataFrame([], STORE_SCHEMA)
         try:
             return self.spark.read.schema(STORE_SCHEMA).parquet(self.cfg.store_dir)
-        except Exception:  # first batch: store doesn't exist yet
+        except Exception:
             return self.spark.createDataFrame([], STORE_SCHEMA)
 
     def _read_state(self) -> DataFrame:
+        if not os.path.exists(self._state_dir):
+            return self.spark.createDataFrame([], STATE_SCHEMA)
         try:
             return self.spark.read.schema(STATE_SCHEMA).parquet(self._state_dir)
         except Exception:
