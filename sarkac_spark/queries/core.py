@@ -163,16 +163,27 @@ def q_topic_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_topic_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one full-outer join instead of two anti-joins: the two-leg version
+    # scanned + distinct-aggregated the fact table twice
     ev = _events(spark, sf_dir)
-    current = ev.select(F.col("event_type").alias("topic")).distinct()
-    known = spark.createDataFrame([(t,) for t in _KNOWN_TOPICS], "topic string")
-    created = current.join(known, "topic", "left_anti").withColumn(
-        "change", F.lit("created")
+    current = (
+        ev.select(F.col("event_type").alias("topic"))
+        .distinct()
+        .withColumn("__cur", F.lit(1))
     )
-    deleted = known.join(current, "topic", "left_anti").withColumn(
-        "change", F.lit("deleted")
+    known = spark.createDataFrame(
+        [(t,) for t in _KNOWN_TOPICS], "topic string"
+    ).withColumn("__known", F.lit(1))
+    j = current.join(known, "topic", "full_outer")
+    return (
+        j.filter(F.col("__cur").isNull() | F.col("__known").isNull())
+        .select(
+            "topic",
+            F.when(F.col("__known").isNull(), F.lit("created"))
+            .otherwise(F.lit("deleted"))
+            .alias("change"),
+        )
     )
-    return created.unionByName(deleted)
 
 
 # --- W6: cooldown dedup ------------------------------------------------------
