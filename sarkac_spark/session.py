@@ -60,3 +60,32 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_defaults(target_tb: float = 100.0) -> dict[str, str]:
+    """Conf preset for the real-cluster deployment (see ARCHITECTURE.md).
+
+    Pass as ``extra_conf`` / spark-submit ``--conf``s. Values follow from
+    the plan shapes in this engine: one data-sized shuffle per scan, tiny
+    broadcast stats, parquet scans dominating.
+    """
+    # one task ~512 MB of input keeps task count ~target_tb*2048 —
+    # large-but-schedulable; AQE coalesces the (metadata-sized) stats
+    # shuffle down regardless of the static partition number.
+    return {
+        "spark.sql.files.maxPartitionBytes": str(512 * 1024 * 1024),
+        "spark.sql.shuffle.partitions": str(int(target_tb * 200)),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # anomaly/stats relations are far smaller than this; dimension
+        # tables in the test schema too
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # RocksDB state store for streaming state (cooldown keyed state)
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }

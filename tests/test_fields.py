@@ -45,6 +45,18 @@ def test_json_path_extraction(spark):
     assert row.nonnum is None and row.miss is None  # P4 null-on-miss
 
 
+def test_scalar_root_payload(spark):
+    # non-object payloads are tracked under the empty path ""
+    # (FieldIdentifier.js:24-29): get_json_object("$") returns the scalar
+    df = spark.createDataFrame(
+        [("15.5",), ('{"a": 1}',), ("null",), ("not json",)], "payload string"
+    )
+    got = [r.v for r in df.select(numeric_leaf("payload", "").alias("v")).collect()]
+    assert got[0] == 15.5  # scalar root tracked
+    assert got[1] is None  # object root is not a numeric leaf
+    assert got[2] is None and got[3] is None
+
+
 def test_struct_path_col(spark):
     df = spark.createDataFrame(
         [((15.5,), [1, 2, 3])],
