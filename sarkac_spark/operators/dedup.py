@@ -203,18 +203,22 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bit j is positive. One explode + ONE grouped aggregation with 60
     conditional sums — no per-bit shuffle."""
     w = words_col(text_col)
-    words = df.select(F.col(id_col), F.explode(w).alias("word"))
-    counts = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("cnt"))
-    h = _h60(F.col("word"))
+    # h materialized in its own projection: referencing the md5 hash
+    # inside all 60 aggregate expressions would recompute it per
+    # expression. Summing +/-1 per word OCCURRENCE equals the
+    # count-weighted sum, so no intermediate (doc, word) count shuffle.
+    hashed = df.select(F.col(id_col), F.explode(w).alias("word")).select(
+        F.col(id_col), _h60(F.col("word")).alias("h")
+    )
     bit_sums = [
         F.sum(
-            F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.col("cnt")).otherwise(
-                -F.col("cnt")
+            F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(
+                F.lit(-1)
             )
         ).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
-    sums = counts.groupBy(id_col).agg(*bit_sums)
+    sums = hashed.groupBy(id_col).agg(*bit_sums)
     fp = None
     for j in range(SIMHASH_BITS):
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))

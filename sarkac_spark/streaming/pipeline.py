@@ -65,21 +65,39 @@ class SigmaStreamPipeline:
     """foreachBatch-driven sigma pipeline over an envelope stream
     (topic, key, value: json-string, ts)."""
 
-    def __init__(self, spark: SparkSession, dsl: DSL, cfg: SigmaStreamConfig):
+    def __init__(
+        self,
+        spark: SparkSession,
+        dsl: DSL,
+        cfg: SigmaStreamConfig,
+        payload_schemas: dict[str, object] | None = None,
+    ):
         self.spark = spark
         self.dsl = dsl
         self.cfg = cfg
+        # topic -> StructType: when discovery (or fixed config) provides a
+        # payload schema, extraction parses the JSON ONCE per row
+        # (from_json) instead of once per field (get_json_object)
+        self.payload_schemas = payload_schemas or {}
         self._state_dir = cfg.store_dir.rstrip("/") + "_cooldown_state"
         self.anomaly_batches = 0
 
     # -- step 1: DSL field extraction (P1-P4) ------------------------------
 
     def extract(self, batch: DataFrame) -> DataFrame:
+        from sarkac_spark.operators.fields import dsl_field_exprs_struct
+
         parts = []
         for t in self.dsl.topics.values():
             if not t.fields:
                 continue
-            exprs = dsl_field_exprs("value", [f.path for f in t.fields])
+            paths = [f.path for f in t.fields]
+            if t.topic in self.payload_schemas:
+                exprs = dsl_field_exprs_struct(
+                    "value", paths, self.payload_schemas[t.topic]
+                )
+            else:
+                exprs = dsl_field_exprs("value", paths)
             parts.append(
                 to_sigma_store(
                     batch.filter(F.col("topic") == t.topic),
