@@ -258,6 +258,13 @@ class SigmaStreamPipeline:
         if state_backup:
             shutil.move(state_backup, self._state_dir)
 
+    def truncate(self) -> None:
+        """S7: drop all engine state (reference SigmaModel.remove({}) via
+        DELETE /db/truncate) — store, cooldown state, and anomalies."""
+        for d in (self.cfg.store_dir, self._state_dir, self.cfg.anomaly_dir):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+
     def start(self, envelope_stream: DataFrame, checkpoint_dir: str):
         """Attach to an envelope stream and run."""
         return (

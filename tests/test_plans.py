@@ -1,0 +1,59 @@
+"""Physical-plan regression tests: the properties that make these
+operators scale must survive refactors — broadcast joins staying
+broadcast, filters reaching the parquet scan, column pruning, and
+shuffle counts. Substring checks on the executed-plan string are
+deliberately loose (plan rendering changes across Spark versions; the
+*properties* must not)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sarkac_spark.operators.anomaly import sigma_scan
+from sarkac_spark.operators.similarity import cosine_topk
+from sarkac_spark.operators.stats import trailing_window_stats
+from sarkac_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_sigma_scan_stats_join_is_broadcast(events):
+    plan = _plan(sigma_scan(events, windows=(3600, 86400)))
+    assert "BroadcastHashJoin" in plan  # stats side must never shuffle facts
+    assert "SortMergeJoin" not in plan
+
+
+def test_sigma_scan_filter_pushdown(events):
+    plan = _plan(sigma_scan(events, windows=(3600,)))
+    assert "PushedFilters: [IsNotNull(event_type)]" in plan
+
+
+def test_trailing_stats_single_shuffle(events):
+    # all windows in ONE grouped aggregation: exactly one Exchange for the
+    # group-by plus one 1-row as-of broadcast — never an Exchange per window
+    plan = _plan(
+        trailing_window_stats(
+            events, ["event_type"], "value", "ts", [3600, 43200, 86400, 604800]
+        )
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_as_of_scan_prunes_columns(events):
+    plan = _plan(trailing_window_stats(events, ["event_type"], "value", "ts", [3600]))
+    # the max(ts) side scan must read only the ts column
+    assert "ReadSchema: struct<ts:bigint>" in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3))
+    assert "BroadcastNestedLoopJoin" in plan  # queries replicated, corpus scanned once

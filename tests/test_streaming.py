@@ -99,6 +99,20 @@ def test_store_compaction(spark, pipeline):
     assert before == after == 96 * 2
 
 
+def test_truncate(spark, pipeline):
+    import os
+
+    msgs = example_messages(spark, n=48)
+    pipeline.process_batch(msgs, 0)
+    assert os.path.exists(pipeline.cfg.store_dir)
+    pipeline.truncate()  # S7
+    assert not os.path.exists(pipeline.cfg.store_dir)
+    assert not os.path.exists(pipeline.cfg.anomaly_dir)
+    # engine keeps working after a truncate
+    pipeline.process_batch(msgs, 1)
+    assert spark.read.parquet(pipeline.cfg.store_dir).count() == 96
+
+
 def test_windowed_stats_stream(spark, tmp_path):
     """Pure Structured Streaming stats plane over a file source."""
     # needs enough event-time span for windows to close past the watermark
