@@ -1,0 +1,15 @@
+from sarkac_spark.plans.audit import (
+    executed_plan,
+    has_broadcast_hash_join,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)
+
+__all__ = [
+    "executed_plan",
+    "has_broadcast_hash_join",
+    "pushed_filters",
+    "read_schemas",
+    "shuffle_count",
+]
