@@ -103,7 +103,14 @@ class Sarkac:
             trigger_seconds=trigger_seconds,
         )
         self.pipeline = _BusSigmaPipeline(
-            self.spark, self.dsl, cfg, self.bus, self.counters
+            self.spark,
+            self.dsl,
+            cfg,
+            self.bus,
+            self.counters,
+            discovery=self.discovery
+            if (self.config.get("discovery") or {}).get("enabled")
+            else None,
         )
         self.query = self.pipeline.start(
             envelope_stream, checkpoint_dir=os.path.join(self.work_dir, "ckpt")
@@ -132,19 +139,70 @@ class Sarkac:
 
 class _BusSigmaPipeline(SigmaStreamPipeline):
     """Pipeline subclass that surfaces per-batch anomalies on the event
-    bus (reference emits 'anomaly' per record, DSLHandler.js:229) and
-    keeps the scan counters."""
+    bus (reference emits 'anomaly' per record, DSLHandler.js:229), keeps
+    the scan counters, and — when discovery is enabled — runs the
+    discovery tick inline.
 
-    def __init__(self, spark, dsl, cfg, bus: EventBus, counters: StatsCounters):
+    Live discovery needs NO query restart here: ``foreachBatch``
+    re-plans extraction from ``self.dsl`` every micro-batch, so a DSL
+    merged from a discovered topic/field takes effect on the next batch.
+    (The reference must juggle consumer re-subscription, Stream.js:145-152;
+    a restart is only needed for an explicit-topic-list *source* change —
+    ``subscribePattern`` sources don't even need that.)
+    """
+
+    def __init__(
+        self,
+        spark,
+        dsl,
+        cfg,
+        bus: EventBus,
+        counters: StatsCounters,
+        discovery=None,
+    ):
         super().__init__(spark, dsl, cfg)
         self.bus = bus
         self.counters = counters
+        self.discovery = discovery
+
+    def _discover(self, batch: DataFrame) -> None:
+        """Per-batch discovery tick (reference Discovery.js:38-66 samples
+        on a timer; per-micro-batch is the same cadence contract since
+        the trigger period is the clock here).
+
+        Driver-side cost: one distinct over the batch's topics and one
+        sampled message per topic — both bounded by topic count, not
+        batch size.
+        """
+        from pyspark.sql import functions as F
+
+        observed = [r.topic for r in batch.select("topic").distinct().collect()]
+        created, deleted = self.discovery.step_topics(
+            sorted(set(observed) | set(self.discovery.known_topics))
+        )
+        if created:
+            self.counters.topic_updates += 1
+            self.bus.emit("created-topics", created)
+        if deleted:
+            self.bus.emit("deleted-topics", deleted)
+        samples = (
+            batch.groupBy("topic").agg(F.first("value").alias("value")).collect()
+        )
+        changed = False
+        for r in samples:
+            if r.value is not None and self.discovery.step_fields(r.topic, r.value):
+                changed = True
+        if changed:
+            # next batch re-plans extraction with the merged DSL
+            self.dsl = self.discovery.dsl
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         batch = batch.persist()
         try:
             n_msgs = batch.count()
             before = self.anomaly_batches
+            if self.discovery is not None:
+                self._discover(batch)
             super().process_batch(batch, epoch_id)
             self.counters.scan_runs += 1
             self.counters.analysed_messages += n_msgs

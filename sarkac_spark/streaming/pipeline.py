@@ -19,7 +19,13 @@ This gives exact trailing-window-from-"now" semantics (the reference's
 ``Date.now()`` boundary, SigmaModel.js:54) rather than Spark's aligned
 sliding windows — the SURVEY hard-part (1) tradeoff, resolved the cheap
 way. Scoring uses stats refreshed in the same trigger, i.e. at most one
-trigger period stale — the same staleness model as the reference (W5).
+trigger period stale — the same staleness model as the reference (W5),
+with one deliberate divergence: the reference's cache was computed
+*before* the scored message arrived, while our stats include the current
+batch. An extreme outlier in a low-support window therefore dampens its
+own score here (it inflates the stddev it is scored against); the two
+models agree whenever the window holds enough baseline points for one
+value not to dominate the variance.
 
 Scale notes: steps 1/4 are map-only over the batch; step 3 is one grouped
 aggregation over the retained store (bounded by retention x rate); the

@@ -56,6 +56,66 @@ def test_sarkac_analyse_lifecycle(spark, tmp_path):
     assert st["storedEvents"] == 96 * 2  # two fields per message
 
 
+def test_live_discovery_tracks_new_topic(spark, tmp_path):
+    """The headline reference feature: an undeclared topic appears on the
+    stream; discovery flattens its payload, merges the DSL, and the next
+    batches score it — no query restart (foreachBatch re-plans from the
+    updated DSL)."""
+    import datetime as dt
+    import json as jsonlib
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def iot(i, temp):
+        return (
+            "iot-topic",
+            str(i),
+            jsonlib.dumps({"temp": temp, "meta": {"fw": "v1"}}),
+            t0 + dt.timedelta(seconds=10 * i),
+        )
+
+    schema = "topic string, key string, value string, ts timestamp"
+    # batch 1: baseline with jitter (stddev > 0); batch 2: planted spike.
+    # Support matters: stats are computed as-of the current batch, so the
+    # spike contributes to its own window's stddev — with too few
+    # baseline points a huge spike masks itself (score < 1). 60 baseline
+    # points in the 15m window keep the spike at ~2.6 sigma-units.
+    b1 = [iot(i, 20.0 + (0.2 if i % 2 else -0.2)) for i in range(40)]
+    b2 = [iot(40 + i, 20.0 + (0.2 if i % 2 else -0.2)) for i in range(20)]
+    b2.append(iot(99, 500.0))
+    src = tmp_path / "src"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+
+    envelope = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    config = {
+        "dsl": {},  # nothing declared — everything comes from discovery
+        "discovery": {"enabled": True, "topicBlacklist": []},
+    }
+    sarkac = Sarkac(spark, config, work_dir=str(tmp_path / "work"))
+    discovered, created, anomalies = [], [], []
+    sarkac.on("discovered-fields", discovered.append)
+    sarkac.on("created-topics", created.append)
+    sarkac.on("anomaly", anomalies.append)
+
+    q = sarkac.analyse(envelope, trigger_seconds=1)
+    q.processAllAvailable()
+    sarkac.close()
+
+    assert created and created[0] == ["iot-topic"]
+    # numeric leaves discovered: temp (meta.fw is a string -> skipped)
+    assert ("iot-topic", "temp", 900) in sarkac.pipeline.dsl.tasks()
+    assert discovered, "discovered-fields event must fire"
+    assert [a["key"] for a in anomalies] == ["99"]
+    a = anomalies[0]
+    assert a["topic"] == "iot-topic" and a["path"] == "temp" and a["value"] == 500.0
+    assert sarkac.get_status()["stats"]["topic_updates"] >= 1
+
+
 def test_kmeans_anomaly_flags_outliers(spark):
     # two real clusters (k=2, MLlib requires k>=2) + a moderate outlier:
     # it must stay inside a cluster at a large distance — an EXTREME
