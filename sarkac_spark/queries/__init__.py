@@ -13,9 +13,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sarkac_spark.queries import core, llm, ml
+from sarkac_spark.queries import core, llm, ml, relational
 
-_MODULES = [core, llm, ml]
+_MODULES = [core, llm, ml, relational]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,134 @@
+"""General relational queries over the TPC-H-style star schema.
+
+The reference has no joins/sorts/window functions (SURVEY §2.6) — these
+exist to show the rebuild is a complete analytics engine on the same
+tables, with the plan shapes that matter at 100 TB: partial aggregation
+before the shuffle (q1), broadcast dimension joins (region_revenue), and
+rank-based top-k without a global sort (top_customers).
+
+Float policy: monetary sums rounded to 2 (absolute summation-order error
+~1e-5 at sf0.1 — far from the 0.005 boundary), averages to 4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from sarkac_spark.sources.tables import load_table
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation; Catalyst gives
+    map-side partial aggregation, so the shuffle carries |groups| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 customers by order revenue: rank over a pre-aggregated
+    relation — the top-k never globally sorts the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    ranked = per_cust.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("total_spent").desc(), F.col("o_custkey"))
+        ),
+    ).filter(F.col("rank") <= 5)
+    return ranked.join(
+        F.broadcast(customer.select("c_custkey", "c_name", "c_mktsegment")),
+        ranked.o_custkey == F.col("c_custkey"),
+    ).select("rank", "c_custkey", "c_name", "c_mktsegment", "total_spent", "n_orders")
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dimension chain: orders ⋈ customer ⋈ nation ⋈
+    region, revenue per region — dims broadcast, one fact shuffle for the
+    final group-by only."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "region_revenue": q_region_revenue,
+}
+
+ORACLE = {
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "top_customers": """
+WITH per_cust AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY total_spent DESC, o_custkey) AS rank
+  FROM per_cust
+)
+SELECT r.rank, c.c_custkey, c.c_name, c.c_mktsegment, r.total_spent, r.n_orders
+FROM ranked r JOIN customer c ON r.o_custkey = c.c_custkey
+WHERE r.rank <= 5
+""",
+    "region_revenue": """
+SELECT r.r_name AS region,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+}

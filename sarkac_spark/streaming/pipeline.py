@@ -65,6 +65,12 @@ class SigmaStreamConfig:
     trigger_seconds: int = DEFAULT_ANOMALY_SCAN_SECONDS
     min_count: int = MIN_EVENTS_FOR_STATS
     cooldown_seconds: int = ANOMALY_COOLDOWN_SECONDS
+    # reference-exact W5 staleness: score the batch against stats from
+    # the PREVIOUS scan (excluding this batch's values, so a spike can't
+    # inflate the stddev it is scored against; the first batch goes
+    # unscored — "no cache entry yet => silently unscored",
+    # DSLHandler.js:178-189). Default False = as-of-now stats.
+    score_against_previous: bool = False
 
 
 class SigmaStreamPipeline:
@@ -186,6 +192,13 @@ class SigmaStreamPipeline:
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         extracted = self.extract(batch)
 
+        # stale-stats mode: capture the store's file listing BEFORE the
+        # append (spark.read.parquet resolves files eagerly), so the
+        # stats below exclude this batch — the reference's cache model
+        prev_store = (
+            self._read_store() if self.cfg.score_against_previous else None
+        )
+
         # 2. append new points to the store (S4); partitioned by topic so
         # the stats scan prunes per-topic files
         extracted.write.mode("append").partitionBy("topic").parquet(
@@ -197,7 +210,7 @@ class SigmaStreamPipeline:
         # scores each incoming message exactly once against cached stats
         # (DSLHandler.js:178-189). One sigma_scan per distinct window set
         # is avoided by scanning all windows and semi-joining the task list.
-        store = self._read_store()
+        store = prev_store if prev_store is not None else self._read_store()
         windows = sorted({w for _, _, w in self.dsl.tasks()})
         if not windows:
             return

@@ -113,6 +113,43 @@ def test_truncate(spark, pipeline):
     assert spark.read.parquet(pipeline.cfg.store_dir).count() == 96
 
 
+def test_score_against_previous_stats(spark, tmp_path):
+    """W5 reference parity: the batch is scored against the PREVIOUS
+    scan's stats — first batch unscored (no cache yet), and a low-support
+    spike in batch 2 is flagged because it cannot inflate the stddev it
+    is judged by (unlike the default as-of-now mode)."""
+    import datetime as dt
+    import json as jsonlib
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "topic string, key string, value string, ts timestamp"
+
+    def msg(i, one):
+        return (TOPIC, str(i), jsonlib.dumps({"sub": {"one": one}, "two": 0.0}),
+                t0 + dt.timedelta(seconds=10 * i))
+
+    b1 = [msg(i, 15.5 + (0.1 if i % 2 else -0.1)) for i in range(12)]
+    b2 = [msg(12, 15.4), (TOPIC, "99", jsonlib.dumps({"sub": {"one": 150.5}, "two": 0.0}),
+          t0 + dt.timedelta(seconds=135))]
+    cfg = SigmaStreamConfig(
+        store_dir=str(tmp_path / "store"),
+        anomaly_dir=str(tmp_path / "anoms"),
+        cooldown_seconds=0,
+        score_against_previous=True,
+    )
+    dsl = DSL.parse({TOPIC: {"fields": {"sub.one": {"windows": ["5m"]}}}})
+    p = SigmaStreamPipeline(spark, dsl, cfg)
+    p.process_batch(spark.createDataFrame(b1, schema), 0)
+    # batch 1 had a within-batch outlier-free baseline AND no prior stats:
+    # nothing may be emitted
+    import os
+
+    assert not os.path.exists(cfg.anomaly_dir)
+    p.process_batch(spark.createDataFrame(b2, schema), 1)
+    rows = spark.read.parquet(cfg.anomaly_dir).collect()
+    assert [r.key for r in rows] == ["99"] and rows[0].value == 150.5
+
+
 def test_windowed_stats_stream(spark, tmp_path):
     """Pure Structured Streaming stats plane over a file source."""
     # needs enough event-time span for windows to close past the watermark
