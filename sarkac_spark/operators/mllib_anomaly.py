@@ -34,6 +34,7 @@ def kmeans_anomaly(
     k: int = 4,
     quantile: float = 0.99,
     seed: int = 42,
+    max_iter: int = 10,
 ) -> DataFrame:
     """Distance-to-centroid anomaly detection.
 
@@ -45,7 +46,13 @@ def kmeans_anomaly(
     vec = df.withColumn(
         "__features", array_to_vector(F.array(*[F.col(c).cast("double") for c in feature_cols]))
     )
-    model = KMeans(k=k, seed=seed, featuresCol="__features", predictionCol="cluster").fit(vec)
+    model = KMeans(
+        k=k,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="__features",
+        predictionCol="cluster",
+    ).fit(vec)
     centers = model.clusterCenters()
     centers_df = vec.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
@@ -118,7 +125,7 @@ def mllib_minhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
-    num_tables: int = 16,
+    num_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """MLlib MinHashLSH near-dup join — the library cross-check for the

@@ -113,6 +113,40 @@ def test_truncate(spark, pipeline):
     assert spark.read.parquet(pipeline.cfg.store_dir).count() == 96
 
 
+def test_late_data_stored_but_not_scored(spark, tmp_path):
+    """W4: a late event (older than every window at scoring time) is
+    stored for future stats (reference inserts it with its old
+    `produced`, SigmaModel.js:30-37) but produces no score — the
+    in-window predicate excludes it."""
+    import datetime as dt
+    import json as jsonlib
+    import os
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "topic string, key string, value string, ts timestamp"
+
+    def msg(key, seconds, one):
+        return (TOPIC, key, jsonlib.dumps({"sub": {"one": one}, "two": 0.0}),
+                t0 + dt.timedelta(seconds=seconds))
+
+    # recent baseline + one extreme-but-LATE value (2h before the window)
+    rows = [msg(str(i), 3600 + 10 * i, 15.5 + (0.1 if i % 2 else -0.1)) for i in range(12)]
+    rows.append(msg("late", -7200, 150.5))
+    cfg = SigmaStreamConfig(
+        store_dir=str(tmp_path / "store"),
+        anomaly_dir=str(tmp_path / "anoms"),
+        cooldown_seconds=0,
+    )
+    dsl = DSL.parse({TOPIC: {"fields": {"sub.one": {"windows": ["5m"]}}}})
+    p = SigmaStreamPipeline(spark, dsl, cfg)
+    p.process_batch(spark.createDataFrame(rows, schema), 0)
+    # the late outlier is in the store...
+    store = spark.read.parquet(cfg.store_dir)
+    assert store.filter("key = 'late'").count() == 1
+    # ...but was never scored (outside every trailing window)
+    assert not os.path.exists(cfg.anomaly_dir)
+
+
 def test_score_against_previous_stats(spark, tmp_path):
     """W5 reference parity: the batch is scored against the PREVIOUS
     scan's stats — first batch unscored (no cache yet), and a low-support
