@@ -37,11 +37,16 @@ def main() -> None:
     except Exception:
         pass
 
+    # min of 2 runs per query: wall-clock on a shared box is noisy (+/-20%
+    # observed); the min is the stable, load-independent signal
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -41,20 +41,24 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 customers by order revenue: rank over a pre-aggregated
-    relation — the top-k never globally sorts the fact table."""
+    """Top-5 customers by order revenue. orderBy().limit() compiles to
+    TakeOrderedAndProject — per-partition top-k merged on the driver —
+    instead of a global unpartitioned rank window (which would move the
+    whole per-customer relation to ONE partition; Spark even warns).
+    Rank is assigned afterwards on the 5 surviving rows."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     per_cust = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    ranked = per_cust.withColumn(
+    top5 = per_cust.orderBy(F.col("total_spent").desc(), F.col("o_custkey")).limit(5)
+    ranked = top5.withColumn(
         "rank",
         F.row_number().over(
             Window.orderBy(F.col("total_spent").desc(), F.col("o_custkey"))
         ),
-    ).filter(F.col("rank") <= 5)
+    )
     return ranked.join(
         F.broadcast(customer.select("c_custkey", "c_name", "c_mktsegment")),
         ranked.o_custkey == F.col("c_custkey"),
