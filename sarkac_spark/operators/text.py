@@ -51,20 +51,30 @@ def doc_fingerprint(text_col: str) -> Column:
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality signals: lengths, punctuation/digit/space ratios,
-    unique-word ratio, mean word length — the usual pre-training filters."""
-    w = words_col(text_col)
-    n_chars = F.length(F.col(text_col))
-    return df.withColumns(
+    unique-word ratio, mean word length — the usual pre-training filters.
+
+    The words array (and its distinct form) are materialized in their own
+    projection first: each expression referencing the raw ``split`` would
+    re-run the regex per expression (same lesson as ``dedup.shingles``).
+    """
+    staged = df.withColumns(
+        {
+            "__w": words_col(text_col),
+        }
+    ).withColumns(
+        {
+            "__wd": F.array_distinct(F.col("__w")),
+            "__nc": F.length(F.col(text_col)),
+        }
+    )
+    w, wd, n_chars = F.col("__w"), F.col("__wd"), F.col("__nc")
+    return staged.withColumns(
         {
             "n_words": F.size(w),
-            "n_unique_words": F.size(F.array_distinct(w)),
-            "unique_ratio": F.round(
-                F.size(F.array_distinct(w)) / F.size(w), 6
-            ),
+            "n_unique_words": F.size(wd),
+            "unique_ratio": F.round(F.size(wd) / F.size(w), 6),
             "mean_word_len": F.round(
-                F.aggregate(
-                    w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-                )
+                F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
                 / F.size(w),
                 6,
             ),
@@ -79,7 +89,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
                 6,
             ),
         }
-    )
+    ).drop("__w", "__wd", "__nc")
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:

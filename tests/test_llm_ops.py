@@ -85,6 +85,24 @@ def test_cosine_expression(spark):
     assert got[1] == pytest.approx(1.0)
 
 
+def test_cosine_all_pairs_block_matrix(spark):
+    from sarkac_spark.operators.similarity import cosine_all_pairs
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),  # ~cos 0.994 with 0
+        (2, [0.0, 1.0]),  # orthogonal to 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_all_pairs(df, threshold=0.5).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] > 0.99
+    assert (0, 2) not in got  # below threshold
+    assert all(a < b for a, b in got)  # canonical pair order
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     # 2-d unit-ish vectors at known angles; vec 0/1 near each other

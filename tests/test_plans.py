@@ -64,3 +64,19 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     plan = _plan(cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3))
     assert "BroadcastNestedLoopJoin" in plan  # queries replicated, corpus scanned once
+
+
+def test_minhash_signatures_single_shuffle(spark, sf_dir):
+    from sarkac_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    # all k minhashes in ONE grouped aggregation over the shingle explode
+    assert shuffle_count(minhash_signatures(docs, "doc_id", "text")) == 1
+
+
+def test_top_customers_uses_distributed_topk(spark, sf_dir):
+    from sarkac_spark.queries.relational import q_top_customers
+
+    plan = _plan(q_top_customers(spark, sf_dir))
+    # per-partition top-k merge, never a single-partition global sort
+    assert "TakeOrderedAndProject" in plan
