@@ -132,6 +132,25 @@ def q_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_multimodal_payload(spark, sf_dir):
+    """Multimodal binary plumbing on oracle-checkable data: document text
+    bytes stand in for opaque media payloads (no media tables ship in the
+    test env); exercises operators/multimodal.payload_stats — byte-level
+    stats without decoding, JVM-side only."""
+    from sarkac_spark.operators.multimodal import payload_stats
+
+    d = _docs(spark, sf_dir)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return payload_stats(media)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -143,6 +162,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
+    "multimodal_payload": q_multimodal_payload,
 }
 
 
@@ -418,4 +438,11 @@ SELECT doc_id, n_words, unique_ratio, mean_word_len, punct_ratio, digit_ratio,
 FROM feats
 """,
     "lang_id": _lang_id_sql(),
+    "multimodal_payload": """
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][(doc_id % 3 + 1)::int] AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       lower(substring(hex(encode(text)), 1, 16)) AS head_hex
+FROM documents
+""",
 }

@@ -245,6 +245,42 @@ def test_struct_extraction_matches_json_path(spark, tmp_path):
     assert a == b and len(a) == 96  # two fields x 48 messages
 
 
+def test_rate_source_synthetic_stream(spark):
+    """S8 streaming variant: the rate-source generator produces live
+    envelope rows with the reference's payload sequence."""
+    import json as jsonlib
+    import time
+
+    from sarkac_spark.sources.synthetic import example_message_stream
+
+    stream = example_message_stream(spark, rows_per_second=50)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_out")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) AS n FROM rate_out").collect()[0].n
+            if n >= 24:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert n >= 24, f"rate stream produced only {n} rows"
+    rows = spark.sql("SELECT key, value FROM rate_out ORDER BY cast(key AS long)").collect()
+    payloads = [jsonlib.loads(r.value) for r in rows]
+    assert all(r.key is not None for r in rows)
+    # the planted spike appears at every 12th message, dip at every 24th
+    assert payloads[11]["sub"]["one"] == 150.5
+    assert payloads[23]["two"] == -100.0
+    assert payloads[0]["sub"]["one"] != 150.5
+
+
 def test_discovery_loop_merges_dsl():
     calls = []
     loop = DiscoveryLoop(
