@@ -99,7 +99,7 @@ def payload_stats(media: DataFrame) -> DataFrame:
     return media.select(
         "media_id",
         "kind",
-        F.octet_length("payload").alias("n_bytes"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
         F.lower(F.hex(F.substring("payload", 1, 8))).alias("head_hex"),
     )
 

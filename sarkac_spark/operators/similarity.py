@@ -163,7 +163,11 @@ def cosine_topk(
             F.col("cos_sim").desc(), F.col("neighbor_id")
         )
     )
-    return scored.withColumn("rank", w).filter(F.col("rank") <= k)
+    # rank as long: DuckDB row_number() is BIGINT and the driver may
+    # compare dtypes across engines
+    return (
+        scored.withColumn("rank", w.cast("long")).filter(F.col("rank") <= k)
+    )
 
 
 def assign_buckets(
@@ -241,4 +245,8 @@ def ivf_topk(
             F.col("cos_sim").desc(), F.col("neighbor_id")
         )
     )
-    return scored.withColumn("rank", w).filter(F.col("rank") <= k)
+    # rank as long: DuckDB row_number() is BIGINT and the driver may
+    # compare dtypes across engines
+    return (
+        scored.withColumn("rank", w.cast("long")).filter(F.col("rank") <= k)
+    )

@@ -26,8 +26,9 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def token_count(text_col: str) -> Column:
-    """Whitespace token count (the cheap pre-BPE budget estimate)."""
-    return F.size(words_col(text_col))
+    """Whitespace token count (the cheap pre-BPE budget estimate).
+    Long-typed to match the oracle engine's BIGINT counts."""
+    return F.size(words_col(text_col)).cast("long")
 
 
 def bpe_ish_token_count(text_col: str) -> Column:
@@ -70,8 +71,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     w, wd, n_chars = F.col("__w"), F.col("__wd"), F.col("__nc")
     return staged.withColumns(
         {
-            "n_words": F.size(w),
-            "n_unique_words": F.size(wd),
+            "n_words": F.size(w).cast("long"),
+            "n_unique_words": F.size(wd).cast("long"),
             "unique_ratio": F.round(F.size(wd) / F.size(w), 6),
             "mean_word_len": F.round(
                 F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))

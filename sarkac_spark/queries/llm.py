@@ -301,7 +301,7 @@ pairs AS (
                   a.simhash AS sh_a, b.simhash AS sh_b
   FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
 )
-SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
 FROM pairs
 WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
 """

@@ -55,9 +55,9 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     top5 = per_cust.orderBy(F.col("total_spent").desc(), F.col("o_custkey")).limit(5)
     ranked = top5.withColumn(
         "rank",
-        F.row_number().over(
-            Window.orderBy(F.col("total_spent").desc(), F.col("o_custkey"))
-        ),
+        F.row_number()
+        .over(Window.orderBy(F.col("total_spent").desc(), F.col("o_custkey")))
+        .cast("long"),
     )
     return ranked.join(
         F.broadcast(customer.select("c_custkey", "c_name", "c_mktsegment")),
