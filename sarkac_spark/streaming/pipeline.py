@@ -55,6 +55,9 @@ from sarkac_spark.operators.anomaly import sigma_scan
 from sarkac_spark.operators.fields import dsl_field_exprs, to_sigma_store
 
 STORE_SCHEMA = "topic string, produced timestamp, key string, field_path string, value double"
+# epoch is a partition directory (epoch=N/topic=T/part-*.parquet): the
+# per-micro-batch idempotency unit — see process_batch step 2
+STORE_READ_SCHEMA = "epoch long, " + STORE_SCHEMA
 STATE_SCHEMA = "topic string, path string, window_seconds long, last_emit_us long"
 
 
@@ -134,7 +137,12 @@ class SigmaStreamPipeline:
         if not os.path.exists(self.cfg.store_dir):
             return self.spark.createDataFrame([], STORE_SCHEMA)
         try:
-            return self.spark.read.schema(STORE_SCHEMA).parquet(self.cfg.store_dir)
+            return (
+                self.spark.read.schema(STORE_READ_SCHEMA)
+                .option("basePath", self.cfg.store_dir)
+                .parquet(self.cfg.store_dir)
+                .drop("epoch")
+            )
         except Exception:
             return self.spark.createDataFrame([], STORE_SCHEMA)
 
@@ -199,10 +207,15 @@ class SigmaStreamPipeline:
             self._read_store() if self.cfg.score_against_previous else None
         )
 
-        # 2. append new points to the store (S4); partitioned by topic so
-        # the stats scan prunes per-topic files
-        extracted.write.mode("append").partitionBy("topic").parquet(
-            self.cfg.store_dir
+        # 2. append new points to the store (S4) into a PER-EPOCH
+        # directory with overwrite: when the checkpoint replays a batch
+        # after a failure, the rewrite lands on the same path — the store
+        # stays exactly-once even though foreachBatch is at-least-once.
+        # (A plain append would double-count replayed values in every
+        # later stats scan.) Nested topic partitioning keeps per-topic
+        # file pruning.
+        extracted.write.mode("overwrite").partitionBy("topic").parquet(
+            os.path.join(self.cfg.store_dir, f"epoch={epoch_id}")
         )
 
         # 3+4. stats over retained store; score ONLY this batch's rows
@@ -267,7 +280,13 @@ class SigmaStreamPipeline:
             .select(*store.columns)
         )
         tmp = self.cfg.store_dir + ".compact"
-        kept.write.mode("overwrite").partitionBy("topic").parquet(tmp)
+        # compacted rows land in a single epoch=0 partition so the store
+        # keeps its epoch=N/topic=T layout (process_batch epoch ids from
+        # the checkpoint keep increasing, so epoch=0 is never overwritten
+        # by a replay)
+        kept.write.mode("overwrite").partitionBy("topic").parquet(
+            os.path.join(tmp, "epoch=0")
+        )
         state_backup = None
         if os.path.exists(self._state_dir):
             state_backup = tmp + ".state"

@@ -99,6 +99,23 @@ def test_store_compaction(spark, pipeline):
     assert before == after == 96 * 2
 
 
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed (same epoch_id) batch
+    must NOT double-count values in the store — the per-epoch overwrite
+    makes the store exactly-once."""
+    cfg = SigmaStreamConfig(
+        store_dir=str(tmp_path / "store"), anomaly_dir=str(tmp_path / "anoms")
+    )
+    p = SigmaStreamPipeline(spark, DSL_FIXTURE, cfg)
+    msgs = example_messages(spark, n=48)
+    p.process_batch(msgs, epoch_id=7)
+    assert spark.read.parquet(cfg.store_dir).count() == 96
+    p.process_batch(msgs, epoch_id=7)  # replay after simulated failure
+    assert spark.read.parquet(cfg.store_dir).count() == 96  # unchanged
+    p.process_batch(msgs, epoch_id=8)  # a genuinely new batch still lands
+    assert spark.read.parquet(cfg.store_dir).count() == 192
+
+
 def test_truncate(spark, pipeline):
     import os
 
