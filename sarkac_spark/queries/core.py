@@ -228,6 +228,32 @@ def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- as-of join (custom operator Spark lacks; DuckDB ASOF JOIN oracle) ------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: for every 'error' event, the most recent
+    'click' by the same user at-or-before it (operators/asof.py — the
+    union+window as-of join, one shuffle, no Python)."""
+    from sarkac_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", us.alias("error_ts_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+        us.alias("click_ts_us"),
+    )
+    return asof_join(
+        errors, clicks, on=["user_id"], left_ts="ts", right_ts="ts"
+    ).drop("ts")
+
+
 # --- P5/S3/P7: anomaly output payload ----------------------------------------
 
 
@@ -270,6 +296,7 @@ QUERIES = {
     "anomaly_cooldown": q_anomaly_cooldown,
     "rate_anomaly": q_rate_anomaly,
     "anomaly_payload": q_anomaly_payload,
+    "asof_join": q_asof_join,
 }
 
 
@@ -411,6 +438,17 @@ FROM (
   ) AS rn
   FROM anom
 ) WHERE rn = 1
+""",
+    "asof_join": """
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS error_ts_us,
+       c.click_event_id AS r_click_event_id,
+       c.click_value AS r_click_value,
+       epoch_us(c.ts) AS r_click_ts_us
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+ASOF JOIN (
+  SELECT user_id, ts, event_id AS click_event_id, value AS click_value
+  FROM events WHERE event_type = 'click'
+) c ON e.user_id = c.user_id AND c.ts <= e.ts
 """,
     "rate_anomaly": """
 WITH b AS (
