@@ -90,10 +90,44 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) of the event stream per user —
+    lag+cumsum window construction (operators/sessions.py)."""
+    from sarkac_spark.operators.sessions import session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(
+        ev, ["user_id"], "ts", gap_seconds=1800, order_tiebreak=["event_id"]
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment: events joined into [-30m, +90m] windows
+    around high-value 'incident' events of the same type — bucketized
+    equi-join (operators/range_join.py), aggregated per incident."""
+    from sarkac_spark.operators.range_join import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    incidents = ev.filter(F.col("value") > 300).select(
+        "event_type",
+        F.col("event_id").alias("incident_event_id"),
+        F.timestamp_micros(us - 1800 * 1_000_000).cast("timestamp_ntz").alias("start_ts"),
+        F.timestamp_micros(us + 5400 * 1_000_000).cast("timestamp_ntz").alias("end_ts"),
+    )
+    points = ev.select("event_type", "ts", "event_id")
+    joined = range_join(points, incidents, on=["event_type"], bucket_seconds=3600)
+    return joined.groupBy("event_type", "incident_event_id").agg(
+        F.count(F.lit(1)).alias("n_in_window")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "region_revenue": q_region_revenue,
+    "sessionize": q_sessionize,
+    "range_join": q_range_join,
 }
 
 ORACLE = {
@@ -134,5 +168,43 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
+""",
+    "sessionize": """
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > BIGINT '1800' * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+s2 AS (
+  SELECT user_id, us,
+         CAST(SUM(new_s) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS session_seq
+  FROM s
+)
+SELECT user_id, session_seq,
+       min(us) AS session_start_us,
+       max(us) AS session_end_us,
+       count(*) AS n_events,
+       max(us) - min(us) AS duration_us
+FROM s2 GROUP BY 1, 2
+""",
+    "range_join": """
+WITH inc AS (
+  SELECT event_type, event_id AS incident_event_id,
+         epoch_us(ts) - BIGINT '1800' * 1000000 AS start_us,
+         epoch_us(ts) + BIGINT '5400' * 1000000 AS end_us
+  FROM events WHERE value > 300
+)
+SELECT i.event_type, i.incident_event_id, count(*) AS n_in_window
+FROM events e
+JOIN inc i ON e.event_type = i.event_type
+          AND epoch_us(e.ts) BETWEEN i.start_us AND i.end_us
+GROUP BY 1, 2
 """,
 }
