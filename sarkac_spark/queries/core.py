@@ -88,6 +88,35 @@ def q_total_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return total_count(_events(spark, sf_dir))  # A4
 
 
+def q_trailing_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A1 *improvement*: the reference computes a mean but labels it
+    "median" (SigmaModel.js:48 admits it); Spark has an exact
+    distributed median — per (event_type, trailing window), both the true
+    median and the reference's mean, same one-pass conditional-agg shape."""
+    from sarkac_spark.operators.stats import with_as_of
+
+    ev = with_as_of(_events(spark, sf_dir), ts_col="ts", as_of_col="__as_of")
+    aggs = []
+    for w in SIGMA_WINDOWS:
+        in_win = F.unix_micros(F.col("ts").cast("timestamp")) >= (
+            F.unix_micros(F.col("__as_of").cast("timestamp"))
+            - F.lit(w * 1_000_000)
+        )
+        cond_val = F.when(in_win, F.col("value"))
+        aggs.append(F.round(F.median(cond_val), 6).alias(f"__med_{w}"))
+        aggs.append(F.round(F.avg(cond_val), 6).alias(f"__mean_{w}"))
+        aggs.append(F.count(cond_val).alias(f"__n_{w}"))
+    wide = ev.groupBy("event_type").agg(*aggs)
+    stack_args = ", ".join(
+        f"bigint({w}), __med_{w}, __mean_{w}, __n_{w}" for w in SIGMA_WINDOWS
+    )
+    return wide.selectExpr(
+        "event_type",
+        f"stack({len(SIGMA_WINDOWS)}, {stack_args})"
+        " AS (window_seconds, true_median, mislabeled_mean, n)",
+    ).filter(F.col("n") >= 3)
+
+
 # --- P1/P2/P3/P4: projection & filters ------------------------------------
 
 
@@ -297,6 +326,7 @@ QUERIES = {
     "rate_anomaly": q_rate_anomaly,
     "anomaly_payload": q_anomaly_payload,
     "asof_join": q_asof_join,
+    "trailing_median": q_trailing_median,
 }
 
 
@@ -341,6 +371,18 @@ GROUP BY 1, 2
 HAVING count(e.value) >= 3
 """,
     "total_count": "SELECT count(*) AS n_events FROM events",
+    "trailing_median": f"""
+WITH eval_at AS (SELECT max(ts) AS as_of FROM events),
+wins AS (SELECT * FROM {_WINS_VALUES})
+SELECT e.event_type, w.window_seconds,
+       round(median(e.value), 6) AS true_median,
+       round(avg(e.value), 6) AS mislabeled_mean,
+       count(e.value) AS n
+FROM events e, eval_at a, wins w
+WHERE epoch_us(e.ts) >= epoch_us(a.as_of) - w.window_seconds * 1000000
+GROUP BY 1, 2
+HAVING count(e.value) >= 3
+""",
     "path_projection": """
 SELECT event_id, event_type,
        TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_value

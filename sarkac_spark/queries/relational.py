@@ -122,12 +122,40 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (lang, source): subtotal and grand-total rows with the
+    standard NULL group markers — matching DuckDB's GROUP BY ROLLUP."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily counts pivoted to one column per event type (fixed pivot
+    values so the schema is static — the requirement for any pivot at
+    scale); missing combinations are 0, matching FILTER-count."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day_us = us - us % (86400 * 1_000_000)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(day_us.alias("day_us"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "region_revenue": q_region_revenue,
     "sessionize": q_sessionize,
     "range_join": q_range_join,
+    "doc_rollup": q_doc_rollup,
+    "event_pivot": q_event_pivot,
 }
 
 ORACLE = {
@@ -206,5 +234,18 @@ FROM events e
 JOIN inc i ON e.event_type = i.event_type
           AND epoch_us(e.ts) BETWEEN i.start_us AND i.end_us
 GROUP BY 1, 2
+""",
+    "doc_rollup": """
+SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY ROLLUP (lang, source)
+""",
+    "event_pivot": """
+SELECT epoch_us(ts) - epoch_us(ts) % (BIGINT '86400' * 1000000) AS day_us,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY 1
 """,
 }
