@@ -250,8 +250,18 @@ class SigmaStreamPipeline:
         emitted.persist()
         try:
             if emitted.limit(1).count() > 0:
+                # same per-epoch overwrite as the store: a replayed batch
+                # rewrites its own anomaly partition instead of appending
+                # duplicates (the state update is a max-merge — idempotent
+                # — so the whole pipeline is exactly-once under replay).
+                # Sink BEFORE state: if we crashed between the two in the
+                # other order, the replay would find last_emit already
+                # advanced, suppress the recompute, and the anomalies
+                # would be lost; this order merely rewrites them.
+                emitted.write.mode("overwrite").parquet(
+                    os.path.join(self.cfg.anomaly_dir, f"epoch={epoch_id}")
+                )
                 self._update_state(emitted)
-                emitted.write.mode("append").parquet(self.cfg.anomaly_dir)
                 self.anomaly_batches += 1
         finally:
             emitted.unpersist()

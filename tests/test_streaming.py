@@ -110,8 +110,14 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     msgs = example_messages(spark, n=48)
     p.process_batch(msgs, epoch_id=7)
     assert spark.read.parquet(cfg.store_dir).count() == 96
+    n_anoms = spark.read.parquet(cfg.anomaly_dir).count()
+    assert n_anoms > 0
     p.process_batch(msgs, epoch_id=7)  # replay after simulated failure
     assert spark.read.parquet(cfg.store_dir).count() == 96  # unchanged
+    # anomaly sink is exactly-once too: the replay found last_emit already
+    # advanced (cooldown suppresses the recompute) and the original epoch
+    # partition still holds exactly the first attempt's rows
+    assert spark.read.parquet(cfg.anomaly_dir).count() == n_anoms
     p.process_batch(msgs, epoch_id=8)  # a genuinely new batch still lands
     assert spark.read.parquet(cfg.store_dir).count() == 192
 
