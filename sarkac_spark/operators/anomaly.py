@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from sarkac_spark.config import MIN_EVENTS_FOR_STATS, humanize_duration
 from sarkac_spark.operators.stats import trailing_window_stats
@@ -133,4 +133,63 @@ def sigma_scan(
             for c in df.columns
             if c not in (value_col, ts_col, path_col, *group_cols)
         ],
+    )
+
+
+def online_sigma_scan(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window_seconds: int = 86400,
+    min_count: int = MIN_EVENTS_FOR_STATS,
+    id_cols: Sequence[str] = ("event_id",),
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact-online sigma scan: each row is scored against the trailing
+    stats of the *strictly earlier* points of its own series — the
+    reference's cache model taken to zero staleness (W5: "incoming value
+    is scored against the cached stats from the last scan"; here the
+    "scan" is every preceding event, DSLHandler.js:178-189).
+
+    Relational form: one window function pass with a RANGE frame
+    ``[ts - w, ts)`` in epoch micros. The ``-1`` upper bound makes the
+    frame end *before* the current row's peer group, so ties in ``ts``
+    are excluded on both Spark and DuckDB (RANGE frames are peer-based
+    in both) — deterministic and oracle-comparable.
+
+    Guards as everywhere: ``n >= min_count`` (DSLHandler.js:243-254),
+    ``stddev > 0`` (the Infinity guard, DSLHandler.js:194-197).
+
+    Scale note: a window function shuffles once on ``group_cols`` and
+    sorts by time *within each series*. Series count is the parallelism
+    ceiling — fine for many series, wrong for one giant series; for the
+    unbounded-stream version of the same semantics use
+    ``streaming.stateful_sigma.stateful_sigma_scan`` (keyed state,
+    bounded memory, no sort of history).
+    """
+    group_cols = list(group_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__ts_us"))
+        .rangeBetween(-window_seconds * 1_000_000, -1)
+    )
+    scored = (
+        df.withColumn("__ts_us", us)
+        .withColumn("mean", F.avg(value_col).over(w))
+        .withColumn("stddev_pop", F.stddev_pop(value_col).over(w))
+        .withColumn("n", F.count(value_col).over(w))
+        .filter(F.col("n") >= min_count)
+    )
+    scored = score_three_sigma(scored).filter(F.abs(F.col("three_sigma")) > 1.0)
+    rnd = (lambda c: F.round(c, round_digits)) if round_digits is not None else (lambda c: c)
+    return scored.select(
+        *group_cols,
+        *id_cols,
+        F.col("__ts_us").alias("event_ts_us"),
+        F.col(value_col).alias("value"),
+        rnd(F.col("mean")).alias("median"),
+        rnd(F.col("stddev_pop")).alias("std_dev"),
+        rnd(F.col("three_sigma")).alias("three_sigma"),
     )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sarkac_spark.functions.paths import numeric_leaf
-from sarkac_spark.operators.anomaly import sigma_scan
+from sarkac_spark.operators.anomaly import online_sigma_scan, sigma_scan
 from sarkac_spark.operators.cooldown import cooldown_bucketed
 from sarkac_spark.operators.fields import to_sigma_store
 from sarkac_spark.operators.stats import (
@@ -311,8 +311,19 @@ def q_anomaly_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select(kafka_key.alias("key"), payload.alias("value"))
 
 
+def q_online_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 at zero staleness: every event scored against the trailing-1d
+    stats of the strictly-earlier events of its type (the streaming
+    ``stateful_sigma_scan``'s batch twin — same semantics, oracle-checked
+    here against DuckDB's RANGE-frame window functions)."""
+    return online_sigma_scan(
+        _events(spark, sf_dir), window_seconds=86400
+    ).withColumnRenamed("event_type", "topic")
+
+
 QUERIES = {
     "sigma_scan": q_sigma_scan,
+    "online_sigma": q_online_sigma,
     "trailing_stats": q_trailing_stats,
     "total_count": q_total_count,
     "path_projection": q_path_projection,
@@ -357,6 +368,23 @@ JOIN stats s ON e.event_type = s.event_type
 WHERE s.n >= 3 AND s.sd > 0
   AND epoch_us(e.ts) >= epoch_us(a.as_of) - s.window_seconds * 1000000
   AND abs((e.value - s.mean) / (3 * s.sd)) > 1
+""",
+    "online_sigma": """
+WITH scored AS (
+  SELECT event_type AS topic, event_id, epoch_us(ts) AS event_ts_us, value,
+         avg(value) OVER w AS mean,
+         stddev_pop(value) OVER w AS sd,
+         count(value) OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+               RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+)
+SELECT topic, event_id, event_ts_us, value,
+       round(mean, 6) AS median,
+       round(sd, 6) AS std_dev,
+       round((value - mean) / (3 * sd), 6) AS three_sigma
+FROM scored
+WHERE n >= 3 AND sd > 0 AND abs((value - mean) / (3 * sd)) > 1
 """,
     "trailing_stats": f"""
 WITH eval_at AS (SELECT max(ts) AS as_of FROM events),

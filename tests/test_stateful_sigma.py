@@ -1,0 +1,114 @@
+"""stateful_sigma_scan (keyed-state streaming scoring) must agree with
+online_sigma_scan (the batch window-function twin) when the stream
+delivers the same rows in event-time order across micro-batches."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from sarkac_spark.operators.anomaly import online_sigma_scan
+from sarkac_spark.streaming.stateful_sigma import stateful_sigma_scan
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+SCHEMA = "topic string, field_path string, produced timestamp, value double"
+
+
+def _series(topic, path, points):
+    return [
+        (topic, path, T0 + dt.timedelta(seconds=s), float(v)) for s, v in points
+    ]
+
+
+def _fixture_rows():
+    # steady baseline 10 +/- 1 every 10 s with planted spikes — the
+    # reference fixture shape (example/produceExampleMessages.js)
+    base = [(i * 10, 10 + (i % 3) - 1) for i in range(40)]
+    spikes = [(95, 100.0), (205, -80.0), (395, 120.0)]
+    rows = _series("t1", "value", base + spikes)
+    rows += _series("t2", "a.b", [(i * 5, 50 + (i % 5)) for i in range(30)])
+    rows += _series("t2", "a.b", [(77, 500.0)])
+    return rows
+
+
+def _run_stream(spark, tmp_path, rows, windows, n_files=3):
+    rows = sorted(rows, key=lambda r: r[2])
+    chunk = math.ceil(len(rows) / n_files)
+    src = tmp_path / "sigma_src"
+    for i in range(n_files):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, SCHEMA).coalesce(1).write.parquet(
+                str(src / f"b{i}")
+            )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out = stateful_sigma_scan(stream, windows=windows)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sigma_out")
+        .option("checkpointLocation", str(tmp_path / "sigma_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql("SELECT * FROM sigma_out").collect()
+
+
+def test_stateful_sigma_matches_online_batch(spark, tmp_path):
+    rows = _fixture_rows()
+    windows = (120, 600)
+    got = _run_stream(spark, tmp_path, rows, windows)
+
+    df = spark.createDataFrame(rows, SCHEMA)
+    expected = []
+    for w in windows:
+        batch = online_sigma_scan(
+            df,
+            group_cols=("topic", "field_path"),
+            ts_col="produced",
+            window_seconds=w,
+            id_cols=(),
+        ).withColumn("window_seconds", F.lit(w).cast("long"))
+        expected.extend(batch.collect())
+
+    def key(r):
+        return (r.topic, r.path if hasattr(r, "path") else r.field_path,
+                r.window_seconds, r.event_ts_us)
+
+    got_map = {key(r): r for r in got}
+    exp_map = {key(r): r for r in expected}
+    assert set(got_map) == set(exp_map)
+    assert got_map  # non-trivial: the planted spikes must be flagged
+    for k, g in got_map.items():
+        e = exp_map[k]
+        assert g.value == e.value
+        # batch stddev (Spark's merge formula) vs streaming prefix sums:
+        # equal to float noise; both sides round to 6 digits already
+        assert abs(g.median - e.median) < 1e-4
+        assert abs(g.std_dev - e.std_dev) < 1e-4
+        assert abs(g.three_sigma - e.three_sigma) < 1e-4
+
+
+def test_stateful_sigma_spike_flagged_once_per_window(spark, tmp_path):
+    rows = _series("t", "v", [(i * 10, 5.0 + (i % 2)) for i in range(20)])
+    rows += _series("t", "v", [(145, 400.0)])
+    got = _run_stream(spark, tmp_path, rows, windows=(300,), n_files=2)
+    spikes = [r for r in got if r.value == 400.0]
+    assert len(spikes) == 1
+    assert abs(spikes[0].three_sigma) > 1
+    # the steady baseline itself must not alert
+    assert all(r.value == 400.0 for r in got)
+
+
+def test_stateful_sigma_min_count_guard(spark, tmp_path):
+    # only two prior points when the spike arrives -> no stats, no alert
+    rows = _series("t", "v", [(0, 5.0), (10, 6.0), (20, 500.0)])
+    got = _run_stream(spark, tmp_path, rows, windows=(300,), n_files=1)
+    assert got == []
