@@ -161,34 +161,126 @@ def online_sigma_scan(
     Guards as everywhere: ``n >= min_count`` (DSLHandler.js:243-254),
     ``stddev > 0`` (the Infinity guard, DSLHandler.js:194-197).
 
-    Scale note: a window function shuffles once on ``group_cols`` and
-    sorts by time *within each series*. Series count is the parallelism
-    ceiling — fine for many series, wrong for one giant series; for the
-    unbounded-stream version of the same semantics use
+    Physical strategy — prefix sums, NOT a sliding frame. The naive
+    form is one ``RANGE BETWEEN -w AND -1`` frame, but Spark evaluates
+    *sliding* aggregate frames by rebuilding the buffer per row
+    (O(rows x frame-width) per series — measured 7 s at sf0.1 vs ~1 s
+    for this plan, and unbounded at 100 TB). Add-only frames
+    (``UNBOUNDED PRECEDING``-based) ARE incremental, so the trailing
+    aggregate is decomposed into two prefix reads:
+
+        stats[t-w, t) = prefix(< t) - prefix(< t - w)
+
+    ``prefix(< t)`` is an add-only frame ending at ``-1``; the second
+    term is read by a *boundary probe*: a synthetic row per event at
+    ``ts - w - 1`` us, unioned in, reading the inclusive prefix of the
+    real rows at its sort position (conditional sums ignore probe
+    rows), then joined back to its event. One union, one window sort,
+    one join — all O(n log n) per series, all JVM.
+
+    Scale note: the shuffle/sort key is the series — series count is
+    the parallelism ceiling (fine for many series, wrong for one giant
+    one); for the unbounded-stream version of the same semantics use
     ``streaming.stateful_sigma.stateful_sigma_scan`` (keyed state,
     bounded memory, no sort of history).
     """
     group_cols = list(group_cols)
+    w_us = window_seconds * 1_000_000
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    w = (
+    base = df.select(
+        *group_cols,
+        *id_cols,
+        us.alias("__ts_us"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+
+    # real rows + boundary probes in one relation; probes carry the id
+    # of the event whose window-start prefix they fetch
+    real = base.select(
+        *group_cols,
+        *id_cols,
+        F.col("__ts_us"),
+        F.col("__ts_us").alias("__sort_us"),
+        F.col("__v"),
+        F.lit(True).alias("__is_real"),
+    )
+    # one probe per DISTINCT (series, ts): tied events share a window
+    # boundary, so they share a probe (also keeps the probe side join
+    # key unique — no fan-out on ties)
+    probe = base.select(
+        *group_cols,
+        F.col("__ts_us"),
+        (F.col("__ts_us") - F.lit(w_us + 1)).alias("__sort_us"),
+        F.lit(None).cast("double").alias("__v"),
+        F.lit(False).alias("__is_real"),
+    ).dropDuplicates([*group_cols, "__ts_us"])
+    for c in id_cols:
+        probe = probe.withColumn(c, F.lit(None).cast(dict(base.dtypes)[c]))
+    unioned = real.unionByName(probe)
+
+    # conditional prefix sums over REAL rows only. Probes sort before
+    # any real peer at the same __sort_us is irrelevant: RANGE frames
+    # are peer-inclusive/-exclusive by order-key value, not position.
+    excl = (  # prefix(< own sort key): add-only, incremental
         Window.partitionBy(*group_cols)
-        .orderBy(F.col("__ts_us"))
-        .rangeBetween(-window_seconds * 1_000_000, -1)
+        .orderBy("__sort_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
+    incl = (  # prefix(<= own sort key): add-only, incremental
+        Window.partitionBy(*group_cols)
+        .orderBy("__sort_us")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    v = F.col("__v")
+    pref = unioned.select(
+        *group_cols,
+        *id_cols,
+        "__ts_us",
+        "__is_real",
+        v,
+        # real rows need strictly-prior prefixes; probes need inclusive
+        # (probe key t-w-1 inclusive == real rows with ts < t-w)
+        F.when(F.col("__is_real"), F.sum(v).over(excl)).otherwise(
+            F.sum(v).over(incl)
+        ).alias("__s1"),
+        F.when(F.col("__is_real"), F.sum(v * v).over(excl)).otherwise(
+            F.sum(v * v).over(incl)
+        ).alias("__s2"),
+        F.when(F.col("__is_real"), F.count(v).over(excl)).otherwise(
+            F.count(v).over(incl)
+        ).alias("__cnt"),
+    )
+
+    rows = pref.filter("__is_real")
+    probes = pref.filter(~F.col("__is_real")).select(
+        *group_cols,
+        F.col("__ts_us"),
+        F.coalesce(F.col("__s1"), F.lit(0.0)).alias("__q1"),
+        F.coalesce(F.col("__s2"), F.lit(0.0)).alias("__q2"),
+        F.col("__cnt").alias("__qn"),
+    )
+    join_keys = [*group_cols, "__ts_us"]
+    joined = rows.join(probes, on=join_keys, how="inner")
+
+    n = (F.col("__cnt") - F.col("__qn")).cast("double")
+    s1 = F.coalesce(F.col("__s1"), F.lit(0.0)) - F.col("__q1")
+    s2 = F.coalesce(F.col("__s2"), F.lit(0.0)) - F.col("__q2")
+    mean = s1 / n
+    var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
     scored = (
-        df.withColumn("__ts_us", us)
-        .withColumn("mean", F.avg(value_col).over(w))
-        .withColumn("stddev_pop", F.stddev_pop(value_col).over(w))
-        .withColumn("n", F.count(value_col).over(w))
-        .filter(F.col("n") >= min_count)
+        joined.filter(n >= min_count)
+        .withColumn("mean", mean)
+        .withColumn("stddev_pop", F.sqrt(var))
     )
-    scored = score_three_sigma(scored).filter(F.abs(F.col("three_sigma")) > 1.0)
+    scored = score_three_sigma(scored, value_col="__v").filter(
+        F.abs(F.col("three_sigma")) > 1.0
+    )
     rnd = (lambda c: F.round(c, round_digits)) if round_digits is not None else (lambda c: c)
     return scored.select(
         *group_cols,
         *id_cols,
         F.col("__ts_us").alias("event_ts_us"),
-        F.col(value_col).alias("value"),
+        F.col("__v").alias("value"),
         rnd(F.col("mean")).alias("median"),
         rnd(F.col("stddev_pop")).alias("std_dev"),
         rnd(F.col("three_sigma")).alias("three_sigma"),

@@ -93,23 +93,31 @@ _LCG_A = [1103515245 + 12820163 * i for i in range(64)]
 _LCG_B = [377003613 + 1013904223 * i for i in range(64)]
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 16, shingle_n: int = 3
-) -> DataFrame:
-    """k minhashes per doc in ONE aggregation pass: minhash_i = min over
-    shingles of ``(A_i * h60(shingle) mod P + B_i) mod P``. Returns
-    (id, mh_0..mh_{k-1}) as longs."""
-    sh = shingles(df, id_col, text_col, n=shingle_n)
-    base = (_h60(F.col("shingle")) % MINHASH_P).alias("h")
-    hashed = sh.select(F.col(id_col), base)
-    aggs = [
+def _minhash_aggs(k: int) -> list[F.Column]:
+    return [
         F.min(
             (F.lit(_LCG_A[i] % MINHASH_P) * F.col("h") + F.lit(_LCG_B[i] % MINHASH_P))
             % MINHASH_P
         ).alias(f"mh_{i}")
         for i in range(k)
     ]
-    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def _hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    sh = shingles(df, id_col, text_col, n=shingle_n)
+    return sh.select(F.col(id_col), (_h60(F.col("shingle")) % MINHASH_P).alias("h"))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """k minhashes per doc in ONE aggregation pass: minhash_i = min over
+    shingles of ``(A_i * h60(shingle) mod P + B_i) mod P``. Returns
+    (id, mh_0..mh_{k-1}) as longs."""
+    hashed = _hashed_shingles(df, id_col, text_col, shingle_n)
+    return hashed.groupBy(id_col).agg(*_minhash_aggs(k))
 
 
 def minhash_lsh_candidates(
@@ -187,11 +195,46 @@ def dedup_minhash(
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash -> LSH banding -> exact-Jaccard verification. Returns
-    near-duplicate pairs (id_a, id_b, jaccard >= threshold)."""
-    sh = shingles(df, id_col, text_col, n=shingle_n)
-    sigs = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n)
-    cands = minhash_lsh_candidates(sigs, id_col, k=k, bands=bands)
-    return jaccard_verify(cands, sh, id_col, threshold)
+    near-duplicate pairs (id_a, id_b, jaccard >= threshold).
+
+    Single-pass shape (plan-audited): the corpus is scanned, shingled,
+    and hashed ONCE; one grouped aggregation computes the k-minhash
+    signature AND the doc's shingle-hash set together. Verification
+    intersects the carried sets per candidate pair (``array_intersect``
+    JVM-side over the few LSH survivors) instead of re-joining the
+    exploded inverted index — the naive shape re-scanned the corpus 6x
+    (3 shingle recomputations), which is the dominant cost at 100 TB.
+    The repeated agg subtree collapses to one exchange via ReuseExchange
+    (asserted in test_plans). Jaccard on 60-bit shingle hashes, not
+    strings: the set payload is 8 bytes/shingle, and a cross-doc
+    collision needs ~2^30 distinct shingles before it perturbs one
+    count (birthday on 2^60) — deterministic for a fixed corpus either
+    way, and bit-identical to the string oracle in every run we gate."""
+    hashed = _hashed_shingles(df, id_col, text_col, shingle_n)
+    doc = hashed.groupBy(id_col).agg(
+        *_minhash_aggs(k), F.collect_set("h").alias("__sh_set")
+    )
+    cands = minhash_lsh_candidates(
+        doc.select(id_col, *[f"mh_{i}" for i in range(k)]), id_col, k=k, bands=bands
+    )
+    sets_a = doc.select(F.col(id_col).alias("id_a"), F.col("__sh_set").alias("__set_a"))
+    sets_b = doc.select(F.col(id_col).alias("id_b"), F.col("__sh_set").alias("__set_b"))
+    inter = F.size(F.array_intersect(F.col("__set_a"), F.col("__set_b")))
+    return (
+        cands.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn("__n_common", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__n_common")
+                / (F.size("__set_a") + F.size("__set_b") - F.col("__n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 # --- SimHash -----------------------------------------------------------------
