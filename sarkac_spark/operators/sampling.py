@@ -1,0 +1,88 @@
+"""Deterministic sampling operators for training-data curation.
+
+A 100 TB corpus pipeline needs *reproducible* sampling — `RAND()` is
+banned (re-runs and retried tasks would see different rows; Spark task
+retries make nondeterministic filters actively dangerous). Everything
+here derives a uniform variate from a 60-bit md5 prefix of the row id
+(same construction as operators/dedup._h60, identical in DuckDB), so:
+
+- the sample is a pure function of (id, salt) — stable across runs,
+  engines, partitionings, and task retries;
+- changing the salt draws an independent sample;
+- every operator is a map-only filter: no shuffle, fully pushed into
+  the scan stage, scale-free.
+
+Ops:
+- ``hash_sample``        — Bernoulli p-sample of a table.
+- ``stratified_sample``  — per-stratum rates (broadcast dim join),
+  the "rebalance languages / sources" curation move.
+- ``train_eval_split``   — disjoint deterministic split labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# u = h60(salt|id) % MOD gives ~6 significant digits of rate
+# resolution; cutoff comparison stays in integers (bit-identical
+# across engines, no float rounding at the boundary)
+SAMPLE_MOD = 1_000_000
+_HASH_HEX_LEN = 15
+
+
+def sample_hash(id_col, salt: str) -> F.Column:
+    """The shared variate: 60-bit md5 prefix of 'salt|id', mod 1e6."""
+    payload = F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    h = F.conv(F.substring(F.md5(payload), 1, _HASH_HEX_LEN), 16, 10).cast("long")
+    return h % SAMPLE_MOD
+
+
+def _cutoff(rate: float) -> int:
+    return int(round(rate * SAMPLE_MOD))
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep each row iff hash(salt|id) falls below the rate cutoff."""
+    return df.filter(sample_hash(id_col, salt) < F.lit(_cutoff(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum Bernoulli rates — downsample dominant strata, keep
+    rare ones (the language/source-rebalancing curation op). The rate
+    table is a literal broadcast dim; the filter itself never shuffles
+    the fact side."""
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(
+        [(k, _cutoff(v)) for k, v in rates.items()],
+        f"{stratum_col} string, __cutoff long",
+    )
+    return (
+        df.join(F.broadcast(rate_df), on=stratum_col, how="left")
+        .filter(
+            sample_hash(id_col, salt)
+            < F.coalesce(F.col("__cutoff"), F.lit(_cutoff(default_rate)))
+        )
+        .drop("__cutoff")
+    )
+
+
+def train_eval_split(
+    df: DataFrame, id_col: str, eval_rate: float = 0.01, salt: str = "split"
+) -> DataFrame:
+    """Label every row 'eval' or 'train', disjoint and deterministic —
+    the same doc never leaks across the split on any rerun."""
+    return df.withColumn(
+        "split",
+        F.when(
+            sample_hash(id_col, salt) < F.lit(_cutoff(eval_rate)), F.lit("eval")
+        ).otherwise(F.lit("train")),
+    )

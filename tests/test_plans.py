@@ -80,3 +80,30 @@ def test_top_customers_uses_distributed_topk(spark, sf_dir):
     plan = _plan(q_top_customers(spark, sf_dir))
     # per-partition top-k merge, never a single-partition global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_online_sigma_uses_no_sliding_frames(events):
+    from sarkac_spark.operators.anomaly import online_sigma_scan
+
+    plan = _plan(online_sigma_scan(events, window_seconds=86400))
+    # the trailing stats must come from add-only (unboundedpreceding)
+    # prefix frames — Spark re-scans sliding RANGE frames per row,
+    # which is O(rows x frame) and collapses at scale
+    assert "unboundedpreceding" in plan.lower()
+    lowered = plan.lower()
+    import re
+
+    # a sliding frame renders as "range between -N ... and -1" (both
+    # bounds finite) — forbid it
+    assert not re.search(r"range between -\d+", lowered)
+
+
+def test_dedup_minhash_bounded_corpus_scans(spark, sf_dir):
+    from sarkac_spark.operators.dedup import dedup_minhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(dedup_minhash(docs, "doc_id", "text"))
+    # the shingle explode legs must stay bounded: signature+set come from
+    # one aggregation (4 pruned copies max), never the 6-scan
+    # inverted-index re-join shape
+    assert plan.count("Scan parquet") <= 4
