@@ -151,8 +151,54 @@ def q_multimodal_payload(spark, sf_dir):
     return payload_stats(media)
 
 
+# stratified-sampling contract: downsample dominant en, light trim on
+# the rest, half-rate for unknown strata; 10% eval split
+SAMPLE_RATES = {"en": 0.3, "zh": 0.9, "es": 0.9, "de": 0.9, "fr": 0.9}
+SAMPLE_DEFAULT_RATE = 0.5
+EVAL_RATE = 0.1
+QUALITY_CUTOFF = 0.65  # ~median of the synthetic corpus — non-trivial
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic curation sampling: per-language Bernoulli rates
+    (hash-of-id, not rand() — reproducible across runs/retries/engines)
+    plus a disjoint train/eval split label."""
+    from sarkac_spark.operators.sampling import stratified_sample, train_eval_split
+
+    d = _docs(spark, sf_dir)
+    sampled = stratified_sample(
+        d, "doc_id", "lang", SAMPLE_RATES, default_rate=SAMPLE_DEFAULT_RATE
+    )
+    return train_eval_split(sampled, "doc_id", eval_rate=EVAL_RATE).select(
+        "doc_id", "lang", "split"
+    )
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """The composed corpus-curation pass: exact-dedup to canonical docs
+    -> quality gate -> per-language corpus budget (docs + BPE-ish
+    tokens). One semi-join + one aggregation over the quality features;
+    the dedup side reduces to (hash -> min id), always the cheapest
+    full-corpus dedup."""
+    d = _docs(spark, sf_dir)
+    canon = dedup_exact(d, "doc_id", "text").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    kept = d.join(canon, "doc_id", "semi")
+    good = quality_score(kept, "text").filter(
+        F.col("quality_score") >= QUALITY_CUTOFF
+    )
+    return good.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_ish_token_count("text")).alias("total_bpe_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "stratified_sample": q_stratified_sample,
+    "curation_pipeline": q_curation_pipeline,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
@@ -388,11 +434,78 @@ FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
 """
 
 
+def _sample_hash_sql(salt: str) -> str:
+    return (
+        f"('0x' || substr(md5('{salt}|' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        "::BIGINT % 1000000"
+    )
+
+
+def _stratified_sample_sql() -> str:
+    rate_rows = ", ".join(
+        f"('{k}', {int(round(v * 1_000_000))})" for k, v in SAMPLE_RATES.items()
+    )
+    return f"""
+WITH rates(lang, cutoff) AS (VALUES {rate_rows})
+SELECT d.doc_id, d.lang,
+       CASE WHEN {_sample_hash_sql("split")} < {int(round(EVAL_RATE * 1_000_000))}
+            THEN 'eval' ELSE 'train' END AS split
+FROM documents d LEFT JOIN rates r USING (lang)
+WHERE {_sample_hash_sql("strata")}
+      < coalesce(r.cutoff, {int(round(SAMPLE_DEFAULT_RATE * 1_000_000))})
+"""
+
+
+_QUALITY_FEATS_SQL = """
+feats AS (
+  SELECT doc_id, lang, text,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         round(len(list_distinct(string_split_regex(trim(text), '\\s+')))
+               / len(string_split_regex(trim(text), '\\s+')), 6) AS unique_ratio,
+         round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               / length(text), 6) AS punct_ratio,
+         round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               / length(text), 6) AS digit_ratio
+  FROM documents
+)
+"""
+
+
+def _curation_pipeline_sql() -> str:
+    return f"""
+WITH canon AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+{_QUALITY_FEATS_SQL.strip().rstrip()},
+scored AS (
+  SELECT f.doc_id, f.lang, f.text,
+         (35 * CAST(round(unique_ratio * 1000000) AS BIGINT)
+        + 35 * least(n_words * 10000, 1000000)
+        + 15 * (1000000 - CAST(round(punct_ratio * 1000000) AS BIGINT))
+        + 15 * (1000000 - CAST(round(digit_ratio * 1000000) AS BIGINT))
+         ) / 100000000.0 AS quality_score
+  FROM feats f JOIN canon c ON f.doc_id = c.doc_id
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CAST(list_sum(list_transform(
+           list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                       p -> p != ''),
+           p -> CAST(ceil(length(p) / 4.0) AS BIGINT))) AS BIGINT)) AS BIGINT)
+         AS total_bpe_tokens,
+       round(avg(quality_score), 6) AS avg_quality
+FROM scored
+WHERE quality_score >= {QUALITY_CUTOFF}
+GROUP BY lang
+"""
+
+
 ORACLE = {
     "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
 FROM documents GROUP BY md5(text)
 """,
+    "stratified_sample": _stratified_sample_sql(),
+    "curation_pipeline": _curation_pipeline_sql(),
     "dedup_minhash": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "ngram_jaccard": _ngram_jaccard_sql(),

@@ -1,0 +1,71 @@
+"""Deterministic sampling operators: reproducibility, stratification,
+and split disjointness are the contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sarkac_spark.operators.sampling import (
+    hash_sample,
+    sample_hash,
+    stratified_sample,
+    train_eval_split,
+)
+
+
+def _corpus(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("en"), F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+
+def test_hash_sample_deterministic_and_calibrated(spark):
+    d = _corpus(spark)
+    a = hash_sample(d, "doc_id", 0.3, salt="s1")
+    assert a.count() == hash_sample(d, "doc_id", 0.3, salt="s1").count()
+    ids_a = {r.doc_id for r in a.collect()}
+    ids_b = {r.doc_id for r in hash_sample(d, "doc_id", 0.3, salt="s2").collect()}
+    assert ids_a != ids_b  # independent draw per salt
+    rate = len(ids_a) / 2000
+    assert 0.25 < rate < 0.35  # calibration within binomial noise
+
+    # monotone: a smaller rate is a subset of a larger one (same salt)
+    small = {r.doc_id for r in hash_sample(d, "doc_id", 0.1, salt="s1").collect()}
+    assert small <= ids_a
+
+
+def test_stratified_sample_rates_and_default(spark):
+    d = _corpus(spark)
+    out = stratified_sample(
+        d, "doc_id", "lang", {"en": 0.2, "de": 1.0}, default_rate=0.0
+    )
+    by_lang = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang.get("de") == 400  # rate 1.0 keeps every row
+    assert "fr" not in by_lang  # default 0.0 drops unlisted strata
+    assert 0.12 < by_lang["en"] / 1200 < 0.28
+
+
+def test_train_eval_split_disjoint_and_stable(spark):
+    d = _corpus(spark, n=1000)
+    s = train_eval_split(d, "doc_id", eval_rate=0.2)
+    counts = {r.split: r.n for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["eval"] + counts["train"] == 1000
+    assert 0.14 < counts["eval"] / 1000 < 0.26
+    # same rows land in the same split on recompute
+    again = {(r.doc_id, r.split) for r in train_eval_split(d, "doc_id", eval_rate=0.2).collect()}
+    assert {(r.doc_id, r.split) for r in s.collect()} == again
+
+
+def test_sampling_filter_is_map_only(spark):
+    from sarkac_spark.plans import shuffle_count
+
+    d = _corpus(spark)
+    assert shuffle_count(hash_sample(d, "doc_id", 0.5)) == 0
+    # the rate dim must broadcast, never shuffle the fact side
+    assert (
+        shuffle_count(stratified_sample(d, "doc_id", "lang", {"en": 0.5})) == 0
+    )
