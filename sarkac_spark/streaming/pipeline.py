@@ -61,6 +61,45 @@ STORE_READ_SCHEMA = "epoch long, " + STORE_SCHEMA
 STATE_SCHEMA = "topic string, path string, window_seconds long, last_emit_us long"
 
 
+def extract_fields(
+    df: DataFrame,
+    dsl: DSL,
+    payload_schemas: dict[str, object] | None = None,
+) -> DataFrame | None:
+    """DSL field extraction (P1-P4) over an envelope relation
+    (topic, key, value: json-string, ts) — batch OR streaming (pure
+    filter/project/union, no shuffle). Returns the long store shape
+    (topic, produced, key, field_path, value), or None with no
+    configured fields."""
+    from sarkac_spark.operators.fields import dsl_field_exprs_struct
+
+    payload_schemas = payload_schemas or {}
+    parts = []
+    for t in dsl.topics.values():
+        if not t.fields:
+            continue
+        paths = [f.path for f in t.fields]
+        if t.topic in payload_schemas:
+            exprs = dsl_field_exprs_struct("value", paths, payload_schemas[t.topic])
+        else:
+            exprs = dsl_field_exprs("value", paths)
+        parts.append(
+            to_sigma_store(
+                df.filter(F.col("topic") == t.topic),
+                topic_col="topic",
+                ts_col="ts",
+                fields=exprs,
+                extra_cols=["key"],
+            )
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @dataclass
 class SigmaStreamConfig:
     store_dir: str
@@ -100,33 +139,9 @@ class SigmaStreamPipeline:
     # -- step 1: DSL field extraction (P1-P4) ------------------------------
 
     def extract(self, batch: DataFrame) -> DataFrame:
-        from sarkac_spark.operators.fields import dsl_field_exprs_struct
-
-        parts = []
-        for t in self.dsl.topics.values():
-            if not t.fields:
-                continue
-            paths = [f.path for f in t.fields]
-            if t.topic in self.payload_schemas:
-                exprs = dsl_field_exprs_struct(
-                    "value", paths, self.payload_schemas[t.topic]
-                )
-            else:
-                exprs = dsl_field_exprs("value", paths)
-            parts.append(
-                to_sigma_store(
-                    batch.filter(F.col("topic") == t.topic),
-                    topic_col="topic",
-                    ts_col="ts",
-                    fields=exprs,
-                    extra_cols=["key"],
-                )
-            )
-        if not parts:
+        out = extract_fields(batch, self.dsl, self.payload_schemas)
+        if out is None:
             return self.spark.createDataFrame([], STORE_SCHEMA)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
         return out
 
     # -- steps 2-6 ----------------------------------------------------------
@@ -367,3 +382,74 @@ def windowed_stats_stream(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+class StatefulSigmaPipeline:
+    """The pure-Structured-Streaming sigma engine — no foreachBatch, no
+    external state files: extract (stateless project/union) ->
+    ``stateful_sigma_scan`` (keyed state: retained points + per-window
+    last-emit cooldown) -> file sink (exactly-once via the sink's
+    commit log; swap for the Kafka sink shape in production).
+
+    Versus ``SigmaStreamPipeline`` (exact reference parity, re-scans
+    the retained store every trigger): this one never re-reads history
+    — state updates are incremental, so per-trigger cost is O(batch),
+    not O(retained). The tradeoff is the scoring model: values are
+    scored against strictly-earlier points (zero-staleness W5,
+    ``online_sigma_scan`` semantics) instead of the reference's
+    15-s-stale cache. At unbounded rates this is the deployment shape;
+    state lives in the state store (RocksDB on a cluster) and scales
+    with series count, not history length.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        dsl: DSL,
+        anomaly_dir: str,
+        min_count: int = MIN_EVENTS_FOR_STATS,
+        cooldown_seconds: int = ANOMALY_COOLDOWN_SECONDS,
+        payload_schemas: dict[str, object] | None = None,
+    ):
+        self.spark = spark
+        self.dsl = dsl
+        self.anomaly_dir = anomaly_dir
+        self.min_count = min_count
+        self.cooldown_seconds = cooldown_seconds
+        self.payload_schemas = payload_schemas or {}
+
+    def anomalies(self, envelope_stream: DataFrame) -> DataFrame:
+        from sarkac_spark.streaming.stateful_sigma import stateful_sigma_scan
+
+        extracted = extract_fields(
+            envelope_stream, self.dsl, self.payload_schemas
+        )
+        if extracted is None:
+            raise ValueError("DSL configures no fields")
+        task_windows: dict[tuple[str, str], list[int]] = {}
+        for topic, path, w in self.dsl.tasks():
+            task_windows.setdefault((topic, path), []).append(w)
+        windows = sorted({w for ws in task_windows.values() for w in ws})
+        return stateful_sigma_scan(
+            extracted,
+            windows=windows,
+            min_count=self.min_count,
+            cooldown_seconds=self.cooldown_seconds,
+            task_windows=task_windows,
+        )
+
+    def start(
+        self,
+        envelope_stream: DataFrame,
+        checkpoint_dir: str,
+        trigger_seconds: int = DEFAULT_ANOMALY_SCAN_SECONDS,
+    ):
+        return (
+            self.anomalies(envelope_stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", self.anomaly_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start()
+        )
