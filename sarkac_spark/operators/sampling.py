@@ -86,3 +86,43 @@ def train_eval_split(
             sample_hash(id_col, salt) < F.lit(_cutoff(eval_rate)), F.lit("eval")
         ).otherwise(F.lit("train")),
     )
+
+
+def weighted_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted corpus mixing — the epoch-composition curation op:
+    weight w replicates each row floor(w) times plus one more with
+    probability frac(w) (hash-deterministic, same variate construction
+    as the samplers). w < 1 downsamples, w > 1 oversamples; the output
+    carries ``copy`` (1-based) so downstream shuffles spread replicas.
+
+    Map-side explode only — the expected output is |rows| x mean(w),
+    and no shuffle is introduced; the weight table is a literal
+    broadcast dim.
+    """
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        [(k, int(v), _cutoff(v - int(v))) for k, v in weights.items()],
+        f"{source_col} string, __whole int, __frac_cutoff long",
+    )
+    whole = F.coalesce(F.col("__whole"), F.lit(int(default_weight)))
+    frac_cutoff = F.coalesce(
+        F.col("__frac_cutoff"), F.lit(_cutoff(default_weight - int(default_weight)))
+    )
+    n_copies = whole + F.when(
+        sample_hash(id_col, salt) < frac_cutoff, F.lit(1)
+    ).otherwise(F.lit(0))
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(1), n_copies.cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.join(F.broadcast(w_df), on=source_col, how="left")
+        .withColumn("copy", F.explode(copies))
+        .drop("__whole", "__frac_cutoff")
+    )

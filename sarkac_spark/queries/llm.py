@@ -174,6 +174,21 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+# corpus-mix contract: oversample src0/src1, trim src2, pass the rest
+MIX_WEIGHTS = {"src0": 2.5, "src1": 2.0, "src2": 0.4}
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Weighted epoch composition: deterministic replication/trim per
+    source (floor(w) copies + hash-Bernoulli fractional copy)."""
+    from sarkac_spark.operators.sampling import weighted_mix
+
+    d = _docs(spark, sf_dir)
+    return weighted_mix(d, "doc_id", "source", MIX_WEIGHTS).select(
+        "doc_id", "source", "copy"
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """The composed corpus-curation pass: exact-dedup to canonical docs
     -> quality gate -> per-language corpus budget (docs + BPE-ish
@@ -198,6 +213,7 @@ def q_curation_pipeline(spark, sf_dir):
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "stratified_sample": q_stratified_sample,
+    "corpus_mix": q_corpus_mix,
     "curation_pipeline": q_curation_pipeline,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -456,6 +472,26 @@ WHERE {_sample_hash_sql("strata")}
 """
 
 
+def _corpus_mix_sql() -> str:
+    w_rows = ", ".join(
+        f"('{k}', {int(v)}, {int(round((v - int(v)) * 1_000_000))})"
+        for k, v in MIX_WEIGHTS.items()
+    )
+    return f"""
+WITH w(source, whole, frac_cutoff) AS (VALUES {w_rows}),
+n AS (
+  SELECT d.doc_id, d.source,
+         coalesce(w.whole, 1)
+         + CASE WHEN {_sample_hash_sql("mix")} < coalesce(w.frac_cutoff, 0)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d LEFT JOIN w USING (source)
+)
+SELECT doc_id, source, CAST(u.c AS INT) AS copy
+FROM n, UNNEST(range(1, n_copies + 1)) AS u(c)
+WHERE n_copies > 0
+"""
+
+
 _QUALITY_FEATS_SQL = """
 feats AS (
   SELECT doc_id, lang, text,
@@ -505,6 +541,7 @@ SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
 FROM documents GROUP BY md5(text)
 """,
     "stratified_sample": _stratified_sample_sql(),
+    "corpus_mix": _corpus_mix_sql(),
     "curation_pipeline": _curation_pipeline_sql(),
     "dedup_minhash": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),

@@ -69,3 +69,32 @@ def test_sampling_filter_is_map_only(spark):
     assert (
         shuffle_count(stratified_sample(d, "doc_id", "lang", {"en": 0.5})) == 0
     )
+
+
+def test_weighted_mix_replication(spark):
+    from sarkac_spark.operators.sampling import weighted_mix
+
+    d = _corpus(spark, n=1000)
+    out = weighted_mix(
+        d, "doc_id", "lang", {"de": 3.0, "fr": 0.0}, default_weight=1.0
+    )
+    by = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by["de"] == 600  # integer weight: exactly 3 copies of 200 rows
+    assert "fr" not in by  # weight 0 drops the source
+    assert by["en"] == 600  # default 1.0 passes through
+    # copies are labeled 1..n and deterministic across reruns
+    copies = {r.copy for r in out.filter(F.col("lang") == "de").collect()}
+    assert copies == {1, 2, 3}
+    again = weighted_mix(
+        d, "doc_id", "lang", {"de": 3.0, "fr": 0.0}, default_weight=1.0
+    ).count()
+    assert again == out.count()
+
+
+def test_weighted_mix_fractional_calibration(spark):
+    from sarkac_spark.operators.sampling import weighted_mix
+
+    d = _corpus(spark, n=2000)
+    out = weighted_mix(d, "doc_id", "lang", {"en": 1.5}, default_weight=1.0)
+    n_en = out.filter(F.col("lang") == "en").count()
+    assert 1600 < n_en < 2000  # 1200 x 1.5 = 1800 +/- binomial noise
