@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two paths, mirroring how a 100 TB pipeline would actually run ANN:
+Three paths, mirroring how a 100 TB pipeline would actually run ANN:
 
 - ``cosine_topk``: brute-force exact top-k — the correctness baseline.
   Queries are broadcast (they're the small side by construction), so the
@@ -13,6 +13,11 @@ Two paths, mirroring how a 100 TB pipeline would actually run ANN:
   (``nprobe=1`` here). Recall < 1 by design; the tradeoff documented in
   the returned plan shape. Centroids here are caller-provided (k first
   vectors for determinism in tests; MLlib KMeans in production).
+- ``lsh_topk``: training-free sign-LSH ANN — multi-table random-
+  hyperplane bucketing (md5-derived Rademacher planes, so bucketing is
+  a pure deterministic expression: no fit step, no centroid state,
+  streaming-composable), candidates from an equi-join on (table,
+  bucket), exact cosine only on candidates.
 
 Embedding-cosine near-dup dedup reuses ``cosine_topk`` output filtered to
 similarity >= threshold (see queries/llm.py).
@@ -168,6 +173,129 @@ def cosine_topk(
     return (
         scored.withColumn("rank", w.cast("long")).filter(F.col("rank") <= k)
     )
+
+
+def _rademacher_hyperplanes(
+    n_planes: int, dim: int, salt: str = "lsh"
+) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 — the engine contract that
+    makes sign-LSH oracle-checkable: any engine that can md5 a string can
+    rebuild the exact same planes (DuckDB mirror in queries/llm.py).
+    Rademacher entries are as good as Gaussian for sign-LSH (the
+    Charikar'02 random-projection argument only needs symmetric,
+    independent coordinates) and avoid shipping float literals."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{salt}|{j}:{d}".encode()).hexdigest()[:15], 16) % 2
+            == 0
+            else -1.0
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def lsh_sign_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 6,
+    n_tables: int = 3,
+    salt: str = "lsh",
+) -> DataFrame:
+    """Sign-LSH bucket assignment, ``n_tables`` independent tables of
+    ``n_bits`` hyperplanes each: bit j of table t is 1 iff the vector's
+    dot with plane (t*n_bits + j) is positive. Output: (id, t, bucket) —
+    one row per table.
+
+    One corpus scan, map-only: the planes are literal arrays inside the
+    expression tree (no broadcast variable, no join), each dot a JVM
+    ``zip_with``+``aggregate`` fold in whole-stage codegen. Dots are
+    rounded to 6 decimals before the sign test so the bucket id is
+    stable across engines regardless of float summation order.
+    """
+    planes = _rademacher_hyperplanes(n_tables * n_bits, dim, salt)
+    vec = _as_double(vec_col)
+
+    def bucket(t: int) -> Column:
+        acc = F.lit(0).cast("long")
+        for j in range(n_bits):
+            hv = F.array(*[F.lit(s) for s in planes[t * n_bits + j]])
+            bit = F.when(F.round(_dot(vec, hv), 6) > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            acc = acc + bit
+        return acc
+
+    tables = F.array(
+        *[F.struct(F.lit(t).alias("t"), bucket(t).alias("bucket")) for t in range(n_tables)]
+    )
+    return df.select(F.col(id_col), F.explode(tables).alias("tb")).select(
+        id_col, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 3,
+    n_bits: int = 6,
+    n_tables: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """LSH-bucketed ANN — the second scale path next to ``ivf_topk``:
+    candidates are vectors sharing ANY table's bucket with the query
+    (multi-table union is the standard recall lever: P[candidate] =
+    1-(1-p^bits)^tables), scored exactly by cosine, top-k per query.
+
+    Scale shape: the n^2 cross product becomes an equi-join on
+    (t, bucket) — per-bucket work only. Unlike IVF there is no training
+    step and no centroid broadcast; bucketing is pure expression code,
+    so the operator composes with streaming (assign is stateless).
+    Output: (query_id, neighbor_id, cos_sim, rank).
+    """
+    ca = lsh_sign_assign(corpus, id_col, vec_col, dim, n_bits, n_tables)
+    qa = lsh_sign_assign(queries, id_col, vec_col, dim, n_bits, n_tables)
+    cand = (
+        qa.select(F.col(id_col).alias("query_id"), "t", "bucket")
+        .join(ca.select(F.col(id_col).alias("neighbor_id"), "t", "bucket"), ["t", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("q_vec")
+    ).withColumn("q_norm", norm(F.col("q_vec")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("c_vec")
+    ).withColumn("c_norm", norm(F.col("c_vec")))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_with_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                ),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+    )
+    w = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+    )
+    return scored.withColumn("rank", w.cast("long")).filter(F.col("rank") <= k)
 
 
 def assign_buckets(

@@ -23,7 +23,7 @@ from sarkac_spark.operators.dedup import (
     dedup_simhash,
     ngram_jaccard_pairs,
 )
-from sarkac_spark.operators.similarity import cosine, cosine_topk, ivf_topk
+from sarkac_spark.operators.similarity import cosine, cosine_topk, ivf_topk, lsh_topk
 from sarkac_spark.operators.text import (
     STOPWORDS,
     bpe_ish_token_count,
@@ -44,6 +44,12 @@ EMB_NEARDUP_THRESHOLD = 0.45
 TOPK = 3
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 N_CENTROIDS = 8  # vec_id < 8 double as IVF centroids
+# 4 bits/table: on this corpus (near-random embeddings, top neighbors at
+# cos~0.5) recall is ~0.3 at ~5x candidate pruning; real near-dup corpora
+# sit far right of this operating point. More bits => more pruning.
+LSH_BITS = 4
+LSH_TABLES = 3  # multi-table union lifts recall
+EMB_DIM = 64  # driver embeddings are 64-dim (TESTDATA.md)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,6 +109,21 @@ def q_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     return ivf_topk(e, e.filter(F.col("vec_id") < N_QUERIES), centroids, k=TOPK)
+
+
+def q_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed ANN (training-free scale path: md5-derived
+    Rademacher hyperplanes, multi-table candidate union, exact cosine
+    on candidates only)."""
+    e = _embs(spark, sf_dir)
+    return lsh_topk(
+        e,
+        e.filter(F.col("vec_id") < N_QUERIES),
+        dim=EMB_DIM,
+        k=TOPK,
+        n_bits=LSH_BITS,
+        n_tables=LSH_TABLES,
+    )
 
 
 def q_token_stats(spark, sf_dir):
@@ -221,6 +242,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "cosine_topk": q_cosine_topk,
     "ivf_topk": q_ivf_topk,
+    "lsh_topk": q_lsh_topk,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -422,6 +444,50 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """
 
 
+def _lsh_topk_sql() -> str:
+    # mirror of operators/similarity.py::lsh_topk — hyperplane (t, bit)
+    # unrolled to a global plane index j: t = j // bits, bit = j % bits.
+    # list_dot_product over the ORDER BY d list matches Spark's
+    # sequential zip_with/aggregate fold; dots rounded before the sign
+    # test on both sides so bucket ids are order-of-summation-proof.
+    cos = _COS.format(a="q.v", b="n.v")
+    n_planes = LSH_BITS * LSH_TABLES
+    return f"""
+WITH hp AS (
+  SELECT j, list(
+    CASE WHEN ('0x' || substr(md5('lsh|' || j || ':' || d), 1, 15))::BIGINT % 2 = 0
+         THEN 1.0 ELSE -1.0 END ORDER BY d) AS hv
+  FROM range({n_planes}) t1(j) CROSS JOIN range({EMB_DIM}) t2(d)
+  GROUP BY j
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+  SELECT e.vec_id, hp.j // {LSH_BITS} AS t,
+         SUM(CASE WHEN round(list_dot_product(e.v, hp.hv), 6) > 0
+                  THEN (1::BIGINT << (hp.j % {LSH_BITS})) ELSE 0 END) AS bucket
+  FROM e CROSS JOIN hp
+  GROUP BY e.vec_id, hp.j // {LSH_BITS}
+),
+cand AS (
+  SELECT DISTINCT qs.vec_id AS query_id, ns.vec_id AS neighbor_id
+  FROM sig qs
+  JOIN sig ns ON ns.t = qs.t AND ns.bucket = qs.bucket AND ns.vec_id != qs.vec_id
+  WHERE qs.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {cos} AS cos_sim
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+  ) AS rank FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
 def _lang_id_sql() -> str:
     profile_rows = ", ".join(
         f"('{lang}', '{w}')" for lang, ws in STOPWORDS.items() for w in ws
@@ -554,6 +620,7 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_COS.format(a="a.v", b="b.v")} >= {EMB_NEARDUP_THRESHOLD}
 """,
     "cosine_topk": _cosine_topk_sql(),
+    "lsh_topk": _lsh_topk_sql(),
     "ivf_topk": _ivf_topk_sql(),
     "token_stats": f"""
 SELECT doc_id,

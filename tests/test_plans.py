@@ -98,6 +98,19 @@ def test_online_sigma_uses_no_sliding_frames(events):
     assert not re.search(r"range between -\d+", lowered)
 
 
+def test_lsh_assign_is_map_only(spark, sf_dir):
+    from sarkac_spark.operators.similarity import lsh_sign_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = lsh_sign_assign(emb, dim=64, n_bits=4, n_tables=3)
+    # bucketing must be a pure per-row expression: one scan, zero
+    # shuffles — the property that lets it run inside a streaming stage
+    assert shuffle_count(df) == 0
+    assert _plan(df).count("Scan parquet") == 1
+    # only the columns the op needs reach the scan
+    assert all("label" not in s for s in read_schemas(df))
+
+
 def test_dedup_minhash_bounded_corpus_scans(spark, sf_dir):
     from sarkac_spark.operators.dedup import dedup_minhash
 
