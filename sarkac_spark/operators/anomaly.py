@@ -285,3 +285,109 @@ def online_sigma_scan(
         rnd(F.col("stddev_pop")).alias("std_dev"),
         rnd(F.col("three_sigma")).alias("three_sigma"),
     )
+
+
+# MAD -> sigma scale factor for normal data: 1/Phi^-1(3/4). The
+# textbook robust-scoring constant; fixed engine contract (the DuckDB
+# oracle uses the same literal).
+MAD_SIGMA_SCALE = 1.4826
+
+
+def robust_sigma_scan(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    ts_col: str = "ts",
+    windows: Sequence[int] = (86400,),
+    min_count: int = MIN_EVENTS_FOR_STATS,
+    z_threshold: float = 3.0,
+    round_digits: int = 6,
+    id_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Robust variant of the sigma scan: score against the trailing
+    median/MAD instead of mean/stddev, so a burst of outliers cannot
+    drag the baseline toward itself and mask follow-on anomalies (the
+    classic masking failure of the reference's mean-based scan,
+    DSLHandler.js:191-197 — its "median" IS the mean, SigmaModel.js:48).
+
+    ``robust_z = (value - median) / (MAD_SIGMA_SCALE * MAD)``; anomaly
+    iff ``|robust_z| > z_threshold`` (3.0 ~ the 3-sigma rule). Guards
+    mirror the sigma family: ``n >= min_count``; MAD = 0 suppresses the
+    score (the analogue of the stddev-0 Infinity guard).
+
+    Plan shape — exact MAD needs two dependent medians, hence exactly
+    TWO grouped aggregations (each one scan + one shuffle, all windows
+    via conditional aggs), never per-window passes:
+
+        facts -> agg1: median per (group x window)            (tiny)
+              -> facts JOIN broadcast(medians)                (map-only)
+              -> agg2: median of |v - med| per (group x window)
+              -> facts JOIN broadcast(median+mad) -> score    (map-only)
+
+    Both stats relations are |groups| x |windows| — always broadcast.
+    Medians are rounded to ``round_digits`` BEFORE the deviation pass on
+    both engines, so the MAD input is bit-identical cross-engine.
+    """
+    from sarkac_spark.operators.stats import _in_window
+
+    group_cols = list(group_cols)
+    windows = sorted(set(windows))
+    as_of = df.agg(F.max(ts_col).alias("__as_of"))
+    facts = df.crossJoin(F.broadcast(as_of))
+
+    med_aggs: list[F.Column] = []
+    for w in windows:
+        cond = F.when(_in_window(ts_col, "__as_of", w), F.col(value_col))
+        med_aggs.append(F.round(F.median(cond), round_digits).alias(f"__med_{w}"))
+        med_aggs.append(F.count(cond).alias(f"__n_{w}"))
+    meds = facts.groupBy(*group_cols).agg(*med_aggs)
+
+    fx = facts.join(F.broadcast(meds), on=group_cols)
+    mad_aggs = [
+        F.round(
+            F.median(
+                F.when(
+                    _in_window(ts_col, "__as_of", w),
+                    F.abs(F.col(value_col) - F.col(f"__med_{w}")),
+                )
+            ),
+            round_digits,
+        ).alias(f"__mad_{w}")
+        for w in windows
+    ]
+    mads = fx.groupBy(*group_cols).agg(*mad_aggs)
+
+    stack_args = ", ".join(
+        f"bigint({w}), __med_{w}, __mad_{w}, __n_{w}" for w in windows
+    )
+    stats = (
+        meds.join(mads, on=group_cols)
+        .selectExpr(
+            *group_cols,
+            f"stack({len(windows)}, {stack_args}) AS (window_seconds, med, mad, n)",
+        )
+        .filter(F.col("n") >= min_count)
+    )
+
+    joined = facts.join(F.broadcast(stats), on=group_cols)
+    in_win = F.unix_micros(F.col(ts_col).cast("timestamp")) >= (
+        F.unix_micros(F.col("__as_of").cast("timestamp"))
+        - F.col("window_seconds") * F.lit(1_000_000)
+    )
+    z = (F.col(value_col) - F.col("med")) / (
+        F.lit(MAD_SIGMA_SCALE) * F.col("mad")
+    )
+    scored = (
+        joined.filter(in_win)
+        .withColumn("robust_z", F.when(F.col("mad") > 0, z))
+        .filter(F.abs(F.col("robust_z")) > z_threshold)
+    )
+    return scored.select(
+        F.col(group_cols[0]).alias("topic"),
+        F.col("window_seconds"),
+        *[F.col(c) for c in id_cols],
+        F.col(value_col).alias("value"),
+        F.col("med").alias("median"),
+        F.col("mad").alias("mad"),
+        F.round(F.col("robust_z"), round_digits).alias("robust_z"),
+    )

@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sarkac_spark.functions.paths import numeric_leaf
-from sarkac_spark.operators.anomaly import online_sigma_scan, sigma_scan
+from sarkac_spark.operators.anomaly import (
+    online_sigma_scan,
+    robust_sigma_scan,
+    sigma_scan,
+)
 from sarkac_spark.operators.cooldown import cooldown_bucketed
 from sarkac_spark.operators.fields import to_sigma_store
 from sarkac_spark.operators.stats import (
@@ -115,6 +119,12 @@ def q_trailing_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(SIGMA_WINDOWS)}, {stack_args})"
         " AS (window_seconds, true_median, mislabeled_mean, n)",
     ).filter(F.col("n") >= 3)
+
+
+def q_robust_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust scoring — outlier bursts can't drag the
+    baseline (masking), unlike the reference's mean-based scan."""
+    return robust_sigma_scan(_events(spark, sf_dir), windows=SIGMA_WINDOWS)
 
 
 # --- P1/P2/P3/P4: projection & filters ------------------------------------
@@ -338,6 +348,7 @@ QUERIES = {
     "anomaly_payload": q_anomaly_payload,
     "asof_join": q_asof_join,
     "trailing_median": q_trailing_median,
+    "robust_sigma": q_robust_sigma,
 }
 
 
@@ -410,6 +421,36 @@ FROM events e, eval_at a, wins w
 WHERE epoch_us(e.ts) >= epoch_us(a.as_of) - w.window_seconds * 1000000
 GROUP BY 1, 2
 HAVING count(e.value) >= 3
+""",
+    "robust_sigma": f"""
+WITH eval_at AS (SELECT max(ts) AS as_of FROM events),
+wins AS (SELECT * FROM {_WINS_VALUES}),
+meds AS (
+  SELECT e.event_type, w.window_seconds,
+         round(median(e.value), 6) AS med, count(e.value) AS n
+  FROM events e, eval_at a, wins w
+  WHERE epoch_us(e.ts) >= epoch_us(a.as_of) - w.window_seconds * 1000000
+  GROUP BY 1, 2
+),
+mads AS (
+  SELECT e.event_type, m.window_seconds,
+         round(median(abs(e.value - m.med)), 6) AS mad
+  FROM events e
+  CROSS JOIN eval_at a
+  JOIN meds m ON m.event_type = e.event_type
+  WHERE epoch_us(e.ts) >= epoch_us(a.as_of) - m.window_seconds * 1000000
+  GROUP BY 1, 2
+)
+SELECT e.event_type AS topic, m.window_seconds, e.event_id, e.value,
+       m.med AS median, d.mad,
+       round((e.value - m.med) / (1.4826 * d.mad), 6) AS robust_z
+FROM events e
+CROSS JOIN eval_at a
+JOIN meds m ON m.event_type = e.event_type
+JOIN mads d ON d.event_type = e.event_type AND d.window_seconds = m.window_seconds
+WHERE m.n >= 3 AND d.mad > 0
+  AND epoch_us(e.ts) >= epoch_us(a.as_of) - m.window_seconds * 1000000
+  AND abs((e.value - m.med) / (1.4826 * d.mad)) > 3
 """,
     "path_projection": """
 SELECT event_id, event_type,

@@ -37,6 +37,34 @@ def test_planted_spike_flagged(spark):
     assert abs(a.three_sigma) > 1
 
 
+def test_robust_scan_resists_masking(spark):
+    from sarkac_spark.operators.anomaly import robust_sigma_scan
+
+    # baseline ~15.5 with jitter, then a BURST of 5 huge outliers: the
+    # burst inflates mean and stddev enough that the mean-based scan
+    # under-scores the outliers themselves (masking); median/MAD stats
+    # barely move, so every burst row scores far beyond 3
+    rows = [(i * 10, 15.5 + (0.2 if i % 2 else -0.2)) for i in range(40)]
+    rows += [(500 + i * 10, 5000.0) for i in range(5)]
+    df = _mk_events(spark, rows)
+    robust = robust_sigma_scan(df, windows=(3600,)).collect()
+    flagged = {r.value for r in robust}
+    assert flagged == {5000.0}
+    assert all(r.robust_z > 3 for r in robust)
+    # robust stats unmoved by the burst: median stays at baseline level
+    assert all(abs(r.median - 15.5) < 1 for r in robust)
+
+
+def test_robust_scan_mad_zero_suppressed(spark):
+    from sarkac_spark.operators.anomaly import robust_sigma_scan
+
+    # constant series + one spike: MAD = 0 -> score suppressed (the
+    # robust analogue of the stddev-0 Infinity guard)
+    rows = [(i * 10, 42.0) for i in range(10)] + [(200, 9000.0)]
+    df = _mk_events(spark, rows)
+    assert robust_sigma_scan(df, windows=(3600,)).count() == 0
+
+
 def test_zero_stddev_suppressed(spark):
     # constant series + spike within same window: stddev>0 case flags, but a
     # fully-constant window (stddev=0) must emit nothing (DSLHandler.js:194-197)
