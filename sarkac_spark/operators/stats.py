@@ -95,6 +95,68 @@ def trailing_window_stats(
     return stacked.filter(F.col("n") >= min_count)
 
 
+def trailing_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    ts_col: str,
+    windows: Sequence[int],
+    probs: Sequence[float] = (0.5, 0.95, 0.99),
+    min_count: int = MIN_EVENTS_FOR_STATS,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact percentiles per (group x trailing window) — the latency-SLO
+    companion to ``trailing_window_stats`` (p95/p99 is what one actually
+    alerts on for heavy-tailed series; mean/stddev is blind to tails).
+
+    Same scale shape as the stats op: ONE scan + ONE shuffle for all
+    (window x prob) cells via conditional aggregates, then the stack
+    unpivot on the tiny wide result. Spark's ``percentile`` is the exact
+    interpolated quantile and is bit-identical to DuckDB's
+    ``quantile_cont`` (verified in the oracle gate), so no rounding
+    slack is needed beyond the standard 6 digits.
+
+    Exactness at 100 TB: ``percentile`` buffers each group x window's
+    in-window values on the reducer; with bounded windows that is the
+    retained series per key, same memory class as the store itself. For
+    unbounded inputs switch to ``approx_percentile`` (t-digest, fixed
+    memory) and drop the oracle to rows-only.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    as_of_col = "__as_of"
+    df = with_as_of(df, ts_col=ts_col, as_of_col=as_of_col)
+    windows = sorted(set(windows))
+
+    def p_alias(w: int, p: float) -> str:
+        return f"__p{str(p).replace('.', '_')}_{w}"
+
+    aggs: list[Column] = []
+    for w in windows:
+        cond_val = F.when(_in_window(ts_col, as_of_col, w), F.col(value_col))
+        for p in probs:
+            aggs.append(
+                F.round(F.percentile(cond_val, F.lit(p)), round_digits).alias(
+                    p_alias(w, p)
+                )
+            )
+        aggs.append(F.count(cond_val).alias(f"__n_{w}"))
+    wide = df.groupBy(*group_cols).agg(*aggs)
+
+    out_cols = [f"p{round(p * 100)}" for p in probs]  # 0.5 -> p50
+    stack_args = ", ".join(
+        f"bigint({w}), " + ", ".join(p_alias(w, p) for p in probs) + f", __n_{w}"
+        for w in windows
+    )
+    stacked = wide.selectExpr(
+        *group_cols,
+        f"stack({len(windows)}, {stack_args}) AS (window_seconds, "
+        + ", ".join(out_cols)
+        + ", n)",
+    )
+    return stacked.filter(F.col("n") >= min_count)
+
+
 def retention_filter(
     df: DataFrame,
     ts_col: str,

@@ -26,6 +26,7 @@ from sarkac_spark.operators.stats import (
     rate_series,
     retention_filter,
     total_count,
+    trailing_percentiles,
     trailing_window_stats,
 )
 from sarkac_spark.sources.tables import load_table
@@ -119,6 +120,14 @@ def q_trailing_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(SIGMA_WINDOWS)}, {stack_args})"
         " AS (window_seconds, true_median, mislabeled_mean, n)",
     ).filter(F.col("n") >= 3)
+
+
+def q_trailing_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail stats per (topic, trailing window): exact interpolated
+    p50/p95/p99 — what heavy-tailed series are actually alerted on."""
+    return trailing_percentiles(
+        _events(spark, sf_dir), ["event_type"], "value", "ts", SIGMA_WINDOWS
+    )
 
 
 def q_robust_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,6 +358,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "trailing_median": q_trailing_median,
     "robust_sigma": q_robust_sigma,
+    "trailing_percentiles": q_trailing_percentiles,
 }
 
 
@@ -416,6 +426,19 @@ wins AS (SELECT * FROM {_WINS_VALUES})
 SELECT e.event_type, w.window_seconds,
        round(median(e.value), 6) AS true_median,
        round(avg(e.value), 6) AS mislabeled_mean,
+       count(e.value) AS n
+FROM events e, eval_at a, wins w
+WHERE epoch_us(e.ts) >= epoch_us(a.as_of) - w.window_seconds * 1000000
+GROUP BY 1, 2
+HAVING count(e.value) >= 3
+""",
+    "trailing_percentiles": f"""
+WITH eval_at AS (SELECT max(ts) AS as_of FROM events),
+wins AS (SELECT * FROM {_WINS_VALUES})
+SELECT e.event_type, w.window_seconds,
+       round(quantile_cont(e.value, 0.5), 6) AS p50,
+       round(quantile_cont(e.value, 0.95), 6) AS p95,
+       round(quantile_cont(e.value, 0.99), 6) AS p99,
        count(e.value) AS n
 FROM events e, eval_at a, wins w
 WHERE epoch_us(e.ts) >= epoch_us(a.as_of) - w.window_seconds * 1000000

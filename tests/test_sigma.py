@@ -37,6 +37,31 @@ def test_planted_spike_flagged(spark):
     assert abs(a.three_sigma) > 1
 
 
+def test_trailing_percentiles_windows_and_guard(spark):
+    from sarkac_spark.operators.stats import trailing_percentiles
+
+    # 5 old rows outside 1h + recent 1..9: the 1h cell sees only the
+    # recent values (p50=5), the 1d cell sees everything
+    rows = [(-90000 + i, 1000.0) for i in range(5)]
+    rows += [(i * 10, float(i + 1)) for i in range(9)]
+    df = _mk_events(spark, rows)
+    out = {
+        r.window_seconds: r
+        for r in trailing_percentiles(
+            df, ["event_type"], "value", "ts", [3600, 86400 * 2]
+        ).collect()
+    }
+    assert out[3600].p50 == 5.0 and out[3600].n == 9
+    assert out[3600].p95 == 8.6  # exact interpolated quantile of 1..9
+    assert out[172800].n == 14 and out[172800].p99 > 900
+    # min-count guard: 2 in-window rows -> no cell
+    tiny = _mk_events(spark, [(0, 1.0), (10, 2.0)])
+    assert (
+        trailing_percentiles(tiny, ["event_type"], "value", "ts", [3600]).count()
+        == 0
+    )
+
+
 def test_robust_scan_resists_masking(spark):
     from sarkac_spark.operators.anomaly import robust_sigma_scan
 
