@@ -212,29 +212,36 @@ def lsh_sign_assign(
     dot with plane (t*n_bits + j) is positive. Output: (id, t, bucket) —
     one row per table.
 
-    One corpus scan, map-only: the planes are literal arrays inside the
-    expression tree (no broadcast variable, no join), each dot a JVM
-    ``zip_with``+``aggregate`` fold in whole-stage codegen. Dots are
-    rounded to 6 decimals before the sign test so the bucket id is
-    stable across engines regardless of float summation order.
+    One corpus scan, map-only: the planes ride as ONE array-of-arrays
+    literal and all dots come from a single higher-order ``transform``
+    (the fold logic appears once in the plan — unrolling a
+    ``zip_with``+``aggregate`` fold per plane exploded generated-code
+    size and cost seconds of codegen compile per executor). The dot
+    vector is materialized in its own projection before the per-table
+    bucket expressions read it (no CSE across the HOF boundary — same
+    pitfall as dedup.shingles). Dots are rounded to 6 decimals before
+    the sign test so the bucket id is stable across engines regardless
+    of float summation order.
     """
     planes = _rademacher_hyperplanes(n_tables * n_bits, dim, salt)
     vec = _as_double(vec_col)
+    planes_lit = F.array(
+        *[F.array(*[F.lit(s) for s in hv]) for hv in planes]
+    )
+    dots = F.transform(planes_lit, lambda hv: F.round(_dot(vec, hv), 6))
+    with_dots = df.select(F.col(id_col), dots.alias("__dots"))
 
     def bucket(t: int) -> Column:
         acc = F.lit(0).cast("long")
         for j in range(n_bits):
-            hv = F.array(*[F.lit(s) for s in planes[t * n_bits + j]])
-            bit = F.when(F.round(_dot(vec, hv), 6) > 0, F.lit(1 << j)).otherwise(
-                F.lit(0)
-            )
-            acc = acc + bit
+            d = F.element_at(F.col("__dots"), t * n_bits + j + 1)
+            acc = acc + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
         return acc
 
     tables = F.array(
         *[F.struct(F.lit(t).alias("t"), bucket(t).alias("bucket")) for t in range(n_tables)]
     )
-    return df.select(F.col(id_col), F.explode(tables).alias("tb")).select(
+    return with_dots.select(F.col(id_col), F.explode(tables).alias("tb")).select(
         id_col, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
     )
 
