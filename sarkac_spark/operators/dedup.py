@@ -318,6 +318,44 @@ def dedup_simhash(
     )
 
 
+# --- train/eval decontamination ----------------------------------------------
+
+
+def cross_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-decontamination primitive: every (eval doc, train doc)
+    pair sharing >= ``min_shared`` distinct n-gram shingles. Returns
+    (eval_id, train_id, n_shared) — the audit trail; callers drop or
+    flag the eval side (or the train side, for pretraining decontam).
+
+    Scale shape: both corpora shingled once (distinct per doc), joined
+    on the 60-bit shingle hash (8-byte shuffle keys, not strings), pair
+    counts from one grouped aggregation. The join is inverted-index
+    style — work scales with shared-shingle volume, not |train| x
+    |eval|. Hot (boilerplate) shingles are the skew risk at 100 TB:
+    prefilter with a document-frequency cap on the train side when the
+    corpus has heavy boilerplate (same mitigation as ngram_jaccard).
+    """
+    t = shingles(train, id_col, text_col, n=shingle_n).select(
+        F.col(id_col).alias("train_id"), _h60(F.col("shingle")).alias("h")
+    )
+    e = shingles(eval_df, id_col, text_col, n=shingle_n).select(
+        F.col(id_col).alias("eval_id"), _h60(F.col("shingle")).alias("h")
+    )
+    return (
+        e.join(t, "h")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # --- n-gram Jaccard (no minhash approximation) --------------------------------
 
 

@@ -195,6 +195,29 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+# decontamination contract: a (eval, train) pair is contaminated when it
+# shares >= 3 distinct trigram shingles (1-2 shared trigrams is phrase-
+# level coincidence in this corpus; the planted near-dup groups share 20+)
+DECONTAM_MIN_SHARED = 3
+
+
+def q_decontamination(spark, sf_dir):
+    """Train/eval benchmark decontamination: deterministic hash split,
+    then every cross-split doc pair sharing >= min_shared shingles —
+    the audit relation a pipeline drops eval leaks by."""
+    from sarkac_spark.operators.dedup import cross_contamination
+    from sarkac_spark.operators.sampling import train_eval_split
+
+    s = train_eval_split(_docs(spark, sf_dir), "doc_id", eval_rate=EVAL_RATE)
+    return cross_contamination(
+        s.filter(F.col("split") == "train"),
+        s.filter(F.col("split") == "eval"),
+        "doc_id",
+        "text",
+        min_shared=DECONTAM_MIN_SHARED,
+    )
+
+
 # corpus-mix contract: oversample src0/src1, trim src2, pass the rest
 MIX_WEIGHTS = {"src0": 2.5, "src1": 2.0, "src2": 0.4}
 
@@ -235,6 +258,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "stratified_sample": q_stratified_sample,
     "corpus_mix": q_corpus_mix,
+    "decontamination": q_decontamination,
     "curation_pipeline": q_curation_pipeline,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -538,6 +562,38 @@ WHERE {_sample_hash_sql("strata")}
 """
 
 
+def _decontamination_sql() -> str:
+    cutoff = int(round(EVAL_RATE * 1_000_000))
+    return f"""
+WITH labeled AS (
+  SELECT doc_id, text,
+         CASE WHEN {_sample_hash_sql("split")} < {cutoff}
+              THEN 'eval' ELSE 'train' END AS split
+  FROM documents
+),
+ws AS (SELECT doc_id, split, {_WORDS} AS w FROM labeled),
+sh AS (
+  SELECT DISTINCT doc_id, split, u.s AS shingle
+  FROM ws, UNNEST(
+    CASE WHEN len(w) >= 3 THEN
+      list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    ELSE [] END
+  ) AS u(s)
+),
+h AS (
+  SELECT doc_id, split,
+         ('0x' || substr(md5(shingle), 1, 15))::bigint AS h
+  FROM sh
+)
+SELECT e.doc_id AS eval_id, t.doc_id AS train_id, count(*) AS n_shared
+FROM h e JOIN h t ON t.h = e.h
+WHERE e.split = 'eval' AND t.split = 'train'
+GROUP BY 1, 2
+HAVING count(*) >= {DECONTAM_MIN_SHARED}
+"""
+
+
 def _corpus_mix_sql() -> str:
     w_rows = ", ".join(
         f"('{k}', {int(v)}, {int(round((v - int(v)) * 1_000_000))})"
@@ -608,6 +664,7 @@ FROM documents GROUP BY md5(text)
 """,
     "stratified_sample": _stratified_sample_sql(),
     "corpus_mix": _corpus_mix_sql(),
+    "decontamination": _decontamination_sql(),
     "curation_pipeline": _curation_pipeline_sql(),
     "dedup_minhash": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),

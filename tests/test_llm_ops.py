@@ -75,6 +75,28 @@ def test_dedup_simhash(docs):
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
 
+def test_cross_contamination(spark):
+    from sarkac_spark.operators.dedup import cross_contamination
+
+    train = spark.createDataFrame(
+        [(1, BASE), (2, OTHER)], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        # 10 = leaked copy of train doc 1; 11 = clean
+        [(10, BASE), (11, "totally unrelated eval prompt about nothing shared")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.eval_id, r.train_id): r.n_shared
+        for r in cross_contamination(train, ev, "doc_id", "text", min_shared=3).collect()
+    }
+    assert set(out) == {(10, 1)}  # only the leak, only against its source
+    assert out[(10, 1)] == len(BASE.split()) - 2  # every trigram shared
+    # threshold excludes phrase-level coincidence
+    high = cross_contamination(train, ev, "doc_id", "text", min_shared=10_000)
+    assert high.count() == 0
+
+
 def test_cosine_expression(spark):
     df = spark.createDataFrame(
         [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
