@@ -156,3 +156,42 @@ def lang_id(
     return df.select(id_col).join(best, id_col, "left").fillna(
         {"lang_pred": "und", "n_hits": 0}
     )
+
+
+# --- PII redaction -----------------------------------------------------------
+
+# Patterns restricted to the RE2 ∩ Java-regex dialect (no lookaround, no
+# backreferences) so the DuckDB oracle runs the IDENTICAL strings.
+# Order matters: emails first (their local part could otherwise be eaten
+# by the numeric patterns), then the fixed-shape numeric ids.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Scrub PII-shaped spans, the pre-training privacy pass: each
+    pattern class is counted (on the raw text) and replaced with its
+    typed placeholder ``[EMAIL]``/``[SSN]``/... Adds ``n_<kind>``
+    counts and the redacted text.
+
+    All JVM-side (``regexp_count`` + chained ``regexp_replace`` —
+    codegen'd, no Python in the hot path, map-only: the op composes
+    with any scan without adding a shuffle). Counting precedes
+    replacement so classes can't shadow each other's counts; the
+    replacement chain applies in PII_PATTERNS order.
+    """
+    out = df
+    for kind, pat in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+    red = F.col(text_col)
+    for kind, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
+    return out.withColumn(out_col, red)

@@ -218,6 +218,63 @@ def q_decontamination(spark, sf_dir):
     )
 
 
+def q_profile_documents(spark, sf_dir):
+    """Corpus intake profiling: nulls/cardinality/bounds for every
+    documents column, one aggregation pass."""
+    from sarkac_spark.operators.profiling import profile_columns
+
+    return profile_columns(_docs(spark, sf_dir))
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII scrubbing end-to-end: the synthetic corpus has no PII, so the
+    query first PLANTS deterministic doc_id-derived PII spans (identical
+    construction in the oracle), then counts and redacts them — the
+    regex machinery is what's under test, not the fixture."""
+    from sarkac_spark.operators.text import redact_pii
+
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" contact user"), s(did), F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" ssn 123-45-"), F.lpad(s(did % 10000), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad(s(did % 1000), 3, "0"),
+                    F.lit("-"),
+                    F.lpad(s(did % 10000), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" host 10.0."), s(did % 256), F.lit("."), s(did * 7 % 256)
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = redact_pii(planted)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ssn").cast("long").alias("n_ssn"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.md5(F.col("redacted")).alias("redacted_hash"),
+    )
+
+
 # corpus-mix contract: oversample src0/src1, trim src2, pass the rest
 MIX_WEIGHTS = {"src0": 2.5, "src1": 2.0, "src2": 0.4}
 
@@ -259,6 +316,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "corpus_mix": q_corpus_mix,
     "decontamination": q_decontamination,
+    "pii_redaction": q_pii_redaction,
+    "profile_documents": q_profile_documents,
     "curation_pipeline": q_curation_pipeline,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -594,6 +653,55 @@ HAVING count(*) >= {DECONTAM_MIN_SHARED}
 """
 
 
+_DOC_COLUMNS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def _profile_documents_sql() -> str:
+    legs = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name, count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_null,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       min({c})::VARCHAR AS min_value, max({c})::VARCHAR AS max_value
+FROM documents"""
+        for c in _DOC_COLUMNS
+    )
+    return legs
+
+
+def _pii_redaction_sql() -> str:
+    from sarkac_spark.operators.text import PII_PATTERNS
+
+    pats = dict(PII_PATTERNS)
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pats[k]}'))::BIGINT AS n_{k}"
+        for k in ("email", "ssn", "phone", "ip")
+    )
+    red = "text"
+    for kind, pat in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '[{kind.upper()}]', 'g')"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' ssn 123-45-' || lpad((doc_id % 10000)::varchar, 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call 555-' || lpad((doc_id % 1000)::varchar, 3, '0')
+                      || '-' || lpad((doc_id % 10000)::varchar, 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' host 10.0.' || (doc_id % 256) || '.' || (doc_id * 7 % 256) ELSE '' END
+         AS text
+  FROM documents
+)
+SELECT doc_id,
+       {counts},
+       md5({red}) AS redacted_hash
+FROM planted
+"""
+
+
 def _corpus_mix_sql() -> str:
     w_rows = ", ".join(
         f"('{k}', {int(v)}, {int(round((v - int(v)) * 1_000_000))})"
@@ -665,6 +773,8 @@ FROM documents GROUP BY md5(text)
     "stratified_sample": _stratified_sample_sql(),
     "corpus_mix": _corpus_mix_sql(),
     "decontamination": _decontamination_sql(),
+    "pii_redaction": _pii_redaction_sql(),
+    "profile_documents": _profile_documents_sql(),
     "curation_pipeline": _curation_pipeline_sql(),
     "dedup_minhash": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),

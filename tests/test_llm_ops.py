@@ -75,6 +75,48 @@ def test_dedup_simhash(docs):
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
 
+def test_profile_columns(spark):
+    from sarkac_spark.operators.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.5), (2, None, 10.5), (3, "b", None), (4, "a", 2.0)],
+        "id long, s string, v double",
+    )
+    prof = {r.column_name: r for r in profile_columns(df).collect()}
+    assert prof["id"].n_rows == 4 and prof["id"].n_null == 0
+    assert prof["id"].n_distinct == 4
+    assert (prof["id"].min_value, prof["id"].max_value) == ("1", "4")
+    assert prof["s"].n_null == 1 and prof["s"].n_distinct == 2
+    assert prof["v"].n_null == 1 and prof["v"].n_distinct == 2
+    # min on the native type, not the string cast: 2.0 < 10.5
+    assert prof["v"].min_value == "2.0"
+    # HLL path keeps the same schema (estimates exact at this size)
+    approx = {
+        r.column_name: r.n_distinct
+        for r in profile_columns(df, exact_distinct=False).collect()
+    }
+    assert approx["id"] == 4
+
+
+def test_redact_pii(spark):
+    from sarkac_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e.org, ssn 123-45-6789, tel 555-123-4567 at 10.0.0.1"),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    r1 = out[1]
+    assert (r1.n_email, r1.n_ssn, r1.n_phone, r1.n_ip) == (2, 1, 1, 1)
+    assert r1.redacted == "mail [EMAIL] and [EMAIL], ssn [SSN], tel [PHONE] at [IP]"
+    r2 = out[2]
+    assert (r2.n_email, r2.n_ssn, r2.n_phone, r2.n_ip) == (0, 0, 0, 0)
+    assert r2.redacted == r2.text
+
+
 def test_cross_contamination(spark):
     from sarkac_spark.operators.dedup import cross_contamination
 
