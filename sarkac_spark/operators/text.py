@@ -195,3 +195,66 @@ def redact_pii(
     for kind, pat in PII_PATTERNS:
         red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
     return out.withColumn(out_col, red)
+
+
+# --- repetition filters (Gopher-style quality gates) -------------------------
+
+
+def repetition_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_top_bigram_frac: float = 0.06,
+    min_distinct_word_frac: float = 0.5,
+) -> DataFrame:
+    """Repetition quality gate in the Gopher/MassiveText tradition:
+    machine-generated and boilerplate text betrays itself by repeating —
+    a dominant bigram or a collapsed vocabulary. Per doc:
+
+    - ``distinct_word_frac``: |unique words| / |words| — pure JVM array
+      math on the words array, no shuffle;
+    - ``top_bigram_frac``: occurrences of the most frequent bigram over
+      all bigram occurrences — relational (explode -> two grouped aggs),
+      because per-doc quadratic array probing would blow up on long docs;
+    - ``repetitive``: either signal tripping its threshold.
+
+    Scale shape: one scan; the explode leg shuffles (doc, bigram) pairs
+    once and (doc) once. NULL-safe: docs with < 2 words have no bigrams
+    and a NULL ``top_bigram_frac``; the flag coalesces that leg to
+    false on BOTH engines (three-valued OR would otherwise leak NULL
+    flags).
+    """
+    words = df.select(F.col(id_col), words_col(text_col).alias("__w"))
+    w = F.col("__w")
+    base = words.select(
+        F.col(id_col),
+        F.size(w).cast("long").alias("n_words"),
+        F.round(F.size(F.array_distinct(w)) / F.size(w), 6).alias(
+            "distinct_word_frac"
+        ),
+    )
+    idx = F.sequence(F.lit(0), F.size(w) - 2)
+    grams_arr = F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, 2), " "))
+    safe = F.when(F.size(w) >= 2, grams_arr).otherwise(
+        F.array().cast("array<string>")
+    )
+    grams = words.select(F.col(id_col), F.explode(safe).alias("g"))
+    top = (
+        grams.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("__c").alias("__max_c"),
+            F.round(F.max("__c") / F.sum("__c"), 6).alias("top_bigram_frac"),
+        )
+    )
+    out = base.join(top, on=id_col, how="left")
+    # the bigram leg only fires when the top bigram actually REPEATS:
+    # in a short all-unique doc the top fraction is 1/n_bigrams by
+    # construction, which says nothing about repetition
+    flag = F.coalesce(
+        (F.col("__max_c") >= 2)
+        & (F.col("top_bigram_frac") > F.lit(max_top_bigram_frac)),
+        F.lit(False),
+    ) | (F.col("distinct_word_frac") < F.lit(min_distinct_word_frac))
+    return out.withColumn("repetitive", flag).drop("__max_c")

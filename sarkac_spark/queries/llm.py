@@ -218,6 +218,24 @@ def q_decontamination(spark, sf_dir):
     )
 
 
+# repetition contract, tuned to the synthetic small-vocab corpus (median
+# distinct_word_frac ~0.46): flags ~22% at sf0.01
+REP_TOP_BIGRAM_FRAC = 0.1
+REP_MIN_DISTINCT_WORD_FRAC = 0.35
+
+
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition gate: dominant-bigram fraction +
+    collapsed-vocabulary fraction per doc, with the combined flag."""
+    from sarkac_spark.operators.text import repetition_features
+
+    return repetition_features(
+        _docs(spark, sf_dir),
+        max_top_bigram_frac=REP_TOP_BIGRAM_FRAC,
+        min_distinct_word_frac=REP_MIN_DISTINCT_WORD_FRAC,
+    )
+
+
 def q_profile_documents(spark, sf_dir):
     """Corpus intake profiling: nulls/cardinality/bounds for every
     documents column, one aggregation pass."""
@@ -318,6 +336,7 @@ QUERIES = {
     "decontamination": q_decontamination,
     "pii_redaction": q_pii_redaction,
     "profile_documents": q_profile_documents,
+    "repetition_filter": q_repetition_filter,
     "curation_pipeline": q_curation_pipeline,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -653,6 +672,35 @@ HAVING count(*) >= {DECONTAM_MIN_SHARED}
 """
 
 
+def _repetition_filter_sql() -> str:
+    return f"""
+WITH ws AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+base AS (
+  SELECT doc_id, len(w)::BIGINT AS n_words,
+         round(len(list_distinct(w)) / len(w)::DOUBLE, 6) AS distinct_word_frac
+  FROM ws
+),
+grams AS (
+  SELECT doc_id, u.g
+  FROM ws, UNNEST(
+    CASE WHEN len(w) >= 2 THEN
+      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+    ELSE [] END
+  ) AS u(g)
+),
+gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, max(c) AS max_c,
+         round(max(c) / sum(c)::DOUBLE, 6) AS top_bigram_frac
+  FROM gc GROUP BY 1
+)
+SELECT b.doc_id, b.n_words, b.distinct_word_frac, t.top_bigram_frac,
+       (coalesce(t.max_c >= 2 AND t.top_bigram_frac > {REP_TOP_BIGRAM_FRAC}, FALSE)
+        OR b.distinct_word_frac < {REP_MIN_DISTINCT_WORD_FRAC}) AS repetitive
+FROM base b LEFT JOIN top t USING (doc_id)
+"""
+
+
 _DOC_COLUMNS = ("doc_id", "text", "lang", "source", "n_chars")
 
 
@@ -775,6 +823,7 @@ FROM documents GROUP BY md5(text)
     "decontamination": _decontamination_sql(),
     "pii_redaction": _pii_redaction_sql(),
     "profile_documents": _profile_documents_sql(),
+    "repetition_filter": _repetition_filter_sql(),
     "curation_pipeline": _curation_pipeline_sql(),
     "dedup_minhash": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),

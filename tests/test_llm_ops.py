@@ -75,6 +75,27 @@ def test_dedup_simhash(docs):
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
 
+def test_repetition_features(spark):
+    from sarkac_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # one word, one bigram
+            (2, "buy now " * 10),  # dominant "now buy"/"buy now" bigrams
+            (3, "each word here appears exactly once in this diverse sentence"),
+            (4, "solo"),  # <2 words: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert out[1].repetitive and out[1].top_bigram_frac == 1.0
+    assert out[1].distinct_word_frac == round(1 / 6, 6)
+    assert out[2].repetitive  # "buy now" dominates
+    assert not out[3].repetitive and out[3].distinct_word_frac == 1.0
+    # no bigrams -> NULL frac but a real (non-NULL) flag
+    assert out[4].top_bigram_frac is None and out[4].repetitive is False
+
+
 def test_profile_columns(spark):
     from sarkac_spark.operators.profiling import profile_columns
 
