@@ -20,6 +20,52 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Hot-key diagnosis for a prospective join/agg key: the top-k keys
+    by row count with their share of the table and their skew ratio
+    (rows-at-key / rows-under-uniformity). This is the report you run
+    BEFORE shuffling 100 TB on a key — skew >> 1 on the head keys means
+    that shuffle needs salting, AQE skew-join handling, or a broadcast
+    rethink; skew ~ 1 means hash partitioning will balance.
+
+    Plan: one grouped count on the key (the same shuffle the real join
+    would do, but emitting only |distinct keys| rows), a 1-row total
+    broadcast back over it, and a driver-merged per-partition top-k
+    (``orderBy().limit()`` -> TakeOrderedAndProject — never a global
+    sort). Keys are stringified so composite/any-typed keys share one
+    report schema, and the count relation is reused for total + top-k
+    (self-reused exchange, not two scans of the fact table).
+
+    Output: (key_value, n_rows, frac, skew, rank).
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    counts = df.select(key.alias("key_value")).groupBy("key_value").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    stats = counts.agg(
+        F.sum("n_rows").alias("__total"), F.count(F.lit(1)).alias("__n_keys")
+    )
+    top = counts.orderBy(F.col("n_rows").desc(), F.col("key_value")).limit(top_k)
+    enriched = top.crossJoin(F.broadcast(stats)).select(
+        "key_value",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("__total"), 6).alias("frac"),
+        F.round(
+            F.col("n_rows") * F.col("__n_keys") / F.col("__total"), 6
+        ).alias("skew"),
+    )
+    from pyspark.sql.window import Window
+
+    rank = F.row_number().over(
+        Window.orderBy(F.col("n_rows").desc(), F.col("key_value"))
+    )
+    return enriched.withColumn("rank", rank.cast("long"))
+
+
 def profile_columns(
     df: DataFrame,
     cols: Sequence[str] | None = None,

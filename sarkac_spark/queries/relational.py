@@ -148,8 +148,18 @@ def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnosis on the lineitem->orders join key: the report
+    run before committing a 100 TB shuffle to a key (skew >> 1 on head
+    keys => salting / AQE skew handling needed)."""
+    from sarkac_spark.operators.profiling import skew_report
+
+    return skew_report(load_table(spark, sf_dir, "lineitem"), ["l_orderkey"])
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "skew_report": q_skew_report,
     "top_customers": q_top_customers,
     "region_revenue": q_region_revenue,
     "sessionize": q_sessionize,
@@ -159,6 +169,20 @@ QUERIES = {
 }
 
 ORACLE = {
+    "skew_report": """
+WITH c AS (
+  SELECT l_orderkey::VARCHAR AS key_value, count(*) AS n_rows
+  FROM lineitem GROUP BY 1
+),
+s AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM c)
+SELECT key_value, n_rows, frac, skew, rank FROM (
+  SELECT c.key_value, c.n_rows,
+         round(c.n_rows / s.total, 6) AS frac,
+         round(c.n_rows * s.n_keys / s.total, 6) AS skew,
+         row_number() OVER (ORDER BY c.n_rows DESC, c.key_value) AS rank
+  FROM c, s
+) WHERE rank <= 10
+""",
     "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -75,6 +75,24 @@ def test_dedup_simhash(docs):
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
 
+def test_skew_report(spark):
+    from sarkac_spark.operators.profiling import skew_report
+
+    # 100 rows on key "hot", 1 row each on 50 cold keys
+    rows = [("hot",)] * 100 + [(f"cold{i:02d}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, ["k"], top_k=3).collect()
+    assert [r.key_value for r in out][0] == "hot"
+    hot = out[0]
+    assert hot.n_rows == 100
+    assert hot.frac == round(100 / 150, 6)
+    # 51 keys, uniform would be 150/51 rows/key
+    assert hot.skew == round(100 * 51 / 150, 6)
+    assert [r.rank for r in out] == [1, 2, 3]
+    cold = out[1]
+    assert cold.n_rows == 1 and cold.skew < 1
+
+
 def test_repetition_features(spark):
     from sarkac_spark.operators.text import repetition_features
 

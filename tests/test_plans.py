@@ -98,6 +98,17 @@ def test_online_sigma_uses_no_sliding_frames(events):
     assert not re.search(r"range between -\d+", lowered)
 
 
+def test_skew_report_no_global_sort(spark, sf_dir):
+    from sarkac_spark.operators.profiling import skew_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = _plan(skew_report(li, ["l_orderkey"]))
+    # top-k must be per-partition + driver merge, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    # key column pruning reaches the scan
+    assert all("l_comment" not in s for s in read_schemas(skew_report(li, ["l_orderkey"])))
+
+
 def test_lsh_assign_is_map_only(spark, sf_dir):
     from sarkac_spark.operators.similarity import lsh_sign_assign
 
