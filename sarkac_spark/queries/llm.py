@@ -308,6 +308,30 @@ def q_corpus_mix(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Pairs -> groups: transitive closure over the minhash near-dup
+    pairs, labeling every involved doc with its cluster (min doc id)
+    and the cluster size — the relation dedup actually deletes from
+    (keep cluster_id, drop the rest)."""
+    from sarkac_spark.operators.graph import connected_components
+
+    pairs = dedup_minhash(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+    )
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """The composed corpus-curation pass: exact-dedup to canonical docs
     -> quality gate -> per-language corpus budget (docs + BPE-ish
@@ -339,6 +363,7 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "curation_pipeline": q_curation_pipeline,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
@@ -640,6 +665,32 @@ WHERE {_sample_hash_sql("strata")}
 """
 
 
+def _dedup_clusters_sql() -> str:
+    # transitive closure over the minhash pairs: reach = reflexive
+    # closure of the symmetric edge relation, component = min reachable
+    # id. UNION (set) semantics terminates the recursion at fixpoint.
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_sql()}) mh
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM (SELECT u, v FROM edges UNION ALL SELECT u, u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+lbl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+SELECT l.doc_id, l.cluster_id, s.cluster_size
+FROM lbl l
+JOIN (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1) s
+USING (cluster_id)
+"""
+
+
 def _decontamination_sql() -> str:
     cutoff = int(round(EVAL_RATE * 1_000_000))
     return f"""
@@ -826,6 +877,7 @@ FROM documents GROUP BY md5(text)
     "repetition_filter": _repetition_filter_sql(),
     "curation_pipeline": _curation_pipeline_sql(),
     "dedup_minhash": _minhash_sql(),
+    "dedup_clusters": _dedup_clusters_sql(),
     "dedup_simhash": _simhash_sql(),
     "ngram_jaccard": _ngram_jaccard_sql(),
     "embedding_neardup": f"""

@@ -75,6 +75,25 @@ def test_dedup_simhash(docs):
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
 
+def test_connected_components(spark):
+    import pytest as _pytest
+
+    from sarkac_spark.operators.graph import connected_components
+
+    # path 1-2-3-4 (diameter 3, exercises multi-round propagation) plus
+    # the disjoint pair 10-11
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # the guard raises instead of returning partial labels
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+
+
 def test_skew_report(spark):
     from sarkac_spark.operators.profiling import skew_report
 
