@@ -258,3 +258,50 @@ def repetition_features(
         F.lit(False),
     ) | (F.col("distinct_word_frac") < F.lit(min_distinct_word_frac))
     return out.withColumn("repetitive", flag).drop("__max_c")
+
+
+# --- chunking ----------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 40,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split docs into fixed word-budget chunks with overlap — the
+    context-window prep step (embedding indexing, long-doc training
+    samples). Output: (id, chunk_id, chunk_text, n_words), chunk_id
+    numbering the stride position.
+
+    Map-only: chunk starts come from a ``sequence`` at stride
+    (chunk_words - overlap), the chunk text from ``slice`` +
+    ``array_join`` — one explode, no shuffle, no Python. The start
+    bound ``size - overlap - 1`` kills the degenerate tail chunk whose
+    words are all covered by its predecessor's overlap (a stride-end
+    chunk always contributes >= 1 new word).
+    """
+    if overlap >= chunk_words:
+        raise ValueError("overlap must be < chunk_words")
+    stride = chunk_words - overlap
+    words = df.select(F.col(id_col), words_col(text_col).alias("__w"))
+    w = F.col("__w")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(w) - overlap - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    out = words.select(
+        F.col(id_col), w.alias("__w"), F.explode(starts).alias("__start")
+    )
+    return out.select(
+        F.col(id_col),
+        (F.col("__start") / stride).cast("long").alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("__w"), F.col("__start") + 1, chunk_words), " "
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(chunk_words), F.size(F.col("__w")) - F.col("__start")
+        ).cast("long").alias("n_words"),
+    )

@@ -218,6 +218,22 @@ def q_decontamination(spark, sf_dir):
     )
 
 
+CHUNK_WORDS = 40
+CHUNK_OVERLAP = 8
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Context-window prep: fixed word-budget chunks with overlap,
+    map-only (sequence + slice + one explode)."""
+    from sarkac_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir),
+        chunk_words=CHUNK_WORDS,
+        overlap=CHUNK_OVERLAP,
+    )
+
+
 # repetition contract, tuned to the synthetic small-vocab corpus (median
 # distinct_word_frac ~0.46): flags ~22% at sf0.01
 REP_TOP_BIGRAM_FRAC = 0.1
@@ -361,6 +377,7 @@ QUERIES = {
     "pii_redaction": q_pii_redaction,
     "profile_documents": q_profile_documents,
     "repetition_filter": q_repetition_filter,
+    "chunk_documents": q_chunk_documents,
     "curation_pipeline": q_curation_pipeline,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
@@ -723,6 +740,24 @@ HAVING count(*) >= {DECONTAM_MIN_SHARED}
 """
 
 
+def _chunk_documents_sql() -> str:
+    stride = CHUNK_WORDS - CHUNK_OVERLAP
+    return f"""
+WITH ws AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+starts AS (
+  SELECT doc_id, w, UNNEST(
+    range(0, greatest(len(w) - {CHUNK_OVERLAP}, 1), {stride})
+  ) AS s
+  FROM ws
+)
+SELECT doc_id,
+       (s / {stride})::BIGINT AS chunk_id,
+       array_to_string(list_slice(w, s + 1, s + {CHUNK_WORDS}), ' ') AS chunk_text,
+       least({CHUNK_WORDS}, len(w) - s)::BIGINT AS n_words
+FROM starts
+"""
+
+
 def _repetition_filter_sql() -> str:
     return f"""
 WITH ws AS (SELECT doc_id, {_WORDS} AS w FROM documents),
@@ -875,6 +910,7 @@ FROM documents GROUP BY md5(text)
     "pii_redaction": _pii_redaction_sql(),
     "profile_documents": _profile_documents_sql(),
     "repetition_filter": _repetition_filter_sql(),
+    "chunk_documents": _chunk_documents_sql(),
     "curation_pipeline": _curation_pipeline_sql(),
     "dedup_minhash": _minhash_sql(),
     "dedup_clusters": _dedup_clusters_sql(),

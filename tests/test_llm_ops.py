@@ -75,6 +75,33 @@ def test_dedup_simhash(docs):
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
 
+def test_chunk_documents(spark):
+    import pytest as _pytest
+
+    from sarkac_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, words), (2, "tiny doc"), (3, "x " * 10 + "x")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_words=10, overlap=3).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.doc_id, {})[r.chunk_id] = r
+    # doc 1: 25 words, stride 7 -> starts 0,7,14,21 (21 <= 25-3-1)
+    assert sorted(by[1]) == [0, 1, 2, 3]
+    assert by[1][0].chunk_text.split() == [f"w{i}" for i in range(10)]
+    assert by[1][1].chunk_text.split()[0] == "w7"  # overlap of 3
+    assert by[1][3].n_words == 4  # tail: words 21..24
+    # doc 2: shorter than one chunk -> exactly one chunk
+    assert sorted(by[2]) == [0] and by[2][0].n_words == 2
+    # doc 3: 11 words -> starts 0,7; tail contributes 1 new word
+    assert sorted(by[3]) == [0, 1] and by[3][1].n_words == 4
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_words=5, overlap=5)
+
+
 def test_connected_components(spark):
     import pytest as _pytest
 
