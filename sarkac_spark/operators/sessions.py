@@ -65,3 +65,65 @@ def session_stats(
             "duration_us", F.col("session_end_us") - F.col("session_start_us")
         )
     )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    id_tiebreak: str | None = None,
+) -> DataFrame:
+    """Ordered conversion funnel: how many users reached step k with
+    each step STRICTLY after their first occurrence of the previous
+    step (view -> click -> purchase, in that temporal order — a
+    purchase before any click does not count).
+
+    One window-sort pass computes every step's per-row running state:
+    ``reached_k(row) = ts of the first step-k event preceding the row
+    that itself followed reached_{k-1}`` — the chained running-min
+    trick, all window expressions sharing ONE window spec (one sort,
+    one shuffle on the user key). The per-user reduction then takes
+    min of each step's valid timestamps, and the final 1-row summary
+    counts users per step. Strict ``>`` on epoch micros makes ties
+    non-qualifying — deterministic under any sort order of equal
+    timestamps, on both engines.
+
+    Returns one row: ``n_step_1..n_step_k`` (users reaching each step).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    staged = df.select(F.col(user_col).alias("__u"), us.alias("__us"),
+                       F.col(type_col).alias("__t"),
+                       *( [F.col(id_tiebreak)] if id_tiebreak else [] ))
+    order = [F.col("__us")] + ([F.col(id_tiebreak)] if id_tiebreak else [])
+    w = (
+        Window.partitionBy("__u")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # valid_k = this row is step k and the running first valid step k-1
+    # happened strictly earlier
+    prev_first = None
+    valid_cols = []
+    for k, step in enumerate(steps):
+        if prev_first is None:
+            valid = F.when(F.col("__t") == step, F.col("__us"))
+        else:
+            valid = F.when(
+                (F.col("__t") == step) & (prev_first < F.col("__us")),
+                F.col("__us"),
+            )
+        staged = staged.withColumn(f"__v{k}", valid)
+        # running min over the SAME window spec — no extra sort
+        prev_first = F.min(F.col(f"__v{k}")).over(w)
+        valid_cols.append(f"__v{k}")
+    per_user = staged.groupBy("__u").agg(
+        *[F.min(c).alias(f"__first{k}") for k, c in enumerate(valid_cols)]
+    )
+    return per_user.agg(
+        *[
+            F.count(F.col(f"__first{k}")).cast("long").alias(f"n_{step}")
+            for k, step in enumerate(steps)
+        ]
+    )

@@ -148,6 +148,37 @@ def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over events: users reaching view -> click ->
+    purchase with each step strictly after the previous one."""
+    from sarkac_spark.operators.sessions import funnel
+
+    return funnel(
+        load_table(spark, sf_dir, "events"),
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        steps=("view", "click", "purchase"),
+        id_tiebreak="event_id",
+    )
+
+
+BIG_ORDER_CUTOFF = 300_000  # ~top order-price decile in the synthetic data
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join coverage (TPC-H Q22 flavor): customers with no
+    big-ticket order. LEFT ANTI shuffles both sides on the key and
+    emits only the probe side — no fact columns move; the price filter
+    is pushed below the join (build side shrinks before the shuffle)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > BIG_ORDER_CUTOFF).select("o_custkey")
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key diagnosis on the lineitem->orders join key: the report
     run before committing a 100 TB shuffle to a key (skew >> 1 on head
@@ -160,6 +191,8 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "skew_report": q_skew_report,
+    "conversion_funnel": q_conversion_funnel,
+    "customers_without_orders": q_customers_without_orders,
     "top_customers": q_top_customers,
     "region_revenue": q_region_revenue,
     "sessionize": q_sessionize,
@@ -169,6 +202,36 @@ QUERIES = {
 }
 
 ORACLE = {
+    "customers_without_orders": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+""",
+    "conversion_funnel": """
+WITH st AS (
+  SELECT user_id AS u, epoch_us(ts) AS us, event_type AS t, event_id
+  FROM events
+),
+s0 AS (SELECT *, CASE WHEN t = 'view' THEN us END AS v0 FROM st),
+s1 AS (
+  SELECT *, CASE WHEN t = 'click' AND min(v0) OVER w < us THEN us END AS v1
+  FROM s0
+  WINDOW w AS (PARTITION BY u ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s2 AS (
+  SELECT *, CASE WHEN t = 'purchase' AND min(v1) OVER w < us THEN us END AS v2
+  FROM s1
+  WINDOW w AS (PARTITION BY u ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT count(f0)::BIGINT AS n_view, count(f1)::BIGINT AS n_click,
+       count(f2)::BIGINT AS n_purchase
+FROM (SELECT u, min(v0) AS f0, min(v1) AS f1, min(v2) AS f2 FROM s2 GROUP BY u)
+""",
     "skew_report": """
 WITH c AS (
   SELECT l_orderkey::VARCHAR AS key_value, count(*) AS n_rows

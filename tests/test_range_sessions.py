@@ -75,3 +75,28 @@ def test_sessionize(spark):
     assert stats[(1, 1)] == (2, 60 * 1_000_000)
     assert stats[(1, 2)] == (1, 0)
     assert stats[(2, 1)] == (1, 0)
+
+
+def test_funnel_ordering_semantics(spark):
+    from sarkac_spark.operators.sessions import funnel
+
+    rows = [
+        # user 1: clean view -> click -> purchase
+        (1, 1, _ts(0), "view"), (2, 1, _ts(10), "click"), (3, 1, _ts(20), "purchase"),
+        # user 2: purchase BEFORE click -> purchase must not count
+        (4, 2, _ts(0), "view"), (5, 2, _ts(5), "purchase"), (6, 2, _ts(10), "click"),
+        # user 3: click before any view -> only the later view counts
+        (7, 3, _ts(0), "click"), (8, 3, _ts(10), "view"),
+        # user 4: simultaneous view+click (tie) -> strict > rejects click
+        (9, 4, _ts(0), "view"), (10, 4, _ts(0), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = funnel(
+        df, "user_id", "ts", "event_type",
+        steps=("view", "click", "purchase"), id_tiebreak="event_id",
+    ).collect()[0]
+    # views: users 1,2,3,4; valid clicks: user 1 and 2 (click after view);
+    # valid purchases: user 1 only
+    assert (out.n_view, out.n_click, out.n_purchase) == (4, 2, 1)
