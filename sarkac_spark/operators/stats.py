@@ -204,3 +204,32 @@ def rate_series(
             F.timestamp_micros(F.col("bucket_us")).cast("timestamp_ntz"),
         )
     )
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Upsert compaction: the newest record per key — the CDC/state-store
+    materialization primitive (the batch analogue of the streaming value
+    store's per-key last value). One shuffle on the key; the row_number
+    window with (ts desc, tiebreaks desc) total order keeps the result
+    deterministic when timestamps collide.
+
+    At scale this is the standard log->snapshot compaction: partial
+    aggregation does NOT apply to row_number, but the shuffle moves only
+    the surviving columns, and AQE handles key skew. For continuously
+    arriving logs the streaming twin is the keyed state store
+    (streaming/pipeline.py) rather than a recurrent full re-sort.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

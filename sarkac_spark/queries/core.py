@@ -23,6 +23,7 @@ from sarkac_spark.operators.anomaly import (
 from sarkac_spark.operators.cooldown import cooldown_bucketed
 from sarkac_spark.operators.fields import to_sigma_store
 from sarkac_spark.operators.stats import (
+    latest_by_key,
     rate_series,
     retention_filter,
     total_count,
@@ -127,6 +128,21 @@ def q_trailing_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     p50/p95/p99 — what heavy-tailed series are actually alerted on."""
     return trailing_percentiles(
         _events(spark, sf_dir), ["event_type"], "value", "ts", SIGMA_WINDOWS
+    )
+
+
+def q_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert compaction: each user's newest event (CDC log->snapshot;
+    the batch analogue of the streaming per-key value store)."""
+    ev = latest_by_key(
+        _events(spark, sf_dir), ["user_id"], "ts", tiebreak_cols=["event_id"]
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        "value",
     )
 
 
@@ -359,6 +375,7 @@ QUERIES = {
     "trailing_median": q_trailing_median,
     "robust_sigma": q_robust_sigma,
     "trailing_percentiles": q_trailing_percentiles,
+    "latest_events": q_latest_events,
 }
 
 
@@ -431,6 +448,14 @@ FROM events e, eval_at a, wins w
 WHERE epoch_us(e.ts) >= epoch_us(a.as_of) - w.window_seconds * 1000000
 GROUP BY 1, 2
 HAVING count(e.value) >= 3
+""",
+    "latest_events": """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+  ) AS rn FROM events
+) WHERE rn = 1
 """,
     "trailing_percentiles": f"""
 WITH eval_at AS (SELECT max(ts) AS as_of FROM events),

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from collections.abc import Sequence
 from dataclasses import dataclass
 
 import pandas as pd
@@ -382,6 +383,37 @@ def windowed_stats_stream(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def streaming_dedup_exact(
+    stream: DataFrame,
+    key_cols: Sequence[str] | None = None,
+    text_col: str | None = None,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the in-flight dedup stage of a training
+    ingest pipeline: drop records whose dedup key was already seen,
+    with state BOUNDED by the watermark delay
+    (``dropDuplicatesWithinWatermark``: a key's state is evicted once
+    it ages past the watermark, so state size is rate x delay, never
+    all-history — the property that lets this run forever at 100 TB/day).
+
+    Pass ``text_col`` to dedup by content digest (the streaming twin of
+    ``dedup_exact``'s md5 key), or ``key_cols`` for id-based dedup.
+    Exactness contract: duplicates farther apart in event time than the
+    watermark delay can both survive (the documented tradeoff of bounded
+    state); within the delay, dedup is exact.
+    """
+    if (key_cols is None) == (text_col is None):
+        raise ValueError("pass exactly one of key_cols / text_col")
+    if text_col is not None:
+        stream = stream.withColumn("__dedup_key", F.md5(F.col(text_col)))
+        keys = ["__dedup_key"]
+    else:
+        keys = list(key_cols)
+    out = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return out.drop("__dedup_key") if text_col is not None else out
 
 
 class StatefulSigmaPipeline:

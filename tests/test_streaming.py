@@ -348,3 +348,42 @@ def test_listener_counters_and_status():
     assert seen == [{"path": "x"}]
     doc = status(counters, stored_events=42)
     assert doc["storedEvents"] == 42 and doc["stats"]["anomalies_detected"] == 1
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """In-flight content dedup: duplicated payload texts within the
+    watermark are dropped; state is keyed by md5(text)."""
+    import datetime as dt
+
+    from sarkac_spark.streaming.pipeline import streaming_dedup_exact
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(30):
+        # 10 distinct texts, each produced 3x within a minute
+        rows.append((i, t0 + dt.timedelta(seconds=i), f"doc body {i % 10}"))
+    src = tmp_path / "dedup_src"
+    spark.createDataFrame(rows, "msg_id long, ts timestamp, text string").write.parquet(
+        str(src)
+    )
+    stream = spark.readStream.schema("msg_id long, ts timestamp, text string").parquet(
+        str(src)
+    )
+    deduped = streaming_dedup_exact(stream, text_col="text", watermark="10 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT text FROM dedup_out").collect()
+    texts = [r.text for r in out]
+    assert sorted(texts) == sorted(set(texts))  # no dup content survived
+    assert len(texts) == 10
+    # misuse guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        streaming_dedup_exact(stream, key_cols=["msg_id"], text_col="text")
