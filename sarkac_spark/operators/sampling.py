@@ -126,3 +126,34 @@ def weighted_mix(
         .withColumn("copy", F.explode(copies))
         .drop("__whole", "__frac_cutoff")
     )
+
+
+def sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n_per_group: int,
+    salt: str = "pergroup",
+) -> DataFrame:
+    """Deterministic fixed-budget sample per group: the n rows with the
+    smallest hash rank within each group — "give me exactly 100 docs per
+    language", reproducible across runs/retries/engines (the same
+    no-rand() contract as the other samplers; a distributed reservoir
+    sample without the nondeterminism).
+
+    One shuffle on the group key; the row_number window orders by the
+    60-bit hash variate with the id as total-order tiebreak. Skew note:
+    a giant group sorts its partition — for heavy-hitter groups at
+    100 TB pre-filter with ``hash_sample`` at ~(n/|group|) rate first
+    and top up, keeping the window input bounded.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= n_per_group)
+        .drop("__rank")
+    )

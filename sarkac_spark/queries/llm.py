@@ -218,6 +218,19 @@ def q_decontamination(spark, sf_dir):
     )
 
 
+PER_LANG_BUDGET = 30
+
+
+def q_per_lang_sample(spark, sf_dir):
+    """Fixed per-group budget: exactly min(30, |lang|) docs per language
+    by deterministic hash rank — reservoir sampling without rand()."""
+    from sarkac_spark.operators.sampling import sample_per_group
+
+    return sample_per_group(
+        _docs(spark, sf_dir), "doc_id", "lang", PER_LANG_BUDGET
+    ).select("doc_id", "lang")
+
+
 CHUNK_WORDS = 40
 CHUNK_OVERLAP = 8
 
@@ -378,6 +391,7 @@ QUERIES = {
     "profile_documents": q_profile_documents,
     "repetition_filter": q_repetition_filter,
     "chunk_documents": q_chunk_documents,
+    "per_lang_sample": q_per_lang_sample,
     "curation_pipeline": q_curation_pipeline,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
@@ -740,6 +754,17 @@ HAVING count(*) >= {DECONTAM_MIN_SHARED}
 """
 
 
+def _per_lang_sample_sql() -> str:
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, row_number() OVER (
+    PARTITION BY lang ORDER BY {_sample_hash_sql("pergroup")}, doc_id
+  ) AS rnk
+  FROM documents
+) WHERE rnk <= {PER_LANG_BUDGET}
+"""
+
+
 def _chunk_documents_sql() -> str:
     stride = CHUNK_WORDS - CHUNK_OVERLAP
     return f"""
@@ -911,6 +936,7 @@ FROM documents GROUP BY md5(text)
     "profile_documents": _profile_documents_sql(),
     "repetition_filter": _repetition_filter_sql(),
     "chunk_documents": _chunk_documents_sql(),
+    "per_lang_sample": _per_lang_sample_sql(),
     "curation_pipeline": _curation_pipeline_sql(),
     "dedup_minhash": _minhash_sql(),
     "dedup_clusters": _dedup_clusters_sql(),

@@ -71,6 +71,22 @@ def test_sampling_filter_is_map_only(spark):
     )
 
 
+def test_sample_per_group(spark):
+    from sarkac_spark.operators.sampling import sample_per_group
+
+    d = _corpus(spark, n=1000)  # 200 docs per lang
+    out = sample_per_group(d, "doc_id", "lang", 50)
+    by = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(by.values()) == {50}  # exact budget per group
+    # deterministic: identical id set across invocations
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {r.doc_id for r in sample_per_group(d, "doc_id", "lang", 50).collect()}
+    assert ids1 == ids2
+    # a group smaller than the budget survives whole
+    tiny = sample_per_group(d.filter(F.col("doc_id") < 20), "doc_id", "lang", 50)
+    assert tiny.count() == 20
+
+
 def test_weighted_mix_replication(spark):
     from sarkac_spark.operators.sampling import weighted_mix
 
