@@ -391,3 +391,55 @@ def robust_sigma_scan(
         F.col("mad").alias("mad"),
         F.round(F.col("robust_z"), round_digits).alias("robust_z"),
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    fence_factor: float = 1.5,
+    min_count: int = MIN_EVENTS_FOR_STATS,
+    round_digits: int = 6,
+    id_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Tukey-fence outlier detection: flag rows outside
+    ``[p25 - f*IQR, p75 + f*IQR]`` of their group — the
+    distribution-free member of the anomaly family (3-sigma assumes
+    normality; median/MAD assumes symmetric spread; Tukey fences assume
+    nothing).
+
+    Same broadcast-scoring shape as sigma_scan: one grouped quantile
+    aggregation (exact interpolated percentiles, bit-identical to the
+    oracle's quantile_cont), fences derived from the ROUNDED quantiles
+    with identical arithmetic on both engines, then a map-only
+    broadcast-join scoring pass. IQR = 0 suppresses flagging (the
+    degenerate-distribution guard, like stddev=0).
+    """
+    group_cols = list(group_cols)
+    stats = df.groupBy(*group_cols).agg(
+        F.round(F.percentile(F.col(value_col), F.lit(0.25)), round_digits).alias(
+            "p25"
+        ),
+        F.round(F.percentile(F.col(value_col), F.lit(0.75)), round_digits).alias(
+            "p75"
+        ),
+        F.count(F.col(value_col)).alias("__n"),
+    )
+    iqr = F.col("p75") - F.col("p25")
+    lo = F.col("p25") - F.lit(fence_factor) * iqr
+    hi = F.col("p75") + F.lit(fence_factor) * iqr
+    joined = df.join(F.broadcast(stats), on=group_cols).filter(
+        (F.col("__n") >= min_count) & (iqr > 0)
+    )
+    out = joined.filter(
+        (F.col(value_col) < lo) | (F.col(value_col) > hi)
+    )
+    return out.select(
+        F.col(group_cols[0]).alias("topic"),
+        *[F.col(c) for c in id_cols],
+        F.col(value_col).alias("value"),
+        F.col("p25"),
+        F.col("p75"),
+        F.round(lo, round_digits).alias("fence_lo"),
+        F.round(hi, round_digits).alias("fence_hi"),
+    )

@@ -233,3 +233,55 @@ def latest_by_key(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# cap the decay exponent: 2^62 still fits a signed 64-bit weight divisor,
+# and anything past ~40 half-lives contributes < 1e-12 of a point anyway
+DECAY_MAX_BUCKETS = 40
+
+
+def decayed_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    ts_col: str,
+    half_life_seconds: int,
+    as_of_col: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Half-life-decayed mean per group — the modern replacement for the
+    reference's fixed trailing windows: instead of a hard cliff at the
+    window edge, each point's weight halves every ``half_life_seconds``.
+    One scan + one shuffle (plain grouped aggregation, map-side partials
+    apply — unlike rank-based ops).
+
+    Cross-engine exactness: ages are bucketed to integer half-life
+    multiples and the weight is ``1 / (1 << k)`` — an exact power of
+    two in IEEE arithmetic on BOTH engines (``pow(2.0, -x)`` differs in
+    the last ulp between engines; integer shifts cannot). The
+    value*weight products are exact scalings; only the final sums are
+    order-dependent, absorbed by the 6-decimal round.
+
+    Output: group_cols + (decayed_mean, weight_mass, n).
+    """
+    if as_of_col is None:
+        df = with_as_of(df, ts_col=ts_col, as_of_col="__as_of")
+        as_of_col = "__as_of"
+    age_us = F.unix_micros(F.col(as_of_col).cast("timestamp")) - F.unix_micros(
+        F.col(ts_col).cast("timestamp")
+    )
+    k = F.least(
+        F.floor(age_us / F.lit(half_life_seconds * 1_000_000)).cast("int"),
+        F.lit(DECAY_MAX_BUCKETS),
+    )
+    # PySpark's shiftleft() only takes a literal bit count; the SQL form
+    # accepts a column exponent
+    df = df.withColumn("__k", k)
+    w = F.lit(1.0) / F.expr("cast(shiftleft(1L, __k) as double)")
+    return df.groupBy(*group_cols).agg(
+        F.round(F.sum(F.col(value_col) * w) / F.sum(w), round_digits).alias(
+            "decayed_mean"
+        ),
+        F.round(F.sum(w), round_digits).alias("weight_mass"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sarkac_spark.functions.paths import numeric_leaf
 from sarkac_spark.operators.anomaly import (
+    iqr_outliers,
     online_sigma_scan,
     robust_sigma_scan,
     sigma_scan,
@@ -23,6 +24,7 @@ from sarkac_spark.operators.anomaly import (
 from sarkac_spark.operators.cooldown import cooldown_bucketed
 from sarkac_spark.operators.fields import to_sigma_store
 from sarkac_spark.operators.stats import (
+    decayed_stats,
     latest_by_key,
     rate_series,
     retention_filter,
@@ -129,6 +131,23 @@ def q_trailing_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trailing_percentiles(
         _events(spark, sf_dir), ["event_type"], "value", "ts", SIGMA_WINDOWS
     )
+
+
+DECAY_HALF_LIFE = 43200  # 12h — the reference's middle frequency window
+
+
+def q_decayed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed mean per topic — soft-window replacement for
+    the fixed trailing windows."""
+    return decayed_stats(
+        _events(spark, sf_dir), ["event_type"], "value", "ts", DECAY_HALF_LIFE
+    )
+
+
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outliers per topic — the distribution-free member of
+    the anomaly family."""
+    return iqr_outliers(_events(spark, sf_dir))
 
 
 def q_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,6 +395,8 @@ QUERIES = {
     "robust_sigma": q_robust_sigma,
     "trailing_percentiles": q_trailing_percentiles,
     "latest_events": q_latest_events,
+    "decayed_stats": q_decayed_stats,
+    "iqr_outliers": q_iqr_outliers,
 }
 
 
@@ -448,6 +469,37 @@ FROM events e, eval_at a, wins w
 WHERE epoch_us(e.ts) >= epoch_us(a.as_of) - w.window_seconds * 1000000
 GROUP BY 1, 2
 HAVING count(e.value) >= 3
+""",
+    "decayed_stats": """
+WITH eval_at AS (SELECT max(ts) AS as_of FROM events),
+wk AS (
+  SELECT e.event_type, e.value,
+         1.0 / (1::BIGINT << least(
+           ((epoch_us(a.as_of) - epoch_us(e.ts)) // (BIGINT '43200' * 1000000)),
+           40))::DOUBLE AS w
+  FROM events e, eval_at a
+)
+SELECT event_type,
+       round(sum(value * w) / sum(w), 6) AS decayed_mean,
+       round(sum(w), 6) AS weight_mass,
+       count(*) AS n
+FROM wk GROUP BY 1
+""",
+    "iqr_outliers": """
+WITH stats AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.25), 6) AS p25,
+         round(quantile_cont(value, 0.75), 6) AS p75,
+         count(value) AS n
+  FROM events GROUP BY 1
+)
+SELECT e.event_type AS topic, e.event_id, e.value, s.p25, s.p75,
+       round(s.p25 - 1.5 * (s.p75 - s.p25), 6) AS fence_lo,
+       round(s.p75 + 1.5 * (s.p75 - s.p25), 6) AS fence_hi
+FROM events e JOIN stats s USING (event_type)
+WHERE s.n >= 3 AND (s.p75 - s.p25) > 0
+  AND (e.value < s.p25 - 1.5 * (s.p75 - s.p25)
+       OR e.value > s.p75 + 1.5 * (s.p75 - s.p25))
 """,
     "latest_events": """
 SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value

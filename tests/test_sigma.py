@@ -136,3 +136,43 @@ def test_multi_window_fanout(spark):
     got = {r.window_seconds: r.n for r in stats.collect()}
     assert set(got) == {600, 3600, 7200}
     assert got[600] < got[3600] <= got[7200]
+
+
+def test_decayed_stats_halving(spark):
+    from sarkac_spark.operators.stats import decayed_stats
+
+    # three points at 0, 1, and 2 half-lives before as_of (values 1, 2, 4):
+    # weights 1, 1/2, 1/4 -> decayed mean = (1 + 1 + 1) / 1.75
+    hl = 3600
+    rows = [(-2 * hl, 4.0), (-hl, 2.0), (0, 1.0)]
+    out = decayed_stats(
+        _mk_events(spark, rows), ["event_type"], "value", "ts", hl
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.weight_mass == 1.75
+    assert r.decayed_mean == round(3 / 1.75, 6)
+    assert r.n == 3
+    # age cap: a point 1000 half-lives old must not underflow/overflow —
+    # its capped 2^-40 weight vanishes from the 6-decimal mass but a
+    # huge value still contributes finitely to the mean
+    old = decayed_stats(
+        _mk_events(spark, rows + [(-1000 * hl, 9e9)]),
+        ["event_type"], "value", "ts", hl,
+    ).collect()[0]
+    assert old.n == 4 and old.weight_mass == 1.75
+    assert 0 < old.decayed_mean - r.decayed_mean < 0.01
+
+
+def test_iqr_outliers_fences(spark):
+    from sarkac_spark.operators.anomaly import iqr_outliers
+
+    # tight 1..9 base with one far point on each side
+    rows = [(i * 10, float(i + 1)) for i in range(9)]
+    rows += [(100, 100.0), (110, -50.0)]
+    out = iqr_outliers(_mk_events(spark, rows)).collect()
+    assert {r.value for r in out} == {100.0, -50.0}
+    assert all(r.fence_lo < r.p25 < r.p75 < r.fence_hi for r in out)
+    # constant distribution (IQR=0) is suppressed entirely
+    flat = [(i * 10, 5.0) for i in range(10)] + [(200, 50.0)]
+    assert iqr_outliers(_mk_events(spark, flat)).count() == 0
