@@ -305,3 +305,55 @@ def chunk_documents(
             F.lit(chunk_words), F.size(F.col("__w")) - F.col("__start")
         ).cast("long").alias("n_words"),
     )
+
+
+# --- TF-IDF ------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k characteristic terms per doc by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)`` — the sklearn smoothing, never
+    divides by zero). The keyword-extraction / topic-drift primitive
+    over a corpus.
+
+    Relational shape: ONE explode to (doc, term) counts; document
+    frequency comes from the SAME counted relation (one extra grouped
+    agg over |doc x term|, not a rescan); N is a 1-row broadcast. The
+    top-k rank runs per doc on the scored relation. Deterministic
+    tiebreak (score desc, term asc) and 6-decimal rounding BEFORE
+    ranking keep ranks identical cross-engine despite ln()'s last-ulp
+    variation.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(words_col(text_col)).alias("term")
+    ).withColumn("term", F.lower(F.col("term")))
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__n") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", F.col("tf").cast("long").alias("tf"), "tfidf", "rank")
+    )

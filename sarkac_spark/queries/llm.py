@@ -218,6 +218,13 @@ def q_decontamination(spark, sf_dir):
     )
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Top-3 characteristic terms per doc by smoothed TF-IDF."""
+    from sarkac_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 PER_LANG_BUDGET = 30
 
 
@@ -392,6 +399,7 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "chunk_documents": q_chunk_documents,
     "per_lang_sample": q_per_lang_sample,
+    "tfidf_terms": q_tfidf_terms,
     "curation_pipeline": q_curation_pipeline,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
@@ -754,6 +762,27 @@ HAVING count(*) >= {DECONTAM_MIN_SHARED}
 """
 
 
+def _tfidf_sql() -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, lower(UNNEST({_WORDS})) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         round(t.tf * (ln((n.n_docs + 1) / (d.df + 1)::DOUBLE) + 1.0), 6) AS tfidf
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term
+  ) AS rank FROM scored
+) WHERE rank <= 3
+"""
+
+
 def _per_lang_sample_sql() -> str:
     return f"""
 SELECT doc_id, lang FROM (
@@ -937,6 +966,7 @@ FROM documents GROUP BY md5(text)
     "repetition_filter": _repetition_filter_sql(),
     "chunk_documents": _chunk_documents_sql(),
     "per_lang_sample": _per_lang_sample_sql(),
+    "tfidf_terms": _tfidf_sql(),
     "curation_pipeline": _curation_pipeline_sql(),
     "dedup_minhash": _minhash_sql(),
     "dedup_clusters": _dedup_clusters_sql(),

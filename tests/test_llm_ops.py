@@ -75,6 +75,34 @@ def test_dedup_simhash(docs):
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
 
+def test_tfidf_top_terms(spark):
+    import math
+
+    from sarkac_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark common"),
+            (2, "duck duck common"),
+            (3, "common words only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=2).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.doc_id, []).append(r)
+    top1 = {d: sorted(rs, key=lambda r: r.rank)[0] for d, rs in by.items()}
+    # the doc-specific repeated term dominates the everywhere-term
+    assert top1[1].term == "spark" and top1[1].tf == 3
+    assert top1[2].term == "duck"
+    # smoothed idf: term in 1 of 3 docs -> ln(4/2)+1
+    assert top1[1].tfidf == round(3 * (math.log(2.0) + 1), 6)
+    # 'common' appears in every doc: idf = ln(4/4)+1 = 1 -> tfidf == tf
+    common = [r for rs in by.values() for r in rs if r.term == "common"]
+    assert all(r.tfidf == r.tf for r in common)
+
+
 def test_chunk_documents(spark):
     import pytest as _pytest
 
