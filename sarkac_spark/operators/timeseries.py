@@ -1,0 +1,81 @@
+"""Time-series regularization: bucketing, gap fill, forward fill.
+
+The reference's stats plane only ever *reads* trailing windows
+(SigmaWindow; see SURVEY §2.4 W1) — it has no answer for irregular or
+missing samples. These operators turn an irregular event stream into a
+dense, regular per-key series, the precondition for any downstream
+rate/seasonality/forecast step.
+
+Scale shape: the dense grid is built from the *aggregated* per-bucket
+relation (|keys| x |buckets| rows), never by re-scanning the raw facts;
+`F.sequence` generates each key's bucket range map-side from its 1-row
+span. The forward-fill window partitions by key and its partition size
+is bounded by time-range/bucket (compile-time known), not by raw event
+volume — so a 100 TB event table with a 1h bucket over 90 days still
+fills at most 2160 rows per key per window partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def bucketize(df: DataFrame, ts_col: str, bucket_seconds: int) -> F.Column:
+    """Epoch-aligned bucket start in microseconds (long)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    step = F.lit(bucket_seconds * 1_000_000).cast("long")
+    return (us - us % step).alias("bucket_us")
+
+
+def gap_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Dense regular series per key: aggregate ``value_col`` into
+    ``bucket_seconds`` buckets, generate every bucket between each key's
+    first and last observation, and forward-fill gaps with the last
+    observed bucket average.
+
+    Returns (keys..., bucket_us, n_obs, v_fill, filled) where ``filled``
+    marks rows synthesized for empty buckets. ``v_fill`` is never NULL:
+    each key's grid starts at its own first observed bucket, so the
+    carry-forward always has a seed.
+    """
+    keys = list(keys)
+    step = bucket_seconds * 1_000_000
+    obs = (
+        df.groupBy(*keys, bucketize(df, ts_col, bucket_seconds))
+        .agg(
+            F.round(F.avg(value_col), round_digits).alias("v_obs"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    spans = obs.groupBy(*keys).agg(
+        F.min("bucket_us").alias("__lo"), F.max("bucket_us").alias("__hi")
+    )
+    grid = spans.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step).cast("long"))
+        ).alias("bucket_us"),
+    )
+    joined = grid.join(obs, [*keys, "bucket_us"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *keys,
+        "bucket_us",
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+        F.last("v_obs", ignorenulls=True).over(w).alias("v_fill"),
+        F.col("n_obs").isNull().alias("filled"),
+    )

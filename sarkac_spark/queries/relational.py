@@ -163,6 +163,16 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize the event stream: per-type hourly buckets, empty
+    buckets synthesized and forward-filled with the last observed
+    average (operators/timeseries.py)."""
+    from sarkac_spark.operators.timeseries import gap_fill
+
+    ev = load_table(spark, sf_dir, "events")
+    return gap_fill(ev, ["event_type"], "ts", "value", bucket_seconds=3600)
+
+
 BIG_ORDER_CUTOFF = 300_000  # ~top order-price decile in the synthetic data
 
 
@@ -199,6 +209,7 @@ QUERIES = {
     "range_join": q_range_join,
     "doc_rollup": q_doc_rollup,
     "event_pivot": q_event_pivot,
+    "gap_fill": q_gap_fill,
 }
 
 ORACLE = {
@@ -325,6 +336,35 @@ GROUP BY 1, 2
     "doc_rollup": """
 SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
 FROM documents GROUP BY ROLLUP (lang, source)
+""",
+    "gap_fill": """
+WITH obs AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(ts) % (BIGINT '3600' * 1000000) AS bucket_us,
+         round(avg(value), 6) AS v_obs, count(*) AS n_obs
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi FROM obs GROUP BY 1
+),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, BIGINT '3600' * 1000000)) AS bucket_us
+  FROM spans
+),
+j AS (
+  SELECT g.event_type, g.bucket_us,
+         coalesce(o.n_obs, 0) AS n_obs, o.v_obs,
+         o.n_obs IS NULL AS filled
+  FROM grid g LEFT JOIN obs o USING (event_type, bucket_us)
+)
+SELECT event_type, bucket_us, n_obs,
+       last_value(v_obs IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket_us
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS v_fill,
+       filled
+FROM j
 """,
     "event_pivot": """
 SELECT epoch_us(ts) - epoch_us(ts) % (BIGINT '86400' * 1000000) AS day_us,
