@@ -357,3 +357,81 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", F.col("tf").cast("long").alias("tf"), "tfidf", "rank")
     )
+
+
+# --- corpus-level term statistics --------------------------------------------
+
+
+def top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Global heavy hitters: top-k terms by total occurrences, with
+    document frequency. The vocabulary/stopword-discovery pass run
+    before tuning quality filters on a new corpus.
+
+    Scale shape: both aggregates are partial-before-shuffle (the first
+    shuffle carries |doc x term| combined counts, the second |vocab|);
+    top-k is orderBy().limit() => TakeOrderedAndProject (per-partition
+    heap merged on the driver), never a global sort or a
+    single-partition rank window.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(words_col(text_col)).alias("term")
+    ).withColumn("term", F.lower(F.col("term")))
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    per_term = tf.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("n_occ"),
+        F.count(F.lit(1)).alias("df_docs"),
+    )
+    top = per_term.orderBy(F.col("n_occ").desc(), F.col("term")).limit(k)
+    w = Window.orderBy(F.col("n_occ").desc(), F.col("term"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def bigram_transitions(
+    df: DataFrame,
+    text_col: str = "text",
+    min_head_count: int = 20,
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Corpus bigram transition model: for each sufficiently-frequent
+    head word, the top-k next words with conditional probability
+    P(next | head) — the n-gram LM / suggestion primitive.
+
+    Bigrams are built MAP-SIDE with a zip-shift over the words array
+    (``arrays_zip(w, w[2:])``, NULL-padded tail filtered out) — no
+    positional self-join, no second explode pass. Head totals come from
+    the already-aggregated pair relation (|vocab^2 observed| rows), not
+    a rescan. Ranking uses the integer pair count (desc, then next-word
+    asc), so order is exact cross-engine; prob is a rounded derived
+    column.
+    """
+    w = F.expr(f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')")
+    shifted = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0)))
+    bg = F.explode(F.arrays_zip(w.alias("head"), shifted.alias("nxt"))).alias("bg")
+    pairs = (
+        df.select(bg)
+        .select(F.col("bg.head").alias("head"), F.col("bg.nxt").alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("head", "nxt")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    heads = pairs.groupBy("head").agg(F.sum("n_ab").cast("long").alias("n_a"))
+    rk = Window.partitionBy("head").orderBy(F.col("n_ab").desc(), F.col("nxt"))
+    return (
+        pairs.join(heads.filter(F.col("n_a") >= min_head_count), "head")
+        .withColumn("rank", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "head",
+            "nxt",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            "n_a",
+            F.round(F.col("n_ab") / F.col("n_a"), round_digits).alias("prob"),
+            "rank",
+        )
+    )

@@ -225,6 +225,25 @@ def q_tfidf_terms(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def q_top_terms(spark, sf_dir):
+    """Top-50 corpus heavy-hitter terms with document frequency."""
+    from sarkac_spark.operators.text import top_terms
+
+    return top_terms(_docs(spark, sf_dir), k=50)
+
+
+BIGRAM_MIN_HEAD = 20
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Top-3 next-word transitions per frequent head word."""
+    from sarkac_spark.operators.text import bigram_transitions
+
+    return bigram_transitions(
+        _docs(spark, sf_dir), min_head_count=BIGRAM_MIN_HEAD, k=3
+    )
+
+
 PER_LANG_BUDGET = 30
 
 
@@ -400,6 +419,8 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "per_lang_sample": q_per_lang_sample,
     "tfidf_terms": q_tfidf_terms,
+    "top_terms": q_top_terms,
+    "bigram_lm": q_bigram_lm,
     "curation_pipeline": q_curation_pipeline,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
@@ -783,6 +804,46 @@ SELECT doc_id, term, tf, tfidf, rank FROM (
 """
 
 
+def _top_terms_sql() -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, lower(UNNEST({_WORDS})) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+per_term AS (
+  SELECT term, sum(tf)::BIGINT AS n_occ, count(*) AS df_docs FROM tf GROUP BY 1
+)
+SELECT term, n_occ, df_docs, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY n_occ DESC, term) AS rank FROM per_term
+) WHERE rank <= 50
+"""
+
+
+def _bigram_lm_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x != '') AS wl
+  FROM documents
+),
+bg AS (SELECT unnest(list_zip(wl, wl[2:]), recursive := true) FROM w),
+pairs AS (
+  SELECT element1 AS head, element2 AS nxt, count(*) AS n_ab
+  FROM bg WHERE element2 IS NOT NULL GROUP BY 1, 2
+),
+heads AS (SELECT head, sum(n_ab)::BIGINT AS n_a FROM pairs GROUP BY 1)
+SELECT head, nxt, n_ab, n_a, prob, rank FROM (
+  SELECT p.head, p.nxt, p.n_ab::BIGINT AS n_ab, h.n_a,
+         round(p.n_ab / h.n_a::DOUBLE, 6) AS prob,
+         row_number() OVER (
+           PARTITION BY p.head ORDER BY p.n_ab DESC, p.nxt
+         ) AS rank
+  FROM pairs p JOIN heads h USING (head)
+  WHERE h.n_a >= {BIGRAM_MIN_HEAD}
+) WHERE rank <= 3
+"""
+
+
 def _per_lang_sample_sql() -> str:
     return f"""
 SELECT doc_id, lang FROM (
@@ -967,6 +1028,8 @@ FROM documents GROUP BY md5(text)
     "chunk_documents": _chunk_documents_sql(),
     "per_lang_sample": _per_lang_sample_sql(),
     "tfidf_terms": _tfidf_sql(),
+    "top_terms": _top_terms_sql(),
+    "bigram_lm": _bigram_lm_sql(),
     "curation_pipeline": _curation_pipeline_sql(),
     "dedup_minhash": _minhash_sql(),
     "dedup_clusters": _dedup_clusters_sql(),

@@ -441,3 +441,33 @@ def test_frame_sample_plan(media):
     rows = frame_sample_plan(media, every_ms=1000).collect()
     assert {r.media_id for r in rows} == {2}
     assert sorted(r.sample_ms for r in rows) == [0, 1000, 2000, 3000]
+
+
+def test_top_terms(spark):
+    from sarkac_spark.operators.text import top_terms
+
+    df = spark.createDataFrame(
+        [(1, "a a a B"), (2, "b c"), (3, "c a")],
+        "doc_id long, text string",
+    )
+    out = {r.term: r for r in top_terms(df, k=2).collect()}
+    # 'a' occurs 4x in 2 docs; 'b' (case-folded) and 'c' 2x each -> 'b' wins tie
+    assert set(out) == {"a", "b"}
+    assert out["a"].n_occ == 4 and out["a"].df_docs == 2 and out["a"].rank == 1
+    assert out["b"].n_occ == 2 and out["b"].df_docs == 2 and out["b"].rank == 2
+
+
+def test_bigram_transitions(spark):
+    from sarkac_spark.operators.text import bigram_transitions
+
+    df = spark.createDataFrame(
+        [(1, "to be or not to be"), (2, "to be is to do"), (3, "one")],
+        "doc_id long, text string",
+    )
+    out = bigram_transitions(df, min_head_count=2, k=2).collect()
+    by = {(r.head, r.nxt): r for r in out}
+    # 'to' -> 'be' 3x of 4 'to'-headed bigrams; single-word doc contributes none
+    r = by[("to", "be")]
+    assert r.n_ab == 3 and r.n_a == 4 and r.prob == 0.75 and r.rank == 1
+    assert by[("to", "do")].rank == 2
+    assert all(r.n_a >= 2 for r in out)
