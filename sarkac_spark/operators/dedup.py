@@ -23,6 +23,7 @@ so every operator here is oracle-checkable bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 # 60-bit hash from the md5 hex prefix: fits a signed 64-bit long in both
 # engines (Spark: conv(hex,16,10) cast long; DuckDB: ('0x'||hex)::bigint).
@@ -403,3 +404,55 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --- canonical representative selection ---------------------------------------
+
+
+def canonical_select(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    prefer_col: str = "n_chars",
+) -> DataFrame:
+    """Turn near-dup *pairs* into the keep/drop decision dedup actually
+    executes: label clusters (transitive closure), then keep ONE
+    representative per cluster — highest ``prefer_col``, ties to the
+    smallest id — and flag the rest for deletion.
+
+    Returns (id, cluster_id, cluster_size, keep) for every doc.
+
+    Scale shape: the rank window runs ONLY on cluster members
+    (|pairs|-bounded, tiny vs the corpus); untouched docs become
+    keep=true singletons via a LEFT ANTI join — no window, no extra
+    shuffle of the full corpus beyond that one hash anti-join.
+    """
+    from sarkac_spark.operators.graph import connected_components
+
+    cc = connected_components(pairs)  # (node, component)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    members = docs.select(F.col(id_col), F.col(prefer_col)).join(
+        cc, docs[id_col] == cc.node
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(prefer_col).desc(), F.col(id_col)
+    )
+    ranked = (
+        members.withColumn("keep", F.row_number().over(w) == 1)
+        .join(F.broadcast(sizes), "component")
+        .select(
+            F.col(id_col),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            "keep",
+        )
+    )
+    singles = docs.join(
+        cc.select(F.col("node").alias(id_col)), id_col, "left_anti"
+    ).select(
+        F.col(id_col),
+        F.col(id_col).alias("cluster_id"),
+        F.lit(1).cast("long").alias("cluster_size"),
+        F.lit(True).alias("keep"),
+    )
+    return ranked.unionByName(singles)

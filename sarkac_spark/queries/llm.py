@@ -387,6 +387,23 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """Keep/drop decision per doc: one representative (longest text,
+    ties to smallest id) per near-dup cluster, singletons kept."""
+    from sarkac_spark.operators.dedup import canonical_select
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_minhash(
+        docs,
+        "doc_id",
+        "text",
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+    )
+    return canonical_select(docs, pairs, "doc_id", "n_chars")
+
+
 def q_curation_pipeline(spark, sf_dir):
     """The composed corpus-curation pass: exact-dedup to canonical docs
     -> quality gate -> per-language corpus budget (docs + BPE-ish
@@ -424,6 +441,7 @@ QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_canonical": q_dedup_canonical,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
@@ -751,6 +769,34 @@ USING (cluster_id)
 """
 
 
+def _dedup_canonical_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_sql()}) mh
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM (SELECT u, v FROM edges UNION ALL SELECT u, u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+lbl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1)
+SELECT d.doc_id, l.cluster_id, s.cluster_size,
+       row_number() OVER (
+         PARTITION BY l.cluster_id ORDER BY d.n_chars DESC, d.doc_id
+       ) = 1 AS keep
+FROM documents d JOIN lbl l USING (doc_id) JOIN sizes s USING (cluster_id)
+UNION ALL
+SELECT doc_id, doc_id, 1, true FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM lbl)
+"""
+
+
 def _decontamination_sql() -> str:
     cutoff = int(round(EVAL_RATE * 1_000_000))
     return f"""
@@ -1033,6 +1079,7 @@ FROM documents GROUP BY md5(text)
     "curation_pipeline": _curation_pipeline_sql(),
     "dedup_minhash": _minhash_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
+    "dedup_canonical": _dedup_canonical_sql(),
     "dedup_simhash": _simhash_sql(),
     "ngram_jaccard": _ngram_jaccard_sql(),
     "embedding_neardup": f"""

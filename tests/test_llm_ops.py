@@ -471,3 +471,25 @@ def test_bigram_transitions(spark):
     assert r.n_ab == 3 and r.n_a == 4 and r.prob == 0.75 and r.rank == 1
     assert by[("to", "do")].rank == 2
     assert all(r.n_a >= 2 for r in out)
+
+
+def test_canonical_select(spark):
+    from sarkac_spark.operators.dedup import canonical_select
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 20), (4, 5), (5, 5), (6, 99)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r for r in canonical_select(docs, pairs).collect()}
+    assert len(out) == 6
+    # cluster {1,2,3}: labeled by min id, longest doc (2) kept
+    assert {out[i].cluster_id for i in (1, 2, 3)} == {1}
+    assert [out[i].keep for i in (1, 2, 3)] == [False, True, False]
+    assert out[1].cluster_size == 3
+    # cluster {4,5}: equal length -> smallest id kept
+    assert out[4].keep and not out[5].keep
+    # untouched doc stays its own kept singleton
+    assert out[6].keep and out[6].cluster_id == 6 and out[6].cluster_size == 1
