@@ -96,3 +96,43 @@ def profile_columns(
         f"stack({len(cols)}, {stack_args}) AS "
         "(column_name, n_rows, n_null, n_distinct, min_value, max_value)"
     )
+
+
+def quantile_bucket_stats(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Equal-frequency bucketing by value without a global sort: exact
+    quantile boundaries from one tree-aggregated ``percentile`` pass, a
+    broadcast of the 1-row boundary array, then a MAP-ONLY bucket
+    assignment and one grouped agg. The NTILE alternative would shuffle
+    the whole relation to a single partition — this shape is O(1) extra
+    memory per executor at any corpus size.
+
+    Returns per-bucket (bucket 1..n, n_rows, lo, hi, avg_value). Rows
+    equal to a boundary fall in the lower bucket (<=), matching
+    ``quantile_cont`` interpolation on the oracle side.
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        F.percentile(F.col(value_col), F.lit(probs)).alias("__bs")
+    )
+    bucket = F.lit(1).cast("long") + F.aggregate(
+        F.col("__bs"),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(F.col(value_col) > b, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    return (
+        df.select(value_col)
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+            F.round(F.avg(value_col), round_digits).alias("avg_value"),
+        )
+    )

@@ -225,6 +225,14 @@ def q_tfidf_terms(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def q_length_deciles(spark, sf_dir):
+    """Equal-frequency length deciles of the corpus (exact percentile
+    boundaries broadcast; no global sort)."""
+    from sarkac_spark.operators.profiling import quantile_bucket_stats
+
+    return quantile_bucket_stats(_docs(spark, sf_dir), "n_chars", n_buckets=10)
+
+
 def q_top_terms(spark, sf_dir):
     """Top-50 corpus heavy-hitter terms with document frequency."""
     from sarkac_spark.operators.text import top_terms
@@ -438,6 +446,7 @@ QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "top_terms": q_top_terms,
     "bigram_lm": q_bigram_lm,
+    "length_deciles": q_length_deciles,
     "curation_pipeline": q_curation_pipeline,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
@@ -850,6 +859,20 @@ SELECT doc_id, term, tf, tfidf, rank FROM (
 """
 
 
+def _length_deciles_sql() -> str:
+    probs = ", ".join(str(i / 10) for i in range(1, 10))
+    return f"""
+WITH b AS (
+  SELECT quantile_cont(n_chars, [{probs}]) AS bs FROM documents
+)
+SELECT 1 + len(list_filter(b.bs, x -> d.n_chars > x)) AS bucket,
+       count(*) AS n_rows, min(d.n_chars) AS lo, max(d.n_chars) AS hi,
+       round(avg(d.n_chars), 4) AS avg_value
+FROM documents d, b
+GROUP BY 1
+"""
+
+
 def _top_terms_sql() -> str:
     return f"""
 WITH words AS (
@@ -1076,6 +1099,7 @@ FROM documents GROUP BY md5(text)
     "tfidf_terms": _tfidf_sql(),
     "top_terms": _top_terms_sql(),
     "bigram_lm": _bigram_lm_sql(),
+    "length_deciles": _length_deciles_sql(),
     "curation_pipeline": _curation_pipeline_sql(),
     "dedup_minhash": _minhash_sql(),
     "dedup_clusters": _dedup_clusters_sql(),

@@ -493,3 +493,15 @@ def test_canonical_select(spark):
     assert out[4].keep and not out[5].keep
     # untouched doc stays its own kept singleton
     assert out[6].keep and out[6].cluster_id == 6 and out[6].cluster_size == 1
+
+
+def test_quantile_bucket_stats(spark):
+    from sarkac_spark.operators.profiling import quantile_bucket_stats
+
+    df = spark.createDataFrame([(i,) for i in range(1, 101)], "v long")
+    out = {r.bucket: r for r in quantile_bucket_stats(df, "v", n_buckets=4).collect()}
+    assert sorted(out) == [1, 2, 3, 4]
+    # exact quartile boundaries on 1..100 -> equal-frequency buckets
+    assert [out[b].n_rows for b in (1, 2, 3, 4)] == [25, 25, 25, 25]
+    assert out[1].lo == 1 and out[4].hi == 100
+    assert out[1].hi < out[2].lo and out[3].hi < out[4].lo
