@@ -456,3 +456,36 @@ def canonical_select(
         F.lit(True).alias("keep"),
     )
     return ranked.unionByName(singles)
+
+
+# --- inverted index -----------------------------------------------------------
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_df: int = 2,
+    max_df: int = 10,
+) -> DataFrame:
+    """Shingle -> sorted posting list: the candidate-generation index
+    behind exact containment / plagiarism lookup (a shared shingle IS a
+    dedup candidate edge).
+
+    Returns (shingle, n_docs, postings) for shingles whose document
+    frequency lies in [min_df, max_df]. The max_df cap is the scale
+    guard: it bounds every posting array (head shingles — boilerplate,
+    stopword runs — would otherwise collect millions of ids into one
+    row; they carry no discriminating signal and belong in a bitmap
+    store, not a list). df=1 shingles match nothing and are dropped.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("postings"),
+        )
+        .filter(F.col("n_docs").between(min_df, max_df))
+    )

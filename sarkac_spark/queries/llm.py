@@ -225,6 +225,14 @@ def q_tfidf_terms(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def q_inverted_index(spark, sf_dir):
+    """Shingle -> sorted posting lists for discriminating shingles
+    (df in [2, 10]); the containment-lookup / candidate-gen index."""
+    from sarkac_spark.operators.dedup import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir), n=3, min_df=2, max_df=10)
+
+
 def q_length_deciles(spark, sf_dir):
     """Equal-frequency length deciles of the corpus (exact percentile
     boundaries broadcast; no global sort)."""
@@ -447,6 +455,7 @@ QUERIES = {
     "top_terms": q_top_terms,
     "bigram_lm": q_bigram_lm,
     "length_deciles": q_length_deciles,
+    "inverted_index": q_inverted_index,
     "curation_pipeline": q_curation_pipeline,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
@@ -859,6 +868,27 @@ SELECT doc_id, term, tf, tfidf, rank FROM (
 """
 
 
+def _inverted_index_sql() -> str:
+    return f"""
+WITH ws AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, u.s AS shingle
+  FROM ws, UNNEST(
+    CASE WHEN len(w) >= 3 THEN
+      list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    ELSE [] END
+  ) AS u(s)
+),
+p AS (
+  SELECT shingle, count(*) AS n_docs,
+         list_sort(array_agg(doc_id)) AS postings
+  FROM sh GROUP BY 1
+)
+SELECT shingle, n_docs, postings FROM p WHERE n_docs BETWEEN 2 AND 10
+"""
+
+
 def _length_deciles_sql() -> str:
     probs = ", ".join(str(i / 10) for i in range(1, 10))
     return f"""
@@ -1100,6 +1130,7 @@ FROM documents GROUP BY md5(text)
     "top_terms": _top_terms_sql(),
     "bigram_lm": _bigram_lm_sql(),
     "length_deciles": _length_deciles_sql(),
+    "inverted_index": _inverted_index_sql(),
     "curation_pipeline": _curation_pipeline_sql(),
     "dedup_minhash": _minhash_sql(),
     "dedup_clusters": _dedup_clusters_sql(),

@@ -505,3 +505,20 @@ def test_quantile_bucket_stats(spark):
     assert [out[b].n_rows for b in (1, 2, 3, 4)] == [25, 25, 25, 25]
     assert out[1].lo == 1 and out[4].hi == 100
     assert out[1].hi < out[2].lo and out[3].hi < out[4].lo
+
+
+def test_inverted_index(spark):
+    from sarkac_spark.operators.dedup import inverted_index
+
+    df = spark.createDataFrame(
+        [
+            (3, "w x y z"),
+            (1, "w x y q"),
+            (2, "a b"),  # too short for 3-shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.shingle: r for r in inverted_index(df, min_df=2, max_df=10).collect()}
+    # only the shared shingle survives min_df; postings sorted ascending
+    assert set(out) == {"w x y"}
+    assert out["w x y"].n_docs == 2 and out["w x y"].postings == [1, 3]
