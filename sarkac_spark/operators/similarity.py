@@ -385,3 +385,47 @@ def ivf_topk(
     return (
         scored.withColumn("rank", w.cast("long")).filter(F.col("rank") <= k)
     )
+
+
+# --- embedding compression ----------------------------------------------------
+
+
+def quantize_int8_error(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit: scale =
+    max|x|/127, q = round-half-up(x/scale), and the worst-case
+    reconstruction error ``max|q*scale - x|`` per vector — the report
+    run before committing an embedding store to int8 (4x smaller, and
+    the error bound to check is scale/2).
+
+    Map-only: one projection per vector, no shuffle, no Python — all
+    array math is JVM higher-order functions. Intermediates (__v,
+    __s) are materialized in their own projections because HOF lambdas
+    re-evaluate referenced expressions per element. Round-half-up via
+    ``floor(x/s + 0.5)`` is used instead of ``round()`` because engines
+    disagree on banker's rounding; floor is IEEE-deterministic.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    with_v = df.select(F.col(id_col), v.alias("__v"))
+    with_s = with_v.select(
+        id_col,
+        "__v",
+        (F.array_max(F.transform(F.col("__v"), F.abs)) / F.lit(127.0)).alias("__s"),
+    )
+    s = F.col("__s")
+    err = F.zip_with(
+        F.col("__v"),
+        F.transform(F.col("__v"), lambda x: F.floor(x / s + F.lit(0.5))),
+        lambda x, q: F.abs(q * s - x),
+    )
+    return with_s.select(
+        id_col,
+        F.round(s, round_digits).alias("scale"),
+        F.when(s == 0, F.lit(0.0))
+        .otherwise(F.round(F.array_max(err), round_digits))
+        .alias("max_abs_err"),
+    )

@@ -225,6 +225,13 @@ def q_tfidf_terms(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def q_quantize_audit(spark, sf_dir):
+    """Per-vector int8 quantization scale + worst reconstruction error."""
+    from sarkac_spark.operators.similarity import quantize_int8_error
+
+    return quantize_int8_error(_embs(spark, sf_dir))
+
+
 def q_inverted_index(spark, sf_dir):
     """Shingle -> sorted posting lists for discriminating shingles
     (df in [2, 10]); the containment-lookup / candidate-gen index."""
@@ -456,6 +463,7 @@ QUERIES = {
     "bigram_lm": q_bigram_lm,
     "length_deciles": q_length_deciles,
     "inverted_index": q_inverted_index,
+    "quantize_audit": q_quantize_audit,
     "curation_pipeline": q_curation_pipeline,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
@@ -868,6 +876,25 @@ SELECT doc_id, term, tf, tfidf, rank FROM (
 """
 
 
+def _quantize_audit_sql() -> str:
+    return """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vd FROM embeddings
+),
+s AS (
+  SELECT vec_id, vd,
+         list_max(list_transform(vd, x -> abs(x))) / 127 AS sc
+  FROM v
+)
+SELECT vec_id, round(sc, 6) AS scale,
+       CASE WHEN sc = 0 THEN 0.0 ELSE
+         round(list_max(list_transform(vd,
+           x -> abs(floor(x / sc + 0.5) * sc - x))), 6)
+       END AS max_abs_err
+FROM s
+"""
+
+
 def _inverted_index_sql() -> str:
     return f"""
 WITH ws AS (SELECT doc_id, {_WORDS} AS w FROM documents),
@@ -1131,6 +1158,7 @@ FROM documents GROUP BY md5(text)
     "bigram_lm": _bigram_lm_sql(),
     "length_deciles": _length_deciles_sql(),
     "inverted_index": _inverted_index_sql(),
+    "quantize_audit": _quantize_audit_sql(),
     "curation_pipeline": _curation_pipeline_sql(),
     "dedup_minhash": _minhash_sql(),
     "dedup_clusters": _dedup_clusters_sql(),

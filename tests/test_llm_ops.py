@@ -522,3 +522,20 @@ def test_inverted_index(spark):
     # only the shared shingle survives min_df; postings sorted ascending
     assert set(out) == {"w x y"}
     assert out["w x y"].n_docs == 2 and out["w x y"].postings == [1, 3]
+
+
+def test_quantize_int8_error(spark):
+    from sarkac_spark.operators.similarity import quantize_int8_error
+
+    df = spark.createDataFrame(
+        [
+            (1, [127.0, -63.5, 0.25]),
+            (2, [0.0, 0.0]),  # zero vector: scale 0, no division
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in quantize_int8_error(df).collect()}
+    assert out[1].scale == 1.0  # max|x| = 127 -> scale exactly 1
+    # error bounded by scale/2; 0.25 -> q=0 leaves err 0.25
+    assert 0 < out[1].max_abs_err <= 0.5
+    assert out[2].scale == 0.0 and out[2].max_abs_err == 0.0
