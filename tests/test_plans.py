@@ -131,3 +131,31 @@ def test_dedup_minhash_bounded_corpus_scans(spark, sf_dir):
     # one aggregation (4 pruned copies max), never the 6-scan
     # inverted-index re-join shape
     assert plan.count("Scan parquet") <= 4
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
+    from sarkac_spark.sources.bucketing import colocated_join, write_bucketed
+
+    loc = tmp_path_factory.mktemp("bucket_wh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckdb LOCATION '{loc}'")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    write_bucketed(li, "buckdb.li_b", "l_orderkey", 4)
+    write_bucketed(od, "buckdb.od_b", "l_orderkey", 4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = colocated_join(spark, "buckdb.li_b", "buckdb.od_b", "l_orderkey")
+        # matching bucket specs: the join is bucket-aligned, zero shuffles
+        assert shuffle_count(j) == 0
+        assert "SortMergeJoin" in _plan(j)
+        assert j.count() == li.join(od, "l_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS buckdb.li_b")
+        spark.sql("DROP TABLE IF EXISTS buckdb.od_b")
+        spark.sql("DROP DATABASE IF EXISTS buckdb")
