@@ -387,6 +387,33 @@ def ivf_topk(
     )
 
 
+def embedding_health(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding-store health audit: vector count, dimension
+    bounds (min==max is the invariant a downstream matmul relies on),
+    zero vectors, and NaN/Inf carriers. The gate run before an
+    embedding table is allowed into ANN indexing or training.
+
+    Integer-only outputs, so cross-engine comparison is exact. Map-only
+    scan + |groups|-row aggregation; the array predicates (``exists``)
+    short-circuit JVM-side — no Python, no shuffle beyond the final agg.
+    """
+    is_zero = ~F.exists(F.col(vec_col), lambda x: x != F.lit(0.0))
+    has_bad = F.exists(
+        F.col(vec_col), lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min(F.size(F.col(vec_col))).cast("long").alias("min_dims"),
+        F.max(F.size(F.col(vec_col))).cast("long").alias("max_dims"),
+        F.count_if(is_zero).alias("n_zero_vecs"),
+        F.count_if(has_bad).alias("n_nonfinite_vecs"),
+    )
+
+
 # --- embedding compression ----------------------------------------------------
 
 

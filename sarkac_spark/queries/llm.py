@@ -232,6 +232,13 @@ def q_quantize_audit(spark, sf_dir):
     return quantize_int8_error(_embs(spark, sf_dir))
 
 
+def q_embedding_health(spark, sf_dir):
+    """Per-label embedding health gate (dims/zeros/NaN) — integer-exact."""
+    from sarkac_spark.operators.similarity import embedding_health
+
+    return embedding_health(_embs(spark, sf_dir))
+
+
 def q_inverted_index(spark, sf_dir):
     """Shingle -> sorted posting lists for discriminating shingles
     (df in [2, 10]); the containment-lookup / candidate-gen index."""
@@ -464,6 +471,7 @@ QUERIES = {
     "length_deciles": q_length_deciles,
     "inverted_index": q_inverted_index,
     "quantize_audit": q_quantize_audit,
+    "embedding_health": q_embedding_health,
     "curation_pipeline": q_curation_pipeline,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
@@ -1159,6 +1167,17 @@ FROM documents GROUP BY md5(text)
     "length_deciles": _length_deciles_sql(),
     "inverted_index": _inverted_index_sql(),
     "quantize_audit": _quantize_audit_sql(),
+    "embedding_health": """
+SELECT label,
+       count(*) AS n_vecs,
+       min(len(embedding))::BIGINT AS min_dims,
+       max(len(embedding))::BIGINT AS max_dims,
+       count(*) FILTER (len(list_filter(embedding, x -> x <> 0)) = 0)
+         AS n_zero_vecs,
+       count(*) FILTER (len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0)
+         AS n_nonfinite_vecs
+FROM embeddings GROUP BY label
+""",
     "curation_pipeline": _curation_pipeline_sql(),
     "dedup_minhash": _minhash_sql(),
     "dedup_clusters": _dedup_clusters_sql(),

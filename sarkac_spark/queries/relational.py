@@ -173,6 +173,128 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill(ev, ["event_type"], "ts", "value", bucket_seconds=3600)
 
 
+def q_rolling_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-hour moving average over the hourly per-type series —
+    RANGE window frame over the *aggregated* relation (|types|×|hours|
+    rows), so the frame scan never touches the raw fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bucket_us = (us - us % (3600 * 1_000_000)).alias("bucket_us")
+    hourly = ev.groupBy("event_type", bucket_us).agg(
+        F.round(F.avg("value"), 6).alias("v_avg"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rangeBetween(-2 * 3600 * 1_000_000, 0)
+    )
+    return hourly.select(
+        "event_type",
+        "bucket_us",
+        "v_avg",
+        "n_obs",
+        # frame SUM, not avg: the sum of 6-decimal values is itself a
+        # 6-decimal value, so round() never lands on a half-ulp boundary
+        # (engines disagree there); the moving average is v_sum3 /
+        # n_hours_in_frame
+        F.round(F.sum("v_avg").over(w), 6).alias("v_sum3"),
+        F.count(F.lit(1)).over(w).alias("n_hours_in_frame"),
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (bin = floor(value/25)) —
+    map-side binning then a |bins|-row shuffle; the building block for
+    distribution drift checks over 100 TB (bin ids are exact integers,
+    so partial aggregation loses nothing)."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_id = F.floor(F.col("value") / F.lit(25.0)).cast("long").alias("bin_id")
+    return ev.groupBy(bin_id).agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.round(F.min("value"), 6).alias("bin_min"),
+        F.round(F.max("value"), 6).alias("bin_max"),
+    )
+
+
+def q_doc_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (lang, source): all four grouping-set combinations in
+    one pass (Expand + single aggregation — not four scans). Integer
+    aggregates only, so cross-engine comparison is exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (top-3 longest docs per language): rank window
+    partitioned by lang — each partition sorts only its own slice, no
+    global sort, no single-partition collapse."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .withColumn("rk", F.col("rk").cast("long"))
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact ⋈ broadcast(part) + conditional aggregation
+    → one row. The part side is a pure broadcast (no fact shuffle at
+    all: map-side join, partial agg, single-row final)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                li.l_partkey == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc_price), 4).alias("promo_pct"),
+            F.round(F.sum(disc_price), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per supplier nation: lineitem ⋈ broadcast(supplier ⋈
+    nation). The dimension chain collapses driver-side into one small
+    broadcast; the only shuffle is the |nations|-row group-by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    dims = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy(F.col("n_name").alias("supplier_nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join coverage (EXISTS): customers with at least one
+    big-ticket order — LEFT SEMI emits each probe row at most once and
+    moves no payload columns from the build side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > BIG_ORDER_CUTOFF).select("o_custkey")
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
 BIG_ORDER_CUTOFF = 300_000  # ~top order-price decile in the synthetic data
 
 
@@ -200,6 +322,13 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "rolling_hourly_stats": q_rolling_hourly_stats,
+    "value_histogram": q_value_histogram,
+    "doc_cube": q_doc_cube,
+    "top_docs_per_lang": q_top_docs_per_lang,
+    "promo_revenue": q_promo_revenue,
+    "supplier_nation_revenue": q_supplier_nation_revenue,
+    "big_order_customers": q_big_order_customers,
     "skew_report": q_skew_report,
     "conversion_funnel": q_conversion_funnel,
     "customers_without_orders": q_customers_without_orders,
@@ -213,6 +342,65 @@ QUERIES = {
 }
 
 ORACLE = {
+    "rolling_hourly_stats": """
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(ts) % (BIGINT '3600' * 1000000) AS bucket_us,
+         round(avg(value), 6) AS v_avg, count(*) AS n_obs
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket_us, v_avg, n_obs,
+       round(sum(v_avg) OVER w, 6) AS v_sum3,
+       count(*) OVER w AS n_hours_in_frame
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
+             RANGE BETWEEN BIGINT '7200000000' PRECEDING AND CURRENT ROW)
+""",
+    "value_histogram": """
+SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin_id,
+       count(*) AS n_values,
+       round(min(value), 6) AS bin_min,
+       round(max(value), 6) AS bin_max
+FROM events GROUP BY 1
+""",
+    "doc_cube": """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents GROUP BY CUBE (lang, source)
+""",
+    "top_docs_per_lang": """
+SELECT lang, doc_id, n_chars, rk FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+) WHERE rk <= 3
+""",
+    "promo_revenue": """
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue,
+       count(*) AS n_lineitems
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+""",
+    "supplier_nation_revenue": """
+SELECT n.n_name AS supplier_nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1
+""",
+    "big_order_customers": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+""",
     "customers_without_orders": """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer c

@@ -133,6 +133,49 @@ def test_dedup_minhash_bounded_corpus_scans(spark, sf_dir):
     assert plan.count("Scan parquet") <= 4
 
 
+def test_supplier_nation_revenue_broadcasts_dims(spark, sf_dir):
+    from sarkac_spark.queries.relational import q_supplier_nation_revenue
+
+    df = q_supplier_nation_revenue(spark, sf_dir)
+    plan = _plan(df)
+    # the supplier⋈nation chain must collapse into a broadcast: the fact
+    # table shuffles once (for the |nations|-row group-by), never on the
+    # join key
+    assert has_broadcast_hash_join(df)
+    assert "SortMergeJoin" not in plan
+    assert shuffle_count(df) == 1
+    # column pruning: only the 3 needed lineitem columns reach the scan
+    assert all("l_shipdate" not in s for s in read_schemas(df))
+
+
+def test_promo_revenue_single_fact_scan(spark, sf_dir):
+    from sarkac_spark.queries.relational import q_promo_revenue
+
+    df = q_promo_revenue(spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    # single-row final agg: partial aggregation happens map-side, the
+    # shuffle carries one row per task
+    assert "SortMergeJoin" not in _plan(df)
+
+
+def test_top_docs_per_lang_partitions_by_group(spark, sf_dir):
+    from sarkac_spark.queries.relational import q_top_docs_per_lang
+
+    plan = _plan(q_top_docs_per_lang(spark, sf_dir))
+    # rank window partitioned by lang — no single-partition global sort
+    assert "hashpartitioning(lang" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_value_histogram_is_two_stage(spark, sf_dir):
+    from sarkac_spark.queries.relational import q_value_histogram
+
+    df = q_value_histogram(spark, sf_dir)
+    # map-side binning: one shuffle carrying |bins| rows per task
+    assert shuffle_count(df) == 1
+    assert all("props" not in s for s in read_schemas(df))
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
     from sarkac_spark.sources.bucketing import colocated_join, write_bucketed
 
