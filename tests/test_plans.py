@@ -54,10 +54,13 @@ def test_trailing_stats_single_shuffle(events):
 
 
 def test_as_of_scan_prunes_columns(events):
-    # the max(ts) side scan must read only the ts column
-    assert "struct<ts:bigint>" in read_schemas(
+    # the max(ts) side scan must read only the ts column (any timestamp
+    # physical type — the driver's parquet stores TIMESTAMP(NANOS), which
+    # renders as bigint under nanosAsLong or timestamp_ntz after conversion)
+    schemas = read_schemas(
         trailing_window_stats(events, ["event_type"], "value", "ts", [3600])
     )
+    assert any(s.startswith("struct<ts:") and s.count(",") == 0 for s in schemas)
 
 
 def test_cosine_topk_broadcasts_queries(spark, sf_dir):
