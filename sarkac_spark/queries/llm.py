@@ -241,10 +241,19 @@ def q_embedding_health(spark, sf_dir):
 
 def q_inverted_index(spark, sf_dir):
     """Shingle -> sorted posting lists for discriminating shingles
-    (df in [2, 10]); the containment-lookup / candidate-gen index."""
+    (df in [2, 10]); the containment-lookup / candidate-gen index.
+
+    The driver's pandas canonicalizer cannot sort array cells
+    (round-1 red row), so the posting list is emitted as a
+    comma-joined string; the operator itself keeps the typed array.
+    """
     from sarkac_spark.operators.dedup import inverted_index
 
-    return inverted_index(_docs(spark, sf_dir), n=3, min_df=2, max_df=10)
+    idx = inverted_index(_docs(spark, sf_dir), n=3, min_df=2, max_df=10)
+    return idx.withColumn(
+        "postings",
+        F.array_join(F.col("postings").cast("array<string>"), ","),
+    )
 
 
 def q_length_deciles(spark, sf_dir):
@@ -917,7 +926,7 @@ sh AS (
 ),
 p AS (
   SELECT shingle, count(*) AS n_docs,
-         list_sort(array_agg(doc_id)) AS postings
+         array_to_string(list_sort(array_agg(doc_id)), ',') AS postings
   FROM sh GROUP BY 1
 )
 SELECT shingle, n_docs, postings FROM p WHERE n_docs BETWEEN 2 AND 10

@@ -30,9 +30,25 @@ TABLES = (
 
 def ensure_confs(spark: SparkSession) -> None:
     """Runtime confs the engine depends on, set defensively so entry points
-    also work under an externally-created session (the driver's)."""
+    also work under an externally-created session (the driver's).
+
+    The perf block matters for the driver's correctness sweep: a default
+    session shuffles every groupBy/join into 200 partitions, which at
+    sf<=0.1 turns each query into mostly task-scheduling overhead (and in
+    round 1 the sweep ran out of budget 50 queries in). Only Spark's
+    untouched defaults are overridden — an explicitly configured session
+    is left alone.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+            spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    except Exception:  # pragma: no cover - read-only conf in odd harnesses
+        pass
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
