@@ -109,9 +109,13 @@ def cusum_scan(
         F.round(cusum_hi, round_digits).alias("cusum_hi"),
         F.round(cusum_lo, round_digits).alias("cusum_lo"),
     ).filter((F.col("cusum_hi") > h) | (F.col("cusum_lo") > h))
+    # After a large swing following sustained drift both arms can exceed h
+    # on the same row; label that honestly instead of masking the down-trip.
     return scored.withColumn(
         "direction",
-        F.when(F.col("cusum_hi") > h, F.lit("up")).otherwise(F.lit("down")),
+        F.when((F.col("cusum_hi") > h) & (F.col("cusum_lo") > h), F.lit("both"))
+        .when(F.col("cusum_hi") > h, F.lit("up"))
+        .otherwise(F.lit("down")),
     )
 
 
@@ -145,10 +149,19 @@ def ewma_scan(
     renormalized shorter kernel rather than a NULL. All weights are
     exact powers of two -> bit-identical cross-engine; bucket means are
     rounded before the kernel so both engines convolve identical inputs.
+
+    Gap semantics: the kernel convolves over *existing* buckets — empty
+    buckets are absent from the aggregated relation, so ``lag(j)`` reads
+    the previous observed bucket, not the previous wall-clock one. For
+    sparse series this compresses the effective time constant (the chart
+    reacts to the last L observations, however far apart). Densify the
+    grid upstream (``timeseries.gap_fill``) when wall-clock-uniform
+    smoothing is required.
     """
     group_cols = list(group_cols)
     epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    bucket_us = epoch - (epoch % F.lit(bucket_seconds * 1_000_000))
+    # pmod keeps buckets floor-aligned for pre-1970 (negative) epochs too
+    bucket_us = epoch - F.pmod(epoch, F.lit(bucket_seconds * 1_000_000))
     buckets = df.groupBy(*group_cols, bucket_us.alias("bucket_us")).agg(
         F.round(F.avg(value_col), round_digits).alias("v")
     )
@@ -205,37 +218,43 @@ def seasonal_sigma_scan(
     Same plan as sigma_scan with the season in the group key: one
     grouped aggregation (|series| x 24 rows — always broadcast), then a
     map-only scoring join. Hour extraction is integer arithmetic on
-    epoch micros (identical on both engines, no timezone dependence).
+    epoch micros (identical on both engines, no timezone dependence);
+    ``pmod`` wraps pre-1970 (negative) epochs into [0, 24) correctly.
+
+    Internal columns are ``__``-prefixed (anomaly.py convention) so an
+    input that already carries e.g. an ``n`` column cannot collide into
+    AMBIGUOUS_REFERENCE; the final select re-aliases to the public names.
     """
     group_cols = list(group_cols)
     id_cols = list(id_cols)
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    # (us % day - us % hour) is an exact multiple of 3_600_000_000, so the
-    # division is exact in IEEE doubles — no truncation-boundary FP risk.
+    # (pmod(us, day) - pmod(us, hour)) is an exact multiple of
+    # 3_600_000_000, so the division is exact in IEEE doubles — no
+    # truncation-boundary FP risk; pmod keeps the remainders non-negative.
     hour = (
-        ((us % F.lit(86_400_000_000)) - (us % F.lit(3_600_000_000)))
+        (F.pmod(us, F.lit(86_400_000_000)) - F.pmod(us, F.lit(3_600_000_000)))
         / F.lit(3_600_000_000)
     ).cast("int")
-    facts = df.withColumn("hour_of_day", hour)
-    stats = facts.groupBy(*group_cols, "hour_of_day").agg(
-        F.round(F.avg(value_col), round_digits).alias("season_mean"),
-        F.round(F.stddev_pop(value_col), round_digits).alias("season_sd"),
-        F.count(value_col).alias("n"),
+    facts = df.withColumn("__hour_of_day", hour)
+    stats = facts.groupBy(*group_cols, "__hour_of_day").agg(
+        F.round(F.avg(value_col), round_digits).alias("__season_mean"),
+        F.round(F.stddev_pop(value_col), round_digits).alias("__season_sd"),
+        F.count(value_col).alias("__n"),
     )
-    joined = facts.join(F.broadcast(stats), on=[*group_cols, "hour_of_day"]).filter(
-        (F.col("n") >= min_count) & (F.col("season_sd") > 0)
-    )
-    z = (F.col(value_col) - F.col("season_mean")) / F.col("season_sd")
+    joined = facts.join(
+        F.broadcast(stats), on=[*group_cols, "__hour_of_day"]
+    ).filter((F.col("__n") >= min_count) & (F.col("__season_sd") > 0))
+    z = (F.col(value_col) - F.col("__season_mean")) / F.col("__season_sd")
     return (
-        joined.withColumn("season_z", F.round(z, round_digits))
-        .filter(F.abs(F.col("season_z")) > z_threshold)
+        joined.withColumn("__season_z", F.round(z, round_digits))
+        .filter(F.abs(F.col("__season_z")) > z_threshold)
         .select(
             F.col(group_cols[0]).alias("topic"),
-            "hour_of_day",
+            F.col("__hour_of_day").alias("hour_of_day"),
             *id_cols,
             F.col(value_col).alias("value"),
-            "season_mean",
-            "season_sd",
-            "season_z",
+            F.col("__season_mean").alias("season_mean"),
+            F.col("__season_sd").alias("season_sd"),
+            F.col("__season_z").alias("season_z"),
         )
     )

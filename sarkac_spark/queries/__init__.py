@@ -13,13 +13,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sarkac_spark.queries import core, llm, ml, relational
+from sarkac_spark.queries import control, core, llm, ml, relational
 
 # Registry order is sweep order under the driver. Round 1's sweep ran out
 # of budget 50 queries in, leaving everything after unverified — so the
-# modules that missed out (relational, ml) now run first; core/llm (all
-# green in round 1) absorb any future budget cut.
-_MODULES = [relational, ml, core, llm]
+# modules that missed out (relational, ml) plus the new control charts
+# run first; core/llm (all green in round 1) absorb any future budget cut.
+_MODULES = [relational, control, ml, core, llm]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
