@@ -366,14 +366,35 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    max_df: int | None = 256,
 ) -> DataFrame:
-    """Exact n-gram Jaccard >= threshold via the shingle inverted index:
+    """n-gram Jaccard >= threshold via the shingle inverted index:
     ONE self-join on shingle counts |A ∩ B| for every co-occurring pair
     directly (no candidates-distinct-then-rejoin round trip — that shape
-    cost 2 extra joins over the exploded relation). Correct but
-    hot-shingle-quadratic; at large n use dedup_minhash (same verify,
-    LSH candidates)."""
+    cost 2 extra joins over the exploded relation).
+
+    ``max_df`` is the hot-shingle guard, on by default: a shingle in D
+    docs creates D(D-1)/2 join rows, so one boilerplate shingle with
+    df=1e6 means 5e11 rows — the quadratic scale-killer. Shingles with
+    df > max_df are excluded from the similarity universe on BOTH sides
+    (sizes and intersections), which keeps the measure symmetric and
+    well-defined: Jaccard over *discriminating* shingles. Boilerplate
+    carries no dedup signal, so at a sane cap this tracks raw Jaccard
+    closely while bounding per-shingle fanout at max_df^2/2. The dropped
+    (hot) shingles remain auditable via
+    ``inverted_index(df, min_df=max_df + 1, max_df=2**62)``.
+    ``max_df=None`` restores the uncapped exact measure for small
+    corpora. At large n prefer ``dedup_minhash`` (LSH candidates)."""
     sh = shingles(df, id_col, text_col, n=shingle_n)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        # hot side is small by construction (few shingles exceed the cap)
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed(id_col, "id_a")
     b = sh.withColumnRenamed(id_col, "id_b")

@@ -85,19 +85,107 @@ def cosine_all_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     round_digits: int = 6,
+    n_blocks: int = 8,
+    small_corpus: bool = False,
 ) -> DataFrame:
-    """All-pairs cosine >= threshold WITHOUT materializing the n^2 pair
-    relation: the corpus matrix is broadcast once (numpy, ~n*d*8 bytes)
-    and each partition computes its block of the gram matrix with one
-    BLAS matmul via mapInPandas, emitting only the (rare) above-threshold
-    pairs. The n^2 work still happens — in vectorized float64 — but never
-    touches Arrow/shuffle.
+    """Exact all-pairs cosine >= threshold WITHOUT materializing the n^2
+    pair relation and WITHOUT collecting the corpus to the driver.
 
-    Scale contract: the broadcast side must fit in executor memory (same
-    rule as any broadcast join; ~1e6 x 64 dims = 512 MB is the practical
-    ceiling). Beyond that, prefilter with LSH buckets (see dedup) or go
-    block-matrix (row-block x col-block outer join).
+    Default (scale) path — block-matrix self-join: rows hash into
+    ``n_blocks`` row-blocks; a tiny block-pair relation (bi <= bj,
+    B(B+1)/2 rows) replicates each row to the block-pairs it belongs to
+    (B copies/row); each ``applyInPandas`` group then holds exactly two
+    blocks and computes their gram sub-matrix with one float64 BLAS
+    matmul, emitting only above-threshold pairs. The inherent n^2*d flops
+    stay — vectorized and spread over B(B+1)/2 independent tasks. Memory
+    per task = 2 blocks = 2*(n/B)*d*8 bytes: size ``n_blocks`` so a block
+    fits comfortably in an executor python worker (e.g. 1e8 x 64-dim
+    vectors at B=1000 -> ~100 MB/task; shuffle volume = B*n rows, far
+    below the compute cost that dominates any exact all-pairs run).
+
+    ``small_corpus=True`` is the documented fast path for corpora that
+    fit on the driver (~1e6 x 64 dims = 512 MB practical ceiling): one
+    driver collect + broadcast of the matrix, one scan computing gram
+    blocks against the broadcast side — no shuffle at all.
+
+    Both paths round inside float64 numpy and emit identical pairs. For
+    sub-exact budgets use LSH candidate generation (``lsh_topk``) —
+    recall < 1, so it is NOT a drop-in for this operator's contract.
     """
+    if small_corpus:
+        return _cosine_all_pairs_broadcast(
+            corpus, id_col, vec_col, threshold, round_digits
+        )
+
+    spark = corpus.sparkSession
+    base = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    side_a = base.join(F.broadcast(pairs), base.blk == pairs.bi).select(
+        "bi", "bj", "id", "vec", F.lit("a").alias("role")
+    )
+    side_b = base.join(F.broadcast(pairs), base.blk == pairs.bj).select(
+        "bi", "bj", "id", "vec", F.lit("b").alias("role")
+    )
+    both = side_a.unionByName(side_b)
+
+    def gram(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        a = pdf[pdf["role"] == "a"]
+        b = pdf[pdf["role"] == "b"]
+        if a.empty or b.empty:
+            return pd.DataFrame(
+                {
+                    "id_a": np.array([], dtype=np.int64),
+                    "id_b": np.array([], dtype=np.int64),
+                    "cos_sim": np.array([], dtype=np.float64),
+                }
+            )
+        a_ids = np.asarray(a["id"].to_numpy(), dtype=np.int64)
+        b_ids = np.asarray(b["id"].to_numpy(), dtype=np.int64)
+        a_mat = np.vstack(a["vec"].to_numpy()).astype(np.float64)
+        b_mat = np.vstack(b["vec"].to_numpy()).astype(np.float64)
+        a_norms = np.sqrt(np.einsum("ij,ij->i", a_mat, a_mat))
+        b_norms = np.sqrt(np.einsum("ij,ij->i", b_mat, b_mat))
+        sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+        sims = np.round(sims, round_digits)
+        if bi == bj:
+            # diagonal: both roles hold the same rows, so each unordered
+            # pair appears twice — id_a < id_b keeps exactly one copy
+            ai, bx = np.nonzero(
+                (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            )
+            id_a, id_b = a_ids[ai], b_ids[bx]
+        else:
+            # off-diagonal: each unordered pair appears exactly once (one
+            # row per role), in whichever orientation the hash dealt —
+            # canonicalize to (min, max) instead of filtering
+            ai, bx = np.nonzero(sims >= threshold)
+            id_a = np.minimum(a_ids[ai], b_ids[bx])
+            id_b = np.maximum(a_ids[ai], b_ids[bx])
+        return pd.DataFrame(
+            {"id_a": id_a, "id_b": id_b, "cos_sim": sims[ai, bx]}
+        )
+
+    return both.groupBy("bi", "bj").applyInPandas(
+        gram, schema="id_a long, id_b long, cos_sim double"
+    )
+
+
+def _cosine_all_pairs_broadcast(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_digits: int,
+) -> DataFrame:
+    """Small-corpus fast path: driver collect + broadcast gram blocks."""
     spark = corpus.sparkSession
     side = corpus.select(id_col, vec_col).toPandas()
     ids = np.asarray(side[id_col].to_numpy(), dtype=np.int64)

@@ -84,9 +84,18 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+# hot-shingle cap: bounds per-shingle join fanout at NGRAM_MAX_DF^2/2
+# (mirrored in the oracle; see operators/dedup.ngram_jaccard_pairs)
+NGRAM_MAX_DF = 256
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", threshold=JACCARD_THRESHOLD
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        threshold=JACCARD_THRESHOLD,
+        max_df=NGRAM_MAX_DF,
     )
 
 
@@ -572,16 +581,21 @@ WHERE round(n_common / (na.n_sh + nb.n_sh - n_common), 6) >= {JACCARD_THRESHOLD}
 def _ngram_jaccard_sql() -> str:
     return f"""
 WITH {_SHINGLES_CTE},
+shc AS (
+  SELECT * FROM sh WHERE shingle NOT IN (
+    SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > {NGRAM_MAX_DF}
+  )
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS n_common
   FROM cand c
-  JOIN sh sa ON sa.doc_id = c.id_a
-  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  JOIN shc sa ON sa.doc_id = c.id_a
+  JOIN shc sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
   GROUP BY 1, 2
 )
 SELECT i.id_a, i.id_b,

@@ -196,27 +196,28 @@ class _BusSigmaPipeline(SigmaStreamPipeline):
             # next batch re-plans extraction with the merged DSL
             self.dsl = self.discovery.dsl
 
+    def _on_emitted(self, emitted: DataFrame, epoch_id: int) -> None:
+        """Surface THIS epoch's anomalies on the bus. The frame is the
+        already-persisted per-epoch cooldown output — collecting it is
+        bounded by the batch's anomaly count, unlike the round-1 shape
+        that re-read and collected the entire anomaly directory every
+        anomaly-producing batch (unbounded driver IO over a long-running
+        stream)."""
+        rows = emitted.orderBy("event_ts_us").collect()
+        for r in rows:
+            self.bus.emit("anomaly", r.asDict())
+        self.counters.anomalies_detected += len(rows)
+
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         batch = batch.persist()
         try:
             n_msgs = batch.count()
-            before = self.anomaly_batches
             if self.discovery is not None:
                 self._discover(batch)
             super().process_batch(batch, epoch_id)
             self.counters.scan_runs += 1
             self.counters.analysed_messages += n_msgs
             self.bus.emit("message", n_msgs)
-            if self.anomaly_batches > before:
-                new_rows = (
-                    self.spark.read.parquet(self.cfg.anomaly_dir)
-                    .orderBy("event_ts_us")
-                    .collect()
-                )
-                # emit only this batch's tail; small by construction
-                for r in new_rows[self.counters.anomalies_detected :]:
-                    self.bus.emit("anomaly", r.asDict())
-                self.counters.anomalies_detected = len(new_rows)
         except Exception as e:  # noqa: BLE001 — parity: errors swallowed + counted
             self.counters.errors += 1
             self.bus.emit("error", e)

@@ -279,8 +279,16 @@ class SigmaStreamPipeline:
                 )
                 self._update_state(emitted)
                 self.anomaly_batches += 1
+                # hook for subscribers (event bus): hand over THIS epoch's
+                # anomalies while they're still persisted — subscribers
+                # must never have to re-read the (unbounded) anomaly store
+                self._on_emitted(emitted, epoch_id)
         finally:
             emitted.unpersist()
+
+    def _on_emitted(self, emitted: DataFrame, epoch_id: int) -> None:
+        """Called once per anomaly-producing epoch with that epoch's
+        emitted rows (persisted). Default: no-op."""
 
     def compact_store(self) -> None:
         """Physical retention prune (S6) — rewrite the store keeping only

@@ -68,6 +68,31 @@ def test_ngram_jaccard_values(docs):
     assert 0.5 < rows[(1, 3)] < 1.0
 
 
+def test_ngram_jaccard_max_df_guard(spark):
+    """One planted hot shingle shared by every doc must not create the
+    quadratic all-pairs clique: with the df cap it drops out of the
+    similarity universe; the genuine near-dup pair still scores 1.0."""
+    boiler = "subscribe to our newsletter"
+    rows = [(i, f"{boiler} unique{i} a b") for i in range(20)]
+    rows.append((100, "real duplicate text body here"))
+    rows.append((101, "real duplicate text body here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.1, max_df=10
+        ).collect()
+    }
+    assert capped == {(100, 101): 1.0}
+
+    # uncapped exact mode still produces the boilerplate clique
+    uncapped = ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.1, max_df=None
+    ).count()
+    assert uncapped > 100
+
+
 def test_dedup_simhash(docs):
     pairs = {(r.id_a, r.id_b): r.hamming for r in dedup_simhash(docs, "doc_id", "text", max_hamming=10).collect()}
     assert pairs[(1, 2)] == 0  # identical text -> identical fingerprint
