@@ -58,12 +58,14 @@ def skew_report(
             F.col("n_rows") * F.col("__n_keys") / F.col("__total"), 6
         ).alias("skew"),
     )
-    from pyspark.sql.window import Window
-
-    rank = F.row_number().over(
-        Window.orderBy(F.col("n_rows").desc(), F.col("key_value"))
+    # rank over the already-truncated top-k without a WindowExec (whose
+    # empty partition spec warns in plan audits; constant keys fold away):
+    # one explicit partition, re-sorted, ordinal from mono id
+    return (
+        enriched.coalesce(1)
+        .sortWithinPartitions(F.col("n_rows").desc(), F.col("key_value"))
+        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("long"))
     )
-    return enriched.withColumn("rank", rank.cast("long"))
 
 
 def profile_columns(

@@ -387,8 +387,14 @@ def top_terms(
         F.count(F.lit(1)).alias("df_docs"),
     )
     top = per_term.orderBy(F.col("n_occ").desc(), F.col("term")).limit(k)
-    w = Window.orderBy(F.col("n_occ").desc(), F.col("term"))
-    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+    # rank over the k surviving rows without a WindowExec (whose empty
+    # partition spec warns in plan audits; constant keys fold away):
+    # one explicit partition, re-sorted, ordinal from mono id
+    return (
+        top.coalesce(1)
+        .sortWithinPartitions(F.col("n_occ").desc(), F.col("term"))
+        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("long"))
+    )
 
 
 def bigram_transitions(

