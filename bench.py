@@ -14,7 +14,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -22,6 +24,101 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import __spark_entry__ as entrymod
 from sarkac_spark.session import get_spark
+
+# streaming pipeline comparison: one envelope source split into
+# STREAM_BATCHES files (maxFilesPerTrigger=1 forces one trigger per
+# file), run through (a) the reference-faithful rescan pipeline
+# (foreachBatch recomputes stats over the whole retained store every
+# trigger) and (b) the keyed-state pipeline (applyInPandasWithState:
+# per-trigger cost O(batch), history never re-read). The per-stream
+# wall time lands in the "queries" map like any other entry.
+STREAM_BATCHES = 10
+STREAM_MSGS_PER_BATCH = 400
+
+
+def _stream_source(spark, workdir: str):
+    from sarkac_spark.sources.synthetic import example_messages
+
+    n = STREAM_BATCHES * STREAM_MSGS_PER_BATCH
+    msgs = example_messages(spark, n=n).collect()
+    src = os.path.join(workdir, "env_src")
+    for i in range(STREAM_BATCHES):
+        part = msgs[i * STREAM_MSGS_PER_BATCH : (i + 1) * STREAM_MSGS_PER_BATCH]
+        spark.createDataFrame(
+            part, "topic string, key string, value string, ts timestamp"
+        ).coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+    return (
+        spark.readStream.schema(
+            "topic string, key string, value string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+
+
+def stream_pipeline_bench(spark) -> dict[str, float]:
+    from sarkac_spark.config import DSL
+    from sarkac_spark.sources.synthetic import TOPIC
+    from sarkac_spark.streaming.pipeline import (
+        SigmaStreamConfig,
+        SigmaStreamPipeline,
+        StatefulSigmaPipeline,
+    )
+
+    dsl = DSL.parse(
+        {TOPIC: {"fields": {"sub.one": {"windows": ["5m"]}, "two": {"windows": ["5m"]}}}}
+    )
+    out: dict[str, float] = {}
+
+    workdir = tempfile.mkdtemp(prefix="sarkac_bench_stream_")
+    # state-store partitioning: each shuffle partition carries its own
+    # state store instance that opens+commits EVERY trigger, so a
+    # 2-series stream under 32 partitions pays 30 empty commits per
+    # trigger. Size to the series count, as a deployment would (the
+    # checkpoint pins it at first start).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        # (a) rescan pipeline: per-trigger cost grows with the store
+        stream = _stream_source(spark, workdir)
+        cfg = SigmaStreamConfig(
+            store_dir=os.path.join(workdir, "store"),
+            anomaly_dir=os.path.join(workdir, "anoms"),
+            trigger_seconds=1,
+        )
+        t0 = time.perf_counter()
+        q = SigmaStreamPipeline(spark, dsl, cfg).start(
+            stream, checkpoint_dir=os.path.join(workdir, "ckpt_rescan")
+        )
+        q.processAllAvailable()
+        q.stop()
+        out[f"stream_rescan_{STREAM_BATCHES}x{STREAM_MSGS_PER_BATCH}"] = round(
+            time.perf_counter() - t0, 3
+        )
+
+        # (b) keyed-state pipeline on the same source
+        stream = _stream_source(spark, os.path.join(workdir, "b"))
+        p = StatefulSigmaPipeline(
+            spark,
+            dsl,
+            anomaly_dir=os.path.join(workdir, "anoms_state"),
+            cooldown_seconds=0,
+        )
+        t0 = time.perf_counter()
+        q = p.start(
+            stream,
+            checkpoint_dir=os.path.join(workdir, "ckpt_state"),
+            trigger_seconds=1,
+        )
+        q.processAllAvailable()
+        q.stop()
+        out[f"stream_stateful_{STREAM_BATCHES}x{STREAM_MSGS_PER_BATCH}"] = round(
+            time.perf_counter() - t0, 3
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(workdir, ignore_errors=True)
+    return out
 
 
 def main() -> None:
@@ -47,6 +144,11 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+
+    try:
+        timings.update(stream_pipeline_bench(spark))
+    except Exception as e:  # keep the batch numbers even if streaming breaks
+        print(f"stream bench failed: {e}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
