@@ -510,3 +510,87 @@ def inverted_index(
         )
         .filter(F.col("n_docs").between(min_df, max_df))
     )
+
+
+# --- span-level (paragraph) dedup ---------------------------------------------
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 10,
+) -> DataFrame:
+    """C4/Dolma-style sub-document dedup: drop every later occurrence of
+    a repeated text span ACROSS the whole corpus, keeping only the first
+    (smallest (doc, position)), then reassemble each document from its
+    surviving spans.
+
+    Exact-duplicate paragraphs — boilerplate headers, license blocks,
+    navigation chrome — are the dominant repetition mode in web-scale
+    training data, and document-level dedup never sees them. Real
+    deployments split on structural boundaries (newlines / sentence
+    breaks); the test corpus has none, so the unit here is a fixed
+    ``span_words``-word window — same plan, different splitter.
+
+    Scale shape: explode to one row per span (map-only), ONE shuffle on
+    the span's 60-bit md5 to pick global first occurrences (row_number
+    over the hash, (doc, pos) order — ties impossible: total order), one
+    shuffle back on the doc id to reassemble in position order. Hot
+    spans (the boilerplate being removed) skew the hash shuffle; AQE
+    skew-split handles them, and the per-hash window only *sorts* the
+    group, never joins it against itself — O(D log D), not O(D^2).
+
+    Returns (id, text_dedup, n_spans, n_kept); documents whose every
+    span was a later duplicate keep an empty text_dedup.
+    """
+    words = df.select(F.col(id_col), words_col(text_col).alias("__w"))
+    w = F.col("__w")
+    n_spans = F.ceil(F.size(w) / F.lit(span_words)).cast("int")
+    idx = F.sequence(F.lit(0), n_spans - 1)
+    # materialize __w first (no CSE across the HOF boundary — see shingles)
+    span = F.transform(
+        idx,
+        lambda i: F.array_join(F.slice(w, i * span_words + 1, span_words), " "),
+    )
+    spans = words.select(
+        F.col(id_col),
+        F.posexplode(F.when(F.size(w) > 0, span).otherwise(F.array().cast("array<string>"))).alias(
+            "pos", "span"
+        ),
+    )
+    first = (
+        spans.withColumn("__h", _h60(F.col("span")))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__h").orderBy(F.col(id_col), F.col("pos"))
+            ),
+        )
+    )
+    kept = first.filter(F.col("__rn") == 1)
+    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("span")))
+                    ),
+                    lambda s: s.getField("span"),
+                ),
+                " ",
+            ).alias("text_dedup"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+            "n_spans",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

@@ -157,3 +157,75 @@ def sample_per_group(
         .filter(F.col("__rank") <= n_per_group)
         .drop("__rank")
     )
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.5,
+    budget: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Temperature-balanced mixture rates (the multilingual-LM sampling
+    rule: p_l ∝ count_l^alpha). alpha=1 keeps natural proportions,
+    alpha=0 is uniform over strata; 0.3-0.7 is the usual band that stops
+    head languages drowning the tail.
+
+    Returns one row per stratum: (stratum, n_rows, mix_weight,
+    sample_rate) where sample_rate = min(1, budget * mix_weight / n_rows)
+    — the per-stratum Bernoulli rate that realizes the target mixture in
+    expectation under ``budget`` total rows (default: corpus size).
+
+    Shape: one grouped count + a 1-row total broadcast back — the rate
+    table is |strata| rows, always broadcastable to the sampler join.
+    Rates are rounded so the downstream integer cutoffs are identical
+    across engines.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    powed = counts.withColumn(
+        "__pw", F.pow(F.col("n_rows").cast("double"), F.lit(alpha))
+    )
+    tot = powed.agg(
+        F.sum("__pw").alias("__pw_sum"), F.sum("n_rows").alias("__n_total")
+    )
+    budget_col = F.lit(budget) if budget is not None else F.col("__n_total")
+    return (
+        powed.crossJoin(F.broadcast(tot))
+        .withColumn("mix_weight", F.round(F.col("__pw") / F.col("__pw_sum"), round_digits))
+        .withColumn(
+            "sample_rate",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    budget_col * F.col("mix_weight") / F.col("n_rows"),
+                ),
+                round_digits,
+            ),
+        )
+        .select(stratum_col, "n_rows", "mix_weight", "sample_rate")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    alpha: float = 0.5,
+    budget: int | None = None,
+    salt: str = "temp",
+) -> DataFrame:
+    """Apply ``temperature_mix_rates`` as a deterministic hash-Bernoulli
+    sample: the head strata are thinned toward the alpha-tempered
+    mixture, tail strata kept (rate caps at 1). Same no-rand() contract
+    as every sampler here; the rate table rides as a broadcast dim, the
+    filter itself is map-only on the fact side."""
+    rates = temperature_mix_rates(df, stratum_col, alpha=alpha, budget=budget)
+    cutoff = F.round(F.col("sample_rate") * SAMPLE_MOD).cast("long")
+    return (
+        df.join(
+            F.broadcast(rates.select(stratum_col, cutoff.alias("__cutoff"))),
+            on=stratum_col,
+        )
+        .filter(sample_hash(id_col, salt) < F.col("__cutoff"))
+        .drop("__cutoff")
+    )

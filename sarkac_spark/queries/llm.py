@@ -88,6 +88,30 @@ def q_dedup_simhash(spark, sf_dir):
 # (mirrored in the oracle; see operators/dedup.ngram_jaccard_pairs)
 NGRAM_MAX_DF = 256
 
+# span dedup: fixed word-window segmentation (the synthetic corpus has no
+# newline/sentence structure); temperature mixing: sqrt tempering
+SPAN_WORDS = 10
+TEMP_ALPHA = 0.5
+
+
+def q_span_dedup(spark, sf_dir):
+    """C4-style cross-corpus span dedup: later occurrences of a repeated
+    10-word span are dropped, documents reassembled from survivors."""
+    from sarkac_spark.operators.dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir), "doc_id", "text", span_words=SPAN_WORDS)
+
+
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-balanced corpus sample (p_l ∝ count_l^0.5): head
+    languages thinned toward the tempered mixture, deterministic
+    hash-Bernoulli, rate table broadcast."""
+    from sarkac_spark.operators.sampling import temperature_sample
+
+    return temperature_sample(
+        _docs(spark, sf_dir), "doc_id", "lang", alpha=TEMP_ALPHA
+    ).select("doc_id", "lang")
+
 
 def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
@@ -503,6 +527,8 @@ QUERIES = {
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
+    "span_dedup": q_span_dedup,
+    "temperature_sample": q_temperature_sample,
     "multimodal_payload": q_multimodal_payload,
 }
 
@@ -1250,6 +1276,46 @@ SELECT doc_id, n_words, unique_ratio, mean_word_len, punct_ratio, digit_ratio,
 FROM feats
 """,
     "lang_id": _lang_id_sql(),
+    "span_dedup": f"""
+WITH ws AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+spans AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(
+           list_slice(w, u.i * {SPAN_WORDS} + 1, u.i * {SPAN_WORDS} + {SPAN_WORDS}),
+           ' ') AS span
+  FROM ws, UNNEST(range(0, CAST(ceil(len(w) / {SPAN_WORDS}.0) AS INT))) AS u(i)
+),
+first AS (
+  SELECT doc_id, pos, span, row_number() OVER (
+    PARTITION BY substr(md5(span), 1, 15) ORDER BY doc_id, pos) AS rn
+  FROM spans
+),
+totals AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1),
+rebuilt AS (
+  SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text_dedup,
+         count(*) AS n_kept
+  FROM first WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(r.text_dedup, '') AS text_dedup, t.n_spans,
+       coalesce(r.n_kept, 0) AS n_kept
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+""",
+    "temperature_sample": f"""
+WITH c AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY 1),
+t AS (SELECT sum(pow(n_rows, {TEMP_ALPHA})) AS pw_sum,
+             sum(n_rows) AS n_total FROM c),
+r AS (
+  SELECT lang,
+         round(least(1.0,
+           t.n_total * round(pow(c.n_rows, {TEMP_ALPHA}) / t.pw_sum, 6)
+           / c.n_rows), 6) AS rate
+  FROM c, t
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE {_sample_hash_sql("temp")}
+      < CAST(round(rate * 1000000) AS BIGINT)
+""",
     "multimodal_payload": """
 SELECT doc_id AS media_id,
        ['image', 'audio', 'video'][(doc_id % 3 + 1)::int] AS kind,

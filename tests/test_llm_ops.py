@@ -564,3 +564,35 @@ def test_quantize_int8_error(spark):
     # error bounded by scale/2; 0.25 -> q=0 leaves err 0.25
     assert 0 < out[1].max_abs_err <= 0.5
     assert out[2].scale == 0.0 and out[2].max_abs_err == 0.0
+
+
+def test_span_dedup_drops_later_occurrences(spark):
+    from sarkac_spark.operators.dedup import span_dedup
+
+    boiler = "one two three four five"  # 5-word span unit below
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta eps"),
+        (2, f"{boiler} unique body text here now"),   # repeats the boiler span
+        (3, "totally different content in this doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in span_dedup(df, span_words=5).collect()}
+
+    # doc 1 (first occurrence) keeps everything
+    assert out[1].n_spans == 2 and out[1].n_kept == 2
+    assert out[1].text_dedup == rows[0][1]
+    # doc 2 loses the boilerplate span but keeps its unique tail
+    assert out[2].n_spans == 2 and out[2].n_kept == 1
+    assert out[2].text_dedup == "unique body text here now"
+    # untouched doc unchanged
+    assert out[3].text_dedup == rows[2][1]
+
+
+def test_span_dedup_fully_duplicate_doc_empties(spark):
+    from sarkac_spark.operators.dedup import span_dedup
+
+    t = "a b c d e f g h i j"
+    df = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    out = {r.doc_id: r for r in span_dedup(df, span_words=10).collect()}
+    assert out[1].text_dedup == t and out[1].n_kept == 1
+    assert out[2].text_dedup == "" and out[2].n_kept == 0 and out[2].n_spans == 1

@@ -114,3 +114,32 @@ def test_weighted_mix_fractional_calibration(spark):
     out = weighted_mix(d, "doc_id", "lang", {"en": 1.5}, default_weight=1.0)
     n_en = out.filter(F.col("lang") == "en").count()
     assert 1600 < n_en < 2000  # 1200 x 1.5 = 1800 +/- binomial noise
+
+
+def test_temperature_mix_rates_temper_head(spark):
+    from sarkac_spark.operators.sampling import temperature_mix_rates
+
+    rows = [(i, "en" if i < 900 else ("de" if i < 990 else "sw")) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {r.lang: r for r in temperature_mix_rates(df, "lang", alpha=0.5).collect()}
+    # sqrt tempering: head thinned, tail kept whole
+    assert rates["en"].sample_rate < 1.0
+    assert rates["sw"].sample_rate == 1.0
+    # mixture weights ordered but compressed vs natural proportions
+    assert rates["en"].mix_weight > rates["de"].mix_weight > rates["sw"].mix_weight
+    assert rates["en"].mix_weight < 0.9  # natural share was 0.9
+    total_w = sum(r.mix_weight for r in rates.values())
+    assert abs(total_w - 1.0) < 1e-4
+
+
+def test_temperature_sample_is_deterministic_subset(spark):
+    from sarkac_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "en" if i % 10 else "sw") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = {r.doc_id for r in temperature_sample(df, "doc_id", "lang", alpha=0.5).collect()}
+    b = {r.doc_id for r in temperature_sample(df, "doc_id", "lang", alpha=0.5).collect()}
+    assert a == b and a  # reproducible
+    # tail stratum survives whole (rate 1), head is thinned
+    assert {i for i in range(500) if i % 10 == 0} <= a
+    assert len(a) < 500
