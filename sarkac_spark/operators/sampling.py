@@ -21,7 +21,7 @@ Ops:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # u = h60(salt|id) % MOD gives ~6 significant digits of rate
 # resolution; cutoff comparison stays in integers (bit-identical
@@ -229,3 +229,60 @@ def temperature_sample(
         .filter(sample_hash(id_col, salt) < F.col("__cutoff"))
         .drop("__cutoff")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col,
+    budget: int = 2048,
+    n_groups: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Deterministic sequence-packing plan: assign every document to a
+    training sequence of ~``budget`` tokens — the pretraining-efficiency
+    move that turns ragged documents into dense fixed-length batches.
+
+    Documents are dealt into ``n_groups`` hash groups (deterministic,
+    uniform), ordered within each group by the hash variate (a stable
+    pseudo-shuffle: no rand(), so retries/re-runs pack identically), and
+    cut at running-token-count boundaries: a document starting before a
+    budget multiple joins that sequence, so sequences target ``budget``
+    tokens and overflow by at most one document (the standard greedy
+    concat-then-split packing; callers that need hard caps split the
+    overflowing tail document downstream).
+
+    Shape: one shuffle on the group key; the running sum is a window
+    per group (bounded: |corpus| / n_groups rows), never a global sort.
+    At 100 TB size n_groups to executor count x a few — packing quality
+    is unaffected by the group count, only sequence ids change.
+
+    Output: input columns + (pack_group, seq_id, seq_pos).
+    """
+    from pyspark.sql.window import Window
+
+    tokens = (
+        token_count_col
+        if isinstance(token_count_col, Column)
+        else F.col(token_count_col)
+    )
+    h = sample_hash(id_col, salt)
+    grouped = df.withColumn("pack_group", (h % n_groups).cast("int")).withColumn(
+        "__tok", tokens.cast("long")
+    )
+    w = Window.partitionBy("pack_group").orderBy(
+        sample_hash(id_col, f"{salt}|order"), F.col(id_col)
+    )
+    cum = F.sum("__tok").over(w)
+    seq = F.floor((cum - F.col("__tok")) / F.lit(budget)).cast("long")
+    with_seq = grouped.withColumn("seq_id", seq)
+    # (pack_group, seq_id) clustering is a refinement of the pack_group
+    # hash partitioning, so this second window adds a sort but NO new
+    # exchange (Catalyst: HashPartitioning(pack_group) satisfies the
+    # subset ClusteredDistribution) — one shuffle total for the operator
+    pos = F.row_number().over(
+        Window.partitionBy("pack_group", "seq_id").orderBy(
+            sample_hash(id_col, f"{salt}|order"), F.col(id_col)
+        )
+    )
+    return with_seq.withColumn("seq_pos", pos.cast("long")).drop("__tok")

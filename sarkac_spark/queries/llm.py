@@ -92,6 +92,33 @@ NGRAM_MAX_DF = 256
 # newline/sentence structure); temperature mixing: sqrt tempering
 SPAN_WORDS = 10
 TEMP_ALPHA = 0.5
+VOCAB_TOP_K = 40
+PACK_BUDGET = 200  # tokens/sequence; docs are ~30-40 words
+PACK_GROUPS = 8
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve over the corpus: cumulative token share
+    covered by a vocab truncated at each of the top-40 terms."""
+    from sarkac_spark.operators.text import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir), "text", top_k=VOCAB_TOP_K)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing: documents dealt into hash groups
+    and cut into ~200-token training sequences (stable across re-runs)."""
+    from sarkac_spark.operators.sampling import pack_sequences
+    from sarkac_spark.operators.text import token_count
+
+    d = _docs(spark, sf_dir)
+    return pack_sequences(
+        d,
+        "doc_id",
+        token_count("text"),
+        budget=PACK_BUDGET,
+        n_groups=PACK_GROUPS,
+    ).select("doc_id", "pack_group", "seq_id", "seq_pos")
 
 
 def q_span_dedup(spark, sf_dir):
@@ -529,6 +556,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "span_dedup": q_span_dedup,
     "temperature_sample": q_temperature_sample,
+    "vocab_coverage": q_vocab_coverage,
+    "pack_sequences": q_pack_sequences,
     "multimodal_payload": q_multimodal_payload,
 }
 
@@ -1315,6 +1344,47 @@ SELECT d.doc_id, d.lang
 FROM documents d JOIN r USING (lang)
 WHERE {_sample_hash_sql("temp")}
       < CAST(round(rate * 1000000) AS BIGINT)
+""",
+    "vocab_coverage": f"""
+WITH ws AS (SELECT {_WORDS} AS w FROM documents),
+words AS (SELECT lower(u.s) AS term FROM ws, UNNEST(ws.w) AS u(s)),
+counts AS (SELECT term, count(*) AS n_occ FROM words GROUP BY 1),
+tot AS (SELECT sum(n_occ) AS total FROM counts),
+top AS (
+  SELECT term, n_occ,
+         row_number() OVER (ORDER BY n_occ DESC, term) AS rank
+  FROM counts QUALIFY rank <= {VOCAB_TOP_K}
+),
+cum AS (
+  SELECT rank, term, n_occ,
+         sum(n_occ) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS cum_occ
+  FROM top
+)
+SELECT rank, term, n_occ,
+       round(cum_occ / t.total, 6) AS cum_coverage,
+       round(1 - cum_occ / t.total, 6) AS oov_rate
+FROM cum, tot t
+""",
+    "pack_sequences": f"""
+WITH t AS (
+  SELECT doc_id,
+         len({_WORDS}) AS tok,
+         {_sample_hash_sql("pack")} % {PACK_GROUPS} AS pack_group,
+         {_sample_hash_sql("pack|order")} AS ohash
+  FROM documents
+),
+w AS (
+  SELECT *, sum(tok) OVER (
+    PARTITION BY pack_group ORDER BY ohash, doc_id
+    ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, CAST(pack_group AS INT) AS pack_group,
+       CAST(floor((cum - tok) / {PACK_BUDGET}) AS BIGINT) AS seq_id,
+       row_number() OVER (
+         PARTITION BY pack_group, floor((cum - tok) / {PACK_BUDGET})
+         ORDER BY ohash, doc_id) AS seq_pos
+FROM w
 """,
     "multimodal_payload": """
 SELECT doc_id AS media_id,

@@ -596,3 +596,21 @@ def test_span_dedup_fully_duplicate_doc_empties(spark):
     out = {r.doc_id: r for r in span_dedup(df, span_words=10).collect()}
     assert out[1].text_dedup == t and out[1].n_kept == 1
     assert out[2].text_dedup == "" and out[2].n_kept == 0 and out[2].n_spans == 1
+
+
+def test_vocab_coverage_curve(spark):
+    from sarkac_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a a a b b c"), (2, "a b c d")], "doc_id long, text string"
+    )
+    out = {r.rank: r for r in vocab_coverage(df, "text", top_k=10).collect()}
+    # 11 occurrences total: a=5, b=3, c=2, d=1
+    assert [out[i].term for i in (1, 2, 3, 4)] == ["a", "b", "c", "d"]
+    assert out[1].cum_coverage == round(5 / 11, 6)
+    assert out[2].cum_coverage == round(8 / 11, 6)
+    assert out[4].cum_coverage == 1.0 and out[4].oov_rate == 0.0
+    # coverage is monotone, oov complements it
+    for i in (1, 2, 3):
+        assert out[i].cum_coverage < out[i + 1].cum_coverage
+        assert out[i].oov_rate == round(1 - out[i].cum_coverage, 6)

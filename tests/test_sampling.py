@@ -143,3 +143,52 @@ def test_temperature_sample_is_deterministic_subset(spark):
     # tail stratum survives whole (rate 1), head is thinned
     assert {i for i in range(500) if i % 10 == 0} <= a
     assert len(a) < 500
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.operators.sampling import pack_sequences
+
+    rows = [(i, 40) for i in range(200)]  # uniform 40-token docs
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_sequences(df, "doc_id", F.col("n_tok"), budget=100, n_groups=4)
+    got = out.collect()
+    assert len(got) == 200  # every doc packed exactly once
+
+    # per-sequence totals: greedy concat-then-split means each sequence
+    # holds >= budget tokens except the tail of each group, and overflows
+    # by at most one document
+    seqs = {}
+    for r in got:
+        seqs.setdefault((r.pack_group, r.seq_id), []).append(r)
+    for (g, s), members in seqs.items():
+        tot = 40 * len(members)
+        assert tot < 100 + 40  # budget + one doc max
+    # seq_pos is a dense 1..n ordinal within each sequence
+    for members in seqs.values():
+        assert sorted(m.seq_pos for m in members) == list(
+            range(1, len(members) + 1)
+        )
+
+    again = pack_sequences(
+        df, "doc_id", F.col("n_tok"), budget=100, n_groups=4
+    ).collect()
+    assert {(r.doc_id, r.seq_id, r.seq_pos) for r in again} == {
+        (r.doc_id, r.seq_id, r.seq_pos) for r in got
+    }
+
+
+def test_pack_sequences_single_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.operators.sampling import pack_sequences
+    from sarkac_spark.plans import shuffle_count
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.lit(32).alias("n_tok")
+    )
+    out = pack_sequences(df, "doc_id", F.col("n_tok"), budget=256, n_groups=4)
+    # the (group, seq) window must reuse the group-hash exchange: one
+    # shuffle total, or packing 100 TB pays a second full-data exchange
+    assert shuffle_count(out) == 1
