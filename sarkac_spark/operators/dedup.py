@@ -387,14 +387,19 @@ def ngram_jaccard_pairs(
     corpora. At large n prefer ``dedup_minhash`` (LSH candidates)."""
     sh = shingles(df, id_col, text_col, n=shingle_n)
     if max_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_df)
-            .select("shingle")
+        # df cap as a count-window over the shingle partitioning the
+        # self-join needs anyway: ONE exchange on shingle that the a/b
+        # join legs and the sizes agg all reuse (an aggregate+anti-join
+        # formulation re-scanned + re-shingled the corpus per leg — 8
+        # scans, zero reuse)
+        sh = (
+            sh.withColumn(
+                "__df",
+                F.count(F.lit(1)).over(Window.partitionBy("shingle")),
+            )
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
         )
-        # hot side is small by construction (few shingles exceed the cap)
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed(id_col, "id_a")
     b = sh.withColumnRenamed(id_col, "id_b")
