@@ -240,3 +240,33 @@ def test_cosine_all_pairs_blocked_matches_broadcast(spark, sf_dir):
         for r in cosine_all_pairs(emb, threshold=0.3, small_corpus=True).collect()
     }
     assert blocked and blocked == bcast
+
+
+def test_new_curation_query_plan_shapes(spark, sf_dir):
+    """Plan regressions for the round-2 curation queries: shuffle budgets
+    and fact-side broadcast joins must survive refactors."""
+    from sarkac_spark.queries.llm import (
+        q_pack_sequences,
+        q_span_dedup,
+        q_temperature_sample,
+        q_vocab_coverage,
+    )
+
+    sd = q_span_dedup(spark, sf_dir)
+    # span-hash window + totals + rebuild: three data-sized shuffles max
+    assert shuffle_count(sd) <= 3
+
+    ts = q_temperature_sample(spark, sf_dir)
+    # rate dim joins broadcast; only the tiny count/total aggs shuffle
+    assert has_broadcast_hash_join(ts)
+    assert shuffle_count(ts) <= 2
+
+    ps = q_pack_sequences(spark, sf_dir)
+    # the (group, seq) ordinal window must reuse the group exchange
+    assert shuffle_count(ps) == 1
+
+    vc = q_vocab_coverage(spark, sf_dir)
+    plan = _plan(vc)
+    # top-k is a driver merge, and no unpartitioned window sneaks in
+    assert "TakeOrderedAndProject" in plan
+    assert shuffle_count(vc) <= 3
