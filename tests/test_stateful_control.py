@@ -1,0 +1,109 @@
+"""stateful_cusum_scan (keyed-state streaming CUSUM) must reproduce the
+batch cusum_scan flags when fed the same rows in event-time order with
+the batch operator's own whole-series stats as its baseline — the same
+pinned-equivalence contract as stateful_sigma ≡ online_sigma."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from sarkac_spark.operators.control import cusum_scan
+from sarkac_spark.streaming.stateful_control import stateful_cusum_scan
+
+T0 = dt.datetime(2024, 1, 1)
+SCHEMA = "series string, ts_us long, value double"
+
+
+def _rows():
+    """Two series: one with an upward 1.25-sigma shift, one quiet."""
+    rows = []
+    for i in range(60):
+        base = 1.0 if i % 2 == 0 else -1.0
+        shift = 1.25 if i >= 40 else 0.0
+        rows.append(("drift", i * 1_000_000, base + shift))
+        rows.append(("quiet", i * 1_000_000, base))
+    return rows
+
+
+def _run_stream(spark, tmp_path, rows, baseline, n_files=4):
+    rows = sorted(rows, key=lambda r: r[1])
+    chunk = math.ceil(len(rows) / n_files)
+    src = tmp_path / "cusum_src"
+    for i in range(n_files):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, SCHEMA).coalesce(1).write.parquet(
+                str(src / f"b{i}")
+            )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stateful_cusum_scan(stream, baseline)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cusum_out")
+        .option("checkpointLocation", str(tmp_path / "cusum_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql("SELECT * FROM cusum_out").collect()
+
+
+def test_stateful_cusum_matches_batch(spark, tmp_path):
+    rows = _rows()
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    # batch operator wants a timestamp column; derive one
+    bdf = df.withColumn("ts", F.timestamp_micros("ts_us").cast("timestamp"))
+    batch = cusum_scan(
+        bdf, group_cols=("series",), value_col="value", ts_col="ts", id_cols=()
+    ).collect()
+
+    # the streaming baseline = the batch operator's own global stats
+    stats = (
+        bdf.groupBy("series")
+        .agg(
+            F.round(F.avg("value"), 6).alias("mu"),
+            F.round(F.stddev_pop("value"), 6).alias("sd"),
+        )
+        .collect()
+    )
+    baseline = {r.series: (r.mu, r.sd) for r in stats}
+
+    got = _run_stream(spark, tmp_path, rows, baseline)
+
+    got_map = {(r.series, r.event_ts_us): r for r in got}
+    exp_map = {(r.series, r.ts_us): r for r in batch}
+    assert set(got_map) == set(exp_map)
+    assert got_map, "the planted drift must trip"
+    assert all(r.series == "drift" for r in got)
+    for kk, g in got_map.items():
+        e = exp_map[kk]
+        assert g.value == e.value and g.direction == e.direction
+        assert abs(g.cusum_hi - e.cusum_hi) < 1e-6
+        assert abs(g.cusum_lo - e.cusum_lo) < 1e-6
+
+
+def test_stateful_cusum_state_carries_across_batches(spark, tmp_path):
+    """Accumulated drift must survive micro-batch boundaries: with tiny
+    batches the trip point is identical to the single-batch run."""
+    rows = _rows()
+    baseline = {"drift": (0.416667, 1.160672), "quiet": (0.0, 1.0)}
+    one = _run_stream(spark, tmp_path / "a", rows, baseline, n_files=1)
+    many = _run_stream(spark, tmp_path / "b", rows, baseline, n_files=8)
+    k = lambda r: (r.series, r.event_ts_us, r.direction)  # noqa: E731
+    assert {k(r) for r in one} == {k(r) for r in many}
+    assert one
+
+
+def test_stateful_cusum_unknown_series_unscored(spark, tmp_path):
+    rows = [("mystery", i * 1_000_000, float(i * 100)) for i in range(20)]
+    got = _run_stream(spark, tmp_path, rows, {"other": (0.0, 1.0)}, n_files=1)
+    assert got == []
