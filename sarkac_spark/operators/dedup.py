@@ -151,41 +151,6 @@ def minhash_lsh_candidates(
     )
 
 
-def jaccard_verify(
-    candidates: DataFrame,
-    sh: DataFrame,
-    id_col: str,
-    threshold: float,
-) -> DataFrame:
-    """Exact Jaccard on candidate pairs via the shingle inverted index:
-    |A ∩ B| from a pair-conditioned equi-join, |A ∪ B| = |A|+|B|-|A∩B|.
-    Returns (id_a, id_b, jaccard) above threshold."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        candidates
-        .join(sh.withColumnRenamed(id_col, "id_a"), "id_a")
-        .join(
-            sh.withColumnRenamed(id_col, "id_b"),
-            ["id_b", "shingle"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-
-
 def dedup_minhash(
     df: DataFrame,
     id_col: str,

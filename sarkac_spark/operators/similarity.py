@@ -62,23 +62,6 @@ def _as_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
 
 
-def pair_dot_pandas() -> Column:
-    """Arrow-vectorized pairwise dot product: numpy einsum over the whole
-    batch instead of a per-pair JVM array fold. For all-pairs workloads
-    (n^2 x d multiply-adds) this is the documented fast path — the JVM
-    ``aggregate`` fold allocates per pair; BLAS-style batching doesn't.
-    float64 accumulation: differences vs a sequential fold are ~1e-15
-    relative, absorbed by the 6-decimal rounding every caller applies."""
-
-    @F.pandas_udf("double")
-    def _dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        A = np.vstack(a.to_numpy())
-        B = np.vstack(b.to_numpy())
-        return pd.Series(np.einsum("ij,ij->i", A, B))
-
-    return _dot_udf
-
-
 def cosine_all_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

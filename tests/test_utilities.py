@@ -1,0 +1,120 @@
+"""Coverage for the utility surfaces that ship without a query-contract
+row: skew-salted joins, the StreamingQueryListener bridge, temp-view
+registration, the Kafka sink builder's failure mode, and the cluster
+conf preset. Untested code is a liability — every public entry point
+gets at least a behavioral check."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_salted_join_row_identical_and_distributed(spark):
+    """The salted join must return exactly the plain join's rows, and the
+    hot key's rows must actually spread across salt values."""
+    from sarkac_spark.operators.skew import salt_large, salted_join
+
+    large_rows = [(i, "hot" if i % 10 else f"cold{i}", float(i)) for i in range(1000)]
+    large = spark.createDataFrame(large_rows, "row_id long, k string, v double")
+    small = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"cold{i}", 2.0) for i in range(0, 1000, 10)],
+        "k string, w double",
+    )
+
+    got = salted_join(large, small, ["k"], "row_id", n_salt=8).collect()
+    exp = large.join(small, "k").collect()
+    key = lambda r: (r.row_id, r.k, r.v, r.w)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, exp))
+
+    # deterministic spread: the hot key occupies every salt bucket
+    salted = salt_large(large.filter(F.col("k") == "hot"), "row_id", 8)
+    buckets = {r["__salt"] for r in salted.select("__salt").distinct().collect()}
+    assert buckets == set(range(8))
+    # and salting is retry-stable (pure function of row id)
+    def salts():
+        return {
+            (r["row_id"], r["__salt"])
+            for r in salt_large(large, "row_id", 8)
+            .select("row_id", "__salt")
+            .collect()
+        }
+
+    assert salts() == salts()
+
+
+def test_query_listener_bridges_progress_to_bus(tmp_path, spark):
+    """SigmaQueryListener must tick counters/bus from real streaming
+    progress events."""
+    from sarkac_spark.streaming.listener import (
+        EventBus,
+        SigmaQueryListener,
+        StatsCounters,
+    )
+
+    bus, counters = EventBus(), StatsCounters()
+    seen: list[int] = []
+    bus.on("message", seen.append)
+    listener = SigmaQueryListener(bus, counters)
+    spark.streams.addListener(listener)
+    try:
+        src = tmp_path / "src"
+        spark.createDataFrame([(1,)], "v long").write.parquet(str(src / "b0"))
+        q = (
+            spark.readStream.schema("v long")
+            .parquet(str(src / "*"))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # listener events are delivered asynchronously post-stop
+        import time
+
+        deadline = time.time() + 10
+        while time.time() < deadline and counters.analysed_messages < 1:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert counters.analysed_messages >= 1
+    assert counters.scan_runs >= 1
+    assert sum(seen) >= 1
+
+
+def test_register_views_exposes_oracle_names(spark, sf_dir):
+    from sarkac_spark.sources.tables import TABLES, register_views
+
+    register_views(spark, sf_dir)
+    for t in TABLES:
+        assert spark.sql(f"SELECT count(*) AS n FROM {t}").collect()[0].n >= 0
+    # joins across views work (the oracle-parity surface)
+    n = spark.sql(
+        "SELECT count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    ).collect()[0].n
+    assert n > 0
+
+
+def test_write_kafka_raises_actionable_error_without_package(spark, tmp_path):
+    """No Kafka package ships in this env: the sink builder must fail
+    with the actionable message, not an opaque ClassNotFound."""
+    from sarkac_spark.sources.kafka import write_kafka
+
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    payload = stream.selectExpr("CAST(value AS STRING) AS value")
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        write_kafka(
+            payload, "localhost:9092", "anomalies", str(tmp_path / "ck")
+        )
+
+
+def test_cluster_defaults_preset_sane():
+    from sarkac_spark.session import cluster_defaults
+
+    conf = cluster_defaults(target_tb=100.0)
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    assert int(conf["spark.sql.shuffle.partitions"]) >= 10_000
+    assert int(conf["spark.sql.files.maxPartitionBytes"]) == 512 * 1024 * 1024
+    # preset must be strings only (spark-submit --conf compatible)
+    assert all(isinstance(v, str) for v in conf.values())
