@@ -614,3 +614,43 @@ def test_vocab_coverage_curve(spark):
     for i in (1, 2, 3):
         assert out[i].cum_coverage < out[i + 1].cum_coverage
         assert out[i].oov_rate == round(1 - out[i].cum_coverage, 6)
+
+
+def test_star_components_match_min_label_on_paths_and_random(spark):
+    """Star contraction must produce identical components to min-label
+    propagation — including on a long path, where min-label would need
+    diameter rounds but star contraction stays logarithmic."""
+    import random
+
+    from sarkac_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # long path 0-1-2-...-120 (diameter 120) + a disjoint triangle
+    path = [(i, i + 1) for i in range(120)]
+    tri = [(500, 501), (501, 502), (500, 502)]
+    edges = spark.createDataFrame(path + tri, "id_a long, id_b long")
+    star = {
+        r.node: r.component
+        for r in connected_components_star(edges, max_iter=20).collect()
+    }
+    assert {star[i] for i in range(121)} == {0}
+    assert {star[i] for i in (500, 501, 502)} == {500}
+    # min-label agrees (given enough rounds for the diameter)
+    ml = {
+        r.node: r.component
+        for r in connected_components(edges, max_iter=130).collect()
+    }
+    assert star == ml
+
+    # seeded random graphs: same partition either way
+    rng = random.Random(7)
+    rand_edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+    ]
+    rand_edges = [(a, b) for a, b in rand_edges if a != b]
+    df = spark.createDataFrame(rand_edges, "id_a long, id_b long")
+    s = {r.node: r.component for r in connected_components_star(df).collect()}
+    m = {r.node: r.component for r in connected_components(df, max_iter=60).collect()}
+    assert s == m
