@@ -112,3 +112,115 @@ def stateful_cusum_scan(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_STATE_SCHEMA = (
+    "closed_means array<double>, open_bucket array<long>, "
+    "open_sum array<double>, open_n array<long>"
+)
+EWMA_OUT_SCHEMA = (
+    "series string, bucket_us long, v double, ewma double, "
+    "band_lo double, band_hi double"
+)
+
+
+def stateful_ewma_scan(
+    stream: DataFrame,
+    baseline: dict[str, tuple[float, float]],
+    key_col: str = "series",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    bucket_seconds: int = 3600,
+    n_lags: int = 8,
+    limit_sigma: float = 3.0,
+) -> DataFrame:
+    """Streaming EWMA control chart — the keyed-state twin of
+    ``operators/control.ewma_scan``.
+
+    State per series: the last ``n_lags - 1`` *closed* bucket means plus
+    the still-open buckets' (sum, count) accumulators — O(n_lags + open
+    buckets), independent of history length. A bucket closes when a
+    strictly later bucket's data arrives (per-series event-time
+    watermark); on close its mean enters the kernel window and the
+    bucket is scored against ``mu ± limit_sigma·sd·sqrt(1/3)`` with the
+    same truncated power-of-two kernel (head renormalization included)
+    as the batch operator. Late points for an already-closed bucket are
+    dropped — the watermark tradeoff every streaming aggregation makes;
+    the batch operator remains the retrospective exact scorer.
+
+    ``baseline``: series -> (mu, sd) in-control stats over bucket means,
+    injected like the CUSUM twin (a stream has no whole-relation stats);
+    series absent from the map pass through unscored.
+    """
+    bucket_us_width = bucket_seconds * 1_000_000
+    weights = [1.0 / (1 << (j + 1)) for j in range(n_lags)]
+
+    def scan(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        series = key[0]
+        stats = baseline.get(series)
+        if stats is None or stats[1] <= 0:
+            state.update(([], [], [], []))
+            return
+        mu, sd = stats
+        band = limit_sigma * sd * (1.0 / 3.0) ** 0.5
+
+        if state.exists:
+            closed, ob, osum, on = state.get
+            closed = list(closed)
+            open_b = {b: [s, n] for b, s, n in zip(ob, osum, on)}
+        else:
+            closed, open_b = [], {}
+
+        def kernel(tail: list[float]) -> float:
+            num = sum(w * x for w, x in zip(weights, reversed(tail)))
+            den = sum(weights[: len(tail)])
+            return round(num / den, 6)
+
+        for pdf in pdfs:
+            b = (
+                pdf[ts_col].to_numpy(dtype=np.int64) // bucket_us_width
+            ) * bucket_us_width
+            x = pdf[value_col].to_numpy(dtype=np.float64)
+            for bb, xx in zip(b, x):
+                acc = open_b.setdefault(int(bb), [0.0, 0])
+                acc[0] += float(xx)
+                acc[1] += 1
+            out = {c: [] for c in ("bucket_us", "v", "ewma", "band_lo", "band_hi")}
+            if open_b:
+                hwm = max(open_b)
+                for bb in sorted(k for k in open_b if k < hwm):
+                    s, n = open_b.pop(bb)
+                    v = round(s / n, 6)
+                    closed.append(v)
+                    del closed[: max(0, len(closed) - n_lags)]
+                    e = kernel(closed[-n_lags:])
+                    if abs(e - mu) > band:
+                        out["bucket_us"].append(bb)
+                        out["v"].append(v)
+                        out["ewma"].append(e)
+                        out["band_lo"].append(round(mu - band, 6))
+                        out["band_hi"].append(round(mu + band, 6))
+            if out["bucket_us"]:
+                yield pd.DataFrame({"series": series, **out})
+
+        keep = sorted(open_b)
+        state.update(
+            (
+                closed[-(n_lags - 1) :],
+                keep,
+                [open_b[k][0] for k in keep],
+                [open_b[k][1] for k in keep],
+            )
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        scan,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

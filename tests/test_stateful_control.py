@@ -107,3 +107,111 @@ def test_stateful_cusum_unknown_series_unscored(spark, tmp_path):
     rows = [("mystery", i * 1_000_000, float(i * 100)) for i in range(20)]
     got = _run_stream(spark, tmp_path, rows, {"other": (0.0, 1.0)}, n_files=1)
     assert got == []
+
+
+def _run_ewma_stream(spark, tmp_path, rows, baseline, n_files=4, **kw):
+    from sarkac_spark.streaming.stateful_control import stateful_ewma_scan
+
+    rows = sorted(rows, key=lambda r: r[1])
+    chunk = math.ceil(len(rows) / n_files)
+    src = tmp_path / "ewma_src"
+    for i in range(n_files):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, SCHEMA).coalesce(1).write.parquet(
+                str(src / f"b{i}")
+            )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stateful_ewma_scan(stream, baseline, **kw)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_out")
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql("SELECT * FROM ewma_out").collect()
+
+
+def test_stateful_ewma_matches_batch(spark, tmp_path):
+    """Same rows, event-time order, batch-derived baseline: the streaming
+    chart must flag exactly the batch operator's buckets (a sentinel
+    event past the end closes the final bucket — streaming can only
+    score a bucket once a later one arrives)."""
+    from sarkac_spark.operators.control import ewma_scan
+
+    rows = []
+    eid = 0
+    for b in range(40):
+        level = 10.0 if b < 30 else 14.0
+        for j in range(4):
+            ts_us = (b * 3600 + j * 600) * 1_000_000
+            rows.append(("s", ts_us, level + (0.5 if j % 2 == 0 else -0.5)))
+            eid += 1
+
+    bdf = spark.createDataFrame(rows, SCHEMA).withColumn(
+        "ts", F.timestamp_micros("ts_us").cast("timestamp")
+    )
+    batch = ewma_scan(
+        bdf,
+        group_cols=("series",),
+        value_col="value",
+        ts_col="ts",
+        limit_sigma=2.0,
+    ).collect()
+    assert batch  # the fixture must flag something
+
+    # baseline = the batch operator's own bucket-mean stats (rounded)
+    buckets = bdf.groupBy(
+        "series", (F.floor(F.col("ts_us") / 3_600_000_000)).alias("b")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    st = (
+        buckets.groupBy("series")
+        .agg(
+            F.round(F.avg("v"), 6).alias("mu"),
+            F.round(F.stddev_pop("v"), 6).alias("sd"),
+        )
+        .collect()
+    )
+    baseline = {r.series: (r.mu, r.sd) for r in st}
+
+    sentinel = [("s", 41 * 3600 * 1_000_000, 0.0)]
+    got = _run_ewma_stream(
+        spark, tmp_path, rows + sentinel, baseline, limit_sigma=2.0
+    )
+
+    got_map = {r.bucket_us: r for r in got}
+    exp_map = {r.bucket_us: r for r in batch}
+    assert set(got_map) == set(exp_map)
+    for b, g in got_map.items():
+        e = exp_map[b]
+        assert g.v == e.v
+        assert abs(g.ewma - e.ewma) < 1e-6
+        assert abs(g.band_lo - e.band_lo) < 1e-6
+        assert abs(g.band_hi - e.band_hi) < 1e-6
+
+
+def test_stateful_ewma_open_bucket_survives_batch_split(spark, tmp_path):
+    """A bucket whose points span two micro-batches must aggregate to
+    the same mean as a single-batch run (open-bucket state carry)."""
+    rows = []
+    for b in range(12):
+        for j in range(4):
+            rows.append(
+                ("s", (b * 3600 + j * 700) * 1_000_000, 5.0 + (b % 3) + j * 0.1)
+            )
+    rows.append(("s", 13 * 3600 * 1_000_000, 0.0))  # sentinel closes b=12
+    baseline = {"s": (6.0, 0.8)}
+    one = _run_ewma_stream(spark, tmp_path / "a", rows, baseline, n_files=1,
+                           limit_sigma=1.0)
+    many = _run_ewma_stream(spark, tmp_path / "b", rows, baseline, n_files=7,
+                            limit_sigma=1.0)
+    k = lambda r: (r.bucket_us, r.v, r.ewma)  # noqa: E731
+    assert {k(r) for r in one} == {k(r) for r in many}
+    assert one
