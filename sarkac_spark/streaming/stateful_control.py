@@ -224,3 +224,99 @@ def stateful_ewma_scan(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SEASONAL_STATE_SCHEMA = (
+    "cell_n array<long>, cell_sum array<double>, cell_sumsq array<double>"
+)
+SEASONAL_OUT_SCHEMA = (
+    "series string, hour_of_day int, event_ts_us long, value double, "
+    "season_mean double, season_sd double, season_z double"
+)
+
+
+def stateful_seasonal_scan(
+    stream: DataFrame,
+    key_col: str = "series",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    z_threshold: float = 3.0,
+    min_count: int = 3,
+) -> DataFrame:
+    """Online seasonal (hour-of-day) sigma scoring — the streaming member
+    of ``operators/control.seasonal_sigma_scan``.
+
+    Unlike the CUSUM/EWMA twins this one needs NO injected baseline: the
+    seasonal model is 24 running (n, sum, sumsq) cells per series —
+    fixed-size state that *is* the baseline, updated online. Each value
+    is scored against its own cell's stats over strictly-earlier points
+    (the online analogue of the batch operator's retrospective
+    whole-relation cells; the batch scan stays the exact retrospective
+    scorer, same division of labor as online_sigma vs sigma_scan), with
+    the engine's usual guards: n >= min_count, sd > 0.
+
+    A nightly dip therefore stops alerting as soon as its cell has
+    min_count observations, while a daytime-level value at 3am scores
+    against the 3am cell and trips immediately — the property tests pin
+    both behaviors.
+    """
+
+    def scan(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        series = key[0]
+        if state.exists:
+            n, s1, s2 = (list(a) for a in state.get)
+        else:
+            n, s1, s2 = [0] * 24, [0.0] * 24, [0.0] * 24
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="stable")
+            ts = pdf[ts_col].to_numpy(dtype=np.int64)
+            x = pdf[value_col].to_numpy(dtype=np.float64)
+            # numpy % follows Python sign-of-divisor semantics, so
+            # pre-1970 (negative) epochs wrap into [0, 24) correctly
+            hours = (ts % 86_400_000_000) // 3_600_000_000
+            out = {
+                c: []
+                for c in (
+                    "hour_of_day",
+                    "event_ts_us",
+                    "value",
+                    "season_mean",
+                    "season_sd",
+                    "season_z",
+                )
+            }
+            for t, v, hh in zip(ts, x, hours):
+                h = int(hh)
+                if n[h] >= min_count:
+                    mean = round(s1[h] / n[h], 6)
+                    var = s2[h] / n[h] - (s1[h] / n[h]) ** 2
+                    sd = round(max(var, 0.0) ** 0.5, 6)
+                    if sd > 0:
+                        z = round((float(v) - mean) / sd, 6)
+                        if abs(z) > z_threshold:
+                            out["hour_of_day"].append(h)
+                            out["event_ts_us"].append(int(t))
+                            out["value"].append(float(v))
+                            out["season_mean"].append(mean)
+                            out["season_sd"].append(sd)
+                            out["season_z"].append(z)
+                n[h] += 1
+                s1[h] += float(v)
+                s2[h] += float(v) * float(v)
+            if out["event_ts_us"]:
+                yield pd.DataFrame({"series": series, **out})
+
+        state.update((n, s1, s2))
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        scan,
+        outputStructType=SEASONAL_OUT_SCHEMA,
+        stateStructType=SEASONAL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

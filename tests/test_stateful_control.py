@@ -215,3 +215,82 @@ def test_stateful_ewma_open_bucket_survives_batch_split(spark, tmp_path):
     k = lambda r: (r.bucket_us, r.v, r.ewma)  # noqa: E731
     assert {k(r) for r in one} == {k(r) for r in many}
     assert one
+
+
+def _run_seasonal_stream(spark, tmp_path, rows, n_files=4, **kw):
+    from sarkac_spark.streaming.stateful_control import stateful_seasonal_scan
+
+    rows = sorted(rows, key=lambda r: r[1])
+    chunk = math.ceil(len(rows) / n_files)
+    src = tmp_path / "seas_src"
+    for i in range(n_files):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, SCHEMA).coalesce(1).write.parquet(
+                str(src / f"b{i}")
+            )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stateful_seasonal_scan(stream, **kw)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("seas_out")
+        .option("checkpointLocation", str(tmp_path / "seas_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql("SELECT * FROM seas_out").collect()
+
+
+def test_stateful_seasonal_absorbs_dip_flags_spike(spark, tmp_path):
+    """Once the 3am cell has min_count dips, routine dips stop alerting;
+    a daytime-level value at 3am still trips against the 3am cell."""
+    HOUR = 3_600_000_000
+    DAY = 24 * HOUR
+    rows = []
+    for day in range(8):
+        for hour in range(24):
+            level = 1.0 if hour == 3 else 10.0
+            for j in range(2):
+                ts = day * DAY + hour * HOUR + j * (HOUR // 2)
+                jitter = 0.25 if (ts // (HOUR // 2)) % 2 == 0 else -0.25
+                rows.append(("s", ts, level + jitter))
+    spike_ts = 8 * DAY + 3 * HOUR
+    rows.append(("s", spike_ts, 10.0))  # 3am at daytime level
+
+    got = _run_seasonal_stream(spark, tmp_path, rows)
+    # the only alerts after warmup: possibly the first few 3am dips
+    # (before the cell has stats the guard suppresses; after warmup the
+    # dip is the cell's own normal) — and the planted spike, exactly once
+    spikes = [r for r in got if r.event_ts_us == spike_ts]
+    assert len(spikes) == 1
+    assert spikes[0].hour_of_day == 3 and spikes[0].season_z > 3
+    # routine dips from day 2 onward never alert
+    assert not [
+        r
+        for r in got
+        if r.value < 2.0 and r.event_ts_us >= 2 * DAY
+    ]
+
+
+def test_stateful_seasonal_state_survives_batch_split(spark, tmp_path):
+    HOUR = 3_600_000_000
+    DAY = 24 * HOUR
+    rows = []
+    for day in range(6):
+        for hour in range(24):
+            ts = day * DAY + hour * HOUR
+            # vary by DAY so each hour-cell has nonzero variance (an
+            # hour-parity value would make every cell constant -> sd=0)
+            rows.append(("s", ts, 5.0 + day % 2))
+    rows.append(("s", 6 * DAY + 1 * HOUR, 500.0))
+    one = _run_seasonal_stream(spark, tmp_path / "a", rows, n_files=1)
+    many = _run_seasonal_stream(spark, tmp_path / "b", rows, n_files=6)
+    k = lambda r: (r.event_ts_us, r.season_z)  # noqa: E731
+    assert {k(r) for r in one} == {k(r) for r in many}
+    assert any(r.value == 500.0 for r in one)
