@@ -60,6 +60,7 @@ class Sarkac:
         )
         self.pipeline: SigmaStreamPipeline | None = None
         self.query = None
+        self._listener = None
         self._pending_restart = False
 
     # -- events (reference EventEmitter surface, Sarkac.js:55-68) ----------
@@ -97,6 +98,33 @@ class Sarkac:
             )
             envelope_stream = envelope(kafka_stream(self.spark, src))
 
+        engine = self.config.get("engine", "foreachBatch")
+        if engine == "stateful":
+            # scale path (ARCHITECTURE.md §2): keyed-state scoring, flat
+            # O(batch) per trigger. The bus carries 'message' counts via
+            # the query listener; anomaly rows are the parquet sink
+            # (``anomalies()``) — per-record bus emission is the rescan
+            # engine's feature (it owns foreachBatch).
+            from sarkac_spark.streaming.listener import SigmaQueryListener
+            from sarkac_spark.streaming.pipeline import StatefulSigmaPipeline
+
+            self.pipeline = StatefulSigmaPipeline(
+                self.spark,
+                self.dsl,
+                anomaly_dir=os.path.join(self.work_dir, "anomalies"),
+                cooldown_seconds=self.config.get("anomalyCooldownSeconds", 120),
+            )
+            self._listener = SigmaQueryListener(self.bus, self.counters)
+            self.spark.streams.addListener(self._listener)
+            self.query = self.pipeline.start(
+                envelope_stream,
+                checkpoint_dir=os.path.join(self.work_dir, "ckpt"),
+                trigger_seconds=trigger_seconds,
+            )
+            return self.query
+        if engine != "foreachBatch":
+            raise ValueError(f"unknown engine {engine!r}")
+
         cfg = SigmaStreamConfig(
             store_dir=os.path.join(self.work_dir, "store"),
             anomaly_dir=os.path.join(self.work_dir, "anomalies"),
@@ -119,7 +147,8 @@ class Sarkac:
 
     def anomalies(self) -> DataFrame:
         """All anomalies produced so far (the batch-queryable sink)."""
-        return self.spark.read.parquet(self.pipeline.cfg.anomaly_dir)
+        d = getattr(self.pipeline, "cfg", self.pipeline)
+        return self.spark.read.parquet(d.anomaly_dir)
 
     def get_status(self) -> dict:
         """/status analogue (HttpServer.js:55-66)."""
@@ -135,6 +164,9 @@ class Sarkac:
         if self.query is not None:
             self.query.stop()
             self.query = None
+        if self._listener is not None:
+            self.spark.streams.removeListener(self._listener)
+            self._listener = None
 
 
 class _BusSigmaPipeline(SigmaStreamPipeline):

@@ -137,3 +137,62 @@ def test_ml_queries_rows_only(spark):
     for name, fn in QUERIES.items():
         df = fn(spark, "/root/testdata/sf0.001")
         assert df.count() >= 0, name
+
+
+def test_facade_stateful_engine(spark, tmp_path):
+    """engine='stateful' routes the same reference API through the
+    keyed-state pipeline: planted anomalies land in anomalies(), the bus
+    sees message counts via the query listener, close() detaches it."""
+    from sarkac_spark.sarkac import Sarkac
+    from sarkac_spark.sources.synthetic import TOPIC, example_messages
+
+    msgs = example_messages(spark, n=96)
+    src = tmp_path / "env"
+    msgs.coalesce(1).write.parquet(str(src / "b0"))
+    stream = spark.readStream.schema(
+        "topic string, key string, value string, ts timestamp"
+    ).parquet(str(src / "*"))
+
+    s = Sarkac(
+        spark,
+        {
+            "engine": "stateful",
+            "anomalyCooldownSeconds": 0,
+            "dsl": {
+                TOPIC: {
+                    "fields": {
+                        "sub.one": {"windows": ["5m"]},
+                        "two": {"windows": ["5m"]},
+                    }
+                }
+            },
+        },
+        work_dir=str(tmp_path / "wd"),
+    )
+    counts: list[int] = []
+    s.on("message", counts.append)
+    q = s.analyse(stream, trigger_seconds=1)
+    q.processAllAvailable()
+    s.close()
+
+    rows = s.anomalies().collect()
+    assert {r.value for r in rows if r.path == "sub.one"} == {150.5}
+    assert {r.value for r in rows if r.path == "two"} == {-100.0}
+
+    import time
+
+    deadline = time.time() + 10
+    while time.time() < deadline and not counts:
+        time.sleep(0.2)
+    assert sum(counts) >= 96
+    assert s._listener is None  # close() detached the listener
+
+
+def test_facade_unknown_engine_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from sarkac_spark.sarkac import Sarkac
+
+    s = Sarkac(spark, {"engine": "nope", "dsl": {}}, work_dir=str(tmp_path))
+    with _pytest.raises(ValueError, match="unknown engine"):
+        s.analyse(spark.readStream.format("rate").load())
