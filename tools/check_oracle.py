@@ -66,6 +66,26 @@ def main() -> int:
             lines.append(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
+        # the driver's pandas canonicalizer sort_values-crashes on
+        # array/struct/binary cells (round-1 inverted_index red row) —
+        # make that class of bug a loud LOCAL failure
+        from pyspark.sql import types as T
+
+        bad_cols = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in sdf.schema.fields
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+            )
+        ]
+        if bad_cols:
+            lines.append(
+                f"FAIL  {name}: non-scalar result columns {bad_cols} — "
+                "the driver canonicalizer cannot sort these; emit "
+                "strings/scalars instead"
+            )
+            failures += 1
+            continue
         if name not in oracles:
             lines.append(f"OK*   {name}: rows={len(s_rows)} (rows-only check, no oracle)")
             continue
