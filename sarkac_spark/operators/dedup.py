@@ -294,6 +294,7 @@ def cross_contamination(
     text_col: str,
     shingle_n: int = 3,
     min_shared: int = 1,
+    max_train_df: int | None = 256,
 ) -> DataFrame:
     """Benchmark-decontamination primitive: every (eval doc, train doc)
     pair sharing >= ``min_shared`` distinct n-gram shingles. Returns
@@ -304,13 +305,25 @@ def cross_contamination(
     on the 60-bit shingle hash (8-byte shuffle keys, not strings), pair
     counts from one grouped aggregation. The join is inverted-index
     style — work scales with shared-shingle volume, not |train| x
-    |eval|. Hot (boilerplate) shingles are the skew risk at 100 TB:
-    prefilter with a document-frequency cap on the train side when the
-    corpus has heavy boilerplate (same mitigation as ngram_jaccard).
+    |eval|. Hot (boilerplate) shingles are the skew risk at 100 TB —
+    and a *correctness* risk too: a shingle every train doc carries
+    inflates every pair's n_shared with non-evidence. ``max_train_df``
+    (default on) drops shingles whose train-side document frequency
+    exceeds the cap, as a count window over the same hash partitioning
+    the join needs (one exchange, AQE-reused — the ngram_jaccard
+    pattern). ``None`` restores the uncapped measure.
     """
     t = shingles(train, id_col, text_col, n=shingle_n).select(
         F.col(id_col).alias("train_id"), _h60(F.col("shingle")).alias("h")
     )
+    if max_train_df is not None:
+        t = (
+            t.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+            )
+            .filter(F.col("__df") <= max_train_df)
+            .drop("__df")
+        )
     e = shingles(eval_df, id_col, text_col, n=shingle_n).select(
         F.col(id_col).alias("eval_id"), _h60(F.col("shingle")).alias("h")
     )

@@ -259,6 +259,7 @@ def q_stratified_sample(spark, sf_dir):
 # shares >= 3 distinct trigram shingles (1-2 shared trigrams is phrase-
 # level coincidence in this corpus; the planted near-dup groups share 20+)
 DECONTAM_MIN_SHARED = 3
+DECONTAM_MAX_TRAIN_DF = 256  # boilerplate-shingle cap, mirrored in oracle
 
 
 def q_decontamination(spark, sf_dir):
@@ -275,6 +276,7 @@ def q_decontamination(spark, sf_dir):
         "doc_id",
         "text",
         min_shared=DECONTAM_MIN_SHARED,
+        max_train_df=DECONTAM_MAX_TRAIN_DF,
     )
 
 
@@ -932,10 +934,16 @@ h AS (
   SELECT doc_id, split,
          ('0x' || substr(md5(shingle), 1, 15))::bigint AS h
   FROM sh
+),
+tcap AS (
+  SELECT * FROM h WHERE split = 'train' AND h NOT IN (
+    SELECT h FROM h WHERE split = 'train'
+    GROUP BY 1 HAVING count(*) > {DECONTAM_MAX_TRAIN_DF}
+  )
 )
 SELECT e.doc_id AS eval_id, t.doc_id AS train_id, count(*) AS n_shared
-FROM h e JOIN h t ON t.h = e.h
-WHERE e.split = 'eval' AND t.split = 'train'
+FROM h e JOIN tcap t ON t.h = e.h
+WHERE e.split = 'eval'
 GROUP BY 1, 2
 HAVING count(*) >= {DECONTAM_MIN_SHARED}
 """

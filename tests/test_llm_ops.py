@@ -654,3 +654,31 @@ def test_star_components_match_min_label_on_paths_and_random(spark):
     s = {r.node: r.component for r in connected_components_star(df).collect()}
     m = {r.node: r.component for r in connected_components(df, max_iter=60).collect()}
     assert s == m
+
+
+def test_cross_contamination_train_df_cap(spark):
+    """A boilerplate shingle carried by every train doc must not count
+    as contamination evidence; genuine shared content still does."""
+    from sarkac_spark.operators.dedup import cross_contamination
+
+    boiler = "all rights reserved by us"
+    train = spark.createDataFrame(
+        [(i, f"{boiler} train body number {i} here") for i in range(10)]
+        + [(99, "secret eval answer key text leaked")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(500, f"{boiler} fresh eval content entirely new"),
+         (501, "secret eval answer key text leaked")],
+        "doc_id long, text string",
+    )
+    capped = cross_contamination(
+        train, ev, "doc_id", "text", min_shared=3, max_train_df=5
+    ).collect()
+    pairs = {(r.eval_id, r.train_id) for r in capped}
+    assert pairs == {(501, 99)}  # true leak found, boilerplate ignored
+
+    uncapped = cross_contamination(
+        train, ev, "doc_id", "text", min_shared=3, max_train_df=None
+    ).collect()
+    assert {(r.eval_id, r.train_id) for r in uncapped} > pairs
