@@ -497,3 +497,62 @@ def vocab_coverage(
             ).alias("oov_rate"),
         )
     )
+
+
+def doc_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """LM-based quality scoring (the CCNet/Dolma perplexity-filter step,
+    with the corpus's own add-one-smoothed bigram model standing in for
+    KenLM — no model files ship in this environment): each document gets
+    the mean negative log-probability of its bigrams under
+    ``p(next|head) = (c(head,next) + 1) / (c(head) + V)``. Gibberish and
+    heavily-templated text sit at the distribution's tails; curation
+    cuts on a quantile of ``lm_score``.
+
+    Shape: the zip-shift bigram explode (map-side, shared with
+    bigram_transitions), ONE grouped count for the corpus pair table,
+    head totals reduced from it, then a pair-table join back to the
+    per-doc bigrams and one per-doc aggregation. The pair relation is
+    |observed bigrams| rows — far smaller than the corpus — and AQE
+    broadcasts it while it fits. Integer counts + a single ln() at the
+    end keep the score cross-engine stable at 6 decimals.
+
+    Output: (id, n_bigrams, lm_score); docs with < 2 words are excluded
+    (no bigrams to score — the length gates own that regime).
+    """
+    w = F.expr(f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')")
+    shifted = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0)))
+    bg = F.explode(F.arrays_zip(w.alias("head"), shifted.alias("nxt"))).alias("bg")
+    doc_bigrams = (
+        df.select(F.col(id_col), bg)
+        .select(
+            F.col(id_col),
+            F.col("bg.head").alias("head"),
+            F.col("bg.nxt").alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    pairs = doc_bigrams.groupBy("head", "nxt").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+    heads = pairs.groupBy("head").agg(F.sum("n_ab").cast("long").alias("n_a"))
+    vocab = doc_bigrams.select(F.col("head").alias("__w")).union(
+        doc_bigrams.select(F.col("nxt").alias("__w"))
+    )
+    v = vocab.agg(F.countDistinct("__w").alias("__v"))
+    model = pairs.join(heads, "head").crossJoin(F.broadcast(v))
+    neg_log_p = -F.log(
+        (F.col("n_ab") + F.lit(1)) / (F.col("n_a") + F.col("__v"))
+    )
+    return (
+        doc_bigrams.join(model, ["head", "nxt"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(neg_log_p), round_digits).alias("lm_score"),
+        )
+    )

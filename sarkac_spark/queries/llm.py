@@ -97,6 +97,14 @@ PACK_BUDGET = 200  # tokens/sequence; docs are ~30-40 words
 PACK_GROUPS = 8
 
 
+def q_doc_lm_score(spark, sf_dir):
+    """LM-based quality score per document: mean negative log-prob of
+    its bigrams under the corpus's add-one-smoothed bigram model."""
+    from sarkac_spark.operators.text import doc_lm_score
+
+    return doc_lm_score(_docs(spark, sf_dir))
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Vocabulary coverage curve over the corpus: cumulative token share
     covered by a vocab truncated at each of the top-40 terms."""
@@ -560,6 +568,7 @@ QUERIES = {
     "temperature_sample": q_temperature_sample,
     "vocab_coverage": q_vocab_coverage,
     "pack_sequences": q_pack_sequences,
+    "doc_lm_score": q_doc_lm_score,
     "multimodal_payload": q_multimodal_payload,
 }
 
@@ -1372,6 +1381,33 @@ SELECT rank, term, n_occ,
        round(cum_occ / t.total, 6) AS cum_coverage,
        round(1 - cum_occ / t.total, 6) AS oov_rate
 FROM cum, tot t
+""",
+    "doc_lm_score": """
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x != '') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, w[u.i] AS head, w[u.i + 1] AS nxt
+  FROM ws, UNNEST(range(1, len(w))) AS u(i)
+  WHERE len(w) >= 2
+),
+pairs AS (SELECT head, nxt, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+heads AS (SELECT head, sum(n_ab) AS n_a FROM pairs GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT wd) AS v FROM (
+    SELECT head AS wd FROM bg UNION ALL SELECT nxt FROM bg
+  )
+),
+m AS (
+  SELECT p.head, p.nxt, -ln((p.n_ab + 1) / (h.n_a + v.v)) AS nlp
+  FROM pairs p JOIN heads h USING (head), v
+)
+SELECT b.doc_id, count(*) AS n_bigrams, round(avg(m.nlp), 6) AS lm_score
+FROM bg b JOIN m ON b.head = m.head AND b.nxt = m.nxt
+GROUP BY 1
 """,
     "pack_sequences": f"""
 WITH t AS (

@@ -682,3 +682,23 @@ def test_cross_contamination_train_df_cap(spark):
         train, ev, "doc_id", "text", min_shared=3, max_train_df=None
     ).collect()
     assert {(r.eval_id, r.train_id) for r in uncapped} > pairs
+
+
+def test_doc_lm_score_orders_fluency(spark):
+    """Documents made of the corpus's common bigrams must score lower
+    (more probable) than a doc of bigrams seen nowhere else."""
+    from sarkac_spark.operators.text import doc_lm_score
+
+    common = "the quick brown fox jumps"
+    rows = [(i, common) for i in range(10)]
+    rows.append((100, "zxq wvu tsr qpo nml"))  # unique bigrams only
+    rows.append((101, "solo"))  # < 2 words: excluded
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in doc_lm_score(df).collect()}
+
+    assert 101 not in out
+    assert out[0].n_bigrams == 4
+    # every copy of the common doc scores identically
+    assert len({out[i].lm_score for i in range(10)}) == 1
+    # the gibberish doc is far less probable under the corpus model
+    assert out[100].lm_score > out[0].lm_score + 1.0
