@@ -527,3 +527,46 @@ def quantize_int8_error(
         .otherwise(F.round(F.array_max(err), round_digits))
         .alias("max_abs_err"),
     )
+
+
+def ann_recall(
+    exact_topk: DataFrame,
+    approx_topk: DataFrame,
+    method: str,
+    k: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Recall@k report for an approximate top-k against the exact
+    baseline — the measurement to run BEFORE trusting IVF/LSH parameters
+    on 100 TB: both inputs are (query_id, neighbor_id, ...) top-k
+    relations; output is one row per query with the hit count and
+    recall, labeled by ``method``.
+
+    Shape: one equi-join on (query_id, neighbor_id) over two k·|queries|
+    relations (tiny by construction — these are result sets, not
+    corpora), one grouped count. Compose over several methods with
+    unionByName to get the tuning comparison table.
+    """
+    hits = (
+        exact_topk.select("query_id", "neighbor_id")
+        .join(
+            approx_topk.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    base = exact_topk.select("query_id").distinct()
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            F.lit(method).alias("method"),
+            "query_id",
+            F.coalesce(F.col("__hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("__hits"), F.lit(0)) / F.lit(float(k)),
+                round_digits,
+            ).alias("recall"),
+        )
+    )

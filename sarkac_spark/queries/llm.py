@@ -194,6 +194,18 @@ def q_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@k of both approximate ANN paths (IVF, sign-LSH) against
+    the exact brute-force baseline, per query vector — the tuning
+    report to run before trusting approximate parameters at scale."""
+    from sarkac_spark.operators.similarity import ann_recall
+
+    exact = q_cosine_topk(spark, sf_dir)
+    return ann_recall(
+        exact, q_ivf_topk(spark, sf_dir), "ivf", k=TOPK
+    ).unionByName(ann_recall(exact, q_lsh_topk(spark, sf_dir), "lsh", k=TOPK))
+
+
 def q_token_stats(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select(
@@ -569,6 +581,7 @@ QUERIES = {
     "vocab_coverage": q_vocab_coverage,
     "pack_sequences": q_pack_sequences,
     "doc_lm_score": q_doc_lm_score,
+    "ann_recall": q_ann_recall,
     "multimodal_payload": q_multimodal_payload,
 }
 
@@ -1289,6 +1302,25 @@ WHERE {_COS.format(a="a.v", b="b.v")} >= {EMB_NEARDUP_THRESHOLD}
     "cosine_topk": _cosine_topk_sql(),
     "lsh_topk": _lsh_topk_sql(),
     "ivf_topk": _ivf_topk_sql(),
+    "ann_recall": f"""
+WITH exact AS ({_cosine_topk_sql()}),
+ivf AS ({_ivf_topk_sql()}),
+lsh AS ({_lsh_topk_sql()}),
+base AS (SELECT DISTINCT query_id FROM exact),
+hits AS (
+  SELECT 'ivf' AS method, e.query_id, count(*) AS n_hits
+  FROM exact e JOIN ivf a USING (query_id, neighbor_id) GROUP BY 2
+  UNION ALL
+  SELECT 'lsh' AS method, e.query_id, count(*) AS n_hits
+  FROM exact e JOIN lsh a USING (query_id, neighbor_id) GROUP BY 2
+)
+SELECT m.method, b.query_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {TOPK}.0, 6) AS recall
+FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh') m
+CROSS JOIN base b
+LEFT JOIN hits h ON h.method = m.method AND h.query_id = b.query_id
+""",
     "token_stats": f"""
 SELECT doc_id,
        len({_WORDS}) AS n_tokens,

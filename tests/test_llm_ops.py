@@ -702,3 +702,20 @@ def test_doc_lm_score_orders_fluency(spark):
     assert len({out[i].lm_score for i in range(10)}) == 1
     # the gibberish doc is far less probable under the corpus model
     assert out[100].lm_score > out[0].lm_score + 1.0
+
+
+def test_ann_recall_report(spark):
+    from sarkac_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 99)],  # 2/3 for q1; q2 found nothing
+        "query_id long, neighbor_id long",
+    )
+    out = {r.query_id: r for r in ann_recall(exact, approx, "lsh", k=3).collect()}
+    assert out[1].n_hits == 2 and out[1].recall == round(2 / 3, 6)
+    assert out[2].n_hits == 0 and out[2].recall == 0.0
+    assert all(r.method == "lsh" for r in out.values())
