@@ -55,9 +55,12 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     lines: list[str] = []
     failures = 0
+    import time
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -66,6 +69,7 @@ def main() -> int:
             lines.append(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
+        spark_sec = time.perf_counter() - t0
         # the driver's pandas canonicalizer sort_values-crashes on
         # array/struct/binary cells (round-1 inverted_index red row) —
         # make that class of bug a loud LOCAL failure
@@ -87,7 +91,10 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
-            lines.append(f"OK*   {name}: rows={len(s_rows)} (rows-only check, no oracle)")
+            lines.append(
+                f"OK*   {name}: rows={len(s_rows)} [{spark_sec:.2f}s] "
+                "(rows-only check, no oracle)"
+            )
             continue
         try:
             res = con.sql(oracles[name])
@@ -116,7 +123,7 @@ def main() -> int:
                 lines.append(f"FAIL  {name}: value mismatch, first diffs: {diff}")
                 ok = False
         if ok:
-            lines.append(f"OK    {name}: rows={len(s_rows)}")
+            lines.append(f"OK    {name}: rows={len(s_rows)} [{spark_sec:.2f}s]")
         else:
             failures += 1
 
