@@ -424,6 +424,51 @@ def streaming_dedup_exact(
     return out.drop("__dedup_key") if text_col is not None else out
 
 
+def streaming_span_dedup(
+    stream,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    span_words: int = 10,
+    watermark: str = "1 hour",
+):
+    """Streaming twin of ``operators/dedup.span_dedup``: spans whose
+    60-bit hash was already seen inside the watermark horizon are
+    dropped; the first occurrence flows through. Output is the SPAN
+    stream ``(id, pos, span, ts)`` — marked survivors, not reassembled
+    documents: reassembly needs the document's full span set, which in a
+    stream means a second stateful aggregation downstream (grouped by
+    doc with its own watermark), and pipelines that only *count* or
+    *filter* repeated boilerplate never pay for it.
+
+    Same bounded-state contract as ``streaming_dedup_exact``: span-hash
+    state is rate x watermark delay; spans recurring farther apart than
+    the delay both survive (the batch operator remains the exact
+    retrospective dedup).
+    """
+    from sarkac_spark.operators.dedup import _h60, words_col
+
+    w = words_col(text_col)
+    n_spans = F.ceil(F.size(w) / F.lit(span_words)).cast("int")
+    idx = F.sequence(F.lit(0), n_spans - 1)
+    span = F.transform(
+        idx,
+        lambda i: F.array_join(F.slice(w, i * span_words + 1, span_words), " "),
+    )
+    spans = stream.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.posexplode(
+            F.when(F.size(w) > 0, span).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "span"),
+    ).withColumn("__h", _h60(F.col("span")))
+    return (
+        spans.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__h"])
+        .drop("__h")
+    )
+
+
 class StatefulSigmaPipeline:
     """The pure-Structured-Streaming sigma engine — no foreachBatch, no
     external state files: extract (stateless project/union) ->

@@ -387,3 +387,49 @@ def test_streaming_dedup_exact(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         streaming_dedup_exact(stream, key_cols=["msg_id"], text_col="text")
+
+
+def test_streaming_span_dedup(spark, tmp_path):
+    """First occurrence of a span flows through; repeats inside the
+    watermark horizon are dropped, across documents and micro-batches."""
+    import datetime as dt
+
+    from sarkac_spark.streaming.pipeline import streaming_span_dedup
+
+    T0 = dt.datetime(2024, 1, 1)
+    boiler = "one two three four five"
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta eps", T0),
+        (2, f"{boiler} unique body text here now", T0 + dt.timedelta(minutes=1)),
+        (3, "totally different content in this doc", T0 + dt.timedelta(minutes=2)),
+    ]
+    src = tmp_path / "span_src"
+    for i, r in enumerate(rows):
+        spark.createDataFrame(
+            [r], "doc_id long, text string, ts timestamp"
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_span_dedup(stream, span_words=5, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("span_out")
+        .option("checkpointLocation", str(tmp_path / "span_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM span_out").collect()
+
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, set()).add(r.span)
+    # doc 1 keeps both spans; doc 2 loses the boilerplate, keeps its tail
+    assert by_doc[1] == {boiler, "alpha beta gamma delta eps"}
+    assert by_doc[2] == {"unique body text here now"}
+    # doc 3 has 6 words -> two spans under 5-word segmentation
+    assert by_doc[3] == {"totally different content in this", "doc"}
