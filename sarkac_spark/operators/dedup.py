@@ -547,7 +547,13 @@ def span_dedup(
         .withColumn(
             "__rn",
             F.row_number().over(
-                Window.partitionBy("__h").orderBy(F.col(id_col), F.col("pos"))
+                # span joins the hash in the partition key: the 60-bit
+                # prefix is only a shuffle-narrowing key, so a hash
+                # collision between distinct spans lands them in distinct
+                # windows instead of silently dropping one.
+                Window.partitionBy("__h", "span").orderBy(
+                    F.col(id_col), F.col("pos")
+                )
             ),
         )
     )

@@ -19,6 +19,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from sarkac_spark.functions.ranking import rank_topk
+
 
 def skew_report(
     df: DataFrame,
@@ -58,14 +60,7 @@ def skew_report(
             F.col("n_rows") * F.col("__n_keys") / F.col("__total"), 6
         ).alias("skew"),
     )
-    # rank over the already-truncated top-k without a WindowExec (whose
-    # empty partition spec warns in plan audits; constant keys fold away):
-    # one explicit partition, re-sorted, ordinal from mono id
-    return (
-        enriched.coalesce(1)
-        .sortWithinPartitions(F.col("n_rows").desc(), F.col("key_value"))
-        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("long"))
-    )
+    return rank_topk(enriched, "n_rows", "key_value")
 
 
 def profile_columns(

@@ -546,6 +546,11 @@ def ann_recall(
     relations (tiny by construction — these are result sets, not
     corpora), one grouped count. Compose over several methods with
     unionByName to get the tuning comparison table.
+
+    The denominator is ``least(k, n_exact)`` per query, not a fixed k:
+    a query whose exact top-k has fewer than k neighbors (small corpus,
+    degenerate vectors) can still reach recall 1.0 when the approximate
+    result is perfect.
     """
     hits = (
         exact_topk.select("query_id", "neighbor_id")
@@ -557,7 +562,10 @@ def ann_recall(
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("__hits"))
     )
-    base = exact_topk.select("query_id").distinct()
+    base = exact_topk.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__n_exact")
+    )
+    denom = F.least(F.col("__n_exact"), F.lit(k)).cast("double")
     return (
         base.join(hits, "query_id", "left")
         .select(
@@ -565,7 +573,7 @@ def ann_recall(
             "query_id",
             F.coalesce(F.col("__hits"), F.lit(0)).cast("long").alias("n_hits"),
             F.round(
-                F.coalesce(F.col("__hits"), F.lit(0)) / F.lit(float(k)),
+                F.coalesce(F.col("__hits"), F.lit(0)) / denom,
                 round_digits,
             ).alias("recall"),
         )

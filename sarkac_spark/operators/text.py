@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from sarkac_spark.functions.ranking import rank_topk
 from sarkac_spark.operators.dedup import words_col
 
 # tiny per-language stopword profiles — an n-gram/stopword-ratio heuristic
@@ -387,14 +388,7 @@ def top_terms(
         F.count(F.lit(1)).alias("df_docs"),
     )
     top = per_term.orderBy(F.col("n_occ").desc(), F.col("term")).limit(k)
-    # rank over the k surviving rows without a WindowExec (whose empty
-    # partition spec warns in plan audits; constant keys fold away):
-    # one explicit partition, re-sorted, ordinal from mono id
-    return (
-        top.coalesce(1)
-        .sortWithinPartitions(F.col("n_occ").desc(), F.col("term"))
-        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("long"))
-    )
+    return rank_topk(top, "n_occ", "term")
 
 
 def bigram_transitions(
@@ -470,11 +464,7 @@ def vocab_coverage(
     counts = words.groupBy("term").agg(F.count(F.lit(1)).alias("n_occ"))
     totals = counts.agg(F.sum("n_occ").alias("__total"))
     top = counts.orderBy(F.col("n_occ").desc(), F.col("term")).limit(top_k)
-    ranked = (
-        top.coalesce(1)
-        .sortWithinPartitions(F.col("n_occ").desc(), F.col("term"))
-        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("long"))
-    )
+    ranked = rank_topk(top, "n_occ", "term")
     prior = ranked.select(
         F.col("rank").alias("__r"), F.col("n_occ").alias("__occ")
     )

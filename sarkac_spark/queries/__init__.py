@@ -15,25 +15,45 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sarkac_spark.queries import control, core, llm, ml, relational
 
-# Registry order is sweep order under the driver. Round 1's sweep ran out
-# of budget 50 queries in, leaving everything after unverified — so the
-# modules that missed out (relational, ml) plus the new control charts
-# run first; core/llm (all green in round 1) absorb any future budget cut.
+# Registry order is sweep order under the driver (which caps each round's
+# sweep at 50 of 80+ queries). Module-level ordering got the round-1 gaps
+# verified in round 2, but left that round's *new* queries (sorted last)
+# without a driver row. _PRIORITY makes the ordering query-granular: every
+# query that has never had a green driver row in any round runs first, then
+# the rest in module order (all already driver-green in r01 or r02, so they
+# absorb any budget cut).
 _MODULES = [relational, control, ml, core, llm]
+
+# Never driver-swept (r01+r02) or red-then-fixed; see VERDICT.md round 2.
+_PRIORITY = [
+    "doc_cube",          # r02 red row — oracle typing fixed this round
+    "inverted_index",    # r01 red row — fixed in r02, driver-unproven
+    "ann_recall",
+    "doc_lm_score",
+    "multimodal_payload",
+    "pack_sequences",
+    "span_dedup",
+    "temperature_sample",
+    "vocab_coverage",
+]
+
+
+def _merged(attr: str) -> dict:
+    out: dict = {}
+    for m in _MODULES:
+        part = getattr(m, attr)
+        overlap = out.keys() & part.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(part)
+    head = {k: out[k] for k in _PRIORITY if k in out}
+    head.update(out)
+    return head
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for m in _MODULES:
-        overlap = out.keys() & m.QUERIES.keys()
-        if overlap:
-            raise ValueError(f"duplicate query names: {overlap}")
-        out.update(m.QUERIES)
-    return out
+    return _merged("QUERIES")
 
 
 def all_oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
-    for m in _MODULES:
-        out.update(m.ORACLE)
-    return out
+    return _merged("ORACLE")

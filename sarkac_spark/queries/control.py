@@ -30,6 +30,13 @@ EWMA_LIMIT_SIGMA = 2.0  # 3 sigma flags nothing on the synthetic series
 SEASONAL_Z = 3.0
 
 
+def _floor_mod(expr: str, m: int) -> str:
+    """DuckDB % is sign-of-dividend; the Spark operators use pmod. Mirror
+    floor-mod in the oracle so pre-1970 (negative-epoch) timestamps align
+    buckets / hours identically on both engines."""
+    return f"((({expr}) % {m}) + {m}) % {m}"
+
+
 def _events(spark, sf_dir):
     return load_table(spark, sf_dir, "events")
 
@@ -107,7 +114,7 @@ def _ewma_sql() -> str:
     return f"""
 WITH buckets AS (
   SELECT event_type,
-         epoch_us(ts) - epoch_us(ts) % {bucket_us} AS bucket_us,
+         epoch_us(ts) - {_floor_mod("epoch_us(ts)", bucket_us)} AS bucket_us,
          round(avg(value), 6) AS v
   FROM events GROUP BY 1, 2
 ),
@@ -138,7 +145,8 @@ def _seasonal_sql() -> str:
     return f"""
 WITH f AS (
   SELECT event_type, event_id, value,
-         CAST(((epoch_us(ts) % 86400000000) - (epoch_us(ts) % 3600000000))
+         CAST(({_floor_mod("epoch_us(ts)", 86400000000)}
+               - {_floor_mod("epoch_us(ts)", 3600000000)})
               / 3600000000 AS INT) AS hour_of_day
   FROM events
 ),

@@ -1306,7 +1306,7 @@ WHERE {_COS.format(a="a.v", b="b.v")} >= {EMB_NEARDUP_THRESHOLD}
 WITH exact AS ({_cosine_topk_sql()}),
 ivf AS ({_ivf_topk_sql()}),
 lsh AS ({_lsh_topk_sql()}),
-base AS (SELECT DISTINCT query_id FROM exact),
+base AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1),
 hits AS (
   SELECT 'ivf' AS method, e.query_id, count(*) AS n_hits
   FROM exact e JOIN ivf a USING (query_id, neighbor_id) GROUP BY 2
@@ -1316,7 +1316,8 @@ hits AS (
 )
 SELECT m.method, b.query_id,
        coalesce(h.n_hits, 0) AS n_hits,
-       round(coalesce(h.n_hits, 0) / {TOPK}.0, 6) AS recall
+       round(coalesce(h.n_hits, 0)
+             / CAST(least(b.n_exact, {TOPK}) AS DOUBLE), 6) AS recall
 FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh') m
 CROSS JOIN base b
 LEFT JOIN hits h ON h.method = m.method AND h.query_id = b.query_id

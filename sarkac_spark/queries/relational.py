@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from sarkac_spark.functions.ranking import rank_topk
 from sarkac_spark.sources.tables import load_table
 
 
@@ -53,15 +54,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
     )
     top5 = per_cust.orderBy(F.col("total_spent").desc(), F.col("o_custkey")).limit(5)
-    # rank over the 5 surviving rows without a WindowExec (whose empty
-    # partition spec would warn in every plan audit; a constant key gets
-    # constant-folded right back to empty): one explicit partition,
-    # re-sorted within it, ordinal from monotonically_increasing_id
-    ranked = (
-        top5.coalesce(1)
-        .sortWithinPartitions(F.col("total_spent").desc(), F.col("o_custkey"))
-        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("long"))
-    )
+    ranked = rank_topk(top5, "total_spent", "o_custkey")
     return ranked.join(
         F.broadcast(customer.select("c_custkey", "c_name", "c_mktsegment")),
         ranked.o_custkey == F.col("c_custkey"),
@@ -367,7 +360,8 @@ SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin_id,
 FROM events GROUP BY 1
 """,
     "doc_cube": """
-SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY CUBE (lang, source)
 """,
     "top_docs_per_lang": """

@@ -464,7 +464,10 @@ def streaming_span_dedup(
     ).withColumn("__h", _h60(F.col("span")))
     return (
         spans.withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["__h"])
+        # span joins the hash in the dedup key (mirrors the batch
+        # operator): __h narrows state comparisons, span makes a 60-bit
+        # collision between distinct spans harmless.
+        .dropDuplicatesWithinWatermark(["__h", "span"])
         .drop("__h")
     )
 

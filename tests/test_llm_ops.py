@@ -719,3 +719,36 @@ def test_ann_recall_report(spark):
     assert out[1].n_hits == 2 and out[1].recall == round(2 / 3, 6)
     assert out[2].n_hits == 0 and out[2].recall == 0.0
     assert all(r.method == "lsh" for r in out.values())
+
+
+def test_ann_recall_short_exact_list_can_reach_one(spark):
+    """A query whose exact top-k has fewer than k neighbors must still be
+    able to score recall 1.0 (denominator is least(k, n_exact), not k)."""
+    from sarkac_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11)], "query_id long, neighbor_id long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 99)], "query_id long, neighbor_id long"
+    )
+    row = ann_recall(exact, approx, "ivf", k=3).collect()[0]
+    assert row.n_hits == 2 and row.recall == 1.0
+
+
+def test_ann_recall_floors(spark):
+    """Pin macro-average recall@3 of both approximate paths on the
+    deterministic sf0.001 corpus, so a parameter regression (nprobe,
+    n_bits, n_tables, centroid seed) fails CI instead of silently
+    degrading retrieval quality. Measured: IVF 0.867, sign-LSH 0.367."""
+    from sarkac_spark.queries.llm import q_ann_recall
+
+    rows = q_ann_recall(spark, "/root/testdata/sf0.001").collect()
+    by_method: dict[str, list[float]] = {}
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0
+        by_method.setdefault(r.method, []).append(r.recall)
+    mean = {m: sum(v) / len(v) for m, v in by_method.items()}
+    assert set(mean) == {"ivf", "lsh"}
+    assert mean["ivf"] >= 0.7, mean
+    assert mean["lsh"] >= 0.2, mean

@@ -269,4 +269,7 @@ def test_new_curation_query_plan_shapes(spark, sf_dir):
     plan = _plan(vc)
     # top-k is a driver merge, and no unpartitioned window sneaks in
     assert "TakeOrderedAndProject" in plan
-    assert shuffle_count(vc) <= 3
+    # 3 data-sized shuffles (term count, total, cum) + 2 k-row exchanges
+    # from the declarative rank_topk (broadcast self-join + agg over the
+    # <=top_k survivors) — metadata-sized, not data-sized
+    assert shuffle_count(vc) <= 5

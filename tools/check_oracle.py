@@ -40,6 +40,48 @@ def _norm_rows(cols, rows):
     return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
 
 
+# The driver canonicalizes both engines through pandas, where DuckDB's
+# HUGEINT (the result type of sum(BIGINT)) widens to float64 — so "1234.0"
+# vs Spark's "1234" hash-mismatch on the driver even though fetchall() and
+# %.10g collapse them here (the r02 doc_cube red row). Compare declared
+# numeric kinds instead of values: HUGEINT is classed as float because
+# that is what the driver sees.
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_DUCK_FLOAT = {"FLOAT", "DOUBLE", "HUGEINT"}
+
+
+def _duck_kind(type_str):
+    t = str(type_str).upper()
+    if t in _DUCK_INT:
+        return "int"
+    if t in _DUCK_FLOAT:
+        return "float"
+    return None
+
+
+def _spark_kind(dt):
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    return None
+
+
+def _kind_mismatches(sdf_schema, d_cols, d_types):
+    spark_kinds = {f.name: _spark_kind(f.dataType) for f in sdf_schema.fields}
+    bad = []
+    for c, t in zip(d_cols, d_types):
+        sk, dk = spark_kinds.get(c), _duck_kind(t)
+        if sk and dk and sk != dk:
+            bad.append(f"{c}: spark={sk} duck={dk} ({t})")
+    return bad
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -99,6 +141,7 @@ def main() -> int:
         try:
             res = con.sql(oracles[name])
             d_cols = res.columns
+            d_types = res.types
             d_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             lines.append(f"FAIL  {name}: duckdb error: {e}")
@@ -106,6 +149,16 @@ def main() -> int:
             continue
 
         ok = True
+        kind_bad = _kind_mismatches(sdf.schema, d_cols, d_types)
+        if kind_bad:
+            lines.append(
+                f"FAIL  {name}: numeric-kind divergence {kind_bad} — the "
+                "driver's pandas canonicalizer will hash these differently "
+                "(e.g. HUGEINT→float64 '1234.0' vs Spark int '1234'); CAST "
+                "the oracle column to match the Spark type"
+            )
+            failures += 1
+            continue
         if sorted(s_cols) != sorted(d_cols):
             lines.append(
                 f"FAIL  {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}"
