@@ -32,8 +32,12 @@ from sarkac_spark.session import get_spark
 # trigger) and (b) the keyed-state pipeline (applyInPandasWithState:
 # per-trigger cost O(batch), history never re-read). The per-stream
 # wall time lands in the "queries" map like any other entry.
-STREAM_BATCHES = 10
-STREAM_MSGS_PER_BATCH = 400
+# env-tunable so the trigger-scaling curve (tools/bench_stream_scale.py,
+# BASELINE.md) can reuse this harness; the default stays small because the
+# rescan pipeline's 100-trigger point runs for minutes BY DESIGN (that is
+# the finding) and would otherwise dominate the per-round bench budget
+STREAM_BATCHES = int(os.environ.get("SPARK_GRAFT_STREAM_TRIGGERS", "10"))
+STREAM_MSGS_PER_BATCH = int(os.environ.get("SPARK_GRAFT_STREAM_MSGS", "400"))
 
 
 def _stream_source(spark, workdir: str):

@@ -38,10 +38,20 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    star_fallback: bool = True,
 ) -> DataFrame:
     """Labels every node appearing in ``edges`` with its component id
     (the minimum node id in the component). Returns (node, component).
-    Raises if ``max_iter`` rounds don't reach the fixpoint."""
+
+    If ``max_iter`` min-label rounds don't reach the fixpoint (component
+    diameter exceeds the bound — adversarial chain-shaped graphs, not
+    the near-clique dedup case), the operator automatically restarts as
+    ``connected_components_star`` (O(log^2 n) rounds regardless of
+    diameter) rather than failing the job; the partial labels are
+    discarded. Set ``star_fallback=False`` to raise instead — the mode
+    for pipelines that treat an unexpected long-diameter graph as a data
+    quality signal worth stopping on.
+    """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
@@ -76,6 +86,8 @@ def connected_components(
         labels = new_labels.drop("__chg")
         if changed == 0:
             return labels.select(F.col("u").alias("node"), F.col("lbl").alias("component"))
+    if star_fallback:
+        return connected_components_star(edges, src=src, dst=dst)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "component diameter exceeds the bound; raise max_iter or switch "

@@ -89,3 +89,50 @@ def cluster_defaults(target_tb: float = 100.0) -> dict[str, str]:
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
     }
+
+
+# per retained point in StatefulSigmaPipeline keyed state: ts_us (8 B) +
+# value (8 B) + pandas/Arrow row overhead observed ~3x raw
+_STATE_BYTES_PER_POINT = 48
+
+
+def stateful_stream_sizing(
+    n_series: int,
+    rate_hz_per_series: float,
+    retention_seconds: float,
+    executors: int = 1,
+) -> dict[str, object]:
+    """Sizing for ``engine="stateful"`` (``StatefulSigmaPipeline``) —
+    the ARCHITECTURE.md §2 math as code, so deployments size configs
+    from measured stream facts instead of folklore.
+
+    State per series is ``rate x retention`` retained points (plus a
+    constant cooldown cell per window); total state is that times the
+    series count. Shuffle partitions should track series count, NOT the
+    batch default: every state partition opens+commits its store every
+    trigger, so empty partitions are pure per-trigger overhead (32
+    partitions carrying 2 series pay 30 empty commits per trigger).
+
+    Returns the estimate plus a ready-to-pass ``conf`` dict (RocksDB
+    provider included — hundreds of MB of state per executor does not
+    belong on the JVM heap).
+    """
+    points_per_series = rate_hz_per_series * retention_seconds
+    state_rows = int(n_series * points_per_series)
+    state_bytes = int(state_rows * _STATE_BYTES_PER_POINT)
+    # one state partition per ~64 series balances store-commit overhead
+    # against per-partition Arrow batch size; never fewer than executors
+    # (idle executors otherwise), never more than series count.
+    partitions = max(min(n_series, executors), min(n_series, max(executors, n_series // 64)))
+    return {
+        "points_per_series": points_per_series,
+        "state_rows": state_rows,
+        "state_bytes": state_bytes,
+        "conf": {
+            "spark.sql.shuffle.partitions": str(partitions),
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            ),
+        },
+    }

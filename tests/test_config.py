@@ -78,3 +78,32 @@ def test_merge_discovered_fixed_config_wins():
     assert t_fields["a"].windows == (60,)  # fixed config kept
     assert t_fields["b"].windows == (900,)  # discovered gets default
     assert merged.topics["u"].fields == (FieldSpec("c", (900,)),)
+
+
+def test_stateful_stream_sizing_smoke():
+    """The ARCHITECTURE.md sizing math: state = series x rate x retention,
+    partitions track series count, RocksDB provider always present."""
+    from sarkac_spark.session import stateful_stream_sizing
+
+    # 10k series at 1 Hz with 15 min retention ~ 9M retained points
+    s = stateful_stream_sizing(
+        n_series=10_000, rate_hz_per_series=1.0,
+        retention_seconds=900, executors=50,
+    )
+    assert s["points_per_series"] == 900
+    assert s["state_rows"] == 9_000_000
+    assert s["state_bytes"] == 9_000_000 * 48
+    parts = int(s["conf"]["spark.sql.shuffle.partitions"])
+    # enough to spread 10k series (>= executors), never more than series
+    assert 50 <= parts <= 10_000
+    assert "RocksDBStateStoreProvider" in s["conf"][
+        "spark.sql.streaming.stateStore.providerClass"
+    ]
+
+    # tiny deployment: partitions collapse toward the series count,
+    # never paying empty store commits
+    t = stateful_stream_sizing(
+        n_series=2, rate_hz_per_series=5.0, retention_seconds=60,
+    )
+    assert int(t["conf"]["spark.sql.shuffle.partitions"]) <= 2
+    assert t["state_rows"] == 600

@@ -169,9 +169,17 @@ def test_connected_components(spark):
         r.node: r.component for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
-    # the guard raises instead of returning partial labels
+    # with the fallback disabled, the guard raises instead of returning
+    # partial labels
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=1)
+        connected_components(edges, max_iter=1, star_fallback=False)
+    # with the fallback (default), exceeding the round budget silently
+    # restarts as star contraction and still yields exact components
+    fb = {
+        r.node: r.component
+        for r in connected_components(edges, max_iter=1).collect()
+    }
+    assert fb == got
 
 
 def test_skew_report(spark):
@@ -654,6 +662,14 @@ def test_star_components_match_min_label_on_paths_and_random(spark):
     s = {r.node: r.component for r in connected_components_star(df).collect()}
     m = {r.node: r.component for r in connected_components(df, max_iter=60).collect()}
     assert s == m
+
+    # the auto-fallback path (round budget far below the 120-diameter)
+    # produces the same exact components as either converged run
+    fb = {
+        r.node: r.component
+        for r in connected_components(edges, max_iter=3).collect()
+    }
+    assert fb == star
 
 
 def test_cross_contamination_train_df_cap(spark):

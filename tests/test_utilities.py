@@ -118,3 +118,47 @@ def test_cluster_defaults_preset_sane():
     assert int(conf["spark.sql.files.maxPartitionBytes"]) == 512 * 1024 * 1024
     # preset must be strings only (spark-submit --conf compatible)
     assert all(isinstance(v, str) for v in conf.values())
+
+
+def test_registry_priority_and_consistency():
+    """Every oracle has a query; the driver-unproven priority queries
+    lead the sweep order (the driver caps each round at 50 entries, so
+    registry order is the only coverage lever)."""
+    from sarkac_spark.queries import _PRIORITY, all_oracle_sql, all_queries
+
+    qs, oracles = all_queries(), all_oracle_sql()
+    assert set(oracles) <= set(qs)
+    names = list(qs)
+    assert names[: len(_PRIORITY)] == _PRIORITY
+    # rows-only queries are exactly the documented MLlib trio
+    assert set(qs) - set(oracles) == {
+        "kmeans_anomaly", "lsh_isolation", "mllib_minhash",
+    }
+
+
+def test_check_oracle_kind_mismatch_detector():
+    """The local gate must flag spark-int vs duck-float columns (the
+    pandas HUGEINT widening class the %.10g collapse hides) and stay
+    quiet on matching kinds and non-numeric columns."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from check_oracle import _kind_mismatches
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.DoubleType()),
+            T.StructField("c", T.StringType()),
+        ]
+    )
+    # HUGEINT widens to float64 in pandas -> must flag against spark int
+    bad = _kind_mismatches(schema, ["a", "b", "c"], ["HUGEINT", "DOUBLE", "VARCHAR"])
+    assert bad == ["a: spark=int duck=float (HUGEINT)"]
+    # BIGINT/DOUBLE/VARCHAR all agree -> clean
+    assert _kind_mismatches(schema, ["a", "b", "c"], ["BIGINT", "DOUBLE", "VARCHAR"]) == []
+    # duck int vs spark float flags too (driver hashes 1234 vs 1234.0)
+    assert _kind_mismatches(schema, ["b"], ["BIGINT"]) == ["b: spark=float duck=int (BIGINT)"]
