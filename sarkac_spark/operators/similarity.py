@@ -529,6 +529,78 @@ def quantize_int8_error(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 8,
+    tau: float = 0.9,
+    salt: str = "semdedup",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
+    embedding space into deterministic buckets (one sign-LSH table of
+    ``n_bits`` md5-derived Rademacher hyperplanes — the training-free
+    stand-in for the paper's k-means clusters), then inside each bucket
+    drop every vector that has a LOWER-ID bucket-mate at cosine > tau.
+    The keep-lowest-id rule is the deterministic version of the paper's
+    "keep one per semantic duplicate group" and needs no iteration: one
+    self-join per bucket, one anti-join. Output: (id, bucket, kept).
+
+    Scale shape: bucket assignment is map-only expression code (no fit
+    step); the pairwise cosine runs only WITHIN buckets via an equi-join
+    on bucket (n_bits is the knob that bounds bucket size as the corpus
+    grows — 2^n_bits partitions the space, and real corpora at 100 TB
+    run 14+ bits). No driver collect, no Python.
+    """
+    assign = lsh_sign_assign(
+        df, id_col, vec_col, dim, n_bits=n_bits, n_tables=1, salt=salt
+    ).select(F.col(id_col).alias("__id"), "bucket")
+    vecs = df.select(
+        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+    ).withColumn("__n", norm(F.col("__v")))
+    av = assign.join(vecs, "__id")
+    lo = av.select(
+        F.col("__id").alias("lo_id"),
+        "bucket",
+        F.col("__v").alias("lo_v"),
+        F.col("__n").alias("lo_n"),
+    )
+    hi = av.select(
+        F.col("__id").alias("hi_id"),
+        "bucket",
+        F.col("__v").alias("hi_v"),
+        F.col("__n").alias("hi_n"),
+    )
+    dropped = (
+        lo.join(hi, "bucket")
+        .filter(F.col("lo_id") < F.col("hi_id"))
+        .filter(
+            F.round(
+                cosine_with_norms(
+                    F.col("lo_v"), F.col("hi_v"), F.col("lo_n"), F.col("hi_n")
+                ),
+                round_digits,
+            )
+            > tau
+        )
+        .select(F.col("hi_id").alias("__id"))
+        .distinct()
+    )
+    return (
+        assign.join(dropped.withColumn("__dropped", F.lit(1)), "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "bucket",
+            F.when(F.col("__dropped").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("kept"),
+        )
+    )
+
+
 def ann_recall(
     exact_topk: DataFrame,
     approx_topk: DataFrame,

@@ -123,6 +123,140 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# English function words for the Gopher "has stopwords" rule — reuses the
+# lang-id profile so both rules share one vocabulary contract.
+_GOPHER_STOPWORDS = STOPWORDS["en"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 1_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition-free quality rules (Rae et al. 2021 §A1.1):
+    word-count bounds, mean-word-length bounds, symbol-to-char ratio cap,
+    and a minimum count of English function words. Emits each rule's
+    feature plus per-rule booleans and the conjunction, so downstream
+    filters can both gate and audit *why* a doc failed.
+
+    Scale shape: map-only column expressions (split + two higher-order
+    folds per row), no shuffle, no Python — survives any corpus size that
+    scans. The words array is staged in its own projection so each rule
+    reads one materialized array instead of re-running the regex split.
+    """
+    staged = df.withColumns({"__w": words_col(text_col)}).withColumns(
+        {"__nc": F.length(F.col(text_col))}
+    )
+    w, n_chars = F.col("__w"), F.col("__nc")
+    n_words = F.size(w).cast("long")
+    mean_wl = F.round(
+        F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        / F.size(w),
+        6,
+    )
+    # symbols = anything outside [a-zA-Z0-9 ] — markup, control chars, the
+    # '#'/ellipsis family Gopher counts, collapsed to one deterministic class
+    symbol_ratio = F.round(
+        (n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9 ]", "")))
+        / n_chars,
+        6,
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.filter(w, lambda x: F.array_contains(stop_arr, F.lower(x)))
+    ).cast("long")
+    feats = staged.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": mean_wl,
+            "symbol_ratio": symbol_ratio,
+            "stop_hits": stop_hits,
+        }
+    ).drop("__w", "__nc")
+    rules = feats.withColumns(
+        {
+            "ok_word_count": (
+                (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+            ).cast("long"),
+            "ok_mean_word_len": (
+                (F.col("mean_word_len") >= min_mean_word_len)
+                & (F.col("mean_word_len") <= max_mean_word_len)
+            ).cast("long"),
+            "ok_symbol_ratio": (F.col("symbol_ratio") <= max_symbol_ratio).cast(
+                "long"
+            ),
+            "ok_stopwords": (F.col("stop_hits") >= min_stop_hits).cast("long"),
+        }
+    )
+    return rules.withColumn(
+        "passes",
+        (
+            F.col("ok_word_count")
+            * F.col("ok_mean_word_len")
+            * F.col("ok_symbol_ratio")
+            * F.col("ok_stopwords")
+        ).cast("long"),
+    )
+
+
+def unigram_kl(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group unigram-distribution drift: KL(P_group || P_corpus) over
+    lowercased whitespace tokens — the standard check that a corpus slice
+    (a crawl source, a date bucket) hasn't drifted from the mixture it is
+    sampled into. Output: (group, n_tokens, n_types, kl_divergence).
+
+    Scale shape: one explode + ONE wide shuffle on (group, token); the
+    corpus-level distribution is re-aggregated from the (group, token)
+    counts (token-level data, vocab-bounded — tiny next to the corpus),
+    then joined back on token. Group totals ride a broadcast join. Each
+    KL term is computed from exact integer counts —
+    (c_gt/tot_g) * ln((c_gt * tot) / (tot_g * c_gt_global)) — so only the
+    final sum sees floats; rounded to 6 decimals.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(words_col(text_col)).alias("tok"),
+    ).select("grp", F.lower(F.col("tok")).alias("tok"))
+    gt = toks.groupBy("grp", "tok").agg(F.count("*").alias("c_gt"))
+    glob = gt.groupBy("tok").agg(F.sum("c_gt").alias("c_t"))
+    gtot = gt.groupBy("grp").agg(F.sum("c_gt").alias("tot_g"))
+    total = gt.select(F.sum("c_gt").alias("tot"))
+    terms = (
+        gt.join(glob, "tok")
+        .join(F.broadcast(gtot), "grp")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "grp",
+            "c_gt",
+            (
+                (F.col("c_gt") / F.col("tot_g"))
+                * F.log(
+                    (F.col("c_gt") * F.col("tot"))
+                    / (F.col("tot_g") * F.col("c_t"))
+                )
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("grp")
+        .agg(
+            F.sum("c_gt").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.round(F.sum("term"), 6).alias("kl_divergence"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )
+
+
 def lang_id(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:

@@ -25,6 +25,7 @@ from sarkac_spark.queries import control, core, llm, ml, relational
 _MODULES = [relational, control, ml, core, llm]
 
 # Never driver-swept (r01+r02) or red-then-fixed; see VERDICT.md round 2.
+# New-in-round-3 queries follow — also without a driver row yet.
 _PRIORITY = [
     "doc_cube",          # r02 red row — oracle typing fixed this round
     "inverted_index",    # r01 red row — fixed in r02, driver-unproven
@@ -35,6 +36,9 @@ _PRIORITY = [
     "span_dedup",
     "temperature_sample",
     "vocab_coverage",
+    "semantic_dedup",    # new r03
+    "gopher_rules",      # new r03
+    "unigram_kl",        # new r03
 ]
 
 

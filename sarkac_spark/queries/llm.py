@@ -469,6 +469,57 @@ def q_pii_redaction(spark, sf_dir):
     )
 
 
+# SemDeDup bucketing: 4 hyperplane bits => 16 deterministic "clusters" at
+# test scale (real corpora run 14+ bits). The synthetic embeddings have no
+# true near-dups (max within-bucket cosine ~0.45 at sf0.01), so tau sits at
+# the ~99th percentile of the within-bucket pair distribution to exercise
+# the drop path with a non-trivial kept/dropped split.
+SEMDEDUP_BITS = 4
+SEMDEDUP_TAU = 0.3
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: deterministic sign-LSH buckets as
+    clusters, keep-lowest-id within each cosine>tau duplicate pair."""
+    from sarkac_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _embs(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        dim=EMB_DIM,
+        n_bits=SEMDEDUP_BITS,
+        tau=SEMDEDUP_TAU,
+    )
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-rules quality gate: word-count / mean-word-length /
+    symbol-ratio / stopword-presence flags per document."""
+    from sarkac_spark.operators.text import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "stop_hits",
+        "ok_word_count",
+        "ok_mean_word_len",
+        "ok_symbol_ratio",
+        "ok_stopwords",
+        "passes",
+    )
+
+
+def q_unigram_kl(spark, sf_dir):
+    """Per-source unigram-distribution drift vs the corpus mixture:
+    KL(P_source || P_corpus) from exact token counts."""
+    from sarkac_spark.operators.text import unigram_kl
+
+    return unigram_kl(_docs(spark, sf_dir), "source", "text")
+
+
 # corpus-mix contract: oversample src0/src1, trim src2, pass the rest
 MIX_WEIGHTS = {"src0": 2.5, "src1": 2.0, "src2": 0.4}
 
@@ -583,6 +634,9 @@ QUERIES = {
     "doc_lm_score": q_doc_lm_score,
     "ann_recall": q_ann_recall,
     "multimodal_payload": q_multimodal_payload,
+    "semantic_dedup": q_semantic_dedup,
+    "gopher_rules": q_gopher_rules,
+    "unigram_kl": q_unigram_kl,
 }
 
 
@@ -1256,6 +1310,98 @@ GROUP BY lang
 """
 
 
+def _semantic_dedup_sql() -> str:
+    # mirror of operators/similarity.py::semantic_dedup — same md5-derived
+    # Rademacher planes (salt 'semdedup'), single table, keep-lowest-id
+    cos = _COS.format(a="el.v", b="eh.v")
+    return f"""
+WITH hp AS (
+  SELECT j, list(
+    CASE WHEN ('0x' || substr(md5('semdedup|' || j || ':' || d), 1, 15))::BIGINT % 2 = 0
+         THEN 1.0 ELSE -1.0 END ORDER BY d) AS hv
+  FROM range({SEMDEDUP_BITS}) t1(j) CROSS JOIN range({EMB_DIM}) t2(d)
+  GROUP BY j
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN round(list_dot_product(e.v, hp.hv), 6) > 0
+                       THEN (1::BIGINT << hp.j) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN hp GROUP BY e.vec_id
+),
+drops AS (
+  SELECT DISTINCT hi.vec_id
+  FROM sig lo
+  JOIN sig hi ON hi.bucket = lo.bucket AND lo.vec_id < hi.vec_id
+  JOIN e el ON el.vec_id = lo.vec_id
+  JOIN e eh ON eh.vec_id = hi.vec_id
+  WHERE {cos} > {SEMDEDUP_TAU}
+)
+SELECT s.vec_id, s.bucket,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM sig s LEFT JOIN drops d ON d.vec_id = s.vec_id
+"""
+
+
+def _gopher_rules_sql() -> str:
+    from sarkac_spark.operators.text import _GOPHER_STOPWORDS
+
+    stoplist = ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS)
+    return f"""
+WITH staged AS (
+  SELECT doc_id, {_WORDS} AS w, length(text) AS nc,
+         length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS nclean
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         round(CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+               / len(w), 6) AS mean_word_len,
+         round((nc - nclean) / nc, 6) AS symbol_ratio,
+         CAST(len(list_filter(w, x -> list_contains([{stoplist}], lower(x))))
+              AS BIGINT) AS stop_hits
+  FROM staged
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, stop_hits,
+       CAST(CASE WHEN n_words BETWEEN 10 AND 1000 THEN 1 ELSE 0 END AS BIGINT)
+         AS ok_word_count,
+       CAST(CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END
+            AS BIGINT) AS ok_mean_word_len,
+       CAST(CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS BIGINT)
+         AS ok_symbol_ratio,
+       CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_stopwords,
+       CAST(CASE WHEN n_words BETWEEN 10 AND 1000
+                  AND mean_word_len BETWEEN 2.0 AND 12.0
+                  AND symbol_ratio <= 0.1
+                  AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS passes
+FROM feats
+"""
+
+
+def _unigram_kl_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT source AS grp, lower(u.t) AS tok
+  FROM documents, UNNEST({_WORDS}) AS u(t)
+),
+gt AS (SELECT grp, tok, count(*) AS c_gt FROM toks GROUP BY grp, tok),
+gl AS (SELECT tok, CAST(sum(c_gt) AS BIGINT) AS c_t FROM gt GROUP BY tok),
+gtot AS (SELECT grp, CAST(sum(c_gt) AS BIGINT) AS tot_g FROM gt GROUP BY grp),
+tot AS (SELECT CAST(sum(c_gt) AS BIGINT) AS tot FROM gt)
+SELECT gt.grp AS source,
+       CAST(sum(c_gt) AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       round(sum((c_gt / tot_g) * ln((c_gt * tot) / (tot_g * c_t))), 6)
+         AS kl_divergence
+FROM gt
+JOIN gl USING (tok)
+JOIN gtot USING (grp)
+CROSS JOIN tot
+GROUP BY gt.grp
+"""
+
+
 ORACLE = {
     "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
@@ -1355,6 +1501,9 @@ SELECT doc_id, n_words, unique_ratio, mean_word_len, punct_ratio, digit_ratio,
 FROM feats
 """,
     "lang_id": _lang_id_sql(),
+    "semantic_dedup": _semantic_dedup_sql(),
+    "gopher_rules": _gopher_rules_sql(),
+    "unigram_kl": _unigram_kl_sql(),
     "span_dedup": f"""
 WITH ws AS (SELECT doc_id, {_WORDS} AS w FROM documents),
 spans AS (

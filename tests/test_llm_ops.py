@@ -768,3 +768,62 @@ def test_ann_recall_floors(spark):
     assert set(mean) == {"ivf", "lsh"}
     assert mean["ivf"] >= 0.7, mean
     assert mean["lsh"] >= 0.2, mean
+
+
+def test_semantic_dedup_drops_higher_id_duplicate(spark):
+    """Identical vectors always co-bucket (bucket is a function of the
+    vector), so the higher-id copy is dropped and the lower-id copy plus
+    the unrelated vector are kept."""
+    from sarkac_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),   # exact dup of 1 -> dropped
+            (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal -> kept
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in semantic_dedup(df, dim=4, n_bits=3, tau=0.9).collect()}
+    assert rows[1].kept == 1 and rows[2].kept == 0 and rows[3].kept == 1
+    assert rows[1].bucket == rows[2].bucket
+
+
+def test_gopher_rules_flags(spark):
+    """Each rule trips on its own planted violation; the clean doc passes."""
+    from sarkac_spark.operators.text import gopher_rules
+
+    good = "the quick brown fox jumps over the lazy dog and runs to a tree"
+    short = "the end"                                  # < 10 words
+    nostop = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    symbols = "the ### $$$ %%% ^^^ &&& *** ((( ))) @@@ !!! ??? of and to in"
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, nostop), (4, symbols)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert rows[1].passes == 1
+    assert rows[2].passes == 0 and rows[2].ok_word_count == 0
+    assert rows[3].passes == 0 and rows[3].ok_stopwords == 0
+    assert rows[4].passes == 0 and rows[4].ok_symbol_ratio == 0
+    assert rows[1].n_words == 14 and rows[1].stop_hits >= 3
+
+
+def test_unigram_kl_zero_for_representative_slice(spark):
+    """A group distributed exactly like the corpus has KL 0; a skewed
+    group scores strictly positive."""
+    from sarkac_spark.operators.text import unigram_kl
+
+    balanced = spark.createDataFrame(
+        [("a", "x y"), ("b", "x y")], "source string, text string"
+    )
+    rows = {r.source: r for r in unigram_kl(balanced).collect()}
+    assert rows["a"].kl_divergence == 0.0 and rows["b"].kl_divergence == 0.0
+    assert rows["a"].n_tokens == 2 and rows["a"].n_types == 2
+
+    skewed = spark.createDataFrame(
+        [("a", "x y"), ("c", "x x x x")], "source string, text string"
+    )
+    rows = {r.source: r for r in unigram_kl(skewed).collect()}
+    assert rows["c"].kl_divergence > 0.0
+    assert rows["a"].kl_divergence > 0.0  # corpus shifted away from a too
