@@ -214,37 +214,39 @@ def unigram_kl(
     (a crawl source, a date bucket) hasn't drifted from the mixture it is
     sampled into. Output: (group, n_tokens, n_types, kl_divergence).
 
-    Scale shape: one explode + ONE wide shuffle on (group, token); the
-    corpus-level distribution is re-aggregated from the (group, token)
-    counts (token-level data, vocab-bounded — tiny next to the corpus),
-    then joined back on token. Group totals ride a broadcast join. Each
-    KL term is computed from exact integer counts —
-    (c_gt/tot_g) * ln((c_gt * tot) / (tot_g * c_gt_global)) — so only the
-    final sum sees floats; rounded to 6 decimals.
+    Scale shape: ONE corpus scan. The explode + (group, token) count is
+    the only data-sized shuffle; the token marginal (c_t) and group
+    marginal (tot_g) come from window sums over the already-aggregated
+    counts (vocab-bounded — tiny next to the corpus), not from re-derived
+    branches that would each rescan the corpus. The grand total branches
+    from the same (group, token) exchange, so the physical planner emits
+    a ReusedExchange instead of a second scan (plan-asserted in
+    test_plans.py). The final per-group aggregation reuses the group
+    window's partitioning — no extra exchange. Each KL term is computed
+    from exact integer counts — (c_gt/tot_g) * ln((c_gt * tot) /
+    (tot_g * c_t)) — so only the final sum sees floats; rounded to 6
+    decimals.
     """
     toks = df.select(
         F.col(group_col).alias("grp"),
         F.explode(words_col(text_col)).alias("tok"),
     ).select("grp", F.lower(F.col("tok")).alias("tok"))
     gt = toks.groupBy("grp", "tok").agg(F.count("*").alias("c_gt"))
-    glob = gt.groupBy("tok").agg(F.sum("c_gt").alias("c_t"))
-    gtot = gt.groupBy("grp").agg(F.sum("c_gt").alias("tot_g"))
-    total = gt.select(F.sum("c_gt").alias("tot"))
-    terms = (
-        gt.join(glob, "tok")
-        .join(F.broadcast(gtot), "grp")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "grp",
-            "c_gt",
-            (
-                (F.col("c_gt") / F.col("tot_g"))
-                * F.log(
-                    (F.col("c_gt") * F.col("tot"))
-                    / (F.col("tot_g") * F.col("c_t"))
-                )
-            ).alias("term"),
-        )
+    total = gt.agg(F.sum("c_gt").cast("long").alias("tot"))
+    enr = (
+        gt.crossJoin(F.broadcast(total))
+        .withColumn("c_t", F.sum("c_gt").over(Window.partitionBy("tok")))
+        .withColumn("tot_g", F.sum("c_gt").over(Window.partitionBy("grp")))
+    )
+    terms = enr.select(
+        "grp",
+        "c_gt",
+        (
+            (F.col("c_gt") / F.col("tot_g"))
+            * F.log(
+                (F.col("c_gt") * F.col("tot")) / (F.col("tot_g") * F.col("c_t"))
+            )
+        ).alias("term"),
     )
     return (
         terms.groupBy("grp")

@@ -273,3 +273,34 @@ def test_new_curation_query_plan_shapes(spark, sf_dir):
     # from the declarative rank_topk (broadcast self-join + agg over the
     # <=top_k survivors) — metadata-sized, not data-sized
     assert shuffle_count(vc) <= 5
+
+
+def test_round3_query_plan_shapes(spark, sf_dir):
+    """Plan budgets for the round-3 operators: gopher is map-only,
+    unigram_kl broadcasts its totals, semantic_dedup shuffles only on
+    the bucket key plus the final kept-flag join."""
+    from sarkac_spark.queries.llm import (
+        q_gopher_rules,
+        q_semantic_dedup,
+        q_unigram_kl,
+    )
+
+    gr = q_gopher_rules(spark, sf_dir)
+    assert shuffle_count(gr) == 0  # pure column expressions, no shuffle
+    plan = _plan(gr)
+    assert "Exchange" not in plan
+
+    kl = q_unigram_kl(spark, sf_dir)
+    # statically: the (grp, tok) count (data-sized), its grand-total twin,
+    # and the two vocab-sized marginal windows — and the twin must
+    # dedupe into a ReusedExchange at runtime (ONE corpus scan/shuffle;
+    # the marginals come from windows, not corpus-rescanning branches)
+    assert shuffle_count(kl) <= 4
+    kl.collect()
+    assert "ReusedExchange" in _plan(kl)
+
+    sd = q_semantic_dedup(spark, sf_dir)
+    # bucket self-join + dropped-id dedup + kept-flag join; assignment
+    # itself is map-only expression code
+    assert shuffle_count(sd) <= 5
+    assert "InMemoryTableScan" not in _plan(sd)  # no hidden caching
