@@ -827,3 +827,121 @@ def test_unigram_kl_zero_for_representative_slice(spark):
     rows = {r.source: r for r in unigram_kl(skewed).collect()}
     assert rows["c"].kl_divergence > 0.0
     assert rows["a"].kl_divergence > 0.0  # corpus shifted away from a too
+
+
+def test_unigram_kl_differential_random_corpora(spark):
+    """On seeded random corpora: KL(P_g || P_corpus) matches an
+    independent numpy computation and is non-negative (Gibbs)."""
+    import collections
+    import math
+
+    import numpy as np
+
+    from sarkac_spark.operators.text import unigram_kl
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (f"g{g}", " ".join(rng.choice(vocab, rng.integers(3, 20))))
+        for g in range(4)
+        for _ in range(10)
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r.source: r for r in unigram_kl(df).collect()}
+
+    c_gt: dict = collections.Counter()
+    for g, text in rows:
+        for t in text.split():
+            c_gt[(g, t)] += 1
+    c_t = collections.Counter()
+    tot_g = collections.Counter()
+    for (g, t), c in c_gt.items():
+        c_t[t] += c
+        tot_g[g] += c
+    tot = sum(c_gt.values())
+    for g in tot_g:
+        kl = sum(
+            (c / tot_g[g]) * math.log((c * tot) / (tot_g[g] * c_t[t]))
+            for (gg, t), c in c_gt.items()
+            if gg == g
+        )
+        assert got[g].kl_divergence >= -1e-6
+        assert abs(got[g].kl_divergence - kl) < 1e-5, (g, kl)
+        assert got[g].n_tokens == tot_g[g]
+
+
+def test_semantic_dedup_differential_random(spark):
+    """Full numpy re-derivation on seeded random vectors with planted
+    exact duplicates: buckets, the dropped set, and kept flags must all
+    match the operator exactly."""
+    import numpy as np
+
+    from sarkac_spark.operators.similarity import (
+        _rademacher_hyperplanes,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, n_bits, tau = 8, 3, 0.8
+    vecs = rng.normal(size=(40, dim))
+    for src, dst in [(0, 20), (5, 25), (7, 35)]:  # planted exact dups
+        vecs[dst] = vecs[src]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in semantic_dedup(df, dim=dim, n_bits=n_bits, tau=tau).collect()}
+
+    v = vecs.astype(np.float32).astype(np.float64)  # match array<float> storage
+    planes = np.array(_rademacher_hyperplanes(n_bits, dim, "semdedup"))
+    dots = np.round(v @ planes.T, 6)
+    buckets = ((dots > 0) @ (1 << np.arange(n_bits))).astype(int)
+    norms = np.linalg.norm(v, axis=1)
+    dropped = set()
+    for hi in range(len(v)):
+        for lo in range(hi):
+            if buckets[lo] == buckets[hi] and round(
+                float(v[lo] @ v[hi] / (norms[lo] * norms[hi])), 6
+            ) > tau:
+                dropped.add(hi)
+    for i in range(len(v)):
+        assert got[i].bucket == buckets[i], i
+        assert got[i].kept == (0 if i in dropped else 1), i
+    assert {20, 25, 35} <= dropped  # planted dups actually exercised the path
+
+
+def test_gopher_rules_differential_random(spark):
+    """Seeded random texts vs a pure-python re-derivation of every
+    feature and flag."""
+    import numpy as np
+
+    from sarkac_spark.operators.text import _GOPHER_STOPWORDS, gopher_rules
+
+    rng = np.random.default_rng(13)
+    pieces = ["the", "of", "to", "zebra", "qq", "a1b2", "###", "x" * 15, "?!"]
+    rows = [
+        (i, " ".join(rng.choice(pieces, rng.integers(1, 30))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_rules(df).collect()}
+    stopset = set(_GOPHER_STOPWORDS)
+    for i, text in rows:
+        w = text.split()
+        n_words = len(w)
+        mean_wl = sum(len(x) for x in w) / n_words
+        clean = "".join(c for c in text if c.isalnum() or c == " ")
+        symbol_ratio = (len(text) - len(clean)) / len(text)
+        stop_hits = sum(1 for x in w if x.lower() in stopset)
+        r = got[i]
+        assert r.n_words == n_words
+        assert abs(r.mean_word_len - mean_wl) < 1e-6
+        assert abs(r.symbol_ratio - symbol_ratio) < 1e-6
+        assert r.stop_hits == stop_hits
+        expect = int(
+            10 <= n_words <= 1000
+            and 2.0 <= round(mean_wl, 6) <= 12.0
+            and round(symbol_ratio, 6) <= 0.1
+            and stop_hits >= 2
+        )
+        assert r.passes == expect, (i, text)
