@@ -549,18 +549,30 @@ def semantic_dedup(
     self-join per bucket, one anti-join. Output: (id, bucket, kept).
 
     Scale shape: bucket assignment is map-only expression code (no fit
-    step); the pairwise cosine runs only WITHIN buckets via an equi-join
-    on bucket (n_bits is the knob that bounds bucket size as the corpus
-    grows — 2^n_bits partitions the space, and real corpora at 100 TB
-    run 14+ bits). No driver collect, no Python.
+    step) computed in the SAME projection as the vector and its norm —
+    no assignment-to-vector join; the pairwise cosine runs only WITHIN
+    buckets via an equi-join on bucket (n_bits is the knob that bounds
+    bucket size as the corpus grows — 2^n_bits partitions the space,
+    and real corpora at 100 TB run 14+ bits). No driver collect, no
+    Python; the self-join's two legs and the final kept-flag branch all
+    canonicalize to the same bucket exchange, so AQE reuses one shuffle
+    stage at runtime.
     """
-    assign = lsh_sign_assign(
-        df, id_col, vec_col, dim, n_bits=n_bits, n_tables=1, salt=salt
-    ).select(F.col(id_col).alias("__id"), "bucket")
-    vecs = df.select(
+    planes = _rademacher_hyperplanes(n_bits, dim, salt)
+    planes_lit = F.array(*[F.array(*[F.lit(s) for s in hv]) for hv in planes])
+    staged = df.select(
         F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
-    ).withColumn("__n", norm(F.col("__v")))
-    av = assign.join(vecs, "__id")
+    ).withColumn(
+        "__dots", F.transform(planes_lit, lambda hv: F.round(_dot(F.col("__v"), hv), 6))
+    )
+    bucket = F.lit(0).cast("long")
+    for j in range(n_bits):
+        d = F.element_at(F.col("__dots"), j + 1)
+        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    av = staged.select(
+        "__id", bucket.alias("bucket"), "__v", norm(F.col("__v")).alias("__n")
+    )
+    assign = av.select("__id", "bucket")
     lo = av.select(
         F.col("__id").alias("lo_id"),
         "bucket",
