@@ -472,6 +472,66 @@ def streaming_span_dedup(
     )
 
 
+def streaming_unigram_drift(
+    stream: DataFrame,
+    reference: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    oov_q: float = 1e-6,
+) -> DataFrame:
+    """Streaming twin of ``operators/text.unigram_kl``: per event-time
+    window and group, KL(P_window ‖ Q_ref) against a STATIC reference
+    unigram distribution ``reference`` = (tok, q) — the live drift
+    monitor that pages when a crawl source starts emitting something
+    distributionally new. Tokens absent from the reference score
+    against the ``oov_q`` floor (an unsmoothed reference would make any
+    novel token infinitely surprising).
+
+    Shape: two CHAINED stateful aggregations — (window, group, token)
+    counts, then the per-(window, group) reduction — with the reference
+    riding a stateless broadcast join between them (Spark's
+    multiple-stateful-operator support; watermark propagates through
+    the first window). State is vocab-bounded per open window, evicted
+    on watermark close; rows emit in append mode once the window
+    finalizes. The identity KL = (1/T)·Σ c·ln(c/q) − ln(T) lets one
+    aggregation produce the result without a per-window total join.
+
+    Output: (window_start, window_end, <group_col>, n_tokens,
+    kl_divergence).
+    """
+    from sarkac_spark.operators.dedup import words_col
+
+    toks = stream.select(
+        F.col(group_col).alias("grp"),
+        F.col(ts_col),
+        F.explode(words_col(text_col)).alias("tok"),
+    ).select("grp", ts_col, F.lower(F.col("tok")).alias("tok"))
+    counts = (
+        toks.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), "grp", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    joined = counts.join(
+        F.broadcast(reference.select("tok", "q")), "tok", "left"
+    ).withColumn("q", F.coalesce(F.col("q"), F.lit(float(oov_q))))
+    reduced = joined.groupBy("win", "grp").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * F.log(F.col("c") / F.col("q"))).alias("__s"),
+    )
+    return reduced.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        F.round(
+            F.col("__s") / F.col("n_tokens") - F.log(F.col("n_tokens")), 6
+        ).alias("kl_divergence"),
+    )
+
+
 class StatefulSigmaPipeline:
     """The pure-Structured-Streaming sigma engine — no foreachBatch, no
     external state files: extract (stateless project/union) ->

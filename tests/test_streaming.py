@@ -433,3 +433,54 @@ def test_streaming_span_dedup(spark, tmp_path):
     assert by_doc[2] == {"unique body text here now"}
     # doc 3 has 6 words -> two spans under 5-word segmentation
     assert by_doc[3] == {"totally different content in this", "doc"}
+
+
+def test_streaming_unigram_drift(spark, tmp_path):
+    """Chained stateful aggregation drift monitor: a window distributed
+    like the reference scores KL 0; a window of all-OOV tokens scores
+    exactly ln(1/oov_q). Source is written as ONE file so event-time
+    order is deterministic (multi-file arrival can legitimately drop
+    early windows as late data — documented streaming semantics)."""
+    import datetime as dt
+    import math
+
+    from sarkac_spark.streaming.pipeline import streaming_unigram_drift
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(10):  # window 12:00-12:05 — matches the reference
+        rows.append((t0 + dt.timedelta(seconds=i), "srcA", "the a of the a of"))
+    for i in range(10):  # window 12:05-12:10 — pure drift (OOV flood)
+        rows.append(
+            (t0 + dt.timedelta(minutes=7, seconds=i), "srcA", "zzz zzz zzz zzz zzz zzz")
+        )
+    rows.append((t0 + dt.timedelta(hours=2), "srcA", "closer"))  # advances watermark
+    src = tmp_path / "drift_src"
+    spark.createDataFrame(
+        rows, "ts timestamp, source string, text string"
+    ).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "ts timestamp, source string, text string"
+    ).parquet(str(src))
+    ref = spark.createDataFrame(
+        [("the", 1 / 3), ("a", 1 / 3), ("of", 1 / 3)], "tok string, q double"
+    )
+    out = streaming_unigram_drift(
+        stream, ref, window="5 minutes", watermark="10 minutes", oov_q=1e-6
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("drift_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.window_start: r
+        for r in spark.sql("SELECT * FROM drift_out").collect()
+    }
+    w1, w2 = t0, t0 + dt.timedelta(minutes=5)
+    assert got[w1].kl_divergence == 0.0 and got[w1].n_tokens == 60
+    assert got[w2].kl_divergence == round(math.log(1e6), 6)
+    assert got[w2].n_tokens == 60
