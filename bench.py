@@ -39,6 +39,17 @@ from sarkac_spark.session import get_spark
 STREAM_BATCHES = int(os.environ.get("SPARK_GRAFT_STREAM_TRIGGERS", "10"))
 STREAM_MSGS_PER_BATCH = int(os.environ.get("SPARK_GRAFT_STREAM_MSGS", "400"))
 
+# the session's FIRST streaming queries absorb one-time init (streaming
+# codegen, state-store setup) that would otherwise land entirely on the
+# rescan entry (it runs first) and skew the engine comparison; warm once
+# per session with a discarded 2-trigger pair
+_STREAM_WARMED = False
+
+
+def _set_stream_scale(batches: int, msgs: int) -> None:
+    global STREAM_BATCHES, STREAM_MSGS_PER_BATCH
+    STREAM_BATCHES, STREAM_MSGS_PER_BATCH = batches, msgs
+
 
 def _stream_source(spark, workdir: str):
     from sarkac_spark.sources.synthetic import example_messages
@@ -61,6 +72,15 @@ def _stream_source(spark, workdir: str):
 
 
 def stream_pipeline_bench(spark) -> dict[str, float]:
+    global _STREAM_WARMED
+    if not _STREAM_WARMED:
+        _STREAM_WARMED = True
+        saved = (STREAM_BATCHES, STREAM_MSGS_PER_BATCH)
+        try:
+            _set_stream_scale(2, 50)
+            stream_pipeline_bench(spark)
+        finally:
+            _set_stream_scale(*saved)
     from sarkac_spark.config import DSL
     from sarkac_spark.sources.synthetic import TOPIC
     from sarkac_spark.streaming.pipeline import (

@@ -14,8 +14,12 @@ point alone runs for minutes by design (that's the finding), which would
 dominate the driver's per-round bench budget. bench.py carries the
 affordable scale points; the full curve lives here and in BASELINE.md.
 
-Usage: python tools/bench_stream_scale.py [trigger_counts ...]
-Defaults: 10 25 50 100 (400 msgs/trigger, like bench.py).
+Usage: python tools/bench_stream_scale.py [spec ...]
+Each spec is a trigger count (``50``, 400 msgs/trigger like bench.py) or
+``NxM`` for N triggers of M messages (``20x20000`` scales the retained
+STORE at fixed trigger count — the axis that actually separates the
+engines: rescan cost tracks store size, stateful tracks batch size).
+Defaults: 10 25 50 100.
 """
 
 from __future__ import annotations
@@ -31,19 +35,25 @@ from sarkac_spark.session import get_spark
 
 
 def main() -> None:
-    counts = [int(a) for a in sys.argv[1:]] or [10, 25, 50, 100]
+    specs = [
+        (int(a.split("x")[0]), int(a.split("x")[1]) if "x" in a else 400)
+        for a in sys.argv[1:]
+    ] or [(10, 400), (25, 400), (50, 400), (100, 400)]
     spark = get_spark("sarkac_stream_scale")
-    for n in counts:
+    # (bench.stream_pipeline_bench self-warms once per session with a
+    # discarded pair, so the first scale point is not bent by one-time
+    # streaming init)
+    for n, m in specs:
         bench.STREAM_BATCHES = n
-        bench.STREAM_MSGS_PER_BATCH = 400
+        bench.STREAM_MSGS_PER_BATCH = m
         out = bench.stream_pipeline_bench(spark)
-        rescan = out[f"stream_rescan_{n}x400"]
-        stateful = out[f"stream_stateful_{n}x400"]
+        rescan = out[f"stream_rescan_{n}x{m}"]
+        stateful = out[f"stream_stateful_{n}x{m}"]
         print(
             json.dumps(
                 {
                     "triggers": n,
-                    "msgs_per_trigger": 400,
+                    "msgs_per_trigger": m,
                     "rescan_sec": rescan,
                     "stateful_sec": stateful,
                     "rescan_per_trigger": round(rescan / n, 3),
