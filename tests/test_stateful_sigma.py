@@ -175,3 +175,73 @@ def test_stateful_pipeline_cooldown_suppresses(spark, tmp_path):
     rows = spark.read.parquet(str(tmp_path / "anoms2")).collect()
     assert len(rows) == 1  # emit-then-suppress: one alert per hour per series
     assert rows[0].value == 150.5
+
+
+def test_stateful_pipeline_checkpoint_restart_equals_single_run(spark, tmp_path):
+    """Kill-and-resume correctness: run the engine over the first two
+    thirds of the fixture, stop, deliver the rest, restart a FRESH
+    pipeline object on the same checkpoint — the combined output must
+    equal a never-stopped run byte-for-byte. This pins both halves of
+    the recovery contract: keyed state survives the restart (later
+    spikes are scored against pre-restart baselines, not a cold
+    min-count guard) and the file sink's commit log keeps pre-restart
+    epochs exactly-once (no duplicated anomalies)."""
+    from sarkac_spark.config import DSL
+    from sarkac_spark.sources.synthetic import TOPIC, example_messages
+    from sarkac_spark.streaming.pipeline import StatefulSigmaPipeline
+
+    dsl = DSL.parse(
+        {TOPIC: {"fields": {"sub.one": {"windows": ["5m"]}, "two": {"windows": ["5m"]}}}}
+    )
+    msgs = example_messages(spark, n=96).collect()
+    schema = "topic string, key string, value string, ts timestamp"
+
+    def write_file(root, i):
+        spark.createDataFrame(msgs[i * 32 : (i + 1) * 32], schema).coalesce(
+            1
+        ).write.parquet(str(root / "src" / f"b{i}"))
+
+    def read_stream(root):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(root / "src" / "*"))
+        )
+
+    def run(root):
+        p = StatefulSigmaPipeline(
+            spark, dsl, anomaly_dir=str(root / "anoms"), cooldown_seconds=0
+        )
+        q = p.start(
+            read_stream(root), checkpoint_dir=str(root / "ckpt"), trigger_seconds=1
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # reference: never-stopped run over all three files
+    ref_root = tmp_path / "single"
+    ref_root.mkdir()
+    for i in range(3):
+        write_file(ref_root, i)
+    run(ref_root)
+    expect = sorted(
+        (r.topic, r.path, r.event_ts_us, r.value, r.window_seconds)
+        for r in spark.read.parquet(str(ref_root / "anoms")).collect()
+    )
+    assert expect  # fixture plants spikes; empty would vacuously pass
+
+    # restart: two files -> stop -> third file -> fresh pipeline, same ckpt
+    rs_root = tmp_path / "restarted"
+    rs_root.mkdir()
+    write_file(rs_root, 0)
+    write_file(rs_root, 1)
+    run(rs_root)
+    mid = len(spark.read.parquet(str(rs_root / "anoms")).collect())
+    write_file(rs_root, 2)
+    run(rs_root)  # new object, same checkpoint + sink
+    got = sorted(
+        (r.topic, r.path, r.event_ts_us, r.value, r.window_seconds)
+        for r in spark.read.parquet(str(rs_root / "anoms")).collect()
+    )
+    assert got == expect
+    assert mid < len(got)  # the third file contributed post-restart spikes
