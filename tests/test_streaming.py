@@ -484,3 +484,47 @@ def test_streaming_unigram_drift(spark, tmp_path):
     assert got[w1].kl_divergence == 0.0 and got[w1].n_tokens == 60
     assert got[w2].kl_divergence == round(math.log(1e6), 6)
     assert got[w2].n_tokens == 60
+
+
+def test_curation_ops_compose_with_streams(spark, tmp_path):
+    """The stateless curation operators (gopher_rules quality gate) are
+    pure column expressions, so the SAME operator call works unchanged
+    on a readStream DataFrame and agrees with its batch run — the
+    property that lets a training-ingest pipeline gate documents
+    in-flight without a second implementation."""
+    from sarkac_spark.operators.text import gopher_rules
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs to a tree"),
+        (2, "the end"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    ]
+    src = tmp_path / "curation_src"
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(src))
+
+    batch = {
+        r.doc_id: (r.passes, r.n_words, r.stop_hits)
+        for r in gopher_rules(
+            spark.read.parquet(str(src))
+        ).collect()
+    }
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = (
+        gopher_rules(stream)
+        .select("doc_id", "passes", "n_words", "stop_hits")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curation_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.doc_id: (r.passes, r.n_words, r.stop_hits)
+        for r in spark.sql("SELECT * FROM curation_out").collect()
+    }
+    assert streamed == batch
+    assert batch[1][0] == 1 and batch[2][0] == 0
