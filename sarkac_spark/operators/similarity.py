@@ -554,9 +554,21 @@ def semantic_dedup(
     buckets via an equi-join on bucket (n_bits is the knob that bounds
     bucket size as the corpus grows — 2^n_bits partitions the space,
     and real corpora at 100 TB run 14+ bits). No driver collect, no
-    Python; the self-join's two legs and the final kept-flag branch all
-    canonicalize to the same bucket exchange, so AQE reuses one shuffle
-    stage at runtime.
+    Python.
+
+    Exact-duplicate collapse (the adversarial-bucket guard): a corpus
+    with many IDENTICAL vectors would otherwise form an n²/2 clique
+    inside one bucket — the worst case of any within-bucket pairwise
+    scheme. For tau < 1 the pairwise join therefore runs on DISTINCT
+    vectors only (one representative per identical group, min id):
+    identical copies always co-bucket with cosine 1 > tau, so every
+    non-representative nonzero copy is dropped by construction, and a
+    representative's verdict transfers to its whole group — the output
+    is IDENTICAL to the naive pairwise, but the clique collapses to
+    one row. Zero-norm vectors are exempt (their cosine is null, which
+    never exceeds tau, so all copies stay kept — same as the naive
+    rule). The degenerate tau >= 1 case (nothing can drop; identical
+    copies must survive) falls back to the direct pairwise.
     """
     planes = _rademacher_hyperplanes(n_bits, dim, salt)
     planes_lit = F.array(*[F.array(*[F.lit(s) for s in hv]) for hv in planes])
@@ -572,6 +584,53 @@ def semantic_dedup(
     av = staged.select(
         "__id", bucket.alias("bucket"), "__v", norm(F.col("__v")).alias("__n")
     )
+    if tau < 1.0:
+        reps = av.groupBy("bucket", "__v", "__n").agg(
+            F.min("__id").alias("rep_id")
+        )
+        lo = reps.select(
+            F.col("rep_id").alias("lo_id"),
+            "bucket",
+            F.col("__v").alias("lo_v"),
+            F.col("__n").alias("lo_n"),
+        )
+        hi = reps.select(
+            F.col("rep_id").alias("hi_id"),
+            "bucket",
+            F.col("__v").alias("hi_v"),
+            F.col("__n").alias("hi_n"),
+        )
+        dropped_reps = (
+            lo.join(hi, "bucket")
+            .filter(F.col("lo_id") < F.col("hi_id"))
+            .filter(
+                F.round(
+                    cosine_with_norms(
+                        F.col("lo_v"), F.col("hi_v"), F.col("lo_n"), F.col("hi_n")
+                    ),
+                    round_digits,
+                )
+                > tau
+            )
+            .select(F.col("hi_id").alias("rep_id"))
+            .distinct()
+            .withColumn("__rep_dropped", F.lit(1))
+        )
+        membered = av.join(reps, ["bucket", "__v", "__n"]).join(
+            dropped_reps, "rep_id", "left"
+        )
+        return membered.select(
+            F.col("__id").alias(id_col),
+            "bucket",
+            F.when(
+                ((F.col("__id") != F.col("rep_id")) & (F.col("__n") > 0))
+                | F.col("__rep_dropped").isNotNull(),
+                F.lit(0),
+            )
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("kept"),
+        )
     assign = av.select("__id", "bucket")
     lo = av.select(
         F.col("__id").alias("lo_id"),

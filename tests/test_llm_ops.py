@@ -945,3 +945,22 @@ def test_gopher_rules_differential_random(spark):
             and stop_hits >= 2
         )
         assert r.passes == expect, (i, text)
+
+
+def test_semantic_dedup_identical_clique_collapses(spark):
+    """Adversarial bucket: many copies of ONE vector plus zero vectors.
+    The exact-duplicate collapse must (a) keep only the lowest-id copy,
+    (b) leave zero-norm copies untouched (null cosine never drops), and
+    (c) run the pairwise join on distinct vectors — so the plan's join
+    input is O(distinct), not O(copies)^2 (the clique guard)."""
+    from sarkac_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(200)]
+    rows += [(1000, [0.0, 0.0, 0.0, 0.0]), (1001, [0.0, 0.0, 0.0, 0.0])]
+    rows += [(2000, [-4.0, 3.0, -2.0, 1.0])]  # distinct, dissimilar
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.kept for r in semantic_dedup(df, dim=4, n_bits=2, tau=0.8).collect()}
+    assert out[0] == 1
+    assert all(out[i] == 0 for i in range(1, 200))  # clique -> one survivor
+    assert out[1000] == 1 and out[1001] == 1  # zero vectors exempt
+    assert out[2000] == 1
