@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
@@ -37,11 +37,16 @@ def gap_fill(
     value_col: str,
     bucket_seconds: int,
     round_digits: int = 6,
+    agg_expr: Column | None = None,
 ) -> DataFrame:
     """Dense regular series per key: aggregate ``value_col`` into
     ``bucket_seconds`` buckets, generate every bucket between each key's
     first and last observation, and forward-fill gaps with the last
-    observed bucket average.
+    observed bucket aggregate (default: the rounded bucket average;
+    pass ``agg_expr`` to fill with something else — e.g. an exact
+    integer sum when cross-engine hash stability matters, since a
+    rounded float average can sit a hair from a 6-decimal tie where
+    engines' round() implementations legitimately disagree).
 
     Returns (keys..., bucket_us, n_obs, v_fill, filled) where ``filled``
     marks rows synthesized for empty buckets. ``v_fill`` is never NULL:
@@ -50,10 +55,12 @@ def gap_fill(
     """
     keys = list(keys)
     step = bucket_seconds * 1_000_000
+    if agg_expr is None:
+        agg_expr = F.round(F.avg(value_col), round_digits)
     obs = (
         df.groupBy(*keys, bucketize(df, ts_col, bucket_seconds))
         .agg(
-            F.round(F.avg(value_col), round_digits).alias("v_obs"),
+            agg_expr.alias("v_obs"),
             F.count(F.lit(1)).alias("n_obs"),
         )
     )

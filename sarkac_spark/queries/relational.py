@@ -162,11 +162,20 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regularize the event stream: per-type hourly buckets, empty
     buckets synthesized and forward-filled with the last observed
-    average (operators/timeseries.py)."""
+    bucket total (exact integer cents — same tie-free contract as
+    rolling_hourly_stats) (operators/timeseries.py)."""
     from sarkac_spark.operators.timeseries import gap_fill
 
     ev = load_table(spark, sf_dir, "events")
-    return gap_fill(ev, ["event_type"], "ts", "value", bucket_seconds=3600)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return gap_fill(
+        ev,
+        ["event_type"],
+        "ts",
+        "value",
+        bucket_seconds=3600,
+        agg_expr=F.sum(cents).cast("long"),
+    )
 
 
 def q_rolling_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,8 +185,17 @@ def q_rolling_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     bucket_us = (us - us % (3600 * 1_000_000)).alias("bucket_us")
+    # exact integer cents end-to-end (values are 2-decimal by contract):
+    # round(avg, 6) emits doubles that sit a hair from a 6-decimal tie
+    # whenever cents*10^4/count is half-integer, and there the engines'
+    # round() implementations legitimately disagree (Spark rounds the
+    # double's exact decimal expansion, DuckDB rounds a scaled multiply
+    # that can cross the tie — bit us at sf0.1). Integer sums have no
+    # rounding step at all, so the hash is stable at any scale factor;
+    # consumers derive means as v_cents / (100 * n_obs).
+    cents = F.round(F.col("value") * 100).cast("long")
     hourly = ev.groupBy("event_type", bucket_us).agg(
-        F.round(F.avg("value"), 6).alias("v_avg"),
+        F.sum(cents).alias("v_cents"),
         F.count(F.lit(1)).alias("n_obs"),
     )
     w = (
@@ -188,13 +206,9 @@ def q_rolling_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly.select(
         "event_type",
         "bucket_us",
-        "v_avg",
+        "v_cents",
         "n_obs",
-        # frame SUM, not avg: the sum of 6-decimal values is itself a
-        # 6-decimal value, so round() never lands on a half-ulp boundary
-        # (engines disagree there); the moving average is v_sum3 /
-        # n_hours_in_frame
-        F.round(F.sum("v_avg").over(w), 6).alias("v_sum3"),
+        F.sum("v_cents").over(w).alias("v_cents_3h"),
         F.count(F.lit(1)).over(w).alias("n_hours_in_frame"),
     )
 
@@ -342,11 +356,12 @@ ORACLE = {
 WITH hourly AS (
   SELECT event_type,
          epoch_us(ts) - epoch_us(ts) % (BIGINT '3600' * 1000000) AS bucket_us,
-         round(avg(value), 6) AS v_avg, count(*) AS n_obs
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents,
+         count(*) AS n_obs
   FROM events GROUP BY 1, 2
 )
-SELECT event_type, bucket_us, v_avg, n_obs,
-       round(sum(v_avg) OVER w, 6) AS v_sum3,
+SELECT event_type, bucket_us, v_cents, n_obs,
+       CAST(sum(v_cents) OVER w AS BIGINT) AS v_cents_3h,
        count(*) OVER w AS n_hours_in_frame
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
@@ -526,7 +541,8 @@ FROM documents GROUP BY ROLLUP (lang, source)
 WITH obs AS (
   SELECT event_type,
          epoch_us(ts) - epoch_us(ts) % (BIGINT '3600' * 1000000) AS bucket_us,
-         round(avg(value), 6) AS v_obs, count(*) AS n_obs
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_obs,
+         count(*) AS n_obs
   FROM events GROUP BY 1, 2
 ),
 spans AS (
