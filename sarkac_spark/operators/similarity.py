@@ -9,10 +9,11 @@ Three paths, mirroring how a 100 TB pipeline would actually run ANN:
   (``zip_with`` + ``aggregate``) in whole-stage codegen — no Python.
 - ``ivf_topk``: IVF-style bucketed ANN — the scale path. Vectors are
   assigned to their nearest centroid once (one scan, map-only with
-  broadcast centroids); a query probes only its centroid's bucket
-  (``nprobe=1`` here). Recall < 1 by design; the tradeoff documented in
-  the returned plan shape. Centroids here are caller-provided (k first
-  vectors for determinism in tests; MLlib KMeans in production).
+  broadcast centroids); a query probes its ``nprobe`` nearest centroid
+  buckets (the standard recall/latency dial). Recall < 1 by design; the
+  tradeoff documented in the returned plan shape. Centroids here are
+  caller-provided (k first vectors for determinism in tests; MLlib
+  KMeans in production).
 - ``lsh_topk``: training-free sign-LSH ANN — multi-table random-
   hyperplane bucketing (md5-derived Rademacher planes, so bucketing is
   a pure deterministic expression: no fit step, no centroid state,
@@ -382,10 +383,14 @@ def assign_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    n_best: int = 1,
 ) -> DataFrame:
-    """IVF assignment: nearest centroid by cosine for every vector — one
-    corpus scan with broadcast centroids, deterministic tiebreak on
-    centroid id. Output: (id, bucket, vec)."""
+    """IVF assignment: the ``n_best`` nearest centroids by cosine for
+    every vector — one corpus scan with broadcast centroids,
+    deterministic tiebreak on centroid id. ``n_best=1`` is storage
+    assignment (each vector lives in ONE bucket); ``n_best>1`` is the
+    probe side of multi-probe search. Output: (id, bucket, vec), one
+    row per (vector, probed bucket)."""
     c = centroids.select(
         F.col(centroid_id_col).alias("bucket"), _as_double(vec_col).alias("cent_vec")
     ).withColumn("cent_norm", norm(F.col("cent_vec")))
@@ -408,7 +413,7 @@ def assign_buckets(
     w = F.row_number().over(
         Window.partitionBy(id_col).orderBy(F.col("cent_sim").desc(), F.col("bucket"))
     )
-    return scored.withColumn("rn", w).filter(F.col("rn") == 1).select(
+    return scored.withColumn("rn", w).filter(F.col("rn") <= n_best).select(
         id_col, "bucket", "vec"
     )
 
@@ -420,12 +425,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Bucketed ANN: probe only the query's bucket (nprobe=1). The
-    candidate join is an equi-join on bucket — per-bucket work instead of
-    full-corpus, which is the whole point at scale."""
+    """Bucketed ANN: probe the query's ``nprobe`` nearest centroid
+    buckets. The candidate join stays an equi-join on bucket — work is
+    nprobe buckets per query instead of full-corpus, which is the whole
+    point at scale; nprobe is the standard recall/latency dial (each
+    corpus vector lives in exactly one bucket, so probing more buckets
+    widens candidates without duplicates)."""
     assigned = assign_buckets(corpus, centroids, id_col, vec_col)
-    q_assigned = assign_buckets(queries, centroids, id_col, vec_col).select(
+    q_assigned = assign_buckets(
+        queries, centroids, id_col, vec_col, n_best=nprobe
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col("bucket"),
         F.col("vec").alias("q_vec"),

@@ -179,6 +179,23 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(e, e.filter(F.col("vec_id") < N_QUERIES), centroids, k=TOPK)
 
 
+IVF_NPROBE = 2  # the multi-probe recall lever, oracle-mirrored
+
+
+def q_ivf_probe2(spark, sf_dir):
+    """Multi-probe IVF: same index, nprobe=2 — the recall/latency dial
+    demonstrated as a first-class parameter (candidates from the two
+    nearest centroid buckets per query)."""
+    e = _embs(spark, sf_dir)
+    centroids = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return ivf_topk(
+        e, e.filter(F.col("vec_id") < N_QUERIES), centroids, k=TOPK,
+        nprobe=IVF_NPROBE,
+    )
+
+
 def q_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed ANN (training-free scale path: md5-derived
     Rademacher hyperplanes, multi-table candidate union, exact cosine
@@ -624,6 +641,7 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ivf_topk": q_ivf_topk,
     "lsh_topk": q_lsh_topk,
+    "ivf_probe2": q_ivf_probe2,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -809,24 +827,24 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """
 
 
-def _ivf_topk_sql() -> str:
+def _ivf_topk_sql(nprobe: int = 1) -> str:
     cent_cos = _COS.format(a="v.v", b="c.v")
     cos = _COS.format(a="q.v", b="n.v")
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (SELECT vec_id AS bucket, v FROM e WHERE vec_id < {N_CENTROIDS}),
-assign_all AS (
-  SELECT vec_id, bucket, rn FROM (
-    SELECT v.vec_id, c.bucket, row_number() OVER (
-      PARTITION BY v.vec_id ORDER BY {cent_cos} DESC, c.bucket
-    ) AS rn
-    FROM e v CROSS JOIN cents c
-  ) WHERE rn = 1
+ranked AS (
+  SELECT v.vec_id, c.bucket, row_number() OVER (
+    PARTITION BY v.vec_id ORDER BY {cent_cos} DESC, c.bucket
+  ) AS rn
+  FROM e v CROSS JOIN cents c
 ),
+assign_all AS (SELECT vec_id, bucket FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id, bucket FROM ranked WHERE rn <= {nprobe}),
 scored AS (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {cos} AS cos_sim
   FROM e q
-  JOIN assign_all qa ON qa.vec_id = q.vec_id
+  JOIN probes qa ON qa.vec_id = q.vec_id
   JOIN assign_all na ON na.bucket = qa.bucket AND na.vec_id != q.vec_id
   JOIN e n ON n.vec_id = na.vec_id
   WHERE q.vec_id < {N_QUERIES}
@@ -1448,6 +1466,7 @@ WHERE {_COS.format(a="a.v", b="b.v")} >= {EMB_NEARDUP_THRESHOLD}
     "cosine_topk": _cosine_topk_sql(),
     "lsh_topk": _lsh_topk_sql(),
     "ivf_topk": _ivf_topk_sql(),
+    "ivf_probe2": _ivf_topk_sql(nprobe=IVF_NPROBE),
     "ann_recall": f"""
 WITH exact AS ({_cosine_topk_sql()}),
 ivf AS ({_ivf_topk_sql()}),

@@ -964,3 +964,18 @@ def test_semantic_dedup_identical_clique_collapses(spark):
     assert all(out[i] == 0 for i in range(1, 200))  # clique -> one survivor
     assert out[1000] == 1 and out[1001] == 1  # zero vectors exempt
     assert out[2000] == 1
+
+
+def test_ivf_nprobe_widens_recall(spark, sf_dir):
+    """nprobe=2 must dominate nprobe=1: per query, the probed candidate
+    set is a superset, so hits against the exact top-k can only grow.
+    Measured on the sf0.001 fixture the macro recall strictly improves."""
+    from sarkac_spark.operators.similarity import ann_recall
+    from sarkac_spark.queries.llm import TOPK, q_cosine_topk, q_ivf_probe2, q_ivf_topk
+
+    exact = q_cosine_topk(spark, sf_dir)
+    r1 = {r.query_id: r.recall for r in ann_recall(exact, q_ivf_topk(spark, sf_dir), "ivf", k=TOPK).collect()}
+    r2 = {r.query_id: r.recall for r in ann_recall(exact, q_ivf_probe2(spark, sf_dir), "ivf2", k=TOPK).collect()}
+    assert set(r1) == set(r2)
+    assert all(r2[q] >= r1[q] for q in r1), (r1, r2)
+    assert sum(r2.values()) > sum(r1.values())  # strictly better on the fixture
