@@ -214,13 +214,22 @@ def q_lsh_topk(spark, sf_dir):
 def q_ann_recall(spark, sf_dir):
     """Recall@k of both approximate ANN paths (IVF, sign-LSH) against
     the exact brute-force baseline, per query vector — the tuning
-    report to run before trusting approximate parameters at scale."""
+    report to run before trusting approximate parameters at scale.
+
+    The three top-k relations are k·|queries| rows — result sets, not
+    corpora — but each is referenced by multiple joins, and Spark
+    re-derives lineage per reference (the exact baseline would run its
+    corpus scan three times). ``localCheckpoint`` materializes each
+    once; at scale you'd persist tuning inputs before evaluation for
+    exactly the same reason."""
     from sarkac_spark.operators.similarity import ann_recall
 
-    exact = q_cosine_topk(spark, sf_dir)
-    return ann_recall(
-        exact, q_ivf_topk(spark, sf_dir), "ivf", k=TOPK
-    ).unionByName(ann_recall(exact, q_lsh_topk(spark, sf_dir), "lsh", k=TOPK))
+    exact = q_cosine_topk(spark, sf_dir).localCheckpoint()
+    ivf = q_ivf_topk(spark, sf_dir).localCheckpoint()
+    lsh = q_lsh_topk(spark, sf_dir).localCheckpoint()
+    return ann_recall(exact, ivf, "ivf", k=TOPK).unionByName(
+        ann_recall(exact, lsh, "lsh", k=TOPK)
+    )
 
 
 def q_token_stats(spark, sf_dir):
