@@ -321,6 +321,59 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS over the fact table — orders with at
+    least one returned lineitem, counted by priority. The semi-join
+    dedups build-side matches before the count and the returnflag
+    filter is pushed to the lineitem scan, so the join moves only the
+    surviving 8-byte keys."""
+    o = load_table(spark, sf_dir, "orders")
+    ret = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(ret, o.o_orderkey == ret.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer-join count distribution — how many
+    customers placed exactly N orders, INCLUDING the zero bucket (the
+    left outer join keeps orderless customers; count(o_orderkey) skips
+    their null). Two aggregations: per-customer count (shuffle on
+    custkey), then the tiny distribution rollup."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-aggregate after a key join — supplier
+    variety per (brand, type), computed from lineitem since the
+    fixture ships no partsupp. count(DISTINCT) expands to a two-phase
+    aggregate (partial distinct per partition, then merge) — no
+    driver-side set."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(p.select("p_partkey", "p_brand", "p_type"),
+               l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key diagnosis on the lineitem->orders join key: the report
     run before committing a 100 TB shuffle to a key (skew >> 1 on head
@@ -349,9 +402,32 @@ QUERIES = {
     "doc_rollup": q_doc_rollup,
     "event_pivot": q_event_pivot,
     "gap_fill": q_gap_fill,
+    "order_priority_counts": q_order_priority_counts,
+    "customer_order_distribution": q_customer_order_distribution,
+    "part_supplier_variety": q_part_supplier_variety,
 }
 
 ORACLE = {
+    "order_priority_counts": """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+    "customer_order_distribution": """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT n_orders, count(*) AS n_customers FROM per_cust GROUP BY n_orders
+""",
+    "part_supplier_variety": """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p_brand, p_type
+""",
     "rolling_hourly_stats": """
 WITH hourly AS (
   SELECT event_type,

@@ -304,3 +304,29 @@ def test_round3_query_plan_shapes(spark, sf_dir):
     # itself is map-only expression code
     assert shuffle_count(sd) <= 5
     assert "InMemoryTableScan" not in _plan(sd)  # no hidden caching
+
+
+def test_tpch_shape_query_plans(spark, sf_dir):
+    """Plan shapes for the Q4/Q13/Q16-style queries: the semi-join's
+    returnflag filter reaches the lineitem scan, the distribution query
+    keeps its outer join, and the distinct-agg expands to the two-phase
+    aggregate instead of collecting a set anywhere."""
+    from sarkac_spark.queries.relational import (
+        q_customer_order_distribution,
+        q_order_priority_counts,
+        q_part_supplier_variety,
+    )
+
+    opc = q_order_priority_counts(spark, sf_dir)
+    plan = _plan(opc)
+    assert "LeftSemi" in plan
+    assert any("l_returnflag" in f for f in pushed_filters(opc)), pushed_filters(opc)
+
+    cod = q_customer_order_distribution(spark, sf_dir)
+    assert "LeftOuter" in _plan(cod)
+    assert shuffle_count(cod) <= 3  # custkey join/agg + tiny rollup
+
+    psv = q_part_supplier_variety(spark, sf_dir)
+    p = _plan(psv)
+    assert "Expand" in p or "distinct" in p.lower()  # two-phase distinct agg
+    assert "collect_set" not in p
