@@ -979,3 +979,46 @@ def test_ivf_nprobe_widens_recall(spark, sf_dir):
     assert set(r1) == set(r2)
     assert all(r2[q] >= r1[q] for q in r1), (r1, r2)
     assert sum(r2.values()) > sum(r1.values())  # strictly better on the fixture
+
+
+def test_round3_ops_invariant_to_input_order(spark):
+    """Determinism under physical reordering: repartitioning and
+    reversing the input must not change a single output row for
+    semantic_dedup, gopher_rules, or unigram_kl (the property that
+    makes the DuckDB oracle hash comparable at all — and that an
+    accidental monotonically_increasing_id / first() would break)."""
+    import numpy as np
+
+    from sarkac_spark.operators.similarity import semantic_dedup
+    from sarkac_spark.operators.text import gopher_rules, unigram_kl
+
+    rng = np.random.default_rng(3)
+    vec_rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    vec_rows += [(100 + i, vec_rows[i][1]) for i in range(5)]  # planted dups
+    docs = [
+        (i, f"the quick doc {i} " + " ".join(rng.choice(["a", "of", "to", "xs"], 8)),
+         f"s{i % 3}")
+        for i in range(40)
+    ]
+
+    def canon(rows):
+        return sorted(tuple(r) for r in rows)
+
+    results = []
+    for build in (
+        lambda d: d,
+        lambda d: d.repartition(7),
+        lambda d: d.coalesce(1),
+    ):
+        vdf = build(
+            spark.createDataFrame(vec_rows, "vec_id long, embedding array<float>")
+        )
+        ddf = build(
+            spark.createDataFrame(docs, "doc_id long, text string, source string")
+        )
+        results.append((
+            canon(semantic_dedup(vdf, dim=8, n_bits=3, tau=0.8).collect()),
+            canon(gopher_rules(ddf).select("doc_id", "passes", "stop_hits").collect()),
+            canon(unigram_kl(ddf).collect()),
+        ))
+    assert results[0] == results[1] == results[2]
