@@ -245,3 +245,48 @@ def test_stateful_pipeline_checkpoint_restart_equals_single_run(spark, tmp_path)
     )
     assert got == expect
     assert mid < len(got)  # the third file contributed post-restart spikes
+
+
+def test_stateful_pipeline_cooldown_survives_restart(spark, tmp_path):
+    """Cooldown is part of the keyed state, so it must survive a
+    checkpoint restart: the fixture's first spike alerts before the
+    stop, and every post-restart spike stays inside the 1 h cooldown —
+    a cold cooldown cell would re-alert immediately."""
+    from sarkac_spark.config import DSL
+    from sarkac_spark.sources.synthetic import TOPIC, example_messages
+    from sarkac_spark.streaming.pipeline import StatefulSigmaPipeline
+
+    dsl = DSL.parse({TOPIC: {"fields": {"sub.one": {"windows": ["5m"]}}}})
+    msgs = example_messages(spark, n=96).collect()
+    schema = "topic string, key string, value string, ts timestamp"
+    root = tmp_path / "cdr"
+    root.mkdir()
+
+    def write_file(i):
+        spark.createDataFrame(msgs[i * 32 : (i + 1) * 32], schema).coalesce(
+            1
+        ).write.parquet(str(root / "src" / f"b{i}"))
+
+    def run():
+        p = StatefulSigmaPipeline(
+            spark, dsl, anomaly_dir=str(root / "anoms"), cooldown_seconds=3600
+        )
+        q = p.start(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(root / "src" / "*")),
+            checkpoint_dir=str(root / "ckpt"),
+            trigger_seconds=1,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    write_file(0)
+    write_file(1)
+    run()
+    first = spark.read.parquet(str(root / "anoms")).collect()
+    assert len(first) == 1 and first[0].value == 150.5
+    write_file(2)
+    run()  # fresh pipeline object, same checkpoint
+    after = spark.read.parquet(str(root / "anoms")).collect()
+    assert len(after) == 1  # later spikes stayed suppressed across restart
