@@ -154,18 +154,32 @@ def gopher_rules(
     )
     w, n_chars = F.col("__w"), F.col("__nc")
     n_words = F.size(w).cast("long")
-    mean_wl = F.round(
-        F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
-        / F.size(w),
-        6,
-    )
+    # empty docs: 0/0 would be NULL in Spark but fall through DuckDB's
+    # CASE to 0 — guard both ratios to 0.0 so the booleans stay boolean
+    # and the oracle hash can't diverge on empty text
+    mean_wl = F.when(
+        F.size(w) > 0,
+        F.round(
+            F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+            / F.size(w),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
     # symbols = anything outside [a-zA-Z0-9 ] — markup, control chars, the
     # '#'/ellipsis family Gopher counts, collapsed to one deterministic class
-    symbol_ratio = F.round(
-        (n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9 ]", "")))
-        / n_chars,
-        6,
-    )
+    symbol_ratio = F.when(
+        n_chars > 0,
+        F.round(
+            (
+                n_chars
+                - F.length(
+                    F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9 ]", "")
+                )
+            )
+            / n_chars,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
     stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
     stop_hits = F.size(
         F.filter(w, lambda x: F.array_contains(stop_arr, F.lower(x)))

@@ -9,26 +9,34 @@ sorts columns by name before hashing).
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
 from sarkac_spark.queries import control, core, llm, ml, relational
 
 # Registry order is sweep order under the driver (which caps each round's
-# sweep at 50 of 80+ queries). Module-level ordering got the round-1 gaps
-# verified in round 2, but left that round's *new* queries (sorted last)
-# without a driver row. _PRIORITY makes the ordering query-granular: every
-# query that has never had a green driver row in any round runs first, then
-# the rest in module order (all already driver-green in r01 or r02, so they
-# absorb any budget cut).
+# sweep at 50 of 80+ queries). The ordering is SELF-MAINTAINING: at
+# registry-build time we parse the repo's own CORRECTNESS_r*.json driver
+# records and put every query that has never had a green driver row first
+# (in module order among themselves), then the rest. Two rounds in a row a
+# hand-frozen priority list left a new-that-round query without a driver
+# row (round 2: five round-2 queries; round 3: ivf_probe2) — deriving the
+# head from the driver's own records makes that class of gap impossible:
+# a brand-new query has no CORRECTNESS row, so it sorts first by
+# construction.
 _MODULES = [relational, control, ml, core, llm]
 
-# Never driver-swept (r01+r02) or red-then-fixed; see VERDICT.md round 2.
-# New-in-round-3 queries follow — also without a driver row yet.
+# Static fallback ordering, used only when no CORRECTNESS_r*.json parses
+# (e.g. a fresh clone without driver records). ivf_probe2 leads: the one
+# registered query without a green driver row as of round 3 (VERDICT.md
+# round 3, gap #1).
 _PRIORITY = [
-    "doc_cube",          # r02 red row — oracle typing fixed this round
-    "inverted_index",    # r01 red row — fixed in r02, driver-unproven
+    "ivf_probe2",        # added post-freeze in r03 — never driver-swept
+    "doc_cube",
+    "inverted_index",
     "ann_recall",
     "doc_lm_score",
     "multimodal_payload",
@@ -36,10 +44,49 @@ _PRIORITY = [
     "span_dedup",
     "temperature_sample",
     "vocab_coverage",
-    "semantic_dedup",    # new r03
-    "gopher_rules",      # new r03
-    "unigram_kl",        # new r03
+    "semantic_dedup",
+    "gopher_rules",
+    "unigram_kl",
 ]
+
+
+def driver_green_queries(root: Path | None = None) -> set[str]:
+    """Names with a green driver row in any CORRECTNESS_r*.json under
+    ``root`` (default: this repo's top level). Green = hash_match is true,
+    or the row is the documented rows-only check (err == "no_oracle") —
+    either way the driver has proven it, so it doesn't need a head slot."""
+    root = root or Path(__file__).resolve().parents[2]
+    green: set[str] = set()
+    try:
+        records = sorted(root.glob("CORRECTNESS_r*.json"))
+    except OSError:
+        return green
+    for path in records:
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or row.get("err") == "no_oracle":
+                green.add(name)
+    return green
+
+
+def sweep_order(names, green: set[str] | None = None) -> list[str]:
+    """Driver sweep order: never-driver-green queries first (module order
+    preserved within each group). Falls back to the static _PRIORITY head
+    when no driver records exist at all."""
+    names = list(names)
+    if green is None:
+        green = driver_green_queries()
+    if green:
+        return [n for n in names if n not in green] + [n for n in names if n in green]
+    head = [n for n in _PRIORITY if n in names]
+    return head + [n for n in names if n not in head]
 
 
 def _merged(attr: str) -> dict:
@@ -50,9 +97,7 @@ def _merged(attr: str) -> dict:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         out.update(part)
-    head = {k: out[k] for k in _PRIORITY if k in out}
-    head.update(out)
-    return head
+    return {k: out[k] for k in sweep_order(out)}
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

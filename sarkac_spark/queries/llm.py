@@ -219,14 +219,16 @@ def q_ann_recall(spark, sf_dir):
     The three top-k relations are k·|queries| rows — result sets, not
     corpora — but each is referenced by multiple joins, and Spark
     re-derives lineage per reference (the exact baseline would run its
-    corpus scan three times). ``localCheckpoint`` materializes each
-    once; at scale you'd persist tuning inputs before evaluation for
+    corpus scan three times). ``localCheckpoint(eager=False)``
+    materializes each once AT FIRST ACTION — lazily, so that merely
+    *building* this DataFrame (the plan sweep, plan_report) runs no
+    jobs; at scale you'd persist tuning inputs before evaluation for
     exactly the same reason."""
     from sarkac_spark.operators.similarity import ann_recall
 
-    exact = q_cosine_topk(spark, sf_dir).localCheckpoint()
-    ivf = q_ivf_topk(spark, sf_dir).localCheckpoint()
-    lsh = q_lsh_topk(spark, sf_dir).localCheckpoint()
+    exact = q_cosine_topk(spark, sf_dir).localCheckpoint(eager=False)
+    ivf = q_ivf_topk(spark, sf_dir).localCheckpoint(eager=False)
+    lsh = q_lsh_topk(spark, sf_dir).localCheckpoint(eager=False)
     return ann_recall(exact, ivf, "ivf", k=TOPK).unionByName(
         ann_recall(exact, lsh, "lsh", k=TOPK)
     )
@@ -1383,9 +1385,12 @@ WITH staged AS (
 feats AS (
   SELECT doc_id,
          CAST(len(w) AS BIGINT) AS n_words,
-         round(CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
-               / len(w), 6) AS mean_word_len,
-         round((nc - nclean) / nc, 6) AS symbol_ratio,
+         CASE WHEN len(w) > 0
+              THEN round(CAST(list_sum(list_transform(w, x -> length(x)))
+                              AS BIGINT) / len(w), 6)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN nc > 0 THEN round((nc - nclean) / nc, 6)
+              ELSE 0.0 END AS symbol_ratio,
          CAST(len(list_filter(w, x -> list_contains([{stoplist}], lower(x))))
               AS BIGINT) AS stop_hits
   FROM staged

@@ -31,11 +31,35 @@ ROW_AT_A_TIME = "BatchEvalPython"
 CARTESIAN = "CartesianProduct"
 
 # A window whose spec has no partition columns funnels the whole input
-# through ONE reducer: windowspecdefinition(...) opening directly with
-# the frame means zero partition/order expressions before it.
-UNPARTITIONED_WINDOW = re.compile(
-    r"windowspecdefinition\(specifiedwindowframe"
+# through ONE reducer. Two complementary detectors (either alone has a
+# blind spot):
+#  1. textual — a windowspecdefinition whose args before
+#     specifiedwindowframe are empty (no partition, no order) OR all
+#     ASC/DESC-marked (order-only: Window.orderBy with no partitionBy,
+#     the most common form of the anti-pattern). Misses specs whose
+#     expressions contain parens (the lazy [^)]*? stops early).
+#  2. structural — a Window node whose child chain contains an
+#     `Exchange SinglePartition` within 3 plan lines: the physical
+#     ground truth, independent of how the spec prints.
+_WINDOWSPEC_PREFIX = re.compile(
+    r"windowspecdefinition\(([^)]*?)specifiedwindowframe"
 )
+_WINDOW_NODE = re.compile(r"\b(?:Window|WindowGroupLimit|WindowInPandas)\b")
+
+
+def unpartitioned_window(plan: str) -> bool:
+    for m in _WINDOWSPEC_PREFIX.finditer(plan):
+        args = [a.strip() for a in m.group(1).split(",") if a.strip()]
+        if all("ASC" in a or "DESC" in a for a in args):
+            return True
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if _WINDOW_NODE.search(line):
+            if any(
+                "Exchange SinglePartition" in nxt for nxt in lines[i + 1 : i + 4]
+            ):
+                return True
+    return False
 
 
 @pytest.fixture(scope="module")
@@ -57,5 +81,22 @@ def test_no_cartesian_products(plans):
 
 
 def test_no_unpartitioned_windows(plans):
-    bad = [n for n, p in plans.items() if UNPARTITIONED_WINDOW.search(p)]
+    bad = [n for n, p in plans.items() if unpartitioned_window(p)]
     assert bad == [], f"unpartitioned window in: {bad}"
+
+
+def test_detector_catches_order_only_global_window(spark):
+    """The guard must actually fire on the anti-pattern it advertises:
+    a Window.orderBy with no partitionBy (single-reducer global window)
+    — the shape the pre-round-4 regex silently missed."""
+    from pyspark.sql import Window, functions as F
+
+    df = spark.range(100).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    assert unpartitioned_window(executed_plan(df))
+    # and must NOT fire on a properly partitioned window
+    ok = spark.range(100).withColumn(
+        "rn", F.row_number().over(Window.partitionBy(F.col("id") % 7).orderBy("id"))
+    )
+    assert not unpartitioned_window(executed_plan(ok))

@@ -121,19 +121,59 @@ def test_cluster_defaults_preset_sane():
 
 
 def test_registry_priority_and_consistency():
-    """Every oracle has a query; the driver-unproven priority queries
-    lead the sweep order (the driver caps each round at 50 entries, so
-    registry order is the only coverage lever)."""
-    from sarkac_spark.queries import _PRIORITY, all_oracle_sql, all_queries
+    """Every oracle has a query; every query the driver has never proven
+    green leads the sweep order (the driver caps each round at 50
+    entries, so registry order is the only coverage lever)."""
+    from sarkac_spark.queries import (
+        all_oracle_sql,
+        all_queries,
+        driver_green_queries,
+    )
 
     qs, oracles = all_queries(), all_oracle_sql()
     assert set(oracles) <= set(qs)
     names = list(qs)
-    assert names[: len(_PRIORITY)] == _PRIORITY
+    green = driver_green_queries()
+    if green:  # driver records present: never-green queries lead
+        unproven = [n for n in names if n not in green]
+        assert names[: len(unproven)] == unproven
+        # the round-3 bookkeeping gap specifically: ivf_probe2 has no
+        # driver row through r03 and must therefore hold a head slot
+        if "ivf_probe2" not in green:
+            assert "ivf_probe2" in names[:5]
     # rows-only queries are exactly the documented MLlib trio
     assert set(qs) - set(oracles) == {
         "kmeans_anomaly", "lsh_isolation", "mllib_minhash",
     }
+
+
+def test_sweep_order_self_maintaining(tmp_path):
+    """A brand-new query (no CORRECTNESS row anywhere) must sort ahead
+    of every driver-proven one, with no hand-edited list involved —
+    the invariant whose absence cost two rounds of driver rows."""
+    import json
+
+    from sarkac_spark.queries import driver_green_queries, sweep_order
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "old_green": {"hash_match": True, "err": None},
+                "old_red": {"hash_match": False, "err": "hash"},
+                "rows_only": {"hash_match": None, "err": "no_oracle"},
+            }
+        )
+    )
+    green = driver_green_queries(root=tmp_path)
+    assert green == {"old_green", "rows_only"}
+    names = ["old_green", "rows_only", "old_red", "brand_new"]
+    assert sweep_order(names, green) == [
+        "old_red", "brand_new", "old_green", "rows_only",
+    ]
+    # no records at all -> static fallback head, never a crash
+    empty = driver_green_queries(root=tmp_path / "nowhere")
+    assert empty == set()
+    assert sweep_order(["ivf_probe2", "x"], empty)[0] == "ivf_probe2"
 
 
 def test_check_oracle_kind_mismatch_detector():
