@@ -56,6 +56,72 @@ def expected_anomaly_indices(n: int) -> tuple[list[int], list[int]]:
     return spikes, dips
 
 
+def encode_ppm(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic binary PPM (P6) payload: an RGB gradient offset by
+    ``seed``. Pure bytes, spec-conformant (comment line included so
+    decoders must handle it)."""
+    header = f"P6\n# synthetic fixture seed={seed}\n{width} {height}\n255\n".encode()
+    raster = bytearray()
+    for y in range(height):
+        for x in range(width):
+            raster += bytes(
+                ((x + seed) % 256, (y + seed) % 256, (x + y + seed) % 256)
+            )
+    return header + bytes(raster)
+
+
+def encode_wav(
+    n_samples: int, sample_rate: int = 8000, period: int = 50, amplitude: int = 12000
+) -> bytes:
+    """Deterministic 16-bit mono PCM WAV payload: a square wave of the
+    given period. Pure ``struct`` packing of the published RIFF layout."""
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", amplitude if (i // (period // 2)) % 2 == 0 else -amplitude)
+        for i in range(n_samples)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def example_media(spark: SparkSession, n: int = 12) -> DataFrame:
+    """Decodable media fixture matching operators/multimodal.MEDIA_SCHEMA:
+    alternating PPM images and PCM WAV clips with truthful metadata, plus
+    one compressed-format row (PNG magic, no codec here) to exercise the
+    refuse-loudly path when selected."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 8 + i, 6 + i
+            rows.append(
+                (i, "image", "image/x-portable-pixmap", encode_ppm(w, h, seed=i),
+                 w, h, None)
+            )
+        else:
+            n_samp = 800 * i
+            rows.append(
+                (i, "audio", "audio/wav", encode_wav(n_samp), None, None,
+                 int(n_samp / 8000 * 1000))
+            )
+    rows.append((n, "image", "image/png", b"\x89PNG\r\n\x1a\n....", 1, 1, None))
+    return spark.createDataFrame(
+        rows,
+        "media_id long, kind string, mime string, payload binary, "
+        "width int, height int, duration_ms long",
+    )
+
+
 def example_message_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
     """Streaming fixture over the rate source: same payload sequence keyed
     by the rate source's monotonically increasing ``value``."""
