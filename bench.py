@@ -179,6 +179,7 @@ def main() -> None:
         print(f"stream bench failed: {e}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
@@ -186,8 +187,28 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
+        )
+    )
+    # The driver records only a ~2 KB tail of stdout, which cuts the full
+    # per-query line above mid-object ("parsed": null in BENCH_r01-r03).
+    # Emit a final COMPACT line — guaranteed well under the tail window —
+    # so whatever the tail captures always ENDS with complete JSON. The
+    # top-10-slowest map preserves the plan-audit signal; the full map
+    # stays on the previous line for humans.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "queries": slowest,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
