@@ -486,6 +486,143 @@ def test_streaming_unigram_drift(spark, tmp_path):
     assert got[w2].n_tokens == 60
 
 
+def test_streaming_span_dedup_survives_restart(spark, tmp_path):
+    """Kill-and-resume for the span-dedup twin: boilerplate seen BEFORE
+    the restart must still be dropped from documents arriving AFTER it
+    (dropDuplicatesWithinWatermark state rides the checkpoint), and the
+    combined file-sink output must equal a never-stopped run."""
+    import datetime as dt
+
+    from sarkac_spark.streaming.pipeline import streaming_span_dedup
+
+    T0 = dt.datetime(2024, 1, 1)
+    boiler = "one two three four five"
+    docs = [
+        (1, f"{boiler} alpha beta gamma delta eps", T0),
+        (2, "some unique middle content here now", T0 + dt.timedelta(minutes=1)),
+        (3, f"{boiler} omega psi chi phi upsilon", T0 + dt.timedelta(minutes=2)),
+    ]
+    schema = "doc_id long, text string, ts timestamp"
+
+    def write_file(root, i):
+        spark.createDataFrame([docs[i]], schema).coalesce(1).write.parquet(
+            str(root / "src" / f"b{i}")
+        )
+
+    def run(root):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(root / "src" / "*"))
+        )
+        q = (
+            streaming_span_dedup(stream, span_words=5, watermark="1 hour")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(root / "out"))
+            .option("checkpointLocation", str(root / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    def collect(root):
+        return sorted(
+            (r.doc_id, r.pos, r.span)
+            for r in spark.read.parquet(str(root / "out")).collect()
+        )
+
+    single = tmp_path / "single"
+    single.mkdir()
+    for i in range(3):
+        write_file(single, i)
+    run(single)
+    expect = collect(single)
+    assert (3, 0, boiler) not in expect  # doc 3's boilerplate deduped
+    assert (3, 1, "omega psi chi phi upsilon") in expect
+
+    restarted = tmp_path / "restarted"
+    restarted.mkdir()
+    write_file(restarted, 0)
+    write_file(restarted, 1)
+    run(restarted)
+    write_file(restarted, 2)  # doc 3 arrives only after the restart
+    run(restarted)  # fresh query object, same checkpoint + sink
+    assert collect(restarted) == expect
+
+
+def test_streaming_unigram_drift_survives_restart(spark, tmp_path):
+    """Kill-and-resume for the drift monitor: an event-time window whose
+    token counts accumulated entirely BEFORE the restart must emit the
+    correct KL after it (chained stateful-aggregation state rides the
+    checkpoint); combined output equals a never-stopped run."""
+    import datetime as dt
+    import math
+
+    from sarkac_spark.streaming.pipeline import streaming_unigram_drift
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "ts timestamp, source string, text string"
+    batch0 = [  # window 12:00-12:05 — matches the reference exactly
+        (t0 + dt.timedelta(seconds=i), "srcA", "the a of the a of") for i in range(10)
+    ]
+    batch1 = [  # window 12:05-12:10 — pure OOV drift, plus the closer
+        (t0 + dt.timedelta(minutes=7, seconds=i), "srcA", "zzz zzz zzz zzz zzz zzz")
+        for i in range(10)
+    ] + [(t0 + dt.timedelta(hours=2), "srcA", "closer")]
+    ref = spark.createDataFrame(
+        [("the", 1 / 3), ("a", 1 / 3), ("of", 1 / 3)], "tok string, q double"
+    )
+
+    def write_file(root, i, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(root / "src" / f"b{i}")
+        )
+
+    def run(root):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(root / "src" / "*"))
+        )
+        out = streaming_unigram_drift(
+            stream, ref, window="5 minutes", watermark="10 minutes", oov_q=1e-6
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(root / "out"))
+            .option("checkpointLocation", str(root / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    def collect(root):
+        return sorted(
+            (r.window_start, r.source, r.n_tokens, r.kl_divergence)
+            for r in spark.read.parquet(str(root / "out")).collect()
+        )
+
+    single = tmp_path / "single"
+    single.mkdir()
+    write_file(single, 0, batch0)
+    write_file(single, 1, batch1)
+    run(single)
+    expect = collect(single)
+    assert (t0, "srcA", 60, 0.0) in expect
+    assert (t0 + dt.timedelta(minutes=5), "srcA", 60, round(math.log(1e6), 6)) in expect
+
+    restarted = tmp_path / "restarted"
+    restarted.mkdir()
+    write_file(restarted, 0, batch0)
+    run(restarted)  # nothing can emit yet: watermark hasn't closed w1
+    assert not (restarted / "out").exists() or collect(restarted) == []
+    write_file(restarted, 1, batch1)
+    run(restarted)  # w1 emits purely from recovered state
+    assert collect(restarted) == expect
+
+
 def test_curation_ops_compose_with_streams(spark, tmp_path):
     """The stateless curation operators (gopher_rules quality gate) are
     pure column expressions, so the SAME operator call works unchanged
