@@ -47,7 +47,31 @@ _UNIT_SECONDS: dict[str, int] = {
     "weeks": 604800,
 }
 
-_DURATION_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]+)\s*$")
+# juration (the reference's parser, DSLHandler.js:79-87) also knows
+# months and years; published juration 0.1.x values
+_UNIT_SECONDS.update(
+    {
+        "mo": 2628000,
+        "mos": 2628000,
+        "mon": 2628000,
+        "mons": 2628000,
+        "mth": 2628000,
+        "mths": 2628000,
+        "month": 2628000,
+        "months": 2628000,
+        "y": 31536000,
+        "yr": 31536000,
+        "yrs": 31536000,
+        "year": 31536000,
+        "years": 31536000,
+    }
+)
+
+# one number-unit pair; juration sums every pair in the string
+# ("1h30m", "1 hr 20 mins", "2 days, 4 hours")
+_DURATION_PART_RE = re.compile(r"(\d+(?:\.\d+)?)\s*([a-zA-Z]+)")
+# what may remain between/around pairs: whitespace, commas, "and"
+_DURATION_FILLER_RE = re.compile(r"^(?:[\s,]|and\b)*$", re.IGNORECASE)
 
 # canonical largest-unit-first order for humanize
 _HUMAN_UNITS: list[tuple[str, int]] = [
@@ -60,7 +84,11 @@ _HUMAN_UNITS: list[tuple[str, int]] = [
 
 
 def parse_duration(text: str | int | float) -> int:
-    """``"15m"`` -> 900 seconds.  Numbers pass through as seconds.
+    """``"15m"`` -> 900 seconds; compound strings sum like juration
+    (``"1h30m"`` -> 5400, ``"2 days, 4 hrs"`` -> 187200), units are
+    case-insensitive with the published juration synonym set (s/sec/…,
+    m/min/…, h/hr/…, d/day/…, w/wk/…, mo/mth/…, y/yr/…). Numbers pass
+    through as seconds.
 
     Raises ValueError on unparseable input — the reference drops invalid
     windows with a debug log (DSLHandler.js:69-87); callers that want that
@@ -68,15 +96,22 @@ def parse_duration(text: str | int | float) -> int:
     """
     if isinstance(text, (int, float)):
         return int(text)
-    m = _DURATION_RE.match(text)
-    if not m:
+    parts = list(_DURATION_PART_RE.finditer(text))
+    if not parts:
         raise ValueError(f"unparseable duration: {text!r}")
-    qty, unit = float(m.group(1)), m.group(2).lower()
-    if unit == "ms":
-        return int(qty / 1000.0)
-    if unit not in _UNIT_SECONDS:
-        raise ValueError(f"unknown duration unit: {unit!r} in {text!r}")
-    return int(qty * _UNIT_SECONDS[unit])
+    residue = _DURATION_PART_RE.sub("", text)
+    if not _DURATION_FILLER_RE.match(residue):
+        raise ValueError(f"unparseable duration: {text!r}")
+    total = 0.0
+    for m in parts:
+        qty, unit = float(m.group(1)), m.group(2).lower()
+        if unit == "ms":
+            total += qty / 1000.0
+            continue
+        if unit not in _UNIT_SECONDS:
+            raise ValueError(f"unknown duration unit: {unit!r} in {text!r}")
+        total += qty * _UNIT_SECONDS[unit]
+    return int(total)
 
 
 def humanize_duration(seconds: int) -> str:

@@ -38,6 +38,81 @@ def test_parse_duration_rejects(bad):
 
 
 @pytest.mark.parametrize(
+    ("text", "seconds"),
+    [
+        ("1h30m", 5400),             # compound, no separators
+        ("1 hr 20 mins", 4800),      # synonym units with spaces
+        ("2 days, 4 hours", 187200), # comma separator
+        ("1m and 30s", 90),          # "and" separator
+        ("1H30M", 5400),             # case-insensitive
+        ("  15m  ", 900),            # surrounding whitespace
+        ("1mo", 2628000),            # juration month = year/12
+        ("2yrs", 63072000),          # juration year = 365d
+        ("500ms", 0),                # sub-second floors to 0
+        ("1s500ms", 1),              # ms participates in compounds
+    ],
+)
+def test_parse_duration_juration_grammar(text, seconds):
+    """Compound-string parity with juration (the reference's parser,
+    DSLHandler.js:79-87): number-unit pairs sum, any published synonym
+    works, case and separators are free."""
+    assert parse_duration(text) == seconds
+
+
+# --- hypothesis: the parser vs juration's grammar, property-style --------
+
+from hypothesis import assume, given, settings, strategies as st  # noqa: E402
+
+from sarkac_spark.config import _UNIT_SECONDS  # noqa: E402
+
+_WHOLE_UNITS = sorted(u for u in _UNIT_SECONDS if u != "ms")
+
+
+@st.composite
+def _compound_duration(draw):
+    pairs = draw(
+        st.lists(
+            st.tuples(st.integers(0, 999), st.sampled_from(_WHOLE_UNITS)),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    text, total = "", 0
+    for qty, unit in pairs:
+        shown = unit.upper() if draw(st.booleans()) else unit
+        text += (
+            draw(st.sampled_from(["", " "]))
+            + str(qty)
+            + draw(st.sampled_from(["", " ", "  "]))
+            + shown
+            + draw(st.sampled_from(["", " ", ", ", " and "]))
+        )
+        total += qty * _UNIT_SECONDS[unit]
+    return text, total
+
+
+@settings(max_examples=200, deadline=None)
+@given(_compound_duration())
+def test_compound_durations_sum(case):
+    text, total = case
+    assert parse_duration(text) == total
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 99), st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=8))
+def test_unknown_units_always_raise(qty, unit):
+    assume(unit not in _UNIT_SECONDS)
+    with pytest.raises(ValueError):
+        parse_duration(f"{qty}{unit}")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(1, 10**7))
+def test_humanize_parse_roundtrip(seconds):
+    assert parse_duration(humanize_duration(seconds)) == seconds
+
+
+@pytest.mark.parametrize(
     ("seconds", "text"),
     [(30, "30s"), (900, "15m"), (3600, "1h"), (43200, "12h"), (86400, "1d"), (604800, "1w"), (90, "90s")],
 )

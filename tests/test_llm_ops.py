@@ -681,6 +681,43 @@ def test_span_dedup_fully_duplicate_doc_empties(spark):
     assert out[2].text_dedup == "" and out[2].n_kept == 0 and out[2].n_spans == 1
 
 
+def test_span_dedup_planted_hot_key(spark):
+    """Skew proof (VERDICT round 3, item 5): one boilerplate span
+    repeated ~10^4 times — the exact hot-key shape web boilerplate
+    produces at 100 TB. Pins (a) correctness under the skewed shuffle:
+    exactly one global survivor of the hot span, every document keeps
+    its unique tail; (b) the skew-handling config the docstring claims
+    (AQE + skew-join split) is live in the session; (c) the plan stays
+    in budget — the hot key only ever meets a sort-based window
+    (O(D log D)), never a self-join, and no cartesian appears."""
+    from sarkac_spark.operators.dedup import span_dedup
+    from sarkac_spark.plans.audit import executed_plan, shuffle_count
+
+    n = 10_000
+    boiler = "alpha beta gamma delta epsilon"
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(boiler + " unique token word number "), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    out = span_dedup(docs, span_words=5)
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    plan = executed_plan(out)
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    assert shuffle_count(out) <= 4
+
+    rows = out.collect()
+    assert len(rows) == n
+    assert sum(r.n_kept for r in rows) == n + 1  # one boiler survivor total
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[0].n_kept == 2 and by_id[0].text_dedup.startswith(boiler)
+    assert by_id[17].text_dedup == "unique token word number 17"
+    assert all(r.n_spans == 2 for r in rows)
+
+
 def test_vocab_coverage_curve(spark):
     from sarkac_spark.operators.text import vocab_coverage
 
@@ -827,22 +864,33 @@ def test_ann_recall_short_exact_list_can_reach_one(spark):
     assert row.n_hits == 2 and row.recall == 1.0
 
 
-def test_ann_recall_floors(spark):
+@pytest.mark.parametrize(
+    ("sf_dir", "ivf_floor", "lsh_floor"),
+    [
+        # measured: ivf 0.867, lsh 0.367
+        ("/root/testdata/sf0.001", 0.7, 0.2),
+        # measured: ivf 0.833, lsh 0.267 — the operating point shifts
+        # with corpus size (more vectors per bucket, same probes), so
+        # the floor must hold at the driver's sf too, not just the toy
+        ("/root/testdata/sf0.01", 0.7, 0.15),
+    ],
+)
+def test_ann_recall_floors(spark, sf_dir, ivf_floor, lsh_floor):
     """Pin macro-average recall@3 of both approximate paths on the
-    deterministic sf0.001 corpus, so a parameter regression (nprobe,
-    n_bits, n_tables, centroid seed) fails CI instead of silently
-    degrading retrieval quality. Measured: IVF 0.867, sign-LSH 0.367."""
+    deterministic corpora, so a parameter regression (nprobe, n_bits,
+    n_tables, centroid seed) fails CI instead of silently degrading
+    retrieval quality."""
     from sarkac_spark.queries.llm import q_ann_recall
 
-    rows = q_ann_recall(spark, "/root/testdata/sf0.001").collect()
+    rows = q_ann_recall(spark, sf_dir).collect()
     by_method: dict[str, list[float]] = {}
     for r in rows:
         assert 0.0 <= r.recall <= 1.0
         by_method.setdefault(r.method, []).append(r.recall)
     mean = {m: sum(v) / len(v) for m, v in by_method.items()}
     assert set(mean) == {"ivf", "lsh"}
-    assert mean["ivf"] >= 0.7, mean
-    assert mean["lsh"] >= 0.2, mean
+    assert mean["ivf"] >= ivf_floor, mean
+    assert mean["lsh"] >= lsh_floor, mean
 
 
 def test_semantic_dedup_drops_higher_id_duplicate(spark):
