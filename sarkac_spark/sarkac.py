@@ -62,6 +62,9 @@ class Sarkac:
         self.query = None
         self._listener = None
         self._pending_restart = False
+        self._discovery_query = None
+        self._envelope_stream = None
+        self._trigger_seconds = DEFAULT_ANOMALY_SCAN_SECONDS
 
     # -- events (reference EventEmitter surface, Sarkac.js:55-68) ----------
 
@@ -98,6 +101,9 @@ class Sarkac:
             )
             envelope_stream = envelope(kafka_stream(self.spark, src))
 
+        self._envelope_stream = envelope_stream
+        self._trigger_seconds = trigger_seconds
+
         engine = self.config.get("engine", "foreachBatch")
         if engine == "stateful":
             # scale path (ARCHITECTURE.md §2): keyed-state scoring, flat
@@ -114,13 +120,21 @@ class Sarkac:
                 anomaly_dir=os.path.join(self.work_dir, "anomalies"),
                 cooldown_seconds=self.config.get("anomalyCooldownSeconds", 120),
             )
-            self._listener = SigmaQueryListener(self.bus, self.counters)
-            self.spark.streams.addListener(self._listener)
+            if self._listener is None:
+                self._listener = SigmaQueryListener(self.bus, self.counters)
+                self.spark.streams.addListener(self._listener)
             self.query = self.pipeline.start(
                 envelope_stream,
                 checkpoint_dir=os.path.join(self.work_dir, "ckpt"),
                 trigger_seconds=trigger_seconds,
             )
+            if (
+                (self.config.get("discovery") or {}).get("enabled")
+                and self._discovery_query is None
+            ):
+                self._discovery_query = self._start_discovery_sidecar(
+                    envelope_stream, trigger_seconds
+                )
             return self.query
         if engine != "foreachBatch":
             raise ValueError(f"unknown engine {engine!r}")
@@ -145,6 +159,56 @@ class Sarkac:
         )
         return self.query
 
+    def _start_discovery_sidecar(self, envelope_stream: DataFrame, trigger_seconds: int):
+        """Control-plane discovery for the stateful engine: a second,
+        stateless foreachBatch query over the same envelope source runs
+        the discovery tick (topic diff + one sampled payload per topic —
+        driver cost bounded by topic count, never batch size). Scoring
+        state lives in the data-plane query's checkpoint, so discovery
+        never touches it; a merged DSL flags ``_pending_restart`` and
+        ``restart_if_needed`` swaps the scoring plan at a batch boundary.
+
+        The reference interleaves both planes on one consumer
+        (Discovery.js timers inside the same process); separating them is
+        the Spark-native shape — the sidecar reads the same source with
+        its own tiny checkpoint and can lag or restart independently of
+        scoring."""
+        import os as _os
+
+        def _tick(batch: DataFrame, _epoch_id: int) -> None:
+            _discovery_tick(batch, self.discovery, self.bus, self.counters)
+
+        return (
+            envelope_stream.writeStream.foreachBatch(_tick)
+            .option(
+                "checkpointLocation",
+                _os.path.join(self.work_dir, "ckpt_discovery"),
+            )
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start()
+        )
+
+    def restart_if_needed(self) -> bool:
+        """Restart the scoring query iff discovery merged new DSL since
+        it started (Spark cannot swap a running query's plan; the
+        reference re-subscribes its consumer instead, Stream.js:145-152).
+        Keyed state and sink exactly-once ride the checkpoint — scored
+        baselines survive; only the extraction plan is rebuilt from the
+        merged DSL. Returns True when a restart happened. The
+        foreachBatch engine never needs this (it re-plans from
+        ``self.dsl`` every micro-batch)."""
+        if not self._pending_restart or self.query is None:
+            return False
+        if self.config.get("engine", "foreachBatch") != "stateful":
+            # foreachBatch re-plans live; just acknowledge the merge
+            self._pending_restart = False
+            return False
+        self._pending_restart = False
+        self.query.stop()
+        self.query = None
+        self.analyse(self._envelope_stream, trigger_seconds=self._trigger_seconds)
+        return True
+
     def anomalies(self) -> DataFrame:
         """All anomalies produced so far (the batch-queryable sink)."""
         d = getattr(self.pipeline, "cfg", self.pipeline)
@@ -164,9 +228,38 @@ class Sarkac:
         if self.query is not None:
             self.query.stop()
             self.query = None
+        if self._discovery_query is not None:
+            self._discovery_query.stop()
+            self._discovery_query = None
         if self._listener is not None:
             self.spark.streams.removeListener(self._listener)
             self._listener = None
+
+
+def _discovery_tick(batch: DataFrame, discovery, bus, counters) -> bool:
+    """One discovery tick over a micro-batch (reference Discovery.js:38-66
+    samples on a timer; per-micro-batch is the same cadence contract since
+    the trigger period is the clock here). Driver-side cost: one distinct
+    over the batch's topics and one sampled message per topic — both
+    bounded by topic count, not batch size. Returns True when the merged
+    DSL changed (DiscoveryLoop fires ``on_dsl_change`` itself)."""
+    from pyspark.sql import functions as F
+
+    observed = [r.topic for r in batch.select("topic").distinct().collect()]
+    created, deleted = discovery.step_topics(
+        sorted(set(observed) | set(discovery.known_topics))
+    )
+    if created:
+        counters.topic_updates += 1
+        bus.emit("created-topics", created)
+    if deleted:
+        bus.emit("deleted-topics", deleted)
+    samples = batch.groupBy("topic").agg(F.first("value").alias("value")).collect()
+    changed = False
+    for r in samples:
+        if r.value is not None and discovery.step_fields(r.topic, r.value):
+            changed = True
+    return changed
 
 
 class _BusSigmaPipeline(SigmaStreamPipeline):
@@ -198,34 +291,10 @@ class _BusSigmaPipeline(SigmaStreamPipeline):
         self.discovery = discovery
 
     def _discover(self, batch: DataFrame) -> None:
-        """Per-batch discovery tick (reference Discovery.js:38-66 samples
-        on a timer; per-micro-batch is the same cadence contract since
-        the trigger period is the clock here).
-
-        Driver-side cost: one distinct over the batch's topics and one
-        sampled message per topic — both bounded by topic count, not
-        batch size.
-        """
-        from pyspark.sql import functions as F
-
-        observed = [r.topic for r in batch.select("topic").distinct().collect()]
-        created, deleted = self.discovery.step_topics(
-            sorted(set(observed) | set(self.discovery.known_topics))
-        )
-        if created:
-            self.counters.topic_updates += 1
-            self.bus.emit("created-topics", created)
-        if deleted:
-            self.bus.emit("deleted-topics", deleted)
-        samples = (
-            batch.groupBy("topic").agg(F.first("value").alias("value")).collect()
-        )
-        changed = False
-        for r in samples:
-            if r.value is not None and self.discovery.step_fields(r.topic, r.value):
-                changed = True
-        if changed:
-            # next batch re-plans extraction with the merged DSL
+        """Per-batch discovery tick — shared ``_discovery_tick`` logic;
+        on change the next batch re-plans extraction with the merged DSL
+        (no restart needed in the foreachBatch engine)."""
+        if _discovery_tick(batch, self.discovery, self.bus, self.counters):
             self.dsl = self.discovery.dsl
 
     def _on_emitted(self, emitted: DataFrame, epoch_id: int) -> None:

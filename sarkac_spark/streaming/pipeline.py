@@ -69,13 +69,24 @@ def extract_fields(
 ) -> DataFrame | None:
     """DSL field extraction (P1-P4) over an envelope relation
     (topic, key, value: json-string, ts) — batch OR streaming (pure
-    filter/project/union, no shuffle). Returns the long store shape
+    project/explode, no shuffle). Returns the long store shape
     (topic, produced, key, field_path, value), or None with no
-    configured fields."""
+    configured fields.
+
+    ONE pass, ONE branch: a per-topic CASE maps each row to its
+    configured (field_path, value) struct array, exploded in a single
+    projection. The earlier shape (one filtered branch per topic,
+    self-unioned) scanned the stream once per topic AND — fatally for
+    live discovery — made each union arm count as a separate source in
+    a streaming checkpoint's offset log, so adding a discovered topic
+    broke restart ("N sources in the checkpoint offsets, now M
+    requested"). With a single source occurrence, the same checkpoint
+    carries any DSL; topics outside the DSL hit the CASE's empty-array
+    default and explode drops them (the P3 topic filter, for free)."""
     from sarkac_spark.operators.fields import dsl_field_exprs_struct
 
     payload_schemas = payload_schemas or {}
-    parts = []
+    chain = None
     for t in dsl.topics.values():
         if not t.fields:
             continue
@@ -84,21 +95,36 @@ def extract_fields(
             exprs = dsl_field_exprs_struct("value", paths, payload_schemas[t.topic])
         else:
             exprs = dsl_field_exprs("value", paths)
-        parts.append(
-            to_sigma_store(
-                df.filter(F.col("topic") == t.topic),
-                topic_col="topic",
-                ts_col="ts",
-                fields=exprs,
-                extra_cols=["key"],
-            )
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("field_path"),
+                    e.cast("double").alias("value"),
+                )
+                for p, e in exprs.items()
+            ]
         )
-    if not parts:
+        cond = F.col("topic") == t.topic
+        chain = F.when(cond, arr) if chain is None else chain.when(cond, arr)
+    if chain is None:
         return None
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    empty = F.array().cast("array<struct<field_path:string,value:double>>")
+    return (
+        df.select(
+            "topic",
+            F.col("ts").alias("produced"),
+            "key",
+            F.explode(chain.otherwise(empty)).alias("__fv"),
+        )
+        .select(
+            "topic",
+            "produced",
+            "key",
+            F.col("__fv.field_path").alias("field_path"),
+            F.col("__fv.value").alias("value"),
+        )
+        .filter(F.col("value").isNotNull())
+    )
 
 
 @dataclass

@@ -188,6 +188,88 @@ def test_facade_stateful_engine(spark, tmp_path):
     assert s._listener is None  # close() detached the listener
 
 
+def test_facade_stateful_discovery_sidecar_and_restart(spark, tmp_path):
+    """Discovery on the SCALE engine: a stateless control-plane sidecar
+    query samples topics, merges the DSL, and flags a restart; the
+    data-plane scoring query restarts on its checkpoint — pre-restart
+    keyed state survives (the declared topic's later spike is scored
+    against baselines ingested before the restart, impossible under the
+    min-3-events guard if state were lost), and the discovered topic is
+    scored with its post-restart data."""
+    import datetime as dt
+    import json as jsonlib
+
+    from sarkac_spark.sarkac import Sarkac
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "topic string, key string, value string, ts timestamp"
+
+    def row(topic, field, i, val):
+        return (
+            topic, f"{topic}-{i}", jsonlib.dumps({field: val}),
+            t0 + dt.timedelta(seconds=10 * i),
+        )
+
+    def baseline(topic, field, lo, hi):
+        return [
+            row(topic, field, i, 20.0 + (0.2 if i % 2 else -0.2))
+            for i in range(lo, hi)
+        ]
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        baseline("svc-topic", "lat", 0, 40), schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    s = Sarkac(
+        spark,
+        {
+            "engine": "stateful",
+            "anomalyCooldownSeconds": 0,
+            "discovery": {"enabled": True, "topicBlacklist": []},
+            "dsl": {"svc-topic": {"fields": {"lat": {"windows": ["15m"]}}}},
+        },
+        work_dir=str(tmp_path / "wd"),
+    )
+    created = []
+    s.on("created-topics", created.append)
+    q = s.analyse(stream, trigger_seconds=1)
+    q.processAllAvailable()
+    s._discovery_query.processAllAvailable()
+    assert s.restart_if_needed() is False  # nothing new discovered yet
+
+    # the undeclared topic appears: sidecar merges DSL, flags restart
+    spark.createDataFrame(
+        baseline("iot-topic", "temp", 0, 40), schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    s.query.processAllAvailable()
+    s._discovery_query.processAllAvailable()
+    assert created and created[0] == ["iot-topic"]
+    assert s._pending_restart
+    assert s.restart_if_needed() is True  # scoring query swapped plans
+
+    # post-restart: spikes on BOTH topics (+ fresh iot baselines — the
+    # iot rows in b2 were consumed pre-restart by a plan that didn't
+    # track them; data-before-discovery is unscored by design)
+    b3 = baseline("iot-topic", "temp", 40, 80)
+    b3.append(row("iot-topic", "temp", 99, 500.0))
+    b3.append(row("svc-topic", "lat", 45, 500.0))
+    spark.createDataFrame(b3, schema).coalesce(1).write.parquet(str(src / "b3"))
+    s.query.processAllAvailable()
+    s.close()
+
+    rows = s.anomalies().collect()
+    assert {(r.topic, r.path, r.value) for r in rows} >= {
+        ("svc-topic", "lat", 500.0),
+        ("iot-topic", "temp", 500.0),
+    }
+
+
 def test_facade_unknown_engine_raises(spark, tmp_path):
     import pytest as _pytest
 
