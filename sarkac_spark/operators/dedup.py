@@ -22,7 +22,7 @@ so every operator here is oracle-checkable bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 # 60-bit hash from the md5 hex prefix: fits a signed 64-bit long in both
@@ -245,34 +245,51 @@ def dedup_simhash(
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
     Candidates via bit-chunk banding (pigeonhole: distance <= bands-1
     guarantees one equal chunk; with max_hamming=3, bands=4 is exact),
-    verified with bit_count(xor)."""
+    verified with bit_count(xor).
+
+    A pair sharing several chunks matches in several bands; instead of
+    a ``distinct()`` — a full shuffle of the candidate-pair stream, the
+    largest relation in the plan — each pair is kept only at its FIRST
+    matching band: both fingerprints ride the join, so "no earlier band
+    chunk was equal" is a few post-join bit ops per row, and every
+    surviving pair is emitted exactly once with zero extra exchanges."""
     fps = simhash(df, id_col, text_col)
     chunk = SIMHASH_BITS // bands
     mask = (1 << chunk) - 1
+
+    def chunk_of(col: Column, b: int) -> Column:
+        return F.shiftright(col, b * chunk).bitwiseAND(F.lit(mask))
+
     band_keys = F.array(
         *[
             F.concat_ws(
-                ":",
-                F.lit(str(b)),
-                F.shiftright(F.col("simhash"), b * chunk).bitwiseAND(
-                    F.lit(mask)
-                ).cast("string"),
+                ":", F.lit(str(b)), chunk_of(F.col("simhash"), b).cast("string")
             )
             for b in range(bands)
         ]
     )
-    banded = fps.select(F.col(id_col), F.col("simhash"), F.explode(band_keys).alias("bk"))
+    banded = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(band_keys).alias("bidx", "bk"),
+    )
     a, b = banded.alias("a"), banded.alias("b")
+    sh_a, sh_b = F.col("a.simhash"), F.col("b.simhash")
+    earlier_band_matched = F.lit(False)
+    for bp in range(bands - 1):
+        earlier_band_matched = earlier_band_matched | (
+            (F.col("a.bidx") > bp) & (chunk_of(sh_a, bp) == chunk_of(sh_b, bp))
+        )
     pairs = (
         a.join(b, "bk")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(~earlier_band_matched)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            sh_a.alias("sh_a"),
+            sh_b.alias("sh_b"),
         )
-        .distinct()
     )
     return (
         pairs.withColumn(
