@@ -1162,3 +1162,58 @@ def test_round3_ops_invariant_to_input_order(spark):
             canon(unigram_kl(ddf).collect()),
         ))
     assert results[0] == results[1] == results[2]
+
+
+def test_round4_ops_invariant_to_input_order(spark):
+    """Round-4-touched operators under the same physical-reordering
+    property: dedup_simhash (first-matching-band pair emission must be a
+    pure function of the fingerprints, not of join/row order) and the
+    single-pass extract_fields (CASE+explode must key purely on the
+    topic value)."""
+    from sarkac_spark.config import DSL
+    from sarkac_spark.operators.dedup import dedup_simhash
+    from sarkac_spark.streaming.pipeline import extract_fields
+
+    docs = [
+        (i, "alpha beta gamma delta " + ("x" if i % 4 else "y") + f" tail{i % 7}")
+        for i in range(40)
+    ]
+    dsl = DSL.parse(
+        {
+            "t1": {"fields": {"a.b": {"windows": ["5m"]}}},
+            "t2": {"fields": {"c": {"windows": ["5m"]}}},
+        }
+    )
+    import datetime as dt
+    import json as jsonlib
+
+    envs = [
+        (
+            f"t{1 + i % 3}",  # t3 rows must be dropped everywhere
+            str(i),
+            jsonlib.dumps({"a": {"b": i * 1.5}, "c": i * 2.0}),
+            dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i),
+        )
+        for i in range(60)
+    ]
+
+    def canon(rows):
+        return sorted(tuple(r) for r in rows)
+
+    results = []
+    for build in (lambda d: d, lambda d: d.repartition(7), lambda d: d.coalesce(1)):
+        ddf = build(spark.createDataFrame(docs, "doc_id long, text string"))
+        edf = build(
+            spark.createDataFrame(
+                envs, "topic string, key string, value string, ts timestamp"
+            )
+        )
+        results.append((
+            canon(dedup_simhash(ddf, "doc_id", "text", max_hamming=10).collect()),
+            canon(extract_fields(edf, dsl).collect()),
+        ))
+    assert results[0] == results[1] == results[2]
+    # extraction keyed on topic: t3 rows dropped, both fields present
+    extracted = results[0][1]
+    assert {t[0] for t in extracted} == {"t1", "t2"}
+    assert {t[3] for t in extracted} == {"a.b", "c"}
