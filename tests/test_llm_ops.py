@@ -1164,6 +1164,42 @@ def test_round3_ops_invariant_to_input_order(spark):
     assert results[0] == results[1] == results[2]
 
 
+def test_dedup_simhash_matches_bruteforce(spark):
+    """Exactness of the banded candidate path: with max_hamming <=
+    bands-1 the pigeonhole guarantee makes banding lossless, so the
+    operator's pair set must EQUAL the brute-force all-pairs hamming
+    filter over the same fingerprints — including after round 4's
+    first-matching-band dedup replaced the distinct() (any pair emitted
+    twice or dropped by that rewrite fails this)."""
+    import numpy as np
+
+    from sarkac_spark.operators.dedup import dedup_simhash, simhash
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=12, replace=True)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    expect = set()
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 3:
+                expect.add((a, b, h))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup_simhash(df, "doc_id", "text", max_hamming=3, bands=4).collect()
+    }
+    assert got == expect
+    # and no pair may be emitted more than once
+    rows = dedup_simhash(df, "doc_id", "text", max_hamming=3, bands=4).collect()
+    assert len(rows) == len({(r.id_a, r.id_b) for r in rows})
+
+
 def test_round4_ops_invariant_to_input_order(spark):
     """Round-4-touched operators under the same physical-reordering
     property: dedup_simhash (first-matching-band pair emission must be a
