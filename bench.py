@@ -174,7 +174,14 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     try:
-        timings.update(stream_pipeline_bench(spark))
+        # same min-of-2 policy as the batch queries: the rescan arm alone
+        # swings +/-20% run-to-run (state-store IO + trigger scheduling),
+        # which would otherwise dominate round-over-round comparisons
+        stream_best: dict[str, float] = {}
+        for _ in range(2):
+            for k, v in stream_pipeline_bench(spark).items():
+                stream_best[k] = min(v, stream_best.get(k, float("inf")))
+        timings.update(stream_best)
     except Exception as e:  # keep the batch numbers even if streaming breaks
         print(f"stream bench failed: {e}", file=sys.stderr)
 
