@@ -247,6 +247,88 @@ def test_stateful_pipeline_checkpoint_restart_equals_single_run(spark, tmp_path)
     assert mid < len(got)  # the third file contributed post-restart spikes
 
 
+def test_checkpoint_upgrade_from_union_shaped_extraction(spark, tmp_path):
+    """Operational guarantee for round 4's extraction rewrite: a
+    checkpoint written by the OLD single-topic plan (per-topic
+    filter+stack, the pre-rewrite shape) must be resumable by the NEW
+    CASE+explode plan — same single source occurrence, same stateful
+    operator layout — with state intact (post-upgrade spikes score
+    against pre-upgrade baselines) and no reprocessing."""
+    from pyspark.sql import functions as F
+
+    import sarkac_spark.streaming.pipeline as pl
+    from sarkac_spark.config import DSL
+    from sarkac_spark.operators.fields import dsl_field_exprs, to_sigma_store
+    from sarkac_spark.sources.synthetic import TOPIC, example_messages
+    from sarkac_spark.streaming.pipeline import StatefulSigmaPipeline
+
+    def old_extract(df, dsl, payload_schemas=None):
+        parts = []
+        for t in dsl.topics.values():
+            if not t.fields:
+                continue
+            exprs = dsl_field_exprs("value", [f.path for f in t.fields])
+            parts.append(
+                to_sigma_store(
+                    df.filter(F.col("topic") == t.topic),
+                    topic_col="topic",
+                    ts_col="ts",
+                    fields=exprs,
+                    extra_cols=["key"],
+                )
+            )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    dsl = DSL.parse(
+        {TOPIC: {"fields": {"sub.one": {"windows": ["5m"]}, "two": {"windows": ["5m"]}}}}
+    )
+    msgs = example_messages(spark, n=96).collect()
+    schema = "topic string, key string, value string, ts timestamp"
+    src = tmp_path / "src"
+
+    def run(extract_impl):
+        saved = pl.extract_fields
+        pl.extract_fields = extract_impl
+        try:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src / "*"))
+            )
+            p = StatefulSigmaPipeline(
+                spark, dsl, anomaly_dir=str(tmp_path / "anoms"), cooldown_seconds=0
+            )
+            q = p.start(
+                stream, checkpoint_dir=str(tmp_path / "ckpt"), trigger_seconds=1
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            pl.extract_fields = saved
+
+    # phase 1: OLD plan writes the checkpoint
+    spark.createDataFrame(msgs[:48], schema).coalesce(1).write.parquet(str(src / "b0"))
+    run(old_extract)
+    pre = spark.read.parquet(str(tmp_path / "anoms")).count()
+    assert pre > 0
+
+    # phase 2: NEW plan resumes the same checkpoint over new data
+    spark.createDataFrame(msgs[48:], schema).coalesce(1).write.parquet(str(src / "b1"))
+    run(pl.extract_fields)
+    rows = spark.read.parquet(str(tmp_path / "anoms")).collect()
+    assert len(rows) > pre  # new data scored, no crash, no offset reset
+    # all 8 planted spikes and 4 dips scored — including the second
+    # half's, which need the pre-upgrade keyed baselines (>=3 prior
+    # points) to clear the min-count guard at all
+    assert len([r for r in rows if r.path == "sub.one" and r.value == 150.5]) == 8
+    assert len([r for r in rows if r.path == "two" and r.value == -100.0]) == 4
+
+
 def test_stateful_pipeline_cooldown_survives_restart(spark, tmp_path):
     """Cooldown is part of the keyed state, so it must survive a
     checkpoint restart: the fixture's first spike alerts before the
