@@ -5,8 +5,13 @@ unpartitioned (single-reducer) windows. Individual queries get precise
 budgets in test_plans.py; this sweep guarantees no NEW query can land
 with one of the forbidden shapes, whatever its name.
 
-Plans are built (analysis + physical planning only, nothing executes),
-so the whole 80+-query sweep costs seconds.
+Plans are built (analysis + physical planning only, nothing executes —
+``ann_recall``'s lazy localCheckpoints and the iterative
+connected-components queries are the two lineage-truncating shapes;
+their constituent subplans are audited through their own registry
+entries: cosine_topk/ivf_topk/lsh_topk for the former, the
+dedup_minhash candidate plan for the latter), so the whole 80+-query
+sweep costs seconds.
 """
 
 from __future__ import annotations

@@ -306,6 +306,21 @@ def test_round3_query_plan_shapes(spark, sf_dir):
     assert "InMemoryTableScan" not in _plan(sd)  # no hidden caching
 
 
+def test_dedup_simhash_no_pair_distinct(spark, sf_dir):
+    """Round-4 budget: the candidate-pair stream must not be re-shuffled
+    for dedup — first-matching-band emission replaced the distinct().
+    Shuffles left: word-explode agg (corpus-sized), the band self-join
+    exchange (reused across both legs at runtime)."""
+    from sarkac_spark.queries.llm import QUERIES
+
+    sh = QUERIES["dedup_simhash"](spark, sf_dir)
+    assert shuffle_count(sh) <= 3  # was 4 with the pair distinct
+    plan = _plan(sh)
+    assert "HashAggregate" in plan  # the fingerprint agg
+    # no aggregation keyed on the pair ids (the old distinct's shape)
+    assert "hashpartitioning(id_a" not in plan
+
+
 def test_tpch_shape_query_plans(spark, sf_dir):
     """Plan shapes for the Q4/Q13/Q16-style queries: the semi-join's
     returnflag filter reaches the lineitem scan, the distribution query
