@@ -167,7 +167,12 @@ def mllib_minhash_pairs(
     cv = CountVectorizer(
         inputCol="__words", outputCol="__tf", binary=True, minDF=1.0
     ).fit(tokens)
-    vecs = cv.transform(tokens).select(id_col, "__tf")
+    # persist: the vectors are read three times (MinHashLSH.fit plus both
+    # legs of the self-similarity join), and each re-read would otherwise
+    # re-run the shingle explode + collect_set + vectorize lineage —
+    # measured ~30% of query wall. Size is |docs| x nnz(shingle) ids,
+    # MEMORY_AND_DISK default spills rather than OOMs at scale.
+    vecs = cv.transform(tokens).select(id_col, "__tf").persist()
     mh = MinHashLSH(
         inputCol="__tf", outputCol="__hashes", numHashTables=num_tables, seed=seed
     ).fit(vecs)
