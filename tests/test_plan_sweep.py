@@ -5,13 +5,14 @@ unpartitioned (single-reducer) windows. Individual queries get precise
 budgets in test_plans.py; this sweep guarantees no NEW query can land
 with one of the forbidden shapes, whatever its name.
 
-Plans are built (analysis + physical planning only, nothing executes —
-``ann_recall``'s lazy localCheckpoints and the iterative
-connected-components queries are the two lineage-truncating shapes;
-their constituent subplans are audited through their own registry
-entries: cosine_topk/ivf_topk/lsh_topk for the former, the
-dedup_minhash candidate plan for the latter), so the whole 80+-query
-sweep costs seconds.
+Plans are built (analysis + physical planning for the declarative
+queries; the exceptions that do run work at build time are the
+inherently iterative ones — MLlib fits, connected-components rounds —
+and they are bounded by training caps / round budgets). Lineage
+truncation note: ``ann_recall``'s lazy localCheckpoints and the CC
+queries hide constituent subplans from this sweep; those subplans are
+audited through their own registry entries (cosine_topk / ivf_topk /
+lsh_topk, and the dedup_minhash candidate plan).
 """
 
 from __future__ import annotations
