@@ -278,11 +278,15 @@ def lsh_sign_assign(
     n_bits: int = 6,
     n_tables: int = 3,
     salt: str = "lsh",
+    include_table_vector: bool = False,
 ) -> DataFrame:
     """Sign-LSH bucket assignment, ``n_tables`` independent tables of
     ``n_bits`` hyperplanes each: bit j of table t is 1 iff the vector's
     dot with plane (t*n_bits + j) is positive. Output: (id, t, bucket) —
-    one row per table.
+    one row per table; with ``include_table_vector`` each row also
+    carries ``__buckets``, the full n_tables-long bucket array (a few
+    longs — what lets ``lsh_topk`` dedupe multi-table candidate pairs
+    without shuffling them).
 
     One corpus scan, map-only: the planes ride as ONE array-of-arrays
     literal and all dots come from a single higher-order ``transform``
@@ -313,8 +317,18 @@ def lsh_sign_assign(
     tables = F.array(
         *[F.struct(F.lit(t).alias("t"), bucket(t).alias("bucket")) for t in range(n_tables)]
     )
-    return with_dots.select(F.col(id_col), F.explode(tables).alias("tb")).select(
-        id_col, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    extra = (
+        [F.array(*[bucket(t) for t in range(n_tables)]).alias("__buckets")]
+        if include_table_vector
+        else []
+    )
+    return with_dots.select(
+        F.col(id_col), F.explode(tables).alias("tb"), *extra
+    ).select(
+        id_col,
+        F.col("tb.t").alias("t"),
+        F.col("tb.bucket").alias("bucket"),
+        *(["__buckets"] if include_table_vector else []),
     )
 
 
@@ -340,15 +354,34 @@ def lsh_topk(
     so the operator composes with streaming (assign is stateless).
     Output: (query_id, neighbor_id, cos_sim, rank).
     """
-    ca = lsh_sign_assign(corpus, id_col, vec_col, dim, n_bits, n_tables)
-    qa = lsh_sign_assign(queries, id_col, vec_col, dim, n_bits, n_tables)
-    cand = (
-        qa.select(F.col(id_col).alias("query_id"), "t", "bucket")
-        .join(ca.select(F.col(id_col).alias("neighbor_id"), "t", "bucket"), ["t", "bucket"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
+    ca = lsh_sign_assign(
+        corpus, id_col, vec_col, dim, n_bits, n_tables, include_table_vector=True
     )
+    qa = lsh_sign_assign(
+        queries, id_col, vec_col, dim, n_bits, n_tables, include_table_vector=True
+    )
+    # A pair co-bucketed in several tables matches the join several
+    # times; keep it only at the FIRST matching table (both bucket
+    # vectors — n_tables longs — ride the join) instead of distinct():
+    # same pair set, no shuffle of the candidate-pair stream (the same
+    # rewrite as dedup_simhash's banding).
+    joined = (
+        qa.select(F.col(id_col).alias("query_id"), "t", "bucket", F.col("__buckets").alias("__qb"))
+        .join(
+            ca.select(
+                F.col(id_col).alias("neighbor_id"), "t", "bucket", F.col("__buckets").alias("__cb")
+            ),
+            ["t", "bucket"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    earlier_table_matched = F.lit(False)
+    for tp in range(n_tables - 1):
+        earlier_table_matched = earlier_table_matched | (
+            (F.col("t") > tp)
+            & (F.element_at("__qb", tp + 1) == F.element_at("__cb", tp + 1))
+        )
+    cand = joined.filter(~earlier_table_matched).select("query_id", "neighbor_id")
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("q_vec")
     ).withColumn("q_norm", norm(F.col("q_vec")))

@@ -321,6 +321,19 @@ def test_dedup_simhash_no_pair_distinct(spark, sf_dir):
     assert "hashpartitioning(id_a" not in plan
 
 
+def test_lsh_topk_no_pair_distinct(spark, sf_dir):
+    """Round-4 budget: candidate pairs from the multi-table bucket join
+    are deduped by first-matching-table bit ops, not a distinct() —
+    no exchange keyed on the pair ids may appear."""
+    from sarkac_spark.queries.llm import QUERIES
+
+    lt = QUERIES["lsh_topk"](spark, sf_dir)
+    plan = _plan(lt)
+    # the only query_id-keyed exchange allowed is the top-k window's;
+    # the old distinct() added a second one over (query_id, neighbor_id)
+    assert plan.count("hashpartitioning(query_id") <= 1
+
+
 def test_tpch_shape_query_plans(spark, sf_dir):
     """Plan shapes for the Q4/Q13/Q16-style queries: the semi-join's
     returnflag filter reaches the lineitem scan, the distribution query
