@@ -423,7 +423,65 @@ def assign_buckets(
     deterministic tiebreak on centroid id. ``n_best=1`` is storage
     assignment (each vector lives in ONE bucket); ``n_best>1`` is the
     probe side of multi-probe search. Output: (id, bucket, vec), one
-    row per (vector, probed bucket)."""
+    row per (vector, probed bucket).
+
+    The ``n_best=1`` path is MAP-ONLY: an argmax fold over the
+    broadcast centroid array (expression code, no corpus x centroids
+    explode, no per-id window shuffle) — storage assignment is the
+    corpus-sized leg of IVF, so it must not shuffle at 100 TB. The
+    window formulation remains for the ``n_best>1`` probe side, which
+    only ever runs over the (small) query set. Both paths share the
+    tiebreak contract: highest rounded cosine, then lowest bucket id;
+    null cosines (zero-norm vectors) lose to every real score and fall
+    to the lowest bucket id."""
+    if n_best == 1:
+        carr = (
+            centroids.select(
+                F.col(centroid_id_col).cast("long").alias("bucket"),
+                _as_double(vec_col).alias("cent_vec"),
+            )
+            .withColumn("cent_norm", norm(F.col("cent_vec")))
+            .agg(
+                F.collect_list(
+                    F.struct("bucket", "cent_vec", "cent_norm")
+                ).alias("__cents")
+            )
+        )
+        base = (
+            corpus.select(F.col(id_col), _as_double(vec_col).alias("vec"))
+            .withColumn("vec_norm", norm(F.col("vec")))
+            .crossJoin(F.broadcast(carr))
+        )
+        init = F.struct(
+            F.lit(-3.0).alias("s"), F.lit(1 << 62).cast("long").alias("b")
+        )
+
+        def step(acc: Column, c: Column) -> Column:
+            sim = F.coalesce(
+                F.round(
+                    cosine_with_norms(
+                        F.col("vec"),
+                        c.getField("cent_vec"),
+                        F.col("vec_norm"),
+                        c.getField("cent_norm"),
+                    ),
+                    6,
+                ),
+                F.lit(-2.0),
+            )
+            better = (sim > acc.getField("s")) | (
+                (sim == acc.getField("s"))
+                & (c.getField("bucket") < acc.getField("b"))
+            )
+            return F.when(
+                better,
+                F.struct(sim.alias("s"), c.getField("bucket").alias("b")),
+            ).otherwise(acc)
+
+        best = F.aggregate(F.col("__cents"), init, step)
+        return base.select(
+            F.col(id_col), best.getField("b").alias("bucket"), "vec"
+        )
     c = centroids.select(
         F.col(centroid_id_col).alias("bucket"), _as_double(vec_col).alias("cent_vec")
     ).withColumn("cent_norm", norm(F.col("cent_vec")))

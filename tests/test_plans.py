@@ -321,6 +321,16 @@ def test_dedup_simhash_no_pair_distinct(spark, sf_dir):
     assert "hashpartitioning(id_a" not in plan
 
 
+def test_ivf_storage_assignment_is_map_only(spark, sf_dir):
+    """Round-4 budget: corpus-side IVF bucket assignment is an argmax
+    fold over broadcast centroids — the corpus leg must contribute NO
+    shuffle; the plan's single data-sized exchange is the bucket join's."""
+    from sarkac_spark.queries.llm import QUERIES
+
+    iv = QUERIES["ivf_topk"](spark, sf_dir)
+    assert shuffle_count(iv) <= 1  # was 5 with the per-id window assignment
+
+
 def test_lsh_topk_no_pair_distinct(spark, sf_dir):
     """Round-4 budget: candidate pairs from the multi-table bucket join
     are deduped by first-matching-table bit ops, not a distinct() —
