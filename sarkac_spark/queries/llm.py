@@ -548,6 +548,72 @@ def q_unigram_kl(spark, sf_dir):
     return unigram_kl(_docs(spark, sf_dir), "source", "text")
 
 
+CMS_DEPTH, CMS_WIDTH, CMS_TOP = 4, 1024, 20
+
+
+def q_cms_term_counts(spark, sf_dir):
+    """Count-min-sketch audit: estimate the corpus's top-20 term counts
+    from a 4x1024 sketch and report the one-sided error against the
+    exact counts — the bounded-memory heavy-hitter primitive (sketch
+    size is fixed whatever the corpus size; the exact side exists here
+    as the audit baseline)."""
+    from sarkac_spark.operators.dedup import words_col
+    from sarkac_spark.operators.sketch import cms_estimate, count_min_sketch
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(words_col("text")).alias("term"))
+        .select(F.lower(F.col("term")).alias("term"))
+    )
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("true_count"))
+    top = exact.orderBy(F.col("true_count").desc(), "term").limit(CMS_TOP)
+    sk = count_min_sketch(toks, "term", depth=CMS_DEPTH, width=CMS_WIDTH)
+    est = cms_estimate(
+        sk, top.select("term"), "term", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    return top.join(est, "term").select(
+        "term",
+        "true_count",
+        "est_count",
+        (F.col("est_count") - F.col("true_count")).alias("overestimate"),
+    )
+
+
+def _cms_term_counts_sql() -> str:
+    rows = " UNION ALL ".join(f"SELECT {d} AS d" for d in range(CMS_DEPTH))
+    return f"""
+WITH toks AS (
+  SELECT lower(u.t) AS term FROM documents, UNNEST({_WORDS}) AS u(t)
+),
+exact AS (SELECT term, count(*) AS true_count FROM toks GROUP BY term),
+top AS (SELECT term, true_count FROM exact
+        ORDER BY true_count DESC, term LIMIT {CMS_TOP}),
+ds AS ({rows}),
+sketch AS (
+  SELECT d,
+         ('0x' || substr(md5('cms' || d || ':' || term), 1, 15))::BIGINT
+           % {CMS_WIDTH} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks CROSS JOIN ds GROUP BY 1, 2
+),
+probes AS (
+  SELECT term,
+         d,
+         ('0x' || substr(md5('cms' || d || ':' || term), 1, 15))::BIGINT
+           % {CMS_WIDTH} AS bucket
+  FROM top CROSS JOIN ds
+),
+est AS (
+  SELECT p.term, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est_count
+  FROM probes p LEFT JOIN sketch s USING (d, bucket)
+  GROUP BY p.term
+)
+SELECT top.term, top.true_count, est.est_count,
+       est.est_count - top.true_count AS overestimate
+FROM top JOIN est USING (term)
+"""
+
+
 # corpus-mix contract: oversample src0/src1, trim src2, pass the rest
 MIX_WEIGHTS = {"src0": 2.5, "src1": 2.0, "src2": 0.4}
 
@@ -666,6 +732,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "gopher_rules": q_gopher_rules,
     "unigram_kl": q_unigram_kl,
+    "cms_term_counts": q_cms_term_counts,
 }
 
 
@@ -1537,6 +1604,7 @@ FROM feats
     "semantic_dedup": _semantic_dedup_sql(),
     "gopher_rules": _gopher_rules_sql(),
     "unigram_kl": _unigram_kl_sql(),
+    "cms_term_counts": _cms_term_counts_sql(),
     "span_dedup": f"""
 WITH ws AS (SELECT doc_id, {_WORDS} AS w FROM documents),
 spans AS (

@@ -1164,6 +1164,49 @@ def test_round3_ops_invariant_to_input_order(spark):
     assert results[0] == results[1] == results[2]
 
 
+def test_count_min_sketch_guarantees(spark):
+    """The CMS contract: (a) the sketch never exceeds depth x width rows
+    whatever the input (the bounded-memory point); (b) estimates are
+    one-sided — never below the true count; (c) with width >> distinct
+    keys the estimate is exact; (d) the weighted variant sums weights."""
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.operators.sketch import cms_estimate, count_min_sketch
+
+    rows = [(f"k{i % 50}",) for i in range(5000)]  # 50 keys, 100 hits each
+    df = spark.createDataFrame(rows, "term string")
+    sk = count_min_sketch(df, "term", depth=4, width=8)  # tiny: forces collisions
+    assert sk.count() <= 4 * 8
+    truth = {r.term: r.c for r in df.groupBy("term").agg(F.count("*").alias("c")).collect()}
+    items = df.select("term").distinct()
+    est = {
+        r.term: r.est_count
+        for r in cms_estimate(sk, items, "term", depth=4, width=8).collect()
+    }
+    assert all(est[t] >= truth[t] for t in truth)  # one-sided error
+
+    wide = count_min_sketch(df, "term", depth=4, width=4096)
+    exact = {
+        r.term: r.est_count
+        for r in cms_estimate(wide, items, "term", depth=4, width=4096).collect()
+    }
+    assert exact == truth  # no collisions at this width on 50 keys
+
+    wdf = spark.createDataFrame([("a", 3), ("a", 4), ("b", 5)], "term string, w int")
+    wsk = count_min_sketch(wdf, "term", depth=4, width=4096, weight_col="w")
+    west = {
+        r.term: r.est_count
+        for r in cms_estimate(
+            wsk, wdf.select("term").distinct(), "term", depth=4, width=4096
+        ).collect()
+    }
+    assert west == {"a": 7, "b": 5}
+    # unseen keys estimate to >= 0 without erroring (missing buckets = 0)
+    probe = spark.createDataFrame([("zzz-never-seen",)], "term string")
+    miss = cms_estimate(wide, probe, "term", depth=4, width=4096).collect()[0]
+    assert miss.est_count == 0
+
+
 def test_dedup_simhash_matches_bruteforce(spark):
     """Exactness of the banded candidate path: with max_hamming <=
     bands-1 the pigeonhole guarantee makes banding lossless, so the
