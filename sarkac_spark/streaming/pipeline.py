@@ -498,6 +498,57 @@ def streaming_span_dedup(
     )
 
 
+def streaming_count_min(
+    stream: DataFrame,
+    col: str,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Streaming twin of ``operators/sketch.count_min_sketch``: one
+    count-min sketch per event-time window — the live heavy-hitter /
+    hot-key monitor that feeds skew mitigation. The decisive property:
+    streaming state is bounded BY CONSTRUCTION at depth x width counters
+    per open window, independent of key cardinality — a windowed exact
+    groupBy(key) on a 100 TB/day stream holds unbounded key state; this
+    holds a few KB. Query the emitted sketch with ``cms_estimate``
+    (same (d, bucket, cnt) contract as the batch build).
+
+    Output (append mode, on window close): (window_start, window_end,
+    d, bucket, cnt).
+    """
+    from sarkac_spark.operators.sketch import _row_hash
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("d"),
+                _row_hash(F.col(col), d, width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        stream.select(F.col(ts_col), F.explode(rows).alias("rb"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window).alias("win"),
+            F.col("rb.d").alias("d"),
+            F.col("rb.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "d",
+            "bucket",
+            "cnt",
+        )
+    )
+
+
 def streaming_unigram_drift(
     stream: DataFrame,
     reference: DataFrame,

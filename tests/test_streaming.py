@@ -623,6 +623,55 @@ def test_streaming_unigram_drift_survives_restart(spark, tmp_path):
     assert collect(restarted) == expect
 
 
+def test_streaming_count_min(spark, tmp_path):
+    """The per-window sketch emitted by the stream must agree with the
+    batch sketch built over the same window's rows, and estimates
+    queried from it keep the one-sided guarantee. State bound: rows per
+    window never exceed depth x width."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.operators.sketch import cms_estimate, count_min_sketch
+    from sarkac_spark.streaming.pipeline import streaming_count_min
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(t0 + dt.timedelta(seconds=i), f"k{i % 7}") for i in range(70)]
+    rows.append((t0 + dt.timedelta(hours=2), "closer"))  # advances watermark
+    src = tmp_path / "cms_src"
+    spark.createDataFrame(rows, "ts timestamp, term string").coalesce(1).write.parquet(
+        str(src)
+    )
+    stream = spark.readStream.schema("ts timestamp, term string").parquet(str(src))
+    q = (
+        streaming_count_min(
+            stream, "term", window="5 minutes", watermark="10 minutes", depth=4, width=16
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cms_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT d, bucket, cnt FROM cms_out WHERE window_start = timestamp '2024-01-01 12:00:00'"
+    )
+    assert 0 < got.count() <= 4 * 16  # bounded state, one window
+    batch = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(70)], "term string"
+    )
+    expect = count_min_sketch(batch, "term", depth=4, width=16)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+    est = {
+        r.term: r.est_count
+        for r in cms_estimate(
+            got, batch.select("term").distinct(), "term", depth=4, width=16
+        ).collect()
+    }
+    assert all(v >= 10 for v in est.values())  # true count 10 per key
+
+
 def test_curation_ops_compose_with_streams(spark, tmp_path):
     """The stateless curation operators (gopher_rules quality gate) are
     pure column expressions, so the SAME operator call works unchanged
