@@ -435,6 +435,11 @@ def assign_buckets(
     null cosines (zero-norm vectors) lose to every real score and fall
     to the lowest bucket id."""
     if n_best == 1:
+        # centroid array sorted by bucket id, so array_position's
+        # first-occurrence-of-max IS the lowest-bucket tiebreak; null
+        # cosines (zero-norm vectors) coalesce to -2.0, below any real
+        # score, so an all-null row falls to the lowest bucket — both
+        # exactly the window formulation's ordering contract.
         carr = (
             centroids.select(
                 F.col(centroid_id_col).cast("long").alias("bucket"),
@@ -442,8 +447,8 @@ def assign_buckets(
             )
             .withColumn("cent_norm", norm(F.col("cent_vec")))
             .agg(
-                F.collect_list(
-                    F.struct("bucket", "cent_vec", "cent_norm")
+                F.array_sort(
+                    F.collect_list(F.struct("bucket", "cent_vec", "cent_norm"))
                 ).alias("__cents")
             )
         )
@@ -451,36 +456,29 @@ def assign_buckets(
             corpus.select(F.col(id_col), _as_double(vec_col).alias("vec"))
             .withColumn("vec_norm", norm(F.col("vec")))
             .crossJoin(F.broadcast(carr))
-        )
-        init = F.struct(
-            F.lit(-3.0).alias("s"), F.lit(1 << 62).cast("long").alias("b")
-        )
-
-        def step(acc: Column, c: Column) -> Column:
-            sim = F.coalesce(
-                F.round(
-                    cosine_with_norms(
-                        F.col("vec"),
-                        c.getField("cent_vec"),
-                        F.col("vec_norm"),
-                        c.getField("cent_norm"),
+            .withColumn(
+                "__sims",
+                F.transform(
+                    F.col("__cents"),
+                    lambda c: F.coalesce(
+                        F.round(
+                            cosine_with_norms(
+                                F.col("vec"),
+                                c.getField("cent_vec"),
+                                F.col("vec_norm"),
+                                c.getField("cent_norm"),
+                            ),
+                            6,
+                        ),
+                        F.lit(-2.0),
                     ),
-                    6,
                 ),
-                F.lit(-2.0),
             )
-            better = (sim > acc.getField("s")) | (
-                (sim == acc.getField("s"))
-                & (c.getField("bucket") < acc.getField("b"))
-            )
-            return F.when(
-                better,
-                F.struct(sim.alias("s"), c.getField("bucket").alias("b")),
-            ).otherwise(acc)
-
-        best = F.aggregate(F.col("__cents"), init, step)
+        )
+        idx = F.array_position(F.col("__sims"), F.array_max(F.col("__sims")))
+        best = F.element_at(F.col("__cents"), idx.cast("int"))
         return base.select(
-            F.col(id_col), best.getField("b").alias("bucket"), "vec"
+            F.col(id_col), best.getField("bucket").alias("bucket"), "vec"
         )
     c = centroids.select(
         F.col(centroid_id_col).alias("bucket"), _as_double(vec_col).alias("cent_vec")
