@@ -43,8 +43,11 @@ def _dot(a: Column, b: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity between two double-array columns — all JVM-side.
     For pairwise workloads prefer ``norm()`` precomputation per side +
-    ``cosine_with_norms`` — this form recomputes both norms per pair."""
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    ``cosine_with_norms`` — this form recomputes both norms per pair.
+    Zero-norm operands yield NULL (``try_divide``), the documented
+    contract everywhere cosines feed a threshold — under ANSI mode a
+    bare division would instead kill the job on the first zero vector."""
+    return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
 def norm(a: Column) -> Column:
@@ -55,8 +58,9 @@ def cosine_with_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> C
     """dot/(|a||b|) with norms computed once per vector instead of once
     per pair — cuts pairwise cosine work ~3x. Same double arithmetic, so
     results are bit-identical to ``cosine`` (norm is a deterministic
-    function of the vector either way)."""
-    return _dot(a, b) / (norm_a * norm_b)
+    function of the vector either way). NULL on zero norms, like
+    ``cosine``."""
+    return F.try_divide(_dot(a, b), norm_a * norm_b)
 
 
 def _as_double(col: str) -> Column:
@@ -629,6 +633,27 @@ def quantize_int8_error(
     )
 
 
+def sign_dots(vec: Column, dim: int, n_bits: int, salt: str) -> Column:
+    """Array of the vector's rounded dots with the ``n_bits`` md5-derived
+    Rademacher hyperplanes — materialize this in its OWN projection
+    before reading it per-bit (HOF lambdas re-evaluate referenced
+    expressions per element)."""
+    planes = _rademacher_hyperplanes(n_bits, dim, salt)
+    planes_lit = F.array(*[F.array(*[F.lit(s) for s in hv]) for hv in planes])
+    return F.transform(planes_lit, lambda hv: F.round(_dot(vec, hv), 6))
+
+
+def bucket_from_dots(dots: Column, n_bits: int) -> Column:
+    """Sign-LSH bucket id from a staged dots array: bit j set iff
+    dot j is positive. Shared by batch ``semantic_dedup`` and the
+    streaming twin so stream buckets equal batch buckets exactly."""
+    bucket = F.lit(0).cast("long")
+    for j in range(n_bits):
+        d = F.element_at(dots, j + 1)
+        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -670,17 +695,10 @@ def semantic_dedup(
     rule). The degenerate tau >= 1 case (nothing can drop; identical
     copies must survive) falls back to the direct pairwise.
     """
-    planes = _rademacher_hyperplanes(n_bits, dim, salt)
-    planes_lit = F.array(*[F.array(*[F.lit(s) for s in hv]) for hv in planes])
     staged = df.select(
         F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
-    ).withColumn(
-        "__dots", F.transform(planes_lit, lambda hv: F.round(_dot(F.col("__v"), hv), 6))
-    )
-    bucket = F.lit(0).cast("long")
-    for j in range(n_bits):
-        d = F.element_at(F.col("__dots"), j + 1)
-        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    ).withColumn("__dots", sign_dots(F.col("__v"), dim, n_bits, salt))
+    bucket = bucket_from_dots(F.col("__dots"), n_bits)
     av = staged.select(
         "__id", bucket.alias("bucket"), "__v", norm(F.col("__v")).alias("__n")
     )

@@ -623,6 +623,65 @@ def test_streaming_unigram_drift_survives_restart(spark, tmp_path):
     assert collect(restarted) == expect
 
 
+def test_streaming_semantic_dedup(spark, tmp_path):
+    """In-flight near-dup dedup with vector state: duplicates of
+    vectors kept in EARLIER micro-batches are dropped (reps survive in
+    keyed state), and on id-ordered arrival with clique-shaped dup
+    groups the stream's kept set equals batch semantic_dedup's."""
+    import datetime as dt
+
+    import numpy as np
+
+    from sarkac_spark.operators.similarity import semantic_dedup
+    from sarkac_spark.streaming.stateful_dedup import streaming_semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = [[float(x) for x in rng.normal(size=16)] for _ in range(20)]
+    vecs = list(base)
+    vecs += [base[3], base[7]]                      # exact dups, later batch
+    vecs.append([x * 2.0 for x in base[5]])         # same direction: cos = 1
+    vecs.append([0.0] * 16)                         # zero-norm: always kept
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, [float(x) for x in v], t0 + dt.timedelta(seconds=i))
+        for i, v in enumerate(vecs)
+    ]
+    schema = "vec_id long, embedding array<double>, ts timestamp"
+    src = tmp_path / "sem_src"
+    for b in range(3):  # 3 files -> 3 micro-batches, dups arrive last
+        spark.createDataFrame(rows[b * 8 : (b + 1) * 8], schema).coalesce(
+            1
+        ).write.parquet(str(src / f"b{b}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_semantic_dedup(stream, dim=16, n_bits=4, tau=0.95)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("semdedup_out")
+        .option("checkpointLocation", str(tmp_path / "sem_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.vec_id: r for r in spark.sql("SELECT * FROM semdedup_out").collect()}
+    assert len(got) == len(rows)
+    assert got[20].kept == 0 and got[21].kept == 0  # cross-batch exact dups
+    assert got[22].kept == 0                        # same-direction near dup
+    assert got[23].kept == 1                        # zero-norm never dropped
+    batch = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            spark.createDataFrame(rows, schema).drop("ts"), dim=16, n_bits=4, tau=0.95
+        ).collect()
+    }
+    assert {i: got[i].kept for i in got} == {i: batch[i].kept for i in batch}
+    assert {i: got[i].bucket for i in got} == {i: batch[i].bucket for i in batch}
+
+
 def test_streaming_count_min(spark, tmp_path):
     """The per-window sketch emitted by the stream must agree with the
     batch sketch built over the same window's rows, and estimates
