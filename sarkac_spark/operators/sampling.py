@@ -286,3 +286,35 @@ def pack_sequences(
         )
     )
     return with_seq.withColumn("seq_pos", pos.cast("long")).drop("__tok")
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    quality_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-domain document quota, quality-ordered: keep the ``cap`` BEST
+    documents per domain (highest ``quality_col``, ties to smallest id) —
+    the web-curation move that stops any one site from dominating the
+    corpus while keeping its best pages, vs ``sample_per_group`` which
+    keeps a *random* fixed budget.
+
+    Shape: one shuffle on the domain key; the rank is a window
+    partitioned by domain, fully parallel across domains (web corpora
+    have millions of them, so partitions stay small). A single
+    heavy-hitter domain sorts its partition — same mitigation as
+    ``sample_per_group``: pre-thin it with ``hash_sample`` at
+    ~(c*cap/|domain|) and rank the survivors.
+
+    Output: input columns + ``domain_rank`` (1 = best kept doc).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return df.withColumn("domain_rank", F.row_number().over(w)).filter(
+        F.col("domain_rank") <= cap
+    )

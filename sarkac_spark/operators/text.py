@@ -696,3 +696,90 @@ def doc_lm_score(
             F.round(F.avg(neg_log_p), round_digits).alias("lm_score"),
         )
     )
+
+
+def group_vocab_jaccard(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise lexical overlap between corpus slices (languages,
+    sources, snapshots): Jaccard similarity of the distinct-unigram
+    vocabularies of every pair of groups — the corpus-analytics view
+    for spotting cross-lingual contamination (two "languages" sharing
+    most of their vocabulary) or near-identical sources worth merging
+    before dedup.
+
+    Shape: ONE corpus scan -> explode to (group, term) -> distinct ->
+    groupBy(term) collecting each term's group-set (the two data-sized
+    shuffles). Pair counts and per-group vocab sizes both re-aggregate
+    from that tiny per-term relation — no self-join: each term expands
+    to its in-array group *combinations* via JVM higher-order
+    functions, bounded by |groups|^2 per term whatever the corpus
+    size. The shared subtree dedupes to a ReusedExchange at runtime.
+
+    Output: (group_a, group_b, vocab_a, vocab_b, shared_terms,
+    jaccard), one row per unordered pair (group_a < group_b),
+    zero-overlap pairs included.
+    """
+    vocab = (
+        df.select(
+            F.col(group_col).cast("string").alias("g"),
+            F.explode(words_col(text_col)).alias("w"),
+        )
+        .select("g", F.lower(F.col("w")).alias("term"))
+        .distinct()
+    )
+    by_term = vocab.groupBy("term").agg(
+        F.array_sort(F.collect_set("g")).alias("gs")
+    )
+    sizes = (
+        by_term.select(F.explode("gs").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    combos = F.explode(
+        F.expr(
+            "flatten(transform(gs, (x, i) -> "
+            "transform(slice(gs, i + 2, size(gs)), "
+            "y -> struct(x AS ga, y AS gb))))"
+        )
+    ).alias("p")
+    inter = (
+        by_term.select(combos)
+        .select(F.col("p.ga").alias("ga"), F.col("p.gb").alias("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    grid = (
+        sizes.alias("sa")
+        .join(
+            sizes.alias("sb"),
+            F.col("sa.g") < F.col("sb.g"),
+        )
+        .select(
+            F.col("sa.g").alias("group_a"),
+            F.col("sb.g").alias("group_b"),
+            F.col("sa.vocab").alias("vocab_a"),
+            F.col("sb.vocab").alias("vocab_b"),
+        )
+    )
+    shared = F.coalesce(F.col("shared"), F.lit(0)).cast("long")
+    return (
+        grid.join(
+            inter,
+            (F.col("group_a") == F.col("ga")) & (F.col("group_b") == F.col("gb")),
+            "left",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "vocab_a",
+            "vocab_b",
+            shared.alias("shared_terms"),
+            (
+                shared.cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - shared)
+            ).alias("jaccard"),
+        )
+    )

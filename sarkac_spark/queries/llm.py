@@ -406,6 +406,29 @@ def q_per_lang_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+DOMAIN_CAP = 10
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-source quota, quality-ordered: keep the 10 longest docs per
+    source (ties to smallest id) — the per-domain cap that stops one
+    site dominating the corpus while keeping its best pages."""
+    from sarkac_spark.operators.sampling import domain_cap
+
+    return domain_cap(
+        _docs(spark, sf_dir), "source", DOMAIN_CAP, "n_chars", "doc_id"
+    ).select("doc_id", "source", "n_chars", "domain_rank")
+
+
+def q_lang_jaccard(spark, sf_dir):
+    """Corpus-pair lexical overlap: Jaccard of distinct-unigram
+    vocabularies for every language pair — the cross-lingual
+    contamination / source-merge audit view."""
+    from sarkac_spark.operators.text import group_vocab_jaccard
+
+    return group_vocab_jaccard(_docs(spark, sf_dir), "lang", "text")
+
+
 CHUNK_WORDS = 40
 CHUNK_OVERLAP = 8
 
@@ -733,6 +756,8 @@ QUERIES = {
     "gopher_rules": q_gopher_rules,
     "unigram_kl": q_unigram_kl,
     "cms_term_counts": q_cms_term_counts,
+    "domain_cap": q_domain_cap,
+    "lang_jaccard": q_lang_jaccard,
 }
 
 
@@ -1605,6 +1630,34 @@ FROM feats
     "gopher_rules": _gopher_rules_sql(),
     "unigram_kl": _unigram_kl_sql(),
     "cms_term_counts": _cms_term_counts_sql(),
+    "domain_cap": f"""
+SELECT doc_id, source, n_chars, domain_rank FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS domain_rank
+  FROM documents
+) WHERE domain_rank <= {DOMAIN_CAP}
+""",
+    "lang_jaccard": f"""
+WITH vocab AS (
+  SELECT DISTINCT lang AS g, lower(u.t) AS term
+  FROM documents, UNNEST({_WORDS}) AS u(t)
+),
+sizes AS (SELECT g, count(*) AS vocab FROM vocab GROUP BY g),
+inter AS (
+  SELECT a.g AS ga, b.g AS gb, count(*) AS shared
+  FROM vocab a JOIN vocab b USING (term)
+  WHERE a.g < b.g GROUP BY 1, 2
+)
+SELECT sa.g AS group_a, sb.g AS group_b,
+       sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+       coalesce(i.shared, 0) AS shared_terms,
+       CAST(coalesce(i.shared, 0) AS DOUBLE)
+         / (sa.vocab + sb.vocab - coalesce(i.shared, 0)) AS jaccard
+FROM sizes sa JOIN sizes sb ON sa.g < sb.g
+LEFT JOIN inter i ON i.ga = sa.g AND i.gb = sb.g
+""",
     "span_dedup": f"""
 WITH ws AS (SELECT doc_id, {_WORDS} AS w FROM documents),
 spans AS (

@@ -1296,3 +1296,30 @@ def test_round4_ops_invariant_to_input_order(spark):
     extracted = results[0][1]
     assert {t[0] for t in extracted} == {"t1", "t2"}
     assert {t[3] for t in extracted} == {"a.b", "c"}
+
+
+def test_group_vocab_jaccard(spark):
+    from sarkac_spark.operators.text import group_vocab_jaccard
+
+    d = spark.createDataFrame(
+        [
+            (1, "en", "the cat sat"),
+            (2, "en", "the dog ran"),
+            (3, "de", "the Cat lief"),   # lower() folds Cat -> cat
+            (4, "fr", "xyz abc"),        # zero overlap with en/de
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        (r.group_a, r.group_b): r
+        for r in group_vocab_jaccard(d, "lang", "text").collect()
+    }
+    # full unordered-pair grid, including zero-overlap pairs
+    assert set(out) == {("de", "en"), ("de", "fr"), ("en", "fr")}
+    de_en = out[("de", "en")]
+    # en vocab: the cat sat dog ran (5); de vocab: the cat lief (3)
+    assert (de_en.vocab_a, de_en.vocab_b) == (3, 5)
+    assert de_en.shared_terms == 2  # {the, cat}
+    assert de_en.jaccard == 2 / 6
+    assert out[("en", "fr")].shared_terms == 0
+    assert out[("en", "fr")].jaccard == 0.0

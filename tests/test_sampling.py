@@ -192,3 +192,28 @@ def test_pack_sequences_single_shuffle(spark):
     # the (group, seq) window must reuse the group-hash exchange: one
     # shuffle total, or packing 100 TB pays a second full-data exchange
     assert shuffle_count(out) == 1
+
+
+def test_domain_cap_keeps_best_per_domain(spark):
+    from sarkac_spark.operators.sampling import domain_cap
+
+    d = _corpus(spark).withColumn("n_chars", (F.col("doc_id") * 37) % 500)
+    out = domain_cap(d, "lang", 3, "n_chars", "doc_id")
+    rows = out.collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == {"en", "de", "fr"}
+    for lang, kept in by_lang.items():
+        assert len(kept) == 3
+        assert sorted(r.domain_rank for r in kept) == [1, 2, 3]
+        # kept docs are the 3 largest n_chars within the domain
+        # (ties broken to smallest doc_id)
+        full = sorted(
+            (r.n_chars, -r.doc_id)
+            for r in d.filter(F.col("lang") == lang).collect()
+        )[-3:]
+        assert sorted((r.n_chars, -r.doc_id) for r in kept) == full
+
+    # cap larger than the domain keeps everything
+    assert domain_cap(d, "lang", 10_000, "n_chars", "doc_id").count() == 2000
