@@ -637,6 +637,84 @@ FROM top JOIN est USING (term)
 """
 
 
+HLL_B = 10  # 2^10 = 1024 registers => ~3.2% relative error
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog cardinality audit: md5-HLL distinct-words-per-language
+    estimate vs the exact count, with relative error — the bounded-memory
+    distinct primitive (1024 registers whatever the corpus; the exact
+    side exists here as the audit baseline)."""
+    from sarkac_spark.operators.dedup import words_col
+    from sarkac_spark.operators.sketch import hll_distinct
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select("lang", F.explode(words_col("text")).alias("w"))
+        .select("lang", F.lower(F.col("w")).alias("term"))
+    )
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("term").alias("true_distinct")
+    )
+    est = hll_distinct(toks, "term", ["lang"], b=HLL_B)
+    return exact.join(est, "lang").select(
+        "lang",
+        "true_distinct",
+        "est_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("true_distinct"))
+            / F.col("true_distinct"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+def _hll_distinct_sql() -> str:
+    from sarkac_spark.operators.sketch import _hll_alpha
+
+    b = HLL_B
+    m = 1 << b
+    rho_max = 60 - b + 1
+    scale = 1 << rho_max
+    numer = _hll_alpha(m) * (m * m) * scale
+    return f"""
+WITH toks AS (
+  SELECT lang, lower(u.t) AS term FROM documents, UNNEST({_WORDS}) AS u(t)
+),
+h AS (
+  SELECT lang, ('0x' || substr(md5('hll:' || term), 1, 15))::BIGINT AS hv
+  FROM toks
+),
+regs AS (
+  SELECT lang, hv & {m - 1} AS idx,
+         max(CASE WHEN (hv >> {b}) = 0 THEN {rho_max}
+             ELSE {rho_max} - length(bin(hv >> {b})) END) AS M
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT lang, sum(CAST(pow(2, {rho_max} - M) AS BIGINT)) AS s, count(*) AS n
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT lang,
+         {numer!r} / (s + ({m} - n) * {scale}) AS est_raw,
+         {m} - n AS zeros
+  FROM agg
+),
+fin AS (
+  SELECT lang,
+         CAST(round(CASE WHEN est_raw <= {2.5 * m} AND zeros > 0
+              THEN {float(m)!r} * ln({float(m)!r} / zeros)
+              ELSE est_raw END) AS BIGINT) AS est_distinct
+  FROM est
+),
+exact AS (SELECT lang, count(DISTINCT term) AS true_distinct FROM toks GROUP BY 1)
+SELECT exact.lang, true_distinct, est_distinct,
+       round(abs(est_distinct - true_distinct) / true_distinct, 6) AS rel_error
+FROM exact JOIN fin USING (lang)
+"""
+
+
 # corpus-mix contract: oversample src0/src1, trim src2, pass the rest
 MIX_WEIGHTS = {"src0": 2.5, "src1": 2.0, "src2": 0.4}
 
@@ -758,6 +836,7 @@ QUERIES = {
     "cms_term_counts": q_cms_term_counts,
     "domain_cap": q_domain_cap,
     "lang_jaccard": q_lang_jaccard,
+    "hll_distinct": q_hll_distinct,
 }
 
 
@@ -1630,6 +1709,7 @@ FROM feats
     "gopher_rules": _gopher_rules_sql(),
     "unigram_kl": _unigram_kl_sql(),
     "cms_term_counts": _cms_term_counts_sql(),
+    "hll_distinct": _hll_distinct_sql(),
     "domain_cap": f"""
 SELECT doc_id, source, n_chars, domain_rank FROM (
   SELECT doc_id, source, n_chars,

@@ -549,6 +549,46 @@ def streaming_count_min(
     )
 
 
+def streaming_hll_distinct(
+    stream: DataFrame,
+    col: str,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    b: int = 10,
+) -> DataFrame:
+    """Streaming twin of ``operators/sketch.hll_distinct``: one HLL
+    register set per event-time window — the live distinct-cardinality
+    monitor (unique users/URLs/keys per window). The decisive property:
+    state is bounded BY CONSTRUCTION at ``2^b`` max-rank registers per
+    open window, independent of key cardinality — a windowed exact
+    ``approx_count_distinct`` holds engine-private state and an exact
+    ``countDistinct`` is not even allowed in streaming; this emits the
+    same (idx, M) register contract as the batch build, so
+    ``hll_estimate`` (grouping on the window columns) turns the sink
+    into estimates, and registers from adjacent windows merge by
+    max-per-idx for coarser rollups.
+
+    Output (append mode, on window close): (window_start, window_end,
+    idx, M).
+    """
+    from sarkac_spark.operators.sketch import hll_rho
+
+    idx, rho = hll_rho(col, b)
+    return (
+        stream.select(F.col(ts_col), idx.alias("idx"), rho.alias("__rho"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), "idx")
+        .agg(F.max("__rho").alias("M"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "idx",
+            "M",
+        )
+    )
+
+
 def streaming_unigram_drift(
     stream: DataFrame,
     reference: DataFrame,

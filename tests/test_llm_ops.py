@@ -1323,3 +1323,31 @@ def test_group_vocab_jaccard(spark):
     assert de_en.jaccard == 2 / 6
     assert out[("en", "fr")].shared_terms == 0
     assert out[("en", "fr")].jaccard == 0.0
+
+
+def test_hll_distinct_accuracy_and_invariance(spark):
+    from sarkac_spark.operators.sketch import hll_distinct
+
+    # raw-HLL regime: 50k distinct >> 2.5 * 1024 registers
+    big = spark.range(50_000).select(
+        F.lit("big").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    # linear-counting regime: 200 distinct << m, duplicated rows
+    small = spark.range(600).select(
+        F.lit("small").alias("g"), (F.col("id") % 200).cast("string").alias("v")
+    )
+    d = big.union(small)
+    out = {r.g: r.est_distinct for r in hll_distinct(d, "v", ["g"]).collect()}
+    assert abs(out["big"] - 50_000) / 50_000 < 0.1  # ~3.2% expected at m=1024
+    assert abs(out["small"] - 200) / 200 < 0.1
+
+    # estimate is a pure function of the value SET: duplication factor,
+    # row order, and partitioning must not move it by a single count
+    shuffled = d.union(big).repartition(13, "v")
+    out2 = {r.g: r.est_distinct for r in hll_distinct(shuffled, "v", ["g"]).collect()}
+    assert out2 == out
+
+    # ungrouped variant returns one global row
+    glob = hll_distinct(d.select("v"), "v").collect()
+    assert len(glob) == 1
+    assert abs(glob[0].est_distinct - 50_200) / 50_200 < 0.1

@@ -773,3 +773,52 @@ def test_curation_ops_compose_with_streams(spark, tmp_path):
     }
     assert streamed == batch
     assert batch[1][0] == 1 and batch[2][0] == 0
+
+
+def test_streaming_hll_distinct(spark, tmp_path):
+    """The per-window HLL registers emitted by the stream must equal the
+    batch registers over the same window's rows (the mergeable-state
+    contract), and hll_estimate over the sink must equal the batch
+    estimate. State bound: rows per window never exceed 2^b."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.operators.sketch import hll_distinct, hll_estimate, hll_registers
+    from sarkac_spark.streaming.pipeline import streaming_hll_distinct
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    # 300 distinct users in the window, each seen twice
+    rows = [
+        (t0 + dt.timedelta(seconds=i % 240), f"user{i % 300}") for i in range(600)
+    ]
+    rows.append((t0 + dt.timedelta(hours=2), "closer"))  # advances watermark
+    src = tmp_path / "hll_src"
+    spark.createDataFrame(rows, "ts timestamp, uid string").coalesce(1).write.parquet(
+        str(src)
+    )
+    stream = spark.readStream.schema("ts timestamp, uid string").parquet(str(src))
+    q = (
+        streaming_hll_distinct(
+            stream, "uid", window="5 minutes", watermark="10 minutes", b=6
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hll_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT idx, M FROM hll_out WHERE window_start = timestamp '2024-01-01 12:00:00'"
+    )
+    assert 0 < got.count() <= 64  # bounded register state, one window
+    batch = spark.createDataFrame(
+        [(f"user{i % 300}",) for i in range(600)], "uid string"
+    )
+    expect = hll_registers(batch, "uid", [], b=6)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+    est_stream = hll_estimate(got.select("idx", "M"), [], b=6).collect()[0].est_distinct
+    est_batch = hll_distinct(batch, "uid", b=6).collect()[0].est_distinct
+    assert est_stream == est_batch
+    assert abs(est_stream - 300) / 300 < 0.35  # m=64 => ~13% expected error
