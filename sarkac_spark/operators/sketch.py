@@ -212,3 +212,80 @@ def hll_estimate(
     return agg.select(
         *group_cols, F.round(est).cast("long").alias("est_distinct")
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    k: int = 256,
+) -> DataFrame:
+    """Fixed-bin histogram quantile estimate — the bounded-memory member
+    of the quantile family (``trailing_percentiles`` is exact but
+    buffers each group's values on the reducer; this holds ``k``
+    counters per group whatever the data volume, with error <= one bin
+    width = (max-min)/k).
+
+    Two agg-only passes, no sort: (1) per-group min/max/count (metadata-
+    sized), broadcast back; (2) per-(group, bin) counts — the only
+    data-sized shuffle, map-side combined to <= k rows per group — then
+    a cumulative window over <= k rows and, per q, the smallest bin
+    whose cumulative count reaches q*n. The estimate is that bin's
+    UPPER edge (never undershoots the true quantile by more than a bin).
+    All arithmetic is the same double expression in DuckDB, so results
+    are oracle-checkable (vs ``approx_percentile``'s engine-private
+    t-digest).
+
+    Output: group_cols + n + one ``p<q>_est`` column per q.
+    """
+    from pyspark.sql.window import Window
+
+    groups = list(group_cols or [])
+    v = F.col(col).cast("double")
+    bounds = df.groupBy(*groups).agg(
+        F.min(v).alias("__mn"),
+        F.max(v).alias("__mx"),
+        F.count(v).alias("__n"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), on=groups) if groups
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    span = F.col("__mx") - F.col("__mn")
+    bin_ = F.when(span == 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((v - F.col("__mn")) * k / span), F.lit(k - 1)
+        )
+    ).cast("long")
+    hist = (
+        joined.select(*groups, bin_.alias("__bin"), "__mn", "__mx", "__n")
+        .groupBy(*groups, "__bin", "__mn", "__mx", "__n")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = (
+        Window.partitionBy(*groups).orderBy("__bin")
+        if groups
+        else Window.partitionBy(F.lit(1)).orderBy("__bin")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    aggs = [F.first("__mn").alias("__mn"), F.first("__mx").alias("__mx")]
+    for q in qs:
+        qb = F.min(
+            F.when(F.col("__cum") >= F.lit(q) * F.col("__n"), F.col("__bin"))
+        )
+        aggs.append(qb.alias(f"__qb_{_q_tag(q)}"))
+    est = cum.groupBy(*groups, "__n").agg(*aggs)
+    out_cols = [*groups, F.col("__n").alias("n")]
+    for q in qs:
+        edge = F.col("__mn") + (F.col(f"__qb_{_q_tag(q)}") + 1) * (
+            F.col("__mx") - F.col("__mn")
+        ) / F.lit(float(k))
+        out_cols.append(
+            F.round(F.least(edge, F.col("__mx")), 6).alias(f"p{_q_tag(q)}_est")
+        )
+    return est.select(*out_cols)
+
+
+def _q_tag(q: float) -> str:
+    return str(q).replace("0.", "").rstrip("0") or "0"

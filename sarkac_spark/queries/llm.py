@@ -715,6 +715,79 @@ FROM exact JOIN fin USING (lang)
 """
 
 
+HIST_K = 64  # bins — error bound is one bin width = (max-min)/64
+
+
+def q_hist_quantiles(spark, sf_dir):
+    """Histogram-quantile audit: bounded-memory (64-bin) doc-length
+    p50/p95/p99 per language vs the exact interpolated quantiles — the
+    quantile member of the sketch family (CMS=frequency, HLL=distinct).
+    Error is bounded by one bin width; exact side is the audit
+    baseline."""
+    from sarkac_spark.operators.sketch import histogram_quantiles
+
+    d = _docs(spark, sf_dir)
+    est = histogram_quantiles(d, "n_chars", ["lang"], qs=(0.5, 0.95, 0.99), k=HIST_K)
+    exact = d.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p5_exact"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("p95_exact"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99_exact"),
+    )
+    return est.join(exact, "lang").select(
+        "lang", "n", "p5_est", "p95_est", "p99_est",
+        "p5_exact", "p95_exact", "p99_exact",
+    )
+
+
+def _hist_quantiles_sql() -> str:
+    k = HIST_K
+    return f"""
+WITH b AS (
+  SELECT lang, CAST(min(n_chars) AS DOUBLE) AS mn,
+         CAST(max(n_chars) AS DOUBLE) AS mx, count(*) AS n
+  FROM documents GROUP BY 1
+),
+binned AS (
+  SELECT d.lang,
+         CASE WHEN b.mx = b.mn THEN 0
+              ELSE least(CAST(floor((CAST(d.n_chars AS DOUBLE) - b.mn) * {k}
+                                    / (b.mx - b.mn)) AS BIGINT), {k - 1})
+         END AS bin
+  FROM documents d JOIN b USING (lang)
+),
+hist AS (SELECT lang, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT lang, bin, sum(c) OVER (
+    PARTITION BY lang ORDER BY bin
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+qb AS (
+  SELECT c.lang,
+         min(CASE WHEN c.cum >= 0.5 * b.n THEN c.bin END) AS qb5,
+         min(CASE WHEN c.cum >= 0.95 * b.n THEN c.bin END) AS qb95,
+         min(CASE WHEN c.cum >= 0.99 * b.n THEN c.bin END) AS qb99
+  FROM cum c JOIN b USING (lang) GROUP BY 1
+),
+est AS (
+  SELECT qb.lang, b.n,
+         round(least(b.mn + (qb5 + 1) * (b.mx - b.mn) / {float(k)!r}, b.mx), 6) AS p5_est,
+         round(least(b.mn + (qb95 + 1) * (b.mx - b.mn) / {float(k)!r}, b.mx), 6) AS p95_est,
+         round(least(b.mn + (qb99 + 1) * (b.mx - b.mn) / {float(k)!r}, b.mx), 6) AS p99_est
+  FROM qb JOIN b USING (lang)
+),
+exact AS (
+  SELECT lang,
+         round(quantile_cont(n_chars, 0.5), 6) AS p5_exact,
+         round(quantile_cont(n_chars, 0.95), 6) AS p95_exact,
+         round(quantile_cont(n_chars, 0.99), 6) AS p99_exact
+  FROM documents GROUP BY 1
+)
+SELECT est.lang, n, p5_est, p95_est, p99_est, p5_exact, p95_exact, p99_exact
+FROM est JOIN exact USING (lang)
+"""
+
+
 # corpus-mix contract: oversample src0/src1, trim src2, pass the rest
 MIX_WEIGHTS = {"src0": 2.5, "src1": 2.0, "src2": 0.4}
 
@@ -837,6 +910,7 @@ QUERIES = {
     "domain_cap": q_domain_cap,
     "lang_jaccard": q_lang_jaccard,
     "hll_distinct": q_hll_distinct,
+    "hist_quantiles": q_hist_quantiles,
 }
 
 
@@ -1710,6 +1784,7 @@ FROM feats
     "unigram_kl": _unigram_kl_sql(),
     "cms_term_counts": _cms_term_counts_sql(),
     "hll_distinct": _hll_distinct_sql(),
+    "hist_quantiles": _hist_quantiles_sql(),
     "domain_cap": f"""
 SELECT doc_id, source, n_chars, domain_rank FROM (
   SELECT doc_id, source, n_chars,

@@ -1351,3 +1351,35 @@ def test_hll_distinct_accuracy_and_invariance(spark):
     glob = hll_distinct(d.select("v"), "v").collect()
     assert len(glob) == 1
     assert abs(glob[0].est_distinct - 50_200) / 50_200 < 0.1
+
+
+def test_histogram_quantiles_error_bound(spark):
+    from sarkac_spark.operators.sketch import histogram_quantiles
+
+    # uniform 0..999 in two groups; exact pQ = ~q*999, bin width ~ 1000/k
+    d = spark.range(2000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") / 2).cast("long").alias("v"),
+    )
+    k = 50
+    out = {r.g: r for r in histogram_quantiles(d, "v", ["g"], k=k).collect()}
+    assert set(out) == {"0", "1"}
+    width = 999 / k
+    for r in out.values():
+        assert r.n == 1000
+        for q, col in [(0.5, r.p5_est), (0.95, r.p95_est), (0.99, r.p99_est)]:
+            true_q = q * 999
+            # upper-edge estimate: never below the true quantile, and
+            # within one bin width above it
+            assert true_q - 1e-9 <= col <= true_q + width + 1e-9
+
+    # degenerate group: all values equal -> estimate is that value
+    const = spark.range(10).select(
+        F.lit("c").alias("g"), F.lit(42).cast("long").alias("v")
+    )
+    r = histogram_quantiles(const, "v", ["g"], k=k).collect()[0]
+    assert (r.p5_est, r.p95_est, r.p99_est) == (42.0, 42.0, 42.0)
+
+    # ungrouped variant: one global row
+    g = histogram_quantiles(d.select("v"), "v", k=k).collect()
+    assert len(g) == 1 and g[0].n == 2000
