@@ -1,23 +1,31 @@
-"""Count-min sketch: bounded-memory frequency estimation.
+"""Bounded-memory sketches: frequency (count-min), distinct-count
+(HyperLogLog), and quantiles (fixed-bin histogram).
 
-The scale problem it solves: exact token/key counts over 100 TB need a
-vocab-sized shuffle and vocab-sized state, and the vocabulary of a web
-corpus is unbounded. A count-min sketch is ``depth x width`` counters —
-a few KB, FIXED regardless of corpus size — with a one-sided error
-guarantee: estimates never undercount, and overcount by at most
-``2N/width`` with probability ``1 - (1/2)^depth`` (Cormode & Muthu-
-krishnan 2005). That makes it the right primitive for hot-key / heavy-
-hitter detection feeding skew mitigation (salting decisions) and for
-cheap pre-aggregation health checks, where exact counts are overkill.
+The shared scale problem: exact answers over 100 TB need key-sized
+shuffles and key-sized state (vocab counts, distinct URLs, sorted
+quantiles), and those key spaces are unbounded on a web corpus. Each
+sketch here holds a FIXED number of counters regardless of input size,
+with a quantified error bound:
 
-Spark shape: building the sketch is ONE grouped aggregation whose key
-space is the (depth, bucket) grid — map-side partial aggregation
-collapses the corpus to at most ``depth x width`` rows per task before
-the exchange, so the shuffle is sketch-sized, not data-sized. Estimation
-is an equi-join of the probed items against the sketch plus a min-
-aggregate per item. Hashing is md5-derived (the engine-portability
-contract shared with operators/dedup), so every result is bit-identical
-in DuckDB and oracle-checkable.
+- ``count_min_sketch``: depth x width counters; one-sided — never
+  undercounts, overcounts by <= 2N/width w.p. 1-(1/2)^depth (Cormode &
+  Muthukrishnan 2005). Heavy-hitter / hot-key detection feeding skew
+  mitigation.
+- ``hll_distinct``: 2^b max-rank registers; ~1.04/sqrt(2^b) relative
+  error (Flajolet et al. 2007). Cardinality (unique tokens/URLs/users).
+- ``histogram_quantiles``: k bins per group; error <= one bin width,
+  never undershoots. p50/p95/p99 without a sort.
+
+Spark shape, common to all three: the only data-sized work is ONE
+grouped aggregation whose key space is the sketch grid — map-side
+partial aggregation collapses the corpus to sketch-sized rows per task
+before the exchange. Hashing is md5-derived (the engine-portability
+contract shared with operators/dedup) and float-order-sensitive sums
+are carried as exact integers, so every estimate is bit-identical in
+DuckDB and oracle-checkable — unlike the engine-private internals of
+``approx_count_distinct`` (HLL++) and ``approx_percentile`` (t-digest).
+CMS and HLL have streaming twins in ``streaming/pipeline.py`` emitting
+the same mergeable state contracts per event-time window.
 """
 
 from __future__ import annotations
