@@ -297,3 +297,53 @@ def histogram_quantiles(
 
 def _q_tag(q: float) -> str:
     return str(q).replace("0.", "").rstrip("0") or "0"
+
+
+def fixed_histogram_estimate(
+    hist: DataFrame,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    k: int = 256,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """(groups..., bin, c) histogram rows -> quantile estimates, for
+    histograms built over FIXED [lo, hi) bounds (the streaming twin's
+    contract, where a per-group min/max pre-pass is impossible).
+    Same upper-edge estimator as ``histogram_quantiles``; values
+    clamped into the edge bins keep the never-undershoot guarantee
+    only while lo/hi actually bound the data — pick them from the
+    metric's physical range (latency floors/timeouts, 0..1 ratios).
+
+    Output: group_cols + n + one ``p<q>_est`` column per q.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*group_cols).orderBy("bin")
+        if group_cols
+        else Window.partitionBy(F.lit(1)).orderBy("bin")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n = (
+        Window.partitionBy(*group_cols)
+        if group_cols
+        else Window.partitionBy(F.lit(1))
+    )
+    cum = hist.withColumn("__cum", F.sum("c").over(w)).withColumn(
+        "__n", F.sum("c").over(n)
+    )
+    aggs = [F.first("__n").alias("__n")]
+    for q in qs:
+        qb = F.min(
+            F.when(F.col("__cum") >= F.lit(q) * F.col("__n"), F.col("bin"))
+        )
+        aggs.append(qb.alias(f"__qb_{_q_tag(q)}"))
+    est = cum.groupBy(*group_cols).agg(*aggs)
+    width = (hi - lo) / float(k)
+    out_cols = [*group_cols, F.col("__n").alias("n")]
+    for q in qs:
+        edge = F.lit(lo) + (F.col(f"__qb_{_q_tag(q)}") + 1) * F.lit(width)
+        out_cols.append(
+            F.round(F.least(edge, F.lit(float(hi))), 6).alias(f"p{_q_tag(q)}_est")
+        )
+    return est.select(*out_cols)

@@ -589,6 +589,53 @@ def streaming_hll_distinct(
     )
 
 
+def streaming_histogram(
+    stream: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    k: int = 256,
+) -> DataFrame:
+    """Streaming twin of ``operators/sketch.histogram_quantiles``: one
+    fixed-bin histogram per event-time window — the live latency/size
+    p95/p99 monitor. Bounds must be FIXED up front (``lo``/``hi`` from
+    the metric's physical range — a streaming per-window min/max
+    pre-pass is impossible); out-of-range values clamp into the edge
+    bins. State is bounded BY CONSTRUCTION at ``k`` counters per open
+    window, where an exact windowed percentile would buffer every value.
+    Feed the sink to ``fixed_histogram_estimate`` (grouping on the
+    window columns) for the quantile numbers; bins from adjacent
+    windows merge by summing ``c`` for coarser rollups.
+
+    Output (append mode, on window close): (window_start, window_end,
+    bin, c).
+    """
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    v = F.col(col).cast("double")
+    bin_ = (
+        F.when(v <= lo, F.lit(0))
+        .when(v >= hi, F.lit(k - 1))
+        .otherwise(F.least(F.floor((v - lo) * k / (hi - lo)), F.lit(k - 1)))
+        .cast("long")
+    )
+    return (
+        stream.select(F.col(ts_col), bin_.alias("bin"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "bin",
+            "c",
+        )
+    )
+
+
 def streaming_unigram_drift(
     stream: DataFrame,
     reference: DataFrame,

@@ -822,3 +822,51 @@ def test_streaming_hll_distinct(spark, tmp_path):
     est_batch = hll_distinct(batch, "uid", b=6).collect()[0].est_distinct
     assert est_stream == est_batch
     assert abs(est_stream - 300) / 300 < 0.35  # m=64 => ~13% expected error
+
+
+def test_streaming_histogram(spark, tmp_path):
+    """Per-window fixed-bin histogram: bounded state, and quantile
+    estimates from the emitted bins respect the one-bin-width error
+    bound against the window's true quantiles."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.operators.sketch import fixed_histogram_estimate
+    from sarkac_spark.streaming.pipeline import streaming_histogram
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    # latencies 0..999 ms uniform in one window; a couple of outliers
+    # beyond the fixed bounds must clamp, not error
+    rows = [(t0 + dt.timedelta(seconds=i % 240), float(i % 1000)) for i in range(1000)]
+    rows.append((t0 + dt.timedelta(seconds=1), 10_000.0))  # clamps to top bin
+    rows.append((t0 + dt.timedelta(seconds=2), -5.0))      # clamps to bin 0
+    rows.append((t0 + dt.timedelta(hours=2), 0.0))         # advances watermark
+    src = tmp_path / "hist_src"
+    spark.createDataFrame(rows, "ts timestamp, ms double").coalesce(1).write.parquet(
+        str(src)
+    )
+    stream = spark.readStream.schema("ts timestamp, ms double").parquet(str(src))
+    k, lo, hi = 100, 0.0, 1000.0
+    q = (
+        streaming_histogram(
+            stream, "ms", lo, hi, window="5 minutes", watermark="10 minutes", k=k
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hist_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT bin, c FROM hist_stream_out "
+        "WHERE window_start = timestamp '2024-01-01 12:00:00'"
+    )
+    assert 0 < got.count() <= k  # bounded state, one window
+    est = fixed_histogram_estimate(got, [], lo, hi, k=k).collect()[0]
+    assert est.n == 1002  # in-window rows incl. both clamped outliers
+    width = (hi - lo) / k
+    for qv, col in [(0.5, est.p5_est), (0.95, est.p95_est)]:
+        true_q = qv * 999
+        assert true_q - width <= col <= true_q + 2 * width
