@@ -600,3 +600,93 @@ def span_dedup(
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram, slide
+    a window of ``w`` consecutive hashes, keep each window's minimum.
+    The guarantee that makes it the local-overlap detector (vs MinHash's
+    whole-document similarity): any shared word run of at least
+    ``w + k - 1`` words produces at least one shared fingerprint, while
+    the fingerprint set stays ~``2/(w+1)`` of the gram count — a bounded
+    sample with a coverage proof, not a random one.
+
+    Map-only per document: grams, hashes, and window minima are JVM
+    higher-order functions over arrays materialized stage-by-stage (the
+    ``shingles`` lesson: expressions referenced inside a lambda are
+    re-evaluated per element, so each array lands in its own projection
+    before the next HOF consumes it). Docs with fewer than ``w`` grams
+    keep their single global minimum; sub-``k``-word docs emit nothing.
+
+    Output: (id, fp) — distinct selected hash values per document.
+    """
+    words = df.select(F.col(id_col), words_col(text_col).alias("__w"))
+    wc = F.col("__w")
+    gidx = F.sequence(F.lit(0), F.size(wc) - k)
+    grams = F.transform(gidx, lambda i: F.array_join(F.slice(wc, i + 1, k), " "))
+    gsafe = F.when(F.size(wc) >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    g = words.select(F.col(id_col), gsafe.alias("__g"))
+    h = g.select(
+        F.col(id_col), F.transform(F.col("__g"), _h60).alias("__h")
+    )
+    hc = F.col("__h")
+    n = F.size(hc)
+    widx = F.sequence(F.lit(0), n - w)
+    mins = F.transform(widx, lambda j: F.array_min(F.slice(hc, j + 1, w)))
+    fp = (
+        F.when(n >= w, F.array_distinct(mins))
+        .when(n > 0, F.array(F.array_min(hc)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return h.select(F.col(id_col), F.explode(fp).alias("fp"))
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 256,
+) -> DataFrame:
+    """Local-overlap candidate pairs from winnowing fingerprints: docs
+    sharing >= ``min_shared`` selected hashes — the plagiarism / quote /
+    boilerplate-overlap detector that fires on a single long shared
+    passage even when whole-document similarity is low (where
+    ``dedup_minhash`` would not band it).
+
+    Same scale discipline as ``ngram_jaccard_pairs``: the self-join runs
+    over the winnowed relation (already ~2/(w+1) the gram count) with
+    the ``max_df`` hot-fingerprint cap bounding per-key fanout at
+    max_df^2/2; the cap window rides the same exchange the join needs.
+
+    Output: (id_a, id_b, n_shared), id_a < id_b.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    if max_df is not None:
+        fps = (
+            fps.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+            )
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    a = fps.withColumnRenamed(id_col, "id_a")
+    b = fps.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -637,6 +637,67 @@ FROM top JOIN est USING (term)
 """
 
 
+WINNOW_K = 3   # word k-grams
+WINNOW_W = 4   # winnowing window (hashes) — catches shared runs >= 6 words
+WINNOW_MIN_SHARED = 2
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing (MOSS) local-overlap pairs: docs sharing >= 2 selected
+    k-gram fingerprints — fires on one long shared passage even when
+    whole-doc similarity is too low for MinHash banding."""
+    from sarkac_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        k=WINNOW_K,
+        w=WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED,
+    ).select("id_a", "id_b", "n_shared")
+
+
+def _winnow_pairs_sql() -> str:
+    k, w, ms, max_df = WINNOW_K, WINNOW_W, WINNOW_MIN_SHARED, 256
+    return f"""
+WITH ws AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {k} THEN
+           list_transform(range(1, len(w) - {k} + 2),
+                          i -> array_to_string(list_slice(w, i, i + {k - 1}), ' '))
+         ELSE [] END AS grams
+  FROM ws
+),
+h AS (
+  SELECT doc_id,
+         list_transform(grams,
+                        s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+  FROM g
+),
+fp0 AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {w} THEN
+           list_distinct(list_transform(range(1, len(hs) - {w} + 2),
+                                        j -> list_min(list_slice(hs, j, j + {w - 1}))))
+         WHEN len(hs) > 0 THEN [list_min(hs)]
+         ELSE [] END AS fps
+  FROM h
+),
+fp AS (SELECT doc_id, u.f AS fp FROM fp0, UNNEST(fps) AS u(f)),
+capped AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS dfc FROM fp
+  ) WHERE dfc <= {max_df}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM capped a JOIN capped b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {ms}
+"""
+
+
 HLL_B = 10  # 2^10 = 1024 registers => ~3.2% relative error
 
 
@@ -911,6 +972,7 @@ QUERIES = {
     "lang_jaccard": q_lang_jaccard,
     "hll_distinct": q_hll_distinct,
     "hist_quantiles": q_hist_quantiles,
+    "winnow_pairs": q_winnow_pairs,
 }
 
 
@@ -1785,6 +1847,7 @@ FROM feats
     "cms_term_counts": _cms_term_counts_sql(),
     "hll_distinct": _hll_distinct_sql(),
     "hist_quantiles": _hist_quantiles_sql(),
+    "winnow_pairs": _winnow_pairs_sql(),
     "domain_cap": f"""
 SELECT doc_id, source, n_chars, domain_rank FROM (
   SELECT doc_id, source, n_chars,

@@ -1383,3 +1383,36 @@ def test_histogram_quantiles_error_bound(spark):
     # ungrouped variant: one global row
     g = histogram_quantiles(d.select("v"), "v", k=k).collect()
     assert len(g) == 1 and g[0].n == 2000
+
+
+def test_winnow_fingerprints_coverage_guarantee(spark):
+    from sarkac_spark.operators.dedup import winnow_fingerprints, winnow_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = w + k - 1
+    d = spark.createDataFrame(
+        [
+            (1, f"intro one two {shared} outro red blue"),
+            (2, f"completely different head {shared} tail words here"),
+            (3, "no overlap with anybody at all in this document"),
+            (4, "tiny"),  # < k words: no grams, no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(d, "doc_id", "text", k=3, w=4)
+    by_doc = {
+        r.doc_id: {x.fp for x in rows}
+        for r in fps.select("doc_id").distinct().collect()
+        for rows in [fps.filter(F.col("doc_id") == r.doc_id).collect()]
+    }
+    # the paper's guarantee: a shared run of >= w+k-1 words yields at
+    # least one shared fingerprint
+    assert by_doc[1] & by_doc[2]
+    assert 4 not in by_doc
+    # density: selected fingerprints are a strict subset of the grams
+    n_grams_1 = len("intro one two alpha beta gamma delta epsilon zeta outro red blue".split()) - 2
+    assert 0 < len(by_doc[1]) < n_grams_1
+
+    # pairs: (1,2) fire; doc 3 pairs with nobody
+    pairs = winnow_pairs(d, "doc_id", "text", k=3, w=4, min_shared=1).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert all(r.n_shared >= 1 for r in pairs)
