@@ -1416,3 +1416,42 @@ def test_winnow_fingerprints_coverage_guarantee(spark):
     pairs = winnow_pairs(d, "doc_id", "text", k=3, w=4, min_shared=1).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
     assert all(r.n_shared >= 1 for r in pairs)
+
+
+def test_sketch_merge_algebra(spark):
+    """The properties that make the sketches distributable: CMS is
+    linear (counter-wise sum), HLL registers max-merge, histograms sum —
+    partial sketches built on disjoint splits combine into exactly the
+    whole-input sketch, which is what map-side combine and window
+    rollups rely on."""
+    from sarkac_spark.operators.sketch import (
+        count_min_sketch,
+        hll_registers,
+    )
+
+    whole = spark.range(500).select(F.col("id").cast("string").alias("v"))
+    a = whole.filter(F.col("v").cast("long") < 200)
+    b = whole.filter(F.col("v").cast("long") >= 200)
+
+    # CMS linearity
+    def cms_rows(d):
+        return {
+            (r.d, r.bucket): r.cnt
+            for r in count_min_sketch(d, "v", depth=3, width=32).collect()
+        }
+
+    sa, sb, sw = cms_rows(a), cms_rows(b), cms_rows(whole)
+    merged = dict(sa)
+    for k, v in sb.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == sw
+
+    # HLL register max-merge
+    def regs(d):
+        return {r.idx: r.M for r in hll_registers(d, "v", [], b=6).collect()}
+
+    ra, rb, rw = regs(a), regs(b), regs(whole)
+    mmax = dict(ra)
+    for k, v in rb.items():
+        mmax[k] = max(mmax.get(k, 0), v)
+    assert mmax == rw
