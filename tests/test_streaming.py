@@ -870,3 +870,78 @@ def test_streaming_histogram(spark, tmp_path):
     for qv, col in [(0.5, est.p5_est), (0.95, est.p95_est)]:
         true_q = qv * 999
         assert true_q - width <= col <= true_q + 2 * width
+
+
+def test_streaming_sketches_survive_restart(spark, tmp_path):
+    """Kill-and-resume for the sketch twins: HLL registers and histogram
+    bins accumulated entirely BEFORE the restart must emit correctly
+    after it (windowed-aggregation state rides the checkpoint); combined
+    output equals a never-stopped run."""
+    import datetime as dt
+
+    from sarkac_spark.streaming.pipeline import (
+        streaming_histogram,
+        streaming_hll_distinct,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "ts timestamp, v double, uid string"
+    batch0 = [  # window 12:00-12:05: 150 distinct uids, values 0..149
+        (t0 + dt.timedelta(seconds=i % 240), float(i), f"u{i}") for i in range(150)
+    ]
+    batch1 = [  # later window plus the watermark closer
+        (t0 + dt.timedelta(minutes=7, seconds=i % 60), float(i), f"w{i}")
+        for i in range(50)
+    ] + [(t0 + dt.timedelta(hours=2), 0.0, "closer")]
+
+    def write_file(root, i, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(root / "src" / f"b{i}")
+        )
+
+    def run(root, make_query, name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(root / "src" / "*"))
+        )
+        q = (
+            make_query(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(root / f"out_{name}"))
+            .option("checkpointLocation", str(root / f"ckpt_{name}"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    def collect(root, name):
+        p = root / f"out_{name}"
+        if not p.exists():
+            return []
+        return sorted(map(tuple, spark.read.parquet(str(p)).collect()))
+
+    mk_hll = lambda s: streaming_hll_distinct(
+        s, "uid", window="5 minutes", watermark="10 minutes", b=6
+    )
+    mk_hist = lambda s: streaming_histogram(
+        s, "v", 0.0, 200.0, window="5 minutes", watermark="10 minutes", k=20
+    )
+
+    for name, mk in [("hll", mk_hll), ("hist", mk_hist)]:
+        single = tmp_path / f"single_{name}"
+        single.mkdir()
+        write_file(single, 0, batch0)
+        write_file(single, 1, batch1)
+        run(single, mk, name)
+        expect = collect(single, name)
+        assert expect  # both windows closed and emitted
+
+        restarted = tmp_path / f"restarted_{name}"
+        restarted.mkdir()
+        write_file(restarted, 0, batch0)
+        run(restarted, mk, name)  # watermark hasn't closed window 1 yet
+        write_file(restarted, 1, batch1)
+        run(restarted, mk, name)  # emits purely from recovered state
+        assert collect(restarted, name) == expect
