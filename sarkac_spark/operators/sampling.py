@@ -318,3 +318,54 @@ def domain_cap(
     return df.withColumn("domain_rank", F.row_number().over(w)).filter(
         F.col("domain_rank") <= cap
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    stratum_col: str | None = None,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, algorithm A-ES): each row gets key = ln(u)/w — the monotone
+    log of u^(1/w), with u the deterministic hash variate — and the n
+    largest keys are the sample. Inclusion probability is proportional
+    to weight across the whole draw (not per-trial like a Bernoulli
+    thinning), which is the "sample 10k docs per source, favoring high
+    quality_score" curation move.
+
+    Same no-rand() contract as every sampler here: the draw is a pure
+    function of (id, salt, weights) — stable across runs, retries,
+    partitionings, and engines. Rows with weight <= 0 are excluded
+    (A-ES requires positive weights).
+
+    Shape: with ``stratum_col``, one shuffle + a per-stratum rank
+    window (parallel across strata; the usual hot-stratum pre-thin
+    applies). Without it, the global top-n runs as a distributed
+    TakeOrdered — no single-partition window.
+
+    Output: input columns + ``sample_rank`` (1..n within the draw).
+    """
+    from pyspark.sql.window import Window
+
+    u = (sample_hash(id_col, salt) + 1) / F.lit(float(SAMPLE_MOD + 1))
+    key = F.log(u) / F.col(weight_col)
+    pos = df.filter(F.col(weight_col) > 0).withColumn("__key", key)
+    if stratum_col is not None:
+        w = Window.partitionBy(stratum_col).orderBy(
+            F.col("__key").desc(), F.col(id_col)
+        )
+        return (
+            pos.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= n)
+            .drop("__key")
+        )
+    from sarkac_spark.functions.ranking import rank_topk
+
+    top = pos.orderBy(F.col("__key").desc(), F.col(id_col)).limit(n)
+    return (
+        rank_topk(top, "__key", id_col, rank_col="sample_rank")
+        .drop("__key")
+    )

@@ -637,6 +637,34 @@ FROM top JOIN est USING (term)
 """
 
 
+WSAMPLE_N = 15
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement: 15
+    docs per source with inclusion probability proportional to length —
+    the 'favor high-quality docs' draw, deterministic via the hash
+    variate (no rand())."""
+    from sarkac_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _docs(spark, sf_dir), "doc_id", "n_chars", WSAMPLE_N, stratum_col="source"
+    ).select("doc_id", "source", "n_chars", "sample_rank")
+
+
+def _weighted_sample_sql() -> str:
+    return f"""
+SELECT doc_id, source, n_chars, sample_rank FROM (
+  SELECT doc_id, source, n_chars, row_number() OVER (
+    PARTITION BY source
+    ORDER BY ln(({_sample_hash_sql("wsample")} + 1) / 1000001.0) / n_chars DESC,
+             doc_id
+  ) AS sample_rank
+  FROM documents WHERE n_chars > 0
+) WHERE sample_rank <= {WSAMPLE_N}
+"""
+
+
 WINNOW_K = 3   # word k-grams
 WINNOW_W = 4   # winnowing window (hashes) — catches shared runs >= 6 words
 WINNOW_MIN_SHARED = 2
@@ -973,6 +1001,7 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "hist_quantiles": q_hist_quantiles,
     "winnow_pairs": q_winnow_pairs,
+    "weighted_sample": q_weighted_sample,
 }
 
 
@@ -1848,6 +1877,7 @@ FROM feats
     "hll_distinct": _hll_distinct_sql(),
     "hist_quantiles": _hist_quantiles_sql(),
     "winnow_pairs": _winnow_pairs_sql(),
+    "weighted_sample": _weighted_sample_sql(),
     "domain_cap": f"""
 SELECT doc_id, source, n_chars, domain_rank FROM (
   SELECT doc_id, source, n_chars,

@@ -217,3 +217,39 @@ def test_domain_cap_keeps_best_per_domain(spark):
 
     # cap larger than the domain keeps everything
     assert domain_cap(d, "lang", 10_000, "n_chars", "doc_id").count() == 2000
+
+
+def test_weighted_sample_es(spark):
+    from sarkac_spark.operators.sampling import weighted_sample
+
+    # one overwhelming weight among uniform ones: A-ES keeps it
+    d = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("src"),
+        F.when(F.col("id") == 7, F.lit(100000.0)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    top = weighted_sample(d, "doc_id", "w", 50)  # global draw
+    ids = {r.doc_id for r in top.collect()}
+    assert len(ids) == 50 and 7 in ids
+    assert sorted(r.sample_rank for r in top.collect()) == list(range(1, 51))
+
+    # per-stratum draw: exact budget per stratum, heavy doc ranks first
+    # in its stratum
+    per = weighted_sample(d, "doc_id", "w", 10, stratum_col="src")
+    rows = per.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r)
+    assert all(len(v) == 10 for v in by_src.values())
+    heavy = [r for r in rows if r.doc_id == 7]
+    assert heavy and heavy[0].sample_rank == 1
+
+    # deterministic under repartitioning; zero/negative weights excluded
+    re_ids = {
+        r.doc_id
+        for r in weighted_sample(d.repartition(17, "doc_id"), "doc_id", "w", 50).collect()
+    }
+    assert re_ids == ids
+    dz = d.withColumn("w", F.when(F.col("doc_id") < 990, F.lit(0.0)).otherwise(F.col("w")))
+    kept = {r.doc_id for r in weighted_sample(dz, "doc_id", "w", 50).collect()}
+    assert kept == {i for i in range(990, 1000)}
