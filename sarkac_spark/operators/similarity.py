@@ -839,3 +839,57 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    lo: float = 0.2,
+    hi: float = 0.45,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Semi-hard negative mining for contrastive training: per query
+    vector, the ``k`` MOST similar candidates whose cosine falls in
+    [lo, hi) — close enough to be informative gradients, below the
+    positive band so they are true negatives (the [lo, hi) band is the
+    'semi-hard' region of triplet-loss practice; ``hi`` should sit at
+    the positive/near-dup threshold, ``lo`` above the noise floor).
+
+    Same scale shape as ``cosine_topk``: one corpus scan, queries
+    broadcast, per-query rank window — the band filter prunes before
+    the window, so the ranked relation is the band only.
+
+    Output: (query_id, neighbor_id, cos_sim, rank), rank 1..<=k.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("q_vec"),
+    ).withColumn("q_norm", norm(F.col("q_vec")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("c_vec"),
+    ).withColumn("c_norm", norm(F.col("c_vec")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_with_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                ),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+        .filter((F.col("cos_sim") >= lo) & (F.col("cos_sim") < hi))
+    )
+    w = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+    )
+    return scored.withColumn("rank", w.cast("long")).filter(F.col("rank") <= k)

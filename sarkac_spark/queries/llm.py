@@ -637,6 +637,47 @@ FROM top JOIN est USING (term)
 """
 
 
+HARDNEG_K = 5
+HARDNEG_LO, HARDNEG_HI = 0.2, 0.45  # hi = the near-dup/positive threshold
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Semi-hard negative mining (triplet-loss practice): per query
+    vector the 5 most similar candidates inside the [0.2, 0.45) cosine
+    band — informative but below the positive threshold."""
+    from sarkac_spark.operators.similarity import hard_negatives
+
+    e = _embs(spark, sf_dir)
+    return hard_negatives(
+        e,
+        e.filter(F.col("vec_id") < N_QUERIES),
+        k=HARDNEG_K,
+        lo=HARDNEG_LO,
+        hi=HARDNEG_HI,
+    )
+
+
+def _hard_negatives_sql() -> str:
+    cos = _COS.format(a="q.v", b="c.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
+  FROM e q JOIN e c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+banded AS (
+  SELECT * FROM scored
+  WHERE cos_sim >= {HARDNEG_LO} AND cos_sim < {HARDNEG_HI}
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+  ) AS rank FROM banded
+) WHERE rank <= {HARDNEG_K}
+"""
+
+
 WSAMPLE_N = 15
 
 
@@ -1002,6 +1043,7 @@ QUERIES = {
     "hist_quantiles": q_hist_quantiles,
     "winnow_pairs": q_winnow_pairs,
     "weighted_sample": q_weighted_sample,
+    "hard_negatives": q_hard_negatives,
 }
 
 
@@ -1878,6 +1920,7 @@ FROM feats
     "hist_quantiles": _hist_quantiles_sql(),
     "winnow_pairs": _winnow_pairs_sql(),
     "weighted_sample": _weighted_sample_sql(),
+    "hard_negatives": _hard_negatives_sql(),
     "domain_cap": f"""
 SELECT doc_id, source, n_chars, domain_rank FROM (
   SELECT doc_id, source, n_chars,

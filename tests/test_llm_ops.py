@@ -1455,3 +1455,37 @@ def test_sketch_merge_algebra(spark):
     for k, v in rb.items():
         mmax[k] = max(mmax.get(k, 0), v)
     assert mmax == rw
+
+
+def test_hard_negatives_band_and_rank(spark):
+    from sarkac_spark.operators.similarity import hard_negatives
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(64)
+
+    def mix(alpha):
+        v = alpha * base + (1 - alpha) * rng.randn(64)
+        return [float(x) for x in v]
+
+    # vec 0 is the query; 1 is a near-positive (cos ~0.999), 2-4 sit
+    # mid-band (cos ~0.83/0.79/0.58), 5 is pure noise (cos ~0)
+    rows = [(0, [float(x) for x in base])] + [
+        (i, mix(a)) for i, a in enumerate([0.95, 0.6, 0.5, 0.4, 0.0], start=1)
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = hard_negatives(
+        d, d.filter(F.col("vec_id") == 0), k=10, lo=0.3, hi=0.9
+    ).collect()
+    sims = {r.neighbor_id: r.cos_sim for r in out}
+    # every returned similarity inside the band; ranks descending
+    assert all(0.3 <= s < 0.9 for s in sims.values())
+    ordered = sorted(out, key=lambda r: r.rank)
+    assert [r.cos_sim for r in ordered] == sorted(
+        (r.cos_sim for r in ordered), reverse=True
+    )
+    # the near-duplicate (cos > .9) is excluded as a positive, the
+    # noise vector (cos ~0) as uninformative
+    assert 1 not in sims and 5 not in sims
+    assert set(sims) == {2, 3, 4}  # the mid-band vectors made it
