@@ -368,3 +368,31 @@ def test_tpch_shape_query_plans(spark, sf_dir):
     p = _plan(psv)
     assert "Expand" in p or "distinct" in p.lower()  # two-phase distinct agg
     assert "collect_set" not in p
+
+
+def test_new_sketch_and_curation_budgets(spark, sf_dir):
+    """Shuffle budgets for the round-4 additions: the sketch builds are
+    sketch-sized single aggregations, the samplers one exchange."""
+    from sarkac_spark.operators.sampling import domain_cap, weighted_sample
+    from sarkac_spark.operators.sketch import (
+        histogram_quantiles,
+        hll_distinct,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # domain cap: ONE exchange on the domain key feeding the rank window
+    assert shuffle_count(domain_cap(docs, "source", 10, "n_chars", "doc_id")) == 1
+    # weighted per-stratum draw: same single-exchange shape
+    assert (
+        shuffle_count(
+            weighted_sample(docs, "doc_id", "n_chars", 10, stratum_col="source")
+        )
+        == 1
+    )
+    # HLL: register-sized groupBy + per-group estimate re-agg — 2
+    assert shuffle_count(hll_distinct(docs, "doc_id", ["lang"])) == 2
+    # histogram: bounds agg + (group, bin) agg + <=k-row window; the
+    # bounds ride back as a broadcast, never a shuffle
+    hq = histogram_quantiles(docs, "n_chars", ["lang"], k=64)
+    assert shuffle_count(hq) <= 4
+    assert has_broadcast_hash_join(hq)
