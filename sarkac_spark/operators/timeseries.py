@@ -86,3 +86,80 @@ def gap_fill(
         F.last("v_obs", ignorenulls=True).over(w).alias("v_fill"),
         F.col("n_obs").isNull().alias("filled"),
     )
+
+
+def series_correlation(
+    df: DataFrame,
+    series_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    min_buckets: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation between metric series over aligned
+    time buckets — the "which metrics move together" view that turns a
+    per-series anomaly into a correlated-failure diagnosis (and flags
+    redundant series worth deduplicating).
+
+    Shape: ONE scan -> per-(series, bucket) aggregation (the only
+    data-sized shuffle); the pair relation is an equi-join of the
+    bucketed series on bucket — per-bucket fan-out is |series|^2, never
+    the raw row count — then one pair-level aggregation over
+    |series|^2 x |buckets| rows.
+
+    Cross-engine FP contract: bucket means are exact-integer cents over
+    counts (the rolling_hourly_stats tie-free construction), so both
+    engines correlate IDENTICAL doubles; only the final pair sums are
+    float, absorbed by round().
+
+    Output: (series_a, series_b, n_buckets, corr), series_a < series_b,
+    zero-variance and sub-``min_buckets`` pairs dropped.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    hourly = (
+        df.groupBy(
+            F.col(series_col).alias("s"),
+            bucketize(df, ts_col, bucket_seconds).alias("bucket_us"),
+        )
+        .agg(F.sum(cents).alias("v_cents"), F.count(F.lit(1)).alias("n_obs"))
+        .select(
+            "s",
+            "bucket_us",
+            (F.col("v_cents") / (F.lit(100.0) * F.col("n_obs"))).alias("m"),
+        )
+    )
+    a = hourly.select(
+        F.col("s").alias("series_a"), "bucket_us", F.col("m").alias("ma")
+    )
+    b = hourly.select(
+        F.col("s").alias("series_b"), "bucket_us", F.col("m").alias("mb")
+    )
+    p = (
+        a.join(b, "bucket_us")
+        .filter(F.col("series_a") < F.col("series_b"))
+        .groupBy("series_a", "series_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("ma").alias("sa"),
+            F.sum("mb").alias("sb"),
+            F.sum(F.col("ma") * F.col("mb")).alias("sab"),
+            F.sum(F.col("ma") * F.col("ma")).alias("saa"),
+            F.sum(F.col("mb") * F.col("mb")).alias("sbb"),
+        )
+    )
+    n = F.col("n_buckets")
+    var_a = n * F.col("saa") - F.col("sa") * F.col("sa")
+    var_b = n * F.col("sbb") - F.col("sb") * F.col("sb")
+    corr = (n * F.col("sab") - F.col("sa") * F.col("sb")) / (
+        F.sqrt(var_a) * F.sqrt(var_b)
+    )
+    return (
+        p.filter((n >= min_buckets) & (var_a > 0) & (var_b > 0))
+        .select(
+            "series_a",
+            "series_b",
+            "n_buckets",
+            F.round(corr, round_digits).alias("corr"),
+        )
+    )

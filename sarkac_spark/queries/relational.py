@@ -383,8 +383,18 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_report(load_table(spark, sf_dir, "lineitem"), ["l_orderkey"])
 
 
+def q_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between the per-type hourly series —
+    which metrics move together (correlated-failure diagnosis /
+    redundant-series audit). Tie-free cents means feed the kernel."""
+    from sarkac_spark.operators.timeseries import series_correlation
+
+    return series_correlation(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "series_correlation": q_series_correlation,
     "rolling_hourly_stats": q_rolling_hourly_stats,
     "value_histogram": q_value_histogram,
     "doc_cube": q_doc_cube,
@@ -427,6 +437,32 @@ SELECT n_orders, count(*) AS n_customers FROM per_cust GROUP BY n_orders
 SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 GROUP BY p_brand, p_type
+""",
+    "series_correlation": """
+WITH hourly AS (
+  SELECT event_type AS s,
+         epoch_us(ts) - epoch_us(ts) % (BIGINT '3600' * 1000000) AS bucket_us,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents,
+         count(*) AS n_obs
+  FROM events GROUP BY 1, 2
+),
+m AS (SELECT s, bucket_us, v_cents / (100.0 * n_obs) AS m FROM hourly),
+p AS (
+  SELECT a.s AS series_a, b.s AS series_b, count(*) AS n_buckets,
+         sum(a.m) AS sa, sum(b.m) AS sb, sum(a.m * b.m) AS sab,
+         sum(a.m * a.m) AS saa, sum(b.m * b.m) AS sbb
+  FROM m a JOIN m b USING (bucket_us)
+  WHERE a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT series_a, series_b, n_buckets,
+       round((n_buckets * sab - sa * sb)
+             / (sqrt(n_buckets * saa - sa * sa)
+                * sqrt(n_buckets * sbb - sb * sb)), 6) AS corr
+FROM p
+WHERE n_buckets >= 3
+  AND (n_buckets * saa - sa * sa) > 0
+  AND (n_buckets * sbb - sb * sb) > 0
 """,
     "rolling_hourly_stats": """
 WITH hourly AS (

@@ -42,3 +42,39 @@ def test_gap_fill_dense_and_ffill(spark):
     assert len(b_rows) == 1 and b_rows[0].v_fill == 1.0 and not b_rows[0].filled
     # v_fill is never NULL: every grid starts at the key's first observation
     assert out.filter(F.col("v_fill").isNull()).count() == 0
+
+
+def test_series_correlation(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.operators.timeseries import series_correlation
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # series A: hourly means 10, 20, 30, 40; B = 2*A (corr +1);
+    # C = reversed A (corr -1); D constant (zero variance -> dropped)
+    for h, base in enumerate([10.0, 20.0, 30.0, 40.0]):
+        ts = t0 + dt.timedelta(hours=h)
+        rows += [
+            (ts, "A", base),
+            (ts, "B", 2 * base),
+            (ts, "C", 50.0 - base),
+            (ts, "D", 7.0),
+        ]
+    d = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = {
+        (r.series_a, r.series_b): r
+        for r in series_correlation(d, min_buckets=3).collect()
+    }
+    # D has zero variance: every pair involving it is dropped
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    assert out[("A", "B")].corr == 1.0
+    assert out[("A", "C")].corr == -1.0
+    assert out[("B", "C")].corr == -1.0
+    assert all(r.n_buckets == 4 for r in out.values())
+
+    # min_buckets guard: restricting to fewer shared buckets drops pairs
+    short = d.filter(F.col("ts") < t0 + dt.timedelta(hours=2))
+    assert series_correlation(short, min_buckets=3).count() == 0
