@@ -637,6 +637,106 @@ FROM top JOIN est USING (term)
 """
 
 
+def q_minhash_recall(spark, sf_dir):
+    """LSH-banding recall audit (the dedup twin of ann_recall): of the
+    true near-dup pairs (exact capped n-gram Jaccard >= threshold), how
+    many does minhash banding surface as candidates at the configured
+    (k, bands) operating point — 'measure the sketch, don't trust it'."""
+    from sarkac_spark.operators.dedup import (
+        _hashed_shingles,
+        _minhash_aggs,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    d = _docs(spark, sf_dir)
+    truth = ngram_jaccard_pairs(
+        d, "doc_id", "text", threshold=JACCARD_THRESHOLD, max_df=NGRAM_MAX_DF
+    ).select("id_a", "id_b")
+    sigs = (
+        _hashed_shingles(d, "doc_id", "text", 3)
+        .groupBy("doc_id")
+        .agg(*_minhash_aggs(MINHASH_K))
+    )
+    cands = minhash_lsh_candidates(
+        sigs, "doc_id", k=MINHASH_K, bands=MINHASH_BANDS
+    )
+    found = truth.join(cands, ["id_a", "id_b"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    nf = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return nt.crossJoin(F.broadcast(nf)).select(
+        "n_true",
+        "n_found",
+        F.round(F.col("n_found") / F.col("n_true"), 6).alias("recall"),
+    )
+
+
+def _minhash_recall_sql() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    mh_aggs = ",\n    ".join(
+        f"min(({_LCG_A[i] % MINHASH_P} * h + {_LCG_B[i] % MINHASH_P}) % {MINHASH_P})"
+        f" AS mh_{i}"
+        for i in range(MINHASH_K)
+    )
+    band_exprs = ",\n      ".join(
+        "'{b}|' || {cols}".format(
+            b=b,
+            cols=" || '|' || ".join(
+                f"mh_{b * rows + r}::varchar" for r in range(rows)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+shc AS (
+  SELECT * FROM sh WHERE shingle NOT IN (
+    SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > {NGRAM_MAX_DF}
+  )
+),
+tcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+csizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+cinter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM tcand c
+  JOIN shc sa ON sa.doc_id = c.id_a
+  JOIN shc sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.id_a, i.id_b
+  FROM cinter i
+  JOIN csizes na ON na.doc_id = i.id_a
+  JOIN csizes nb ON nb.doc_id = i.id_b
+  WHERE round(n_common / (na.n_sh + nb.n_sh - n_common), 6)
+        >= {JACCARD_THRESHOLD}
+),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::bigint % {MINHASH_P} AS h
+  FROM sh
+),
+sigs AS (SELECT doc_id, {mh_aggs} FROM hashed GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, UNNEST([
+      {band_exprs}
+  ]) AS band_key FROM sigs
+),
+bcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+found AS (SELECT t.id_a, t.id_b FROM truth t JOIN bcand USING (id_a, id_b))
+SELECT (SELECT count(*) FROM truth) AS n_true,
+       (SELECT count(*) FROM found) AS n_found,
+       round((SELECT count(*) FROM found)
+             / (SELECT count(*) FROM truth), 6) AS recall
+"""
+
+
 HARDNEG_K = 5
 HARDNEG_LO, HARDNEG_HI = 0.2, 0.45  # hi = the near-dup/positive threshold
 
@@ -1044,6 +1144,7 @@ QUERIES = {
     "winnow_pairs": q_winnow_pairs,
     "weighted_sample": q_weighted_sample,
     "hard_negatives": q_hard_negatives,
+    "minhash_recall": q_minhash_recall,
 }
 
 
@@ -1921,6 +2022,7 @@ FROM feats
     "winnow_pairs": _winnow_pairs_sql(),
     "weighted_sample": _weighted_sample_sql(),
     "hard_negatives": _hard_negatives_sql(),
+    "minhash_recall": _minhash_recall_sql(),
     "domain_cap": f"""
 SELECT doc_id, source, n_chars, domain_rank FROM (
   SELECT doc_id, source, n_chars,

@@ -1489,3 +1489,15 @@ def test_hard_negatives_band_and_rank(spark):
     # noise vector (cos ~0) as uninformative
     assert 1 not in sims and 5 not in sims
     assert set(sims) == {2, 3, 4}  # the mid-band vectors made it
+
+
+def test_minhash_recall_query(spark, sf_dir):
+    from sarkac_spark.queries.llm import q_minhash_recall
+
+    r = q_minhash_recall(spark, sf_dir).collect()[0]
+    # found is a subset of truth by construction, so recall is a true
+    # ratio; at this corpus's operating point (near-dups are high-j)
+    # banding should surface most of them
+    assert 0 <= r.n_found <= r.n_true
+    assert r.recall == round(r.n_found / r.n_true, 6)
+    assert r.recall >= 0.8
