@@ -1501,3 +1501,33 @@ def test_minhash_recall_query(spark, sf_dir):
     assert 0 <= r.n_found <= r.n_true
     assert r.recall == round(r.n_found / r.n_true, 6)
     assert r.recall >= 0.8
+
+
+def test_histogram_quantiles_property(spark):
+    """Property over adversarial distributions (skew, duplicates,
+    negatives, tiny groups): the upper-edge estimate never undershoots
+    the true quantile and overshoots by at most one bin width."""
+    from hypothesis import given, settings, strategies as st
+
+    from sarkac_spark.operators.sketch import histogram_quantiles
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60),
+        st.integers(min_value=2, max_value=32),
+    )
+    def check(vals, k):
+        d = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "i long, v long"
+        ).select(F.lit("g").alias("g"), "v")
+        r = histogram_quantiles(d, "v", ["g"], qs=(0.5, 0.99), k=k).collect()[0]
+        lo, hi = min(vals), max(vals)
+        width = (hi - lo) / k
+        s = sorted(vals)
+        for q, est in [(0.5, r.p5_est), (0.99, r.p99_est)]:
+            # true quantile = smallest value with cum count >= q*n
+            true_q = s[max(0, math.ceil(q * len(s)) - 1)]
+            assert est >= true_q - 1e-6
+            assert est <= true_q + width + 1e-6
+
+    check()

@@ -922,14 +922,19 @@ def test_streaming_sketches_survive_restart(spark, tmp_path):
             return []
         return sorted(map(tuple, spark.read.parquet(str(p)).collect()))
 
+    from sarkac_spark.streaming.pipeline import streaming_count_min
+
     mk_hll = lambda s: streaming_hll_distinct(
         s, "uid", window="5 minutes", watermark="10 minutes", b=6
     )
     mk_hist = lambda s: streaming_histogram(
         s, "v", 0.0, 200.0, window="5 minutes", watermark="10 minutes", k=20
     )
+    mk_cms = lambda s: streaming_count_min(
+        s, "uid", window="5 minutes", watermark="10 minutes", depth=3, width=16
+    )
 
-    for name, mk in [("hll", mk_hll), ("hist", mk_hist)]:
+    for name, mk in [("hll", mk_hll), ("hist", mk_hist), ("cms", mk_cms)]:
         single = tmp_path / f"single_{name}"
         single.mkdir()
         write_file(single, 0, batch0)
