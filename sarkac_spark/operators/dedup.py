@@ -690,3 +690,112 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    seen_hashes: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Ingest-time exact dedup of a NEW batch against the corpus already
+    on disk — the operational shape at 100 TB, where re-deduping the
+    whole corpus per ingest is a non-starter: cost scales with the
+    batch, not the corpus. ``seen_hashes`` is the stored fingerprint
+    relation (one ``text_hash`` column, the md5 digests of everything
+    kept so far — the output of ``dedup_exact`` is exactly this shape).
+
+    Keeps a new row iff (a) its digest is unseen in the corpus
+    (anti-join — at scale a broadcast or bucketed join on the digest)
+    AND (b) it is the first occurrence within the batch itself
+    (min-id per digest). The kept rows' (text_hash, id) is the delta to
+    append to the fingerprint store for the next ingest.
+
+    Output: new_df columns + text_hash, batch-first + corpus-unseen
+    rows only.
+    """
+    hashed = new_df.withColumn("text_hash", F.md5(F.col(text_col)))
+    unseen = hashed.join(
+        seen_hashes.select("text_hash"), "text_hash", "left_anti"
+    )
+    first = Window.partitionBy("text_hash").orderBy(F.col(id_col))
+    return (
+        unseen.withColumn("__rn", F.row_number().over(first))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_minhash_incremental(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    new_col: str,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING the new batch only: band keys of the new
+    rows equi-join the whole corpus's band keys, so old-old pairs are
+    never generated — per-ingest candidate work is O(|batch| x bucket
+    occupancy) instead of the full corpus's pair volume. (In a deployed
+    pipeline the corpus side's signatures and shingle-hash sets are the
+    stored relation; here they derive from ``df`` in the same pass.)
+
+    ``new_col`` is a boolean column on ``df`` marking the batch. Output
+    matches ``dedup_minhash``: (id_a, id_b, jaccard >= threshold) with
+    id_a < id_b, restricted to pairs where at least one side is new.
+    """
+    hashed = _hashed_shingles(df, id_col, text_col, shingle_n)
+    flags = df.select(F.col(id_col), F.col(new_col).alias("__new"))
+    doc = (
+        hashed.groupBy(id_col)
+        .agg(*_minhash_aggs(k), F.collect_set("h").alias("__sh_set"))
+        .join(flags, id_col)
+    )
+    rows = k // bands
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)],
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = doc.select(F.col(id_col), F.col("__new"), F.explode(band_keys).alias("band_key"))
+    corpus_side = banded.alias("a")
+    new_side = banded.filter(F.col("__new")).alias("b")
+    cands = (
+        corpus_side.join(new_side, "band_key")
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+    sets_a = doc.select(F.col(id_col).alias("id_a"), F.col("__sh_set").alias("__set_a"))
+    sets_b = doc.select(F.col(id_col).alias("id_b"), F.col("__sh_set").alias("__set_b"))
+    inter = F.size(F.array_intersect(F.col("__set_a"), F.col("__set_b")))
+    return (
+        cands.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn("__n_common", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__n_common")
+                / (
+                    F.size(F.col("__set_a"))
+                    + F.size(F.col("__set_b"))
+                    - F.col("__n_common")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

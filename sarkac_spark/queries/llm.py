@@ -637,6 +637,110 @@ FROM top JOIN est USING (term)
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Ingest-time exact dedup: today's batch (doc_id % 5 == 0) against
+    the stored corpus fingerprints — kept rows are corpus-unseen AND
+    batch-first; cost scales with the batch, not the corpus."""
+    from sarkac_spark.operators.dedup import dedup_exact, incremental_exact_dedup
+
+    d = _docs(spark, sf_dir)
+    seen = dedup_exact(d.filter(F.col("doc_id") % 5 != 0), "doc_id", "text")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    return incremental_exact_dedup(new, seen, "doc_id", "text").select(
+        "doc_id", "text_hash"
+    )
+
+
+def q_incremental_minhash(spark, sf_dir):
+    """Ingest-time near-dup pairs: band keys of the new batch join the
+    corpus's band keys — old-old pairs never generated, per-ingest
+    candidate work O(|batch| x bucket occupancy)."""
+    from sarkac_spark.operators.dedup import dedup_minhash_incremental
+
+    d = _docs(spark, sf_dir).withColumn("is_new", F.col("doc_id") % 5 == 0)
+    return dedup_minhash_incremental(
+        d,
+        "doc_id",
+        "text",
+        "is_new",
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _incremental_dedup_sql() -> str:
+    return """
+WITH seen AS (
+  SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % 5 != 0
+),
+new AS (
+  SELECT doc_id, md5(text) AS text_hash FROM documents WHERE doc_id % 5 = 0
+),
+unseen AS (
+  SELECT * FROM new WHERE text_hash NOT IN (SELECT text_hash FROM seen)
+)
+SELECT doc_id, text_hash FROM (
+  SELECT doc_id, text_hash,
+         row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+  FROM unseen
+) WHERE rn = 1
+"""
+
+
+def _incremental_minhash_sql() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    mh_aggs = ",\n    ".join(
+        f"min(({_LCG_A[i] % MINHASH_P} * h + {_LCG_B[i] % MINHASH_P}) % {MINHASH_P})"
+        f" AS mh_{i}"
+        for i in range(MINHASH_K)
+    )
+    band_exprs = ",\n      ".join(
+        "'{b}|' || {cols}".format(
+            b=b,
+            cols=" || '|' || ".join(
+                f"mh_{b * rows + r}::varchar" for r in range(rows)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::bigint % {MINHASH_P} AS h
+  FROM sh
+),
+sigs AS (SELECT doc_id, {mh_aggs} FROM hashed GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, UNNEST([
+      {band_exprs}
+  ]) AS band_key FROM sigs
+),
+cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                  greatest(a.doc_id, b.doc_id) AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id != b.doc_id
+  WHERE b.doc_id % 5 = 0
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(n_common / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE round(n_common / (na.n_sh + nb.n_sh - n_common), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
 def q_minhash_recall(spark, sf_dir):
     """LSH-banding recall audit (the dedup twin of ann_recall): of the
     true near-dup pairs (exact capped n-gram Jaccard >= threshold), how
@@ -1145,6 +1249,8 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "hard_negatives": q_hard_negatives,
     "minhash_recall": q_minhash_recall,
+    "incremental_dedup": q_incremental_dedup,
+    "incremental_minhash": q_incremental_minhash,
 }
 
 
@@ -2023,6 +2129,8 @@ FROM feats
     "weighted_sample": _weighted_sample_sql(),
     "hard_negatives": _hard_negatives_sql(),
     "minhash_recall": _minhash_recall_sql(),
+    "incremental_dedup": _incremental_dedup_sql(),
+    "incremental_minhash": _incremental_minhash_sql(),
     "domain_cap": f"""
 SELECT doc_id, source, n_chars, domain_rank FROM (
   SELECT doc_id, source, n_chars,

@@ -1531,3 +1531,56 @@ def test_histogram_quantiles_property(spark):
             assert est <= true_q + width + 1e-6
 
     check()
+
+
+def test_incremental_dedup_equivalences(spark, sf_dir):
+    from sarkac_spark.operators.dedup import (
+        dedup_exact,
+        dedup_minhash,
+        dedup_minhash_incremental,
+        incremental_exact_dedup,
+    )
+    from sarkac_spark.queries.llm import (
+        JACCARD_THRESHOLD,
+        MINHASH_BANDS,
+        MINHASH_K,
+    )
+    from sarkac_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    new_pred = F.col("doc_id") % 5 == 0
+
+    # exact: kept = batch rows that are corpus-unseen and batch-first —
+    # equivalently, the batch members that are canonical in a full-corpus
+    # dedup OR whose digest group lives entirely inside the batch with
+    # them as its minimum
+    seen = dedup_exact(d.filter(~new_pred), "doc_id", "text")
+    kept = incremental_exact_dedup(d.filter(new_pred), seen, "doc_id", "text")
+    kept_ids = {r.doc_id for r in kept.collect()}
+    full = dedup_exact(d, "doc_id", "text").collect()
+    # every kept id's digest must have NO smaller occurrence anywhere
+    # outside the batch, and no smaller occurrence inside it
+    seen_hashes = {r.text_hash for r in seen.collect()}
+    for r in kept.collect():
+        assert r.text_hash not in seen_hashes
+    # determinism + shape
+    assert kept.count() == len(kept_ids)
+
+    # minhash: incremental pairs == full pairs restricted to >=1 new side
+    dn = d.withColumn("is_new", new_pred)
+    inc = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup_minhash_incremental(
+            dn, "doc_id", "text", "is_new",
+            k=MINHASH_K, bands=MINHASH_BANDS, threshold=JACCARD_THRESHOLD,
+        ).collect()
+    }
+    full_pairs = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup_minhash(
+            d, "doc_id", "text",
+            k=MINHASH_K, bands=MINHASH_BANDS, threshold=JACCARD_THRESHOLD,
+        ).collect()
+        if r.id_a % 5 == 0 or r.id_b % 5 == 0
+    }
+    assert inc == full_pairs
