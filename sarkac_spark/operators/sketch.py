@@ -296,7 +296,9 @@ def histogram_quantiles(
 
 
 def _q_tag(q: float) -> str:
-    return str(q).replace("0.", "").rstrip("0") or "0"
+    """0.5 -> "50", 0.95 -> "95", 0.99 -> "99" — percent-scale column
+    tags (p50_est), so q=0.5 never reads as a 5th percentile."""
+    return str(int(round(q * 100)))
 
 
 def fixed_histogram_estimate(

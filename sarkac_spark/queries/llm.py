@@ -1063,13 +1063,13 @@ def q_hist_quantiles(spark, sf_dir):
     d = _docs(spark, sf_dir)
     est = histogram_quantiles(d, "n_chars", ["lang"], qs=(0.5, 0.95, 0.99), k=HIST_K)
     exact = d.groupBy("lang").agg(
-        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p5_exact"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_exact"),
         F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("p95_exact"),
         F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99_exact"),
     )
     return est.join(exact, "lang").select(
-        "lang", "n", "p5_est", "p95_est", "p99_est",
-        "p5_exact", "p95_exact", "p99_exact",
+        "lang", "n", "p50_est", "p95_est", "p99_est",
+        "p50_exact", "p95_exact", "p99_exact",
     )
 
 
@@ -1105,19 +1105,19 @@ qb AS (
 ),
 est AS (
   SELECT qb.lang, b.n,
-         round(least(b.mn + (qb5 + 1) * (b.mx - b.mn) / {float(k)!r}, b.mx), 6) AS p5_est,
+         round(least(b.mn + (qb5 + 1) * (b.mx - b.mn) / {float(k)!r}, b.mx), 6) AS p50_est,
          round(least(b.mn + (qb95 + 1) * (b.mx - b.mn) / {float(k)!r}, b.mx), 6) AS p95_est,
          round(least(b.mn + (qb99 + 1) * (b.mx - b.mn) / {float(k)!r}, b.mx), 6) AS p99_est
   FROM qb JOIN b USING (lang)
 ),
 exact AS (
   SELECT lang,
-         round(quantile_cont(n_chars, 0.5), 6) AS p5_exact,
+         round(quantile_cont(n_chars, 0.5), 6) AS p50_exact,
          round(quantile_cont(n_chars, 0.95), 6) AS p95_exact,
          round(quantile_cont(n_chars, 0.99), 6) AS p99_exact
   FROM documents GROUP BY 1
 )
-SELECT est.lang, n, p5_est, p95_est, p99_est, p5_exact, p95_exact, p99_exact
+SELECT est.lang, n, p50_est, p95_est, p99_est, p50_exact, p95_exact, p99_exact
 FROM est JOIN exact USING (lang)
 """
 

@@ -1367,7 +1367,7 @@ def test_histogram_quantiles_error_bound(spark):
     width = 999 / k
     for r in out.values():
         assert r.n == 1000
-        for q, col in [(0.5, r.p5_est), (0.95, r.p95_est), (0.99, r.p99_est)]:
+        for q, col in [(0.5, r.p50_est), (0.95, r.p95_est), (0.99, r.p99_est)]:
             true_q = q * 999
             # upper-edge estimate: never below the true quantile, and
             # within one bin width above it
@@ -1378,7 +1378,7 @@ def test_histogram_quantiles_error_bound(spark):
         F.lit("c").alias("g"), F.lit(42).cast("long").alias("v")
     )
     r = histogram_quantiles(const, "v", ["g"], k=k).collect()[0]
-    assert (r.p5_est, r.p95_est, r.p99_est) == (42.0, 42.0, 42.0)
+    assert (r.p50_est, r.p95_est, r.p99_est) == (42.0, 42.0, 42.0)
 
     # ungrouped variant: one global row
     g = histogram_quantiles(d.select("v"), "v", k=k).collect()
@@ -1524,7 +1524,7 @@ def test_histogram_quantiles_property(spark):
         lo, hi = min(vals), max(vals)
         width = (hi - lo) / k
         s = sorted(vals)
-        for q, est in [(0.5, r.p5_est), (0.99, r.p99_est)]:
+        for q, est in [(0.5, r.p50_est), (0.99, r.p99_est)]:
             # true quantile = smallest value with cum count >= q*n
             true_q = s[max(0, math.ceil(q * len(s)) - 1)]
             assert est >= true_q - 1e-6

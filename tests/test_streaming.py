@@ -867,7 +867,7 @@ def test_streaming_histogram(spark, tmp_path):
     est = fixed_histogram_estimate(got, [], lo, hi, k=k).collect()[0]
     assert est.n == 1002  # in-window rows incl. both clamped outliers
     width = (hi - lo) / k
-    for qv, col in [(0.5, est.p5_est), (0.95, est.p95_est)]:
+    for qv, col in [(0.5, est.p50_est), (0.95, est.p95_est)]:
         true_q = qv * 999
         assert true_q - width <= col <= true_q + 2 * width
 
