@@ -202,3 +202,54 @@ def test_check_oracle_kind_mismatch_detector():
     assert _kind_mismatches(schema, ["a", "b", "c"], ["BIGINT", "DOUBLE", "VARCHAR"]) == []
     # duck int vs spark float flags too (driver hashes 1234 vs 1234.0)
     assert _kind_mismatches(schema, ["b"], ["BIGINT"]) == ["b: spark=float duck=int (BIGINT)"]
+
+
+def test_curator_facade(spark, sf_dir):
+    """The config-driven curation front door composes the existing
+    operators lazily and reports the stage funnel; each stage must
+    equal its hand-built equivalent."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.curator import Curator
+    from sarkac_spark.operators.dedup import dedup_exact, dedup_minhash
+    from sarkac_spark.operators.sampling import domain_cap
+    from sarkac_spark.operators.text import gopher_rules
+    from sarkac_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    cfg = {
+        "quality": {"gopher": True},
+        "dedup": {"exact": True, "minhash": {"k": 16, "bands": 4, "threshold": 0.5}},
+        "domain_cap": {"domain_col": "source", "cap": 15, "quality_col": "n_chars"},
+    }
+    cur = Curator(spark, cfg)
+    out = cur.apply(d)
+    assert out.columns == d.columns  # facade never changes the schema
+
+    # hand-built equivalent of the same composition
+    step = gopher_rules(d).filter(F.col("passes") == 1).select(*d.columns)
+    canon = dedup_exact(step, "doc_id", "text").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    step = step.join(canon, "doc_id", "semi")
+    drop = (
+        dedup_minhash(step, "doc_id", "text", k=16, bands=4, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    step = step.join(drop, "doc_id", "left_anti")
+    step = domain_cap(step, "source", 15, "n_chars", "doc_id").select(*d.columns)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in step.collect()
+    )
+
+    # funnel report: monotone non-increasing counts, one entry per stage
+    rep = cur.report(d)
+    assert list(rep) == ["input", "quality", "dedup", "domain_cap"]
+    vals = list(rep.values())
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert vals[0] == d.count()
+
+    with pytest.raises(ValueError):
+        Curator(spark, {"nope": {}})
