@@ -253,3 +253,53 @@ def test_curator_facade(spark, sf_dir):
 
     with pytest.raises(ValueError):
         Curator(spark, {"nope": {}})
+
+
+def test_formats_jsonl_csv_orc_roundtrip(spark, tmp_path):
+    """Ingestion formats: declared-schema JSONL/CSV reads route broken
+    lines into the corrupt-record audit instead of failing or silently
+    dropping; ORC round-trips; write_dataset caps file sizes."""
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.sources.formats import (
+        clean_records,
+        corrupt_records,
+        read_csv,
+        read_jsonl,
+        write_dataset,
+    )
+
+    # JSONL with one broken line
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "second"}\n'
+        "{broken json here\n"
+        '{"doc_id": 4, "text": "fourth"}\n'
+    )
+    df = read_jsonl(spark, str(p), schema="doc_id long, text string")
+    assert corrupt_records(df).count() == 1
+    clean = clean_records(df)
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 2, 4]
+    assert clean.columns == ["doc_id", "text"]
+
+    # CSV with a type-broken row
+    c = tmp_path / "docs.csv"
+    c.write_text("doc_id,n\n1,10\n2,notanumber\n3,30\n")
+    cdf = read_csv(spark, str(c), schema="doc_id long, n long")
+    assert corrupt_records(cdf).count() == 1
+    assert sorted(r.doc_id for r in clean_records(cdf).collect()) == [1, 3]
+
+    # ORC roundtrip + maxRecordsPerFile splitting
+    src = spark.range(1000).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    out = tmp_path / "orc_out"
+    write_dataset(src.coalesce(1), str(out), fmt="orc", max_records_per_file=100)
+    back = spark.read.orc(str(out))
+    assert back.count() == 1000
+    n_files = len([f for f in out.iterdir() if f.name.endswith(".orc")])
+    assert n_files >= 10  # 1000 rows / 100-row cap from a single task
+
+    # partitioned write produces directory partitions readable back
+    pq = tmp_path / "pq_out"
+    write_dataset(src, str(pq), partition_by=["g"])
+    assert spark.read.parquet(str(pq)).filter("g = 1").count() == 333
