@@ -74,6 +74,21 @@ def main() -> None:
     print("\nper-language budget:")
     for r in budget.collect():
         print(f"  {r['lang']}: {r['n_docs']} docs, {r['bpe_tokens']} bpe tokens")
+
+    # 6. the same composition via the config-driven facade: one lazy
+    #    plan, with the per-stage funnel report
+    from sarkac_spark.curator import Curator
+
+    funnel = Curator(
+        spark,
+        {
+            "quality": {"gopher": True},
+            "dedup": {"exact": True},
+            "domain_cap": {"domain_col": "source", "cap": 20,
+                           "quality_col": "n_chars"},
+        },
+    ).report(docs)
+    print("\nCurator funnel:", funnel)
     spark.stop()
 
 
