@@ -38,14 +38,16 @@ def read_jsonl(
     capture. The returned frame carries ``_corrupt_record`` (null for
     clean rows); project it away after auditing.
     """
-    if schema is None and sample_path is not None:
-        schema_struct = spark.read.json(sample_path).schema
-        schema = schema_struct.simpleString()[7:-1]  # strip struct<...>
     reader = spark.read.option("mode", mode).option(
         "columnNameOfCorruptRecord", CORRUPT_COL
     )
     if schema is not None:
         reader = reader.schema(f"{schema}, {CORRUPT_COL} string")
+    elif sample_path is not None:
+        from pyspark.sql.types import StringType, StructField
+
+        inferred = spark.read.json(sample_path).schema
+        reader = reader.schema(inferred.add(StructField(CORRUPT_COL, StringType())))
     return reader.json(path)
 
 
@@ -86,10 +88,19 @@ def corrupt_records(df: DataFrame) -> DataFrame:
 
 
 def clean_records(df: DataFrame) -> DataFrame:
-    """Parsed rows with the corrupt-record column projected away."""
+    """Parsed rows with the corrupt-record column projected away.
+
+    Shares ``corrupt_records``' cache escape: an action over this frame
+    that reads no data column (e.g. ``count()``) would otherwise prune
+    to the corrupt column alone and trip
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN. The intended ingest pattern —
+    read once, audit counts, write the clean rows — reuses the one
+    cached pass; for a read too large to cache, filter inline next to
+    real column references instead of using these helpers.
+    """
     if CORRUPT_COL not in df.columns:
         raise ValueError(f"frame has no {CORRUPT_COL} column")
-    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return df.cache().filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
 
 
 def write_dataset(

@@ -303,3 +303,31 @@ def test_formats_jsonl_csv_orc_roundtrip(spark, tmp_path):
     pq = tmp_path / "pq_out"
     write_dataset(src, str(pq), partition_by=["g"])
     assert spark.read.parquet(str(pq)).filter("g = 1").count() == 333
+
+
+def test_curator_sample_stage_and_jsonl_inference(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.curator import Curator
+    from sarkac_spark.operators.sampling import temperature_sample
+    from sarkac_spark.sources.formats import clean_records, read_jsonl
+    from sarkac_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    cur = Curator(spark, {"sample": {"temperature": 0.5, "stratum_col": "lang"}})
+    out = {r.doc_id for r in cur.apply(d).collect()}
+    expect = {
+        r.doc_id for r in temperature_sample(d, "doc_id", "lang", alpha=0.5).collect()
+    }
+    assert out == expect  # facade stage == direct operator call
+
+    # read_jsonl bootstrap: schema inferred from a small sample file,
+    # then applied to the full read with corrupt capture intact
+    sample = tmp_path / "sample.jsonl"
+    sample.write_text('{"doc_id": 1, "text": "a"}\n')
+    full = tmp_path / "full.jsonl"
+    full.write_text('{"doc_id": 1, "text": "a"}\n{"doc_id": 2, "text": "b"}\nnope\n')
+    df = read_jsonl(spark, str(full), sample_path=str(sample))
+    clean = clean_records(df)
+    assert set(clean.columns) == {"doc_id", "text"}
+    assert clean.count() == 2
