@@ -331,3 +331,46 @@ def test_curator_sample_stage_and_jsonl_inference(spark, sf_dir, tmp_path):
     clean = clean_records(df)
     assert set(clean.columns) == {"doc_id", "text"}
     assert clean.count() == 2
+
+
+def test_remaining_stage_branches(spark, sf_dir):
+    """Branch coverage for the round-4 additions: Curator min_score and
+    sample budget, grouped fixed_histogram_estimate, and the
+    streaming_histogram bounds guard."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.curator import Curator
+    from sarkac_spark.operators.sketch import fixed_histogram_estimate
+    from sarkac_spark.operators.text import quality_score
+    from sarkac_spark.sources.tables import load_table
+    from sarkac_spark.streaming.pipeline import streaming_histogram
+
+    d = load_table(spark, sf_dir, "documents")
+
+    # quality.min_score == direct quality_score cutoff
+    out = Curator(spark, {"quality": {"min_score": 0.5}}).apply(d)
+    expect = quality_score(d, "text").filter(F.col("quality_score") >= 0.5)
+    assert out.count() == expect.count()
+
+    # sample.budget thins toward the requested total (hash-Bernoulli:
+    # binomial noise around the target)
+    n = Curator(
+        spark, {"sample": {"temperature": 0.5, "stratum_col": "lang", "budget": 100}}
+    ).apply(d).count()
+    assert 60 <= n <= 140
+
+    # grouped fixed-bounds estimate: per-group quantiles, exact groups
+    hist = spark.createDataFrame(
+        [("a", b, 10) for b in range(10)] + [("b", 0, 100)],
+        "g string, bin long, c long",
+    )
+    est = {
+        r.g: r for r in fixed_histogram_estimate(hist, ["g"], 0.0, 100.0, k=10).collect()
+    }
+    assert est["a"].n == 100 and est["b"].n == 100
+    assert est["b"].p50_est == 10.0  # all mass in bin 0 -> first edge
+    assert est["a"].p50_est == 50.0  # uniform mass -> middle edge
+
+    with pytest.raises(ValueError):
+        streaming_histogram(None, "v", 5.0, 5.0)
