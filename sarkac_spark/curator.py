@@ -19,12 +19,15 @@ cheap map-only gates before shuffling stages):
                        "quality_col": "n_chars"},
         "sample":     {"temperature": 0.5,     # p_l ∝ count^alpha
                        "stratum_col": "lang"},
+        "decontaminate": {"min_shared": 1},    # drop eval-overlap docs
     })
 
 ``apply(df)`` returns the curated DataFrame (same columns as the
 input); ``report(df)`` runs the plan once per stage boundary and
 returns the row-count funnel — the audit a pipeline operator actually
-wants before committing a 100 TB pass.
+wants before committing a 100 TB pass. The ``decontaminate`` stage
+needs the benchmark/eval corpus: pass ``eval_df=`` to ``apply``/
+``report`` (configuring the stage without it raises).
 """
 
 from __future__ import annotations
@@ -42,7 +45,9 @@ class Curator:
         id_col: str = "doc_id",
         text_col: str = "text",
     ) -> None:
-        unknown = set(config) - {"dedup", "quality", "domain_cap", "sample"}
+        unknown = set(config) - {
+            "dedup", "quality", "domain_cap", "sample", "decontaminate"
+        }
         if unknown:
             raise ValueError(f"unknown curation stages: {sorted(unknown)}")
         self.spark = spark
@@ -51,11 +56,21 @@ class Curator:
         self.text_col = text_col
 
     # each stage: name -> transformation (pure, lazy)
-    def stages(self) -> list[tuple[str, Callable[[DataFrame], DataFrame]]]:
+    def stages(
+        self, eval_df: DataFrame | None = None
+    ) -> list[tuple[str, Callable[[DataFrame], DataFrame]]]:
         out: list[tuple[str, Callable[[DataFrame], DataFrame]]] = []
         c = self.config
         if "quality" in c:
             out.append(("quality", self._quality_stage(c["quality"])))
+        if "decontaminate" in c:
+            if eval_df is None:
+                raise ValueError(
+                    "decontaminate stage configured but no eval_df passed"
+                )
+            out.append(
+                ("decontaminate", self._decontaminate_stage(c["decontaminate"], eval_df))
+            )
         if "dedup" in c:
             out.append(("dedup", self._dedup_stage(c["dedup"])))
         if "domain_cap" in c:
@@ -64,15 +79,17 @@ class Curator:
             out.append(("sample", self._sample_stage(c["sample"])))
         return out
 
-    def apply(self, df: DataFrame) -> DataFrame:
-        for _, fn in self.stages():
+    def apply(self, df: DataFrame, eval_df: DataFrame | None = None) -> DataFrame:
+        for _, fn in self.stages(eval_df):
             df = fn(df)
         return df
 
-    def report(self, df: DataFrame) -> dict[str, int]:
+    def report(
+        self, df: DataFrame, eval_df: DataFrame | None = None
+    ) -> dict[str, int]:
         """Row-count funnel: input plus count after every stage."""
         counts = {"input": df.count()}
-        for name, fn in self.stages():
+        for name, fn in self.stages(eval_df):
             df = fn(df)
             counts[name] = df.count()
         return counts
@@ -94,6 +111,21 @@ class Curator:
                     F.col("quality_score") >= float(min_score)
                 )
             return df.select(*cols)
+
+        return fn
+
+    def _decontaminate_stage(self, cfg: dict, eval_df: DataFrame):
+        def fn(df: DataFrame) -> DataFrame:
+            from sarkac_spark.operators.dedup import cross_contamination
+
+            contaminated = cross_contamination(
+                df,
+                eval_df,
+                self.id_col,
+                self.text_col,
+                min_shared=int(cfg.get("min_shared", 1)),
+            ).select(F.col("train_id").alias(self.id_col)).distinct()
+            return df.join(contaminated, self.id_col, "left_anti")
 
         return fn
 

@@ -374,3 +374,29 @@ def test_remaining_stage_branches(spark, sf_dir):
 
     with pytest.raises(ValueError):
         streaming_histogram(None, "v", 5.0, 5.0)
+
+
+def test_curator_decontaminate_stage(spark, sf_dir):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.curator import Curator
+    from sarkac_spark.operators.dedup import cross_contamination
+    from sarkac_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    # "benchmark": a handful of real docs — their train-side shingle
+    # twins must be dropped
+    eval_df = d.filter(F.col("doc_id") % 100 == 0).select("doc_id", "text")
+    cur = Curator(spark, {"decontaminate": {"min_shared": 1}})
+    out = cur.apply(d, eval_df=eval_df)
+    dirty = {
+        r.train_id
+        for r in cross_contamination(d, eval_df, "doc_id", "text").collect()
+    }
+    assert dirty  # eval docs overlap themselves in train at minimum
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {r.doc_id for r in d.collect()} - dirty
+
+    with pytest.raises(ValueError):  # stage configured, eval_df missing
+        cur.apply(d)
