@@ -84,8 +84,11 @@ def main() -> None:
         {
             "quality": {"gopher": True},
             "dedup": {"exact": True},
+            "winnow": {"min_shared": 2},
             "domain_cap": {"domain_col": "source", "cap": 20,
                            "quality_col": "n_chars"},
+            "chunk": {"chunk_words": 40, "overlap": 8},
+            "pack": {"budget": 64, "n_groups": 4},
         },
     ).report(docs)
     print("\nCurator funnel:", funnel)

@@ -10,24 +10,49 @@ only action. Config shape (every key optional, applied in this order —
 cheap map-only gates before shuffling stages):
 
     Curator(spark, {
+        "quality":    {"gopher": True,         # Rae et al. rule gates
+                       "min_score": 0.5},      # quality_score cutoff
+        "decontaminate": {"min_shared": 1},    # drop eval-overlap docs
         "dedup":      {"exact": True,          # md5 canonicalization
                        "minhash": {"k": 16, "bands": 4,
                                    "threshold": 0.5}},  # near-dup drop
-        "quality":    {"gopher": True,         # Rae et al. rule gates
-                       "min_score": 0.5},      # quality_score cutoff
+        "winnow":     {"min_shared": 2},       # local-overlap drop
         "domain_cap": {"domain_col": "source", "cap": 1000,
                        "quality_col": "n_chars"},
         "sample":     {"temperature": 0.5,     # p_l ∝ count^alpha
                        "stratum_col": "lang"},
-        "decontaminate": {"min_shared": 1},    # drop eval-overlap docs
+        "chunk":      {"chunk_words": 40, "overlap": 8},
+        "pack":       {"budget": 2048},        # sequence packing plan
     })
 
+    Config keys above are listed in APPLICATION order (dict order in the
+    config does not matter — ``stages()`` fixes the order).
+
 ``apply(df)`` returns the curated DataFrame (same columns as the
-input); ``report(df)`` runs the plan once per stage boundary and
-returns the row-count funnel — the audit a pipeline operator actually
-wants before committing a 100 TB pass. The ``decontaminate`` stage
-needs the benchmark/eval corpus: pass ``eval_df=`` to ``apply``/
-``report`` (configuring the stage without it raises).
+input unless ``chunk``/``pack`` reshape the output — see below);
+``report(df)`` runs the plan once per stage boundary and returns the
+row-count funnel — the audit a pipeline operator actually wants before
+committing a 100 TB pass. Stages that need a second relation take it
+as an ``apply``/``report`` keyword (configuring the stage without it
+raises):
+
+- ``decontaminate`` needs the benchmark/eval corpus: ``eval_df=``.
+- ``dedup: {"incremental": True, ...}`` treats ``df`` as a NEW ingest
+  batch deduped against the already-committed corpus: ``corpus_df=``
+  (same id/text columns). Exact mode anti-joins the corpus's md5
+  digests (``incremental_exact_dedup``); minhash mode bands only the
+  batch side against the corpus (``dedup_minhash_incremental``) —
+  per-ingest cost scales with the batch, not the corpus. Committed
+  corpus rows are never dropped; a batch row loses to any corpus
+  near-dup and to lower-id batch mates.
+
+Output-shaping stages (always last; they CHANGE the schema):
+
+- ``chunk`` splits each doc into fixed word-budget chunks — output
+  rows are (id_col, chunk_id, chunk_uid, chunk_text, n_words).
+- ``pack`` appends a sequence-packing plan (pack_group, seq_id,
+  seq_pos) over whatever rows reach it (chunks if ``chunk`` ran,
+  else docs with a BPE-ish token count).
 """
 
 from __future__ import annotations
@@ -46,7 +71,8 @@ class Curator:
         text_col: str = "text",
     ) -> None:
         unknown = set(config) - {
-            "dedup", "quality", "domain_cap", "sample", "decontaminate"
+            "dedup", "quality", "domain_cap", "sample", "decontaminate",
+            "winnow", "chunk", "pack",
         }
         if unknown:
             raise ValueError(f"unknown curation stages: {sorted(unknown)}")
@@ -57,7 +83,9 @@ class Curator:
 
     # each stage: name -> transformation (pure, lazy)
     def stages(
-        self, eval_df: DataFrame | None = None
+        self,
+        eval_df: DataFrame | None = None,
+        corpus_df: DataFrame | None = None,
     ) -> list[tuple[str, Callable[[DataFrame], DataFrame]]]:
         out: list[tuple[str, Callable[[DataFrame], DataFrame]]] = []
         c = self.config
@@ -72,24 +100,47 @@ class Curator:
                 ("decontaminate", self._decontaminate_stage(c["decontaminate"], eval_df))
             )
         if "dedup" in c:
-            out.append(("dedup", self._dedup_stage(c["dedup"])))
+            if c["dedup"].get("incremental"):
+                if corpus_df is None:
+                    raise ValueError(
+                        "incremental dedup configured but no corpus_df passed"
+                    )
+                out.append(
+                    ("dedup", self._incremental_dedup_stage(c["dedup"], corpus_df))
+                )
+            else:
+                out.append(("dedup", self._dedup_stage(c["dedup"])))
+        if "winnow" in c:
+            out.append(("winnow", self._winnow_stage(c["winnow"])))
         if "domain_cap" in c:
             out.append(("domain_cap", self._domain_cap_stage(c["domain_cap"])))
         if "sample" in c:
             out.append(("sample", self._sample_stage(c["sample"])))
+        if "chunk" in c:
+            out.append(("chunk", self._chunk_stage(c["chunk"])))
+        if "pack" in c:
+            out.append(("pack", self._pack_stage(c["pack"])))
         return out
 
-    def apply(self, df: DataFrame, eval_df: DataFrame | None = None) -> DataFrame:
-        for _, fn in self.stages(eval_df):
+    def apply(
+        self,
+        df: DataFrame,
+        eval_df: DataFrame | None = None,
+        corpus_df: DataFrame | None = None,
+    ) -> DataFrame:
+        for _, fn in self.stages(eval_df, corpus_df):
             df = fn(df)
         return df
 
     def report(
-        self, df: DataFrame, eval_df: DataFrame | None = None
+        self,
+        df: DataFrame,
+        eval_df: DataFrame | None = None,
+        corpus_df: DataFrame | None = None,
     ) -> dict[str, int]:
         """Row-count funnel: input plus count after every stage."""
         counts = {"input": df.count()}
-        for name, fn in self.stages(eval_df):
+        for name, fn in self.stages(eval_df, corpus_df):
             df = fn(df)
             counts[name] = df.count()
         return counts
@@ -156,6 +207,124 @@ class Curator:
                 drop = pairs.select(F.col("id_b").alias(self.id_col)).distinct()
                 df = df.join(drop, self.id_col, "left_anti")
             return df.select(*cols)
+
+        return fn
+
+    def _incremental_dedup_stage(self, cfg: dict, corpus_df: DataFrame):
+        def fn(df: DataFrame) -> DataFrame:
+            cols = df.columns
+            if cfg.get("exact", True):
+                from sarkac_spark.operators.dedup import incremental_exact_dedup
+
+                seen = corpus_df.select(
+                    F.md5(F.col(self.text_col)).alias("text_hash")
+                )
+                df = incremental_exact_dedup(
+                    df, seen, self.id_col, self.text_col
+                ).select(*cols)
+            mh = cfg.get("minhash")
+            if mh:
+                from sarkac_spark.operators.dedup import dedup_minhash_incremental
+
+                base = [self.id_col, self.text_col]
+                combined = (
+                    corpus_df.select(*base).withColumn("__new", F.lit(False))
+                ).unionByName(
+                    df.select(*base).withColumn("__new", F.lit(True))
+                )
+                pairs = dedup_minhash_incremental(
+                    combined,
+                    self.id_col,
+                    self.text_col,
+                    "__new",
+                    k=int(mh.get("k", 16)),
+                    bands=int(mh.get("bands", 4)),
+                    threshold=float(mh.get("threshold", 0.5)),
+                )
+                # committed corpus rows never lose: a batch row is dropped
+                # when it pairs with a corpus row (either side of the
+                # ordered pair) or with a LOWER-id batch mate (id_b side)
+                flags = combined.select(
+                    F.col(self.id_col).alias("__fid"), "__new"
+                )
+                sided = (
+                    pairs.join(
+                        flags.withColumnRenamed("__fid", "id_a")
+                        .withColumnRenamed("__new", "__new_a"),
+                        "id_a",
+                    )
+                    .join(
+                        flags.withColumnRenamed("__fid", "id_b")
+                        .withColumnRenamed("__new", "__new_b"),
+                        "id_b",
+                    )
+                )
+                drop = sided.select(
+                    F.when(
+                        F.col("__new_a") & ~F.col("__new_b"), F.col("id_a")
+                    )
+                    .otherwise(F.col("id_b"))
+                    .alias(self.id_col)
+                ).distinct()
+                df = df.join(drop, self.id_col, "left_anti")
+            return df.select(*cols)
+
+        return fn
+
+    def _winnow_stage(self, cfg: dict):
+        def fn(df: DataFrame) -> DataFrame:
+            from sarkac_spark.operators.dedup import winnow_pairs
+
+            pairs = winnow_pairs(
+                df,
+                self.id_col,
+                self.text_col,
+                k=int(cfg.get("k", 3)),
+                w=int(cfg.get("w", 4)),
+                min_shared=int(cfg.get("min_shared", 2)),
+                max_df=cfg.get("max_df", 256),
+            )
+            # keep-lowest-id: drop the larger side of each overlap pair
+            drop = pairs.select(F.col("id_b").alias(self.id_col)).distinct()
+            return df.join(drop, self.id_col, "left_anti")
+
+        return fn
+
+    def _chunk_stage(self, cfg: dict):
+        def fn(df: DataFrame) -> DataFrame:
+            from sarkac_spark.operators.text import chunk_documents
+
+            chunks = chunk_documents(
+                df,
+                self.id_col,
+                self.text_col,
+                chunk_words=int(cfg.get("chunk_words", 40)),
+                overlap=int(cfg.get("overlap", 8)),
+            )
+            return chunks.withColumn(
+                "chunk_uid",
+                F.concat_ws("#", F.col(self.id_col).cast("string"), "chunk_id"),
+            )
+
+        return fn
+
+    def _pack_stage(self, cfg: dict):
+        def fn(df: DataFrame) -> DataFrame:
+            from sarkac_spark.operators.sampling import pack_sequences
+
+            if "chunk_uid" in df.columns:  # packing chunk rows
+                id_col, tokens = "chunk_uid", F.col("n_words")
+            else:
+                from sarkac_spark.operators.text import bpe_ish_token_count
+
+                id_col, tokens = self.id_col, bpe_ish_token_count(self.text_col)
+            return pack_sequences(
+                df,
+                id_col,
+                tokens,
+                budget=int(cfg.get("budget", 2048)),
+                n_groups=int(cfg.get("n_groups", 64)),
+            )
 
         return fn
 

@@ -16,6 +16,16 @@ Models:
 
 These are not SQL-expressible (iterative training), so the driver records
 rows-only checks for their queries; determinism comes from fixed seeds.
+
+Scoring-only twins (oracle-checkable): the *fits* are iterative, but
+once the fit parameters exist the scoring stage of each model is pure
+relational arithmetic a DuckDB oracle can verify — distance-to-center
+(KMeans), floor(dot/bucketLength) occupancy (random-projection LSH),
+per-table min-hash signature match + exact Jaccard (MinHashLSH's
+approxSimilarityJoin). ``kmeans_score_1d`` / ``projection_density_score``
+/ ``minhash_table_pairs`` below take the parameters as explicit values
+(materialized literals), so the driver's hash gate covers the scoring
+arithmetic while the fit itself stays rows-only checked.
 """
 
 from __future__ import annotations
@@ -167,12 +177,17 @@ def mllib_minhash_pairs(
     cv = CountVectorizer(
         inputCol="__words", outputCol="__tf", binary=True, minDF=1.0
     ).fit(tokens)
-    # persist: the vectors are read three times (MinHashLSH.fit plus both
-    # legs of the self-similarity join), and each re-read would otherwise
-    # re-run the shingle explode + collect_set + vectorize lineage —
-    # measured ~30% of query wall. Size is |docs| x nnz(shingle) ids,
-    # MEMORY_AND_DISK default spills rather than OOMs at scale.
-    vecs = cv.transform(tokens).select(id_col, "__tf").persist()
+    # localCheckpoint (not persist): the vectors are read three times
+    # (MinHashLSH.fit plus both legs of the self-similarity join), and
+    # each re-read would otherwise re-run the shingle explode +
+    # collect_set + vectorize lineage — measured ~30% of query wall.
+    # An explicit .persist() here leaked for the session (the returned
+    # DataFrame's lineage pins the cache, so there is no safe place to
+    # unpersist before the caller's action, and CacheManager never
+    # auto-evicts); localCheckpoint materializes the same bounded
+    # relation (|docs| x nnz(shingle) ids) but its RDD blocks are
+    # reclaimed by the ContextCleaner once the result is unreferenced.
+    vecs = cv.transform(tokens).select(id_col, "__tf").localCheckpoint()
     mh = MinHashLSH(
         inputCol="__tf", outputCol="__hashes", numHashTables=num_tables, seed=seed
     ).fit(vecs)
@@ -184,4 +199,205 @@ def mllib_minhash_pairs(
             F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard_sim"),
         )
         .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+# --- scoring-only twins (oracle-checkable; fit params as literals) ----------
+
+# Canonical 1-D centers: the seeded sf0.01 fit of the kmeans_anomaly
+# query (KMeans k=4 seed=42 maxIter=10 over events.value), rounded to 6
+# decimals. Scoring correctness is independent of where centers come
+# from — these literals let DuckDB verify the exact same arithmetic.
+KMEANS_SCORING_CENTERS = [16.411155, 211.961906, 116.319178, 58.371968]
+
+
+def kmeans_score_1d(
+    df: DataFrame,
+    value_col: str,
+    centers: list[float],
+    quantile: float = 0.99,
+) -> DataFrame:
+    """KMeans SCORING stage over a 1-D feature with given centers: assign
+    each row to its nearest center (ties to the lowest cluster id),
+    distance = |value - center| rounded to 6, threshold = the EXACT
+    interpolated ``quantile`` of the distance distribution (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, both (n-1)*q linear
+    interpolation — unlike ``approxQuantile``'s engine-private sketch).
+    Returns input + (cluster, dist, threshold, is_anomaly).
+
+    Scale shape: scoring is map-only over the corpus (the centers ride
+    as an array literal); the only aggregate is the quantile, a single
+    exact percentile over the scored relation — replace with the
+    histogram sketch at 100 TB if the distance sort becomes the
+    bottleneck (operators/sketch.histogram_quantiles).
+    """
+    v = F.col(value_col).cast("double")
+    dists = F.array(*[F.round(F.abs(v - F.lit(float(c))), 6) for c in centers])
+    mind = F.array_min(dists)
+    scored = (
+        df.withColumn("dist", mind)
+        .withColumn(
+            "cluster", (F.array_position(dists, F.col("dist")) - 1).cast("int")
+        )
+    )
+    thr = scored.agg(
+        F.round(F.expr(f"percentile(dist, {quantile})"), 6).alias("threshold")
+    )
+    return scored.crossJoin(F.broadcast(thr)).withColumn(
+        "is_anomaly", F.col("dist") > F.col("threshold")
+    )
+
+
+def projection_density_score(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 3,
+    bucket_length: float = 0.5,
+    salt: str = "mllsh",
+    quantile: float = 0.1,
+) -> DataFrame:
+    """Random-projection LSH density SCORING with deterministic planes:
+    bucket_t = floor(round(dot(v, plane_t), 6) / bucket_length) — exactly
+    BucketedRandomProjectionLSH's hash algebra, with md5-derived
+    Rademacher planes instead of the fit's private Gaussians (Charikar'02:
+    symmetric independent coordinates suffice), so any engine rebuilds
+    the same buckets. Occupancy per (table, bucket), mean over tables per
+    id; anomalies = mean occupancy <= the EXACT ``quantile`` (bottom
+    decile by default). Returns (id, mean_bucket_size, is_anomaly).
+
+    Shape: one corpus scan for assignment (planes are one array literal,
+    dots one higher-order transform), one bucket-sized aggregation, one
+    equi-join back — the n_tables explode factor is map-side combined.
+    """
+    from sarkac_spark.operators.similarity import _as_double, _dot
+    from sarkac_spark.operators.similarity import _rademacher_hyperplanes
+
+    planes = _rademacher_hyperplanes(n_tables, dim, salt)
+    planes_lit = F.array(*[F.array(*[F.lit(s) for s in hv]) for hv in planes])
+    vec = _as_double(vec_col)
+    dots = F.transform(planes_lit, lambda hv: F.round(_dot(vec, hv), 6))
+    with_dots = df.select(F.col(id_col), dots.alias("__dots"))
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("int").alias("t"),
+                F.floor(
+                    F.element_at(F.col("__dots"), t + 1) / F.lit(bucket_length)
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    assigned = with_dots.select(
+        F.col(id_col), F.explode(tables).alias("tb")
+    ).select(id_col, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    occ = assigned.groupBy("t", "bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
+    per_id = (
+        assigned.join(occ, ["t", "bucket"])
+        .groupBy(id_col)
+        .agg(F.round(F.avg("bucket_n"), 6).alias("mean_bucket_size"))
+    )
+    thr = per_id.agg(
+        F.round(
+            F.expr(f"percentile(mean_bucket_size, {quantile})"), 6
+        ).alias("__thr")
+    )
+    return (
+        per_id.crossJoin(F.broadcast(thr))
+        .withColumn("is_anomaly", F.col("mean_bucket_size") <= F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+def minhash_table_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tables: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    lcg_offset: int = 16,
+) -> DataFrame:
+    """MinHashLSH approxSimilarityJoin SCORING algebra with deterministic
+    coefficients: ``n_tables`` independent single-hash tables (signature
+    = min over shingle hashes of the table's LCG variant — MLlib's
+    numHashTables banding is exactly this OR-amplification), candidate
+    pairs match on ANY table's signature, survivors get their EXACT
+    Jaccard from the shingle-hash sets (approxSimilarityJoin's distCol
+    recompute). Returns (id_a, id_b, jaccard_sim >= threshold), id_a <
+    id_b. ``lcg_offset`` picks table coefficients disjoint from
+    ``dedup_minhash``'s signature family (indices 0..k-1).
+
+    Shape: the pair join is banded (per-table signature equi-join), the
+    Jaccard recompute touches candidate pairs only — the same
+    never-all-pairs discipline as operators/dedup.
+    """
+    from sarkac_spark.operators.dedup import (
+        MINHASH_P,
+        _LCG_A,
+        _LCG_B,
+        _hashed_shingles,
+    )
+
+    hashed = _hashed_shingles(df, id_col, text_col, shingle_n)
+    sig_aggs = [
+        F.min(
+            (
+                F.lit(_LCG_A[lcg_offset + t] % MINHASH_P) * F.col("h")
+                + F.lit(_LCG_B[lcg_offset + t] % MINHASH_P)
+            )
+            % MINHASH_P
+        ).alias(f"sig_{t}")
+        for t in range(n_tables)
+    ]
+    sigs = hashed.groupBy(id_col).agg(*sig_aggs)
+    tables = F.array(
+        *[
+            F.struct(F.lit(t).cast("int").alias("t"), F.col(f"sig_{t}").alias("sig"))
+            for t in range(n_tables)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(tables).alias("tb")).select(
+        id_col, F.col("tb.t").alias("t"), F.col("tb.sig").alias("sig")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, ["t", "sig"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    ha = hashed.select(F.col(id_col).alias("id_a"), "h")
+    hb = hashed.select(F.col(id_col).alias("id_b"), "h")
+    inter = (
+        cands.join(ha, "id_a")
+        .join(hb, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count_distinct("h").alias("__inter"))
+    )
+    sizes = hashed.groupBy(id_col).agg(F.count_distinct("h").alias("__n"))
+    jac = F.round(
+        F.col("__inter")
+        / (F.col("__na") + F.col("__nb") - F.col("__inter")),
+        6,
+    )
+    # no broadcast hint: ``sizes`` is corpus-sized; AQE broadcasts the
+    # (small) surviving-pair side instead when it fits
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb")),
+            "id_b",
+        )
+        .withColumn("jaccard_sim", jac)
+        .filter(F.col("jaccard_sim") >= float(threshold))
+        .select("id_a", "id_b", "jaccard_sim")
     )

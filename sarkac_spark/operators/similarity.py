@@ -484,8 +484,11 @@ def assign_buckets(
         return base.select(
             F.col(id_col), best.getField("bucket").alias("bucket"), "vec"
         )
+    # same cast as the n_best=1 fast path, so the output bucket schema is
+    # independent of n_best (both branches emit bucket: long)
     c = centroids.select(
-        F.col(centroid_id_col).alias("bucket"), _as_double(vec_col).alias("cent_vec")
+        F.col(centroid_id_col).cast("long").alias("bucket"),
+        _as_double(vec_col).alias("cent_vec"),
     ).withColumn("cent_norm", norm(F.col("cent_vec")))
     scored = (
         corpus.select(F.col(id_col), _as_double(vec_col).alias("vec"))

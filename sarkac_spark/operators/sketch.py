@@ -60,7 +60,14 @@ def count_min_sketch(
 
     One scan, one sketch-sized shuffle (the explode factor is
     ``depth``, collapsed by map-side combine before the exchange).
+
+    NULL values are dropped up front: md5(concat(...)) of a NULL is
+    NULL, so null rows would otherwise pile weight into a (d, NULL)
+    bucket no probe can ever read — silently inflating nothing and
+    distorting totals. Same filter on the probe side (`cms_estimate`),
+    so NULL never appears as an item there either.
     """
+    df = df.filter(F.col(col).isNotNull())
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     rows = F.array(
         *[
@@ -106,7 +113,9 @@ def cms_estimate(
             for d in range(depth)
         ]
     )
-    probes = items.select(F.col(col), F.explode(rows).alias("rb")).select(
+    probes = items.filter(F.col(col).isNotNull()).select(
+        F.col(col), F.explode(rows).alias("rb")
+    ).select(
         col, F.col("rb.d").alias("d"), F.col("rb.bucket").alias("bucket")
     )
     return (
@@ -183,10 +192,14 @@ def hll_registers(
     """The mergeable sketch state: (groups..., idx, M) with
     M = max rank per register — at most ``2^b`` rows per group. Merging
     two register sets is ``max`` per idx, which is why the streaming
-    twin can emit these incrementally."""
+    twin can emit these incrementally. NULL values are dropped up
+    front (a NULL hashes to a NULL register index whose NULL rank
+    would skew the estimate's register count) — SQL COUNT(DISTINCT)
+    ignores NULLs too, so this matches the exact semantics."""
     idx, rho = hll_rho(col, b)
     return (
-        df.select(*group_cols, idx.alias("idx"), rho.alias("__rho"))
+        df.filter(F.col(col).isNotNull())
+        .select(*group_cols, idx.alias("idx"), rho.alias("__rho"))
         .groupBy(*group_cols, "idx")
         .agg(F.max("__rho").alias("M"))
     )
@@ -251,6 +264,10 @@ def histogram_quantiles(
 
     groups = list(group_cols or [])
     v = F.col(col).cast("double")
+    # NULLs out up front: count(v) already ignores them, but a NULL bin
+    # row would sort first under the cumulative window and shift every
+    # quantile edge
+    df = df.filter(F.col(col).isNotNull())
     bounds = df.groupBy(*groups).agg(
         F.min(v).alias("__mn"),
         F.max(v).alias("__mx"),

@@ -10,6 +10,7 @@ sorts columns by name before hashing).
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Callable
 from pathlib import Path
 
@@ -50,18 +51,24 @@ _PRIORITY = [
 ]
 
 
-def driver_green_queries(root: Path | None = None) -> set[str]:
-    """Names with a green driver row in any CORRECTNESS_r*.json under
-    ``root`` (default: this repo's top level). Green = hash_match is true,
-    or the row is the documented rows-only check (err == "no_oracle") —
-    either way the driver has proven it, so it doesn't need a head slot."""
+def driver_green_rounds(root: Path | None = None) -> dict[str, int]:
+    """name -> LATEST round whose CORRECTNESS_r{N}.json has a green driver
+    row for it, under ``root`` (default: this repo's top level). Green =
+    hash_match is true, or the row is the documented rows-only check
+    (err == "no_oracle") — either way the driver has proven it that round.
+    Keeping the round (not a flat set) is what lets ``sweep_order`` rotate:
+    with every query green, ordering the tail least-recently-proven-first
+    means each 50-slot driver sweep refreshes the 50 stalest proofs instead
+    of re-proving the same 50 forever (VERDICT.md round 4, gap #1)."""
     root = root or Path(__file__).resolve().parents[2]
-    green: set[str] = set()
+    green: dict[str, int] = {}
     try:
         records = sorted(root.glob("CORRECTNESS_r*.json"))
     except OSError:
         return green
     for path in records:
+        m = re.search(r"CORRECTNESS_r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             data = json.loads(path.read_text())
         except (OSError, ValueError):
@@ -72,19 +79,36 @@ def driver_green_queries(root: Path | None = None) -> set[str]:
             if not isinstance(row, dict):
                 continue
             if row.get("hash_match") is True or row.get("err") == "no_oracle":
-                green.add(name)
+                green[name] = max(green.get(name, 0), rnd)
     return green
 
 
-def sweep_order(names, green: set[str] | None = None) -> list[str]:
+def driver_green_queries(root: Path | None = None) -> set[str]:
+    """Flat-set view of ``driver_green_rounds`` (names with any green
+    driver row)."""
+    return set(driver_green_rounds(root))
+
+
+def sweep_order(names, green: set[str] | dict[str, int] | None = None) -> list[str]:
     """Driver sweep order: never-driver-green queries first (module order
-    preserved within each group). Falls back to the static _PRIORITY head
-    when no driver records exist at all."""
+    preserved among themselves), then the green tail ordered OLDEST latest
+    green round first (module order within a round) — so the driver's
+    capped per-round sweep always refreshes the least-recently-proven
+    proofs. A flat set for ``green`` (no round info) preserves module
+    order within the tail. Falls back to the static _PRIORITY head when
+    no driver records exist at all."""
     names = list(names)
     if green is None:
-        green = driver_green_queries()
+        green = driver_green_rounds()
+    if isinstance(green, set):
+        green = dict.fromkeys(green, 0)
     if green:
-        return [n for n in names if n not in green] + [n for n in names if n in green]
+        pos = {n: i for i, n in enumerate(names)}
+        head = [n for n in names if n not in green]
+        tail = sorted(
+            (n for n in names if n in green), key=lambda n: (green[n], pos[n])
+        )
+        return head + tail
     head = [n for n in _PRIORITY if n in names]
     return head + [n for n in names if n not in head]
 

@@ -1,7 +1,18 @@
 """MLlib anomaly-model queries (BASELINE.json north star: "MLlib anomaly
-detection"). Iterative training isn't ANSI-SQL-expressible, so these have
-NO oracle entries — the driver records rows-only checks (the documented
-weaker path). Determinism: fixed seeds, deterministic thresholds.
+detection"). Iterative training isn't ANSI-SQL-expressible, so the three
+model queries have NO oracle entries — the driver records rows-only
+checks (the documented weaker path). Determinism: fixed seeds,
+deterministic thresholds.
+
+The ``*_scoring`` variants close the gap the rows-only checks leave
+(VERDICT.md round 4, next-round #2): with the fit parameters
+materialized as literals (KMeans centers from the seeded sf0.01 fit;
+md5-derived Rademacher planes; deterministic LCG hash coefficients),
+each model's SCORING stage is pure relational arithmetic —
+distance-to-center + exact-percentile threshold, floor(dot/bucketLength)
+occupancy, per-table signature match + exact Jaccard — that DuckDB
+verifies value-by-value. The fit itself remains rows-only checked via
+the original queries.
 """
 
 from __future__ import annotations
@@ -9,11 +20,23 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sarkac_spark.operators.mllib_anomaly import (
+    KMEANS_SCORING_CENTERS,
     kmeans_anomaly,
+    kmeans_score_1d,
     lsh_neighbor_anomaly,
+    minhash_table_pairs,
     mllib_minhash_pairs,
+    projection_density_score,
 )
+from sarkac_spark.operators.dedup import MINHASH_P, _LCG_A, _LCG_B
+from sarkac_spark.queries.llm import _SHINGLES_CTE
 from sarkac_spark.sources.tables import load_table
+
+LSH_SCORE_TABLES = 3
+LSH_SCORE_BUCKET_LEN = 0.5
+MH_SCORE_TABLES = 8
+MH_SCORE_OFFSET = 16  # LCG indices disjoint from dedup_minhash's 0..15
+EMB_DIM = 64
 
 
 def q_kmeans_anomaly(spark, sf_dir):
@@ -36,10 +59,145 @@ def q_mllib_minhash(spark, sf_dir):
     return mllib_minhash_pairs(docs, threshold=0.5)
 
 
+def q_kmeans_scoring(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = kmeans_score_1d(
+        ev.select("event_id", "value"), "value", KMEANS_SCORING_CENTERS
+    )
+    return out.filter("is_anomaly").select("event_id", "cluster", "dist")
+
+
+def q_lsh_scoring(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = projection_density_score(
+        emb,
+        dim=EMB_DIM,
+        n_tables=LSH_SCORE_TABLES,
+        bucket_length=LSH_SCORE_BUCKET_LEN,
+    )
+    return out.filter("is_anomaly").select("vec_id", "mean_bucket_size")
+
+
+def q_minhash_scoring(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_table_pairs(
+        docs, n_tables=MH_SCORE_TABLES, threshold=0.5, lcg_offset=MH_SCORE_OFFSET
+    )
+
+
+def _kmeans_scoring_sql() -> str:
+    values = ", ".join(
+        f"({i}, {c})" for i, c in enumerate(KMEANS_SCORING_CENTERS)
+    )
+    return f"""
+WITH cents AS (SELECT * FROM (VALUES {values}) AS t(cluster, center)),
+d AS (
+  SELECT e.event_id, c.cluster, round(abs(e.value - c.center), 6) AS dist
+  FROM events e CROSS JOIN cents c
+),
+best AS (
+  SELECT event_id, cluster, dist FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_id ORDER BY dist, cluster
+    ) AS rn FROM d
+  ) WHERE rn = 1
+),
+thr AS (SELECT round(quantile_cont(dist, 0.99), 6) AS threshold FROM best)
+SELECT b.event_id, b.cluster, b.dist FROM best b, thr
+WHERE b.dist > thr.threshold
+"""
+
+
+def _lsh_scoring_sql() -> str:
+    return f"""
+WITH hp AS (
+  SELECT j, list(
+    CASE WHEN ('0x' || substr(md5('mllsh|' || j || ':' || d), 1, 15))::BIGINT % 2 = 0
+         THEN 1.0 ELSE -1.0 END ORDER BY d) AS hv
+  FROM range({LSH_SCORE_TABLES}) t1(j) CROSS JOIN range({EMB_DIM}) t2(d)
+  GROUP BY j
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+asg AS (
+  SELECT e.vec_id, hp.j AS t,
+         CAST(floor(round(list_dot_product(e.v, hp.hv), 6)
+                    / {LSH_SCORE_BUCKET_LEN}) AS BIGINT) AS bucket
+  FROM e CROSS JOIN hp
+),
+occ AS (SELECT t, bucket, count(*) AS bucket_n FROM asg GROUP BY t, bucket),
+per_id AS (
+  SELECT a.vec_id, round(avg(o.bucket_n), 6) AS mean_bucket_size
+  FROM asg a JOIN occ o ON o.t = a.t AND o.bucket = a.bucket
+  GROUP BY a.vec_id
+),
+thr AS (
+  SELECT round(quantile_cont(mean_bucket_size, 0.1), 6) AS threshold
+  FROM per_id
+)
+SELECT p.vec_id, p.mean_bucket_size FROM per_id p, thr
+WHERE p.mean_bucket_size <= thr.threshold
+"""
+
+
+def _minhash_scoring_sql() -> str:
+    sig_aggs = ",\n    ".join(
+        f"min(({_LCG_A[MH_SCORE_OFFSET + t] % MINHASH_P} * h + "
+        f"{_LCG_B[MH_SCORE_OFFSET + t] % MINHASH_P}) % {MINHASH_P}) AS sig_{t}"
+        for t in range(MH_SCORE_TABLES)
+    )
+    table_keys = ",\n      ".join(
+        f"'{t}|' || sig_{t}::varchar" for t in range(MH_SCORE_TABLES)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::bigint % {MINHASH_P} AS h
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id, {sig_aggs}
+  FROM hashed GROUP BY doc_id
+),
+tabs AS (
+  SELECT doc_id, UNNEST([
+      {table_keys}
+  ]) AS tkey FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM tabs a JOIN tabs b ON a.tkey = b.tkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN hashed sa ON sa.doc_id = c.id_a
+  JOIN hashed sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(i.i / (na.n + nb.n - i.i), 6) AS jaccard_sim
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE round(i.i / (na.n + nb.n - i.i), 6) >= 0.5
+"""
+
+
 QUERIES = {
     "kmeans_anomaly": q_kmeans_anomaly,
     "lsh_isolation": q_lsh_isolation,
     "mllib_minhash": q_mllib_minhash,
+    "kmeans_scoring": q_kmeans_scoring,
+    "lsh_scoring": q_lsh_scoring,
+    "minhash_scoring": q_minhash_scoring,
 }
 
-ORACLE: dict[str, str] = {}  # rows-only: iterative MLlib training
+# the three fit queries stay rows-only (iterative MLlib training); the
+# scoring twins carry full value-hash oracles
+ORACLE: dict[str, str] = {
+    "kmeans_scoring": _kmeans_scoring_sql(),
+    "lsh_scoring": _lsh_scoring_sql(),
+    "minhash_scoring": _minhash_scoring_sql(),
+}

@@ -64,6 +64,7 @@ class Sarkac:
         self._pending_restart = False
         self._discovery_query = None
         self._envelope_stream = None
+        self._kafka_internal = False
         self._trigger_seconds = DEFAULT_ANOMALY_SCAN_SECONDS
 
     # -- events (reference EventEmitter surface, Sarkac.js:55-68) ----------
@@ -89,6 +90,7 @@ class Sarkac:
         """Start the engine. Either pass a prepared envelope stream
         (topic, key, value, ts) — any source — or configure ``kafka`` in
         the config dict to consume like the reference does."""
+        self._kafka_internal = envelope_stream is None
         if envelope_stream is None:
             kcfg = self.config.get("kafka")
             if not kcfg:
@@ -206,7 +208,16 @@ class Sarkac:
         self._pending_restart = False
         self.query.stop()
         self.query = None
-        self.analyse(self._envelope_stream, trigger_seconds=self._trigger_seconds)
+        # When the stream was built internally from kafka config with an
+        # explicit topic list (dsl.kafka_topics() at first analyse), the
+        # cached pre-merge stream would keep the STALE subscription — a
+        # discovery-added topic's data would never be consumed (the
+        # reference re-subscribes its consumer on DSL change,
+        # Stream.js:145-152). Rebuild from the merged DSL instead; with a
+        # subscribePattern the rebuild is a no-op-equivalent (same
+        # pattern), and user-supplied streams are reused as-is.
+        stream = None if self._kafka_internal else self._envelope_stream
+        self.analyse(stream, trigger_seconds=self._trigger_seconds)
         return True
 
     def anomalies(self) -> DataFrame:

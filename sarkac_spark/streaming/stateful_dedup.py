@@ -42,7 +42,9 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 STATE_SCHEMA = "rep_vecs array<array<double>>"
-OUT_SCHEMA = "vec_id long, bucket long, kept long, event_ts_us long"
+OUT_SCHEMA = (
+    "vec_id long, bucket long, kept long, saturated long, event_ts_us long"
+)
 
 
 def streaming_semantic_dedup(
@@ -57,8 +59,14 @@ def streaming_semantic_dedup(
     max_reps_per_bucket: int = 4096,
     round_digits: int = 6,
 ) -> DataFrame:
-    """Output (append): (vec_id, bucket, kept, event_ts_us) — kept=0
-    rows are the near-duplicates to discard downstream."""
+    """Output (append): (vec_id, bucket, kept, saturated, event_ts_us) —
+    kept=0 rows are the near-duplicates to discard downstream.
+    ``saturated=1`` marks a kept row that arrived while its bucket's rep
+    list was at ``max_reps_per_bucket`` and therefore was NOT added as a
+    representative: future duplicates of THAT row can no longer be
+    caught (the documented cap degradation — missed dups only, never
+    false drops). ``sum(saturated)`` per bucket is the operator-visible
+    saturation meter: non-zero means grow the cap or shrink tau."""
     from sarkac_spark.operators.similarity import (
         _as_double,
         bucket_from_dots,
@@ -101,6 +109,7 @@ def streaming_semantic_dedup(
             ts_us = ser.astype("datetime64[us]").astype("int64").to_numpy()
             vecs = np.asarray(list(pdf["__v"]), dtype=np.float64)
             kept_flags = np.ones(len(pdf), dtype=np.int64)
+            sat_flags = np.zeros(len(pdf), dtype=np.int64)
             for i in range(len(pdf)):
                 v = vecs[i]
                 nv = float(np.linalg.norm(v))
@@ -120,11 +129,16 @@ def streaming_semantic_dedup(
                         else v[None, :].copy()
                     )
                     rep_norms = np.append(rep_norms, nv)
+                else:
+                    # cap degradation, made observable: kept but NOT
+                    # representing — its future dups go undetected
+                    sat_flags[i] = 1
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
                     "bucket": np.full(len(pdf), key[0], dtype=np.int64),
                     "kept": kept_flags,
+                    "saturated": sat_flags,
                     "event_ts_us": ts_us,
                 }
             )

@@ -682,6 +682,83 @@ def test_streaming_semantic_dedup(spark, tmp_path):
     assert {i: got[i].bucket for i in got} == {i: batch[i].bucket for i in batch}
 
 
+def test_streaming_semantic_dedup_cap_saturation(spark, tmp_path):
+    """Driving one bucket past max_reps_per_bucket must (a) never
+    false-drop a distinct vector, (b) flag every kept-but-not-representing
+    arrival via the ``saturated`` column, and (c) exhibit exactly the
+    documented degradation: a dup of a PRE-cap representative still
+    drops, a dup of a POST-cap kept row is missed (kept)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from sarkac_spark.operators.similarity import semantic_dedup
+    from sarkac_spark.streaming.stateful_dedup import streaming_semantic_dedup
+
+    rng = np.random.default_rng(7)
+    pool = [[float(x) for x in rng.normal(size=16)] for _ in range(120)]
+    pool_rows = [(i, v) for i, v in enumerate(pool)]
+    buckets = {
+        r.vec_id: r.bucket
+        for r in semantic_dedup(
+            spark.createDataFrame(
+                pool_rows, "vec_id long, embedding array<double>"
+            ),
+            dim=16,
+            n_bits=2,
+            tau=0.9,
+        ).collect()
+    }
+    # 4 distinct vectors from ONE bucket; seeded gaussians in 16-d stay
+    # far below tau pairwise (asserted as a precondition)
+    target = buckets[0]
+    same = [pool[i] for i in sorted(buckets) if buckets[i] == target][:4]
+    assert len(same) == 4
+    m = np.asarray(same)
+    sims = (m @ m.T) / np.outer(
+        np.linalg.norm(m, axis=1), np.linalg.norm(m, axis=1)
+    )
+    assert float(np.max(sims - np.eye(4))) < 0.9
+
+    t0 = dt.datetime(2024, 1, 1)
+    b1 = [
+        (i, same[i], t0 + dt.timedelta(seconds=i)) for i in range(4)
+    ]  # cap=2: v0,v1 become reps; v2,v3 kept + saturated
+    b2 = [
+        (10, same[0], t0 + dt.timedelta(seconds=10)),  # dup of a rep -> drop
+        (11, same[2], t0 + dt.timedelta(seconds=11)),  # dup of post-cap -> MISSED
+    ]
+    schema = "vec_id long, embedding array<double>, ts timestamp"
+    src = tmp_path / "sat_src"
+    for n, batch in enumerate([b1, b2]):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(src / f"b{n}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_semantic_dedup(
+            stream, dim=16, n_bits=2, tau=0.9, max_reps_per_bucket=2
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("semdedup_sat")
+        .option("checkpointLocation", str(tmp_path / "sat_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.vec_id: r for r in spark.sql("SELECT * FROM semdedup_sat").collect()}
+    assert {i for i in got if got[i].kept == 1} == {0, 1, 2, 3, 11}
+    assert got[10].kept == 0                       # pre-cap rep still catches
+    assert got[11].kept == 1 and got[11].saturated == 1  # the documented miss
+    assert {i for i in got if got[i].saturated == 1} == {2, 3, 11}
+    assert all(got[i].saturated == 0 for i in (0, 1, 10))
+
+
 def test_streaming_count_min(spark, tmp_path):
     """The per-window sketch emitted by the stream must agree with the
     batch sketch built over the same window's rows, and estimates

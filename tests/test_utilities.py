@@ -176,6 +176,41 @@ def test_sweep_order_self_maintaining(tmp_path):
     assert sweep_order(["ivf_probe2", "x"], empty)[0] == "ivf_probe2"
 
 
+def test_sweep_order_rotates_least_recently_proven_first(tmp_path):
+    """With every query green, the sweep must NOT degenerate to fixed
+    module order (VERDICT.md round 4, gap #1): the green tail is ordered
+    by oldest LATEST-green round first, so the driver's capped sweep
+    refreshes stale proofs instead of re-proving last round's 50."""
+    import json
+
+    from sarkac_spark.queries import driver_green_rounds, sweep_order
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {"hash_match": True} for n in ["a", "b", "c"]})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps(
+            {
+                "b": {"hash_match": True},            # re-proven in r02
+                "d": {"hash_match": None, "err": "no_oracle"},
+            }
+        )
+    )
+    rounds = driver_green_rounds(root=tmp_path)
+    assert rounds == {"a": 1, "b": 2, "c": 1, "d": 2}
+    names = ["a", "b", "c", "d", "new1"]
+    # never-green first; then r01-proven (module order); then r02-proven
+    assert sweep_order(names, rounds) == ["new1", "a", "c", "b", "d"]
+    # the real registry: whatever is green, the tail must be sorted by
+    # latest-green round (non-decreasing) after the never-green head
+    from sarkac_spark.queries import all_queries
+
+    real = driver_green_rounds()
+    ordered = list(all_queries())
+    tail_rounds = [real[n] for n in ordered if n in real]
+    assert tail_rounds == sorted(tail_rounds)
+
+
 def test_check_oracle_kind_mismatch_detector():
     """The local gate must flag spark-int vs duck-float columns (the
     pandas HUGEINT widening class the %.10g collapse hides) and stay
@@ -253,6 +288,123 @@ def test_curator_facade(spark, sf_dir):
 
     with pytest.raises(ValueError):
         Curator(spark, {"nope": {}})
+
+
+def test_curator_winnow_chunk_pack_stages(spark, sf_dir):
+    """Round-5 stages: winnow (local-overlap drop) equals the hand-built
+    keep-lowest-id composition; chunk/pack reshape the output into the
+    training-sequence plan; the full funnel exercises every stage in
+    application order."""
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.curator import Curator
+    from sarkac_spark.operators.dedup import winnow_pairs
+    from sarkac_spark.operators.text import chunk_documents
+    from sarkac_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+
+    # winnow stage == direct operator composition
+    out = Curator(spark, {"winnow": {"min_shared": 2}}).apply(d)
+    drop = {
+        r.id_b for r in winnow_pairs(d, "doc_id", "text", min_shared=2).collect()
+    }
+    assert drop  # fixture plants local overlaps
+    assert {r.doc_id for r in out.collect()} == {
+        r.doc_id for r in d.collect()
+    } - drop
+
+    # chunk -> pack: chunk rows carry a unique chunk_uid; pack appends the
+    # sequence plan over the chunk rows without changing their count
+    shaped = Curator(
+        spark, {"chunk": {"chunk_words": 40, "overlap": 8},
+                "pack": {"budget": 64, "n_groups": 4}}
+    ).apply(d)
+    n_chunks = chunk_documents(d, "doc_id", "text", 40, 8).count()
+    assert shaped.count() == n_chunks
+    assert {"chunk_uid", "pack_group", "seq_id", "seq_pos"} <= set(shaped.columns)
+    assert shaped.select("chunk_uid").distinct().count() == n_chunks
+    # pack without chunk: doc rows + plan columns, BPE-ish token counts
+    packed_docs = Curator(spark, {"pack": {"budget": 2048}}).apply(d)
+    assert packed_docs.count() == d.count()
+    assert "seq_id" in packed_docs.columns
+
+    # full funnel: every stage, in the documented application order
+    eval_df = d.filter(F.col("doc_id") % 200 == 0).select("doc_id", "text")
+    rep = Curator(
+        spark,
+        {
+            "quality": {"gopher": True},
+            "decontaminate": {"min_shared": 1},
+            "dedup": {"exact": True},
+            "winnow": {"min_shared": 2},
+            "domain_cap": {"domain_col": "source", "cap": 50,
+                           "quality_col": "n_chars"},
+            "sample": {"temperature": 0.5, "stratum_col": "lang"},
+            "chunk": {"chunk_words": 40, "overlap": 8},
+            "pack": {"budget": 64, "n_groups": 4},
+        },
+    ).report(d, eval_df=eval_df)
+    assert list(rep) == [
+        "input", "quality", "decontaminate", "dedup", "winnow",
+        "domain_cap", "sample", "chunk", "pack",
+    ]
+    doc_stages = [rep[k] for k in
+                  ("input", "quality", "decontaminate", "dedup", "winnow",
+                   "domain_cap", "sample")]
+    assert all(a >= b for a, b in zip(doc_stages, doc_stages[1:]))
+    assert rep["pack"] == rep["chunk"]  # pack is a plan, not a filter
+
+
+def test_curator_incremental_dedup_stage(spark, sf_dir):
+    """dedup: {"incremental": True} treats df as a new ingest batch
+    against corpus_df: corpus rows never drop; a batch row loses to any
+    corpus near-dup and to lower-id batch mates."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.curator import Curator
+    from sarkac_spark.operators.dedup import (
+        dedup_minhash_incremental,
+        incremental_exact_dedup,
+    )
+    from sarkac_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+
+    cfg = {"dedup": {"incremental": True, "exact": True,
+                     "minhash": {"k": 16, "bands": 4, "threshold": 0.5}}}
+    cur = Curator(spark, cfg)
+    out = cur.apply(batch, corpus_df=corpus)
+    assert out.columns == batch.columns
+
+    # hand-built: exact against the corpus digests, then minhash victims
+    seen = corpus.select(F.md5(F.col("text")).alias("text_hash"))
+    step = incremental_exact_dedup(batch, seen, "doc_id", "text").select(
+        *batch.columns
+    )
+    combined = corpus.select("doc_id", "text").withColumn(
+        "__new", F.lit(False)
+    ).unionByName(step.select("doc_id", "text").withColumn("__new", F.lit(True)))
+    pairs = dedup_minhash_incremental(
+        combined, "doc_id", "text", "__new", k=16, bands=4, threshold=0.5
+    ).collect()
+    assert pairs  # fixture plants near-dups across the cut
+    new_ids = {r.doc_id for r in step.collect()}
+    victims = set()
+    for p in pairs:
+        if p.id_a in new_ids and p.id_b not in new_ids:
+            victims.add(p.id_a)
+        else:
+            victims.add(p.id_b)
+    victims &= new_ids
+    assert {r.doc_id for r in out.collect()} == new_ids - victims
+
+    # corpus_df is mandatory for the incremental mode
+    with pytest.raises(ValueError):
+        cur.stages()
 
 
 def test_formats_jsonl_csv_orc_roundtrip(spark, tmp_path):
