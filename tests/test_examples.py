@@ -23,3 +23,21 @@ def test_streaming_demo_smoke():
     assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
     assert "restart happened: True" in out.stdout
     assert "OK: " in out.stdout
+
+
+def test_batch_curation_job_smoke():
+    """The batch-side lifecycle doc (VERDICT round 4, item 5): JSONL
+    crawl with planted corrupt lines -> read_jsonl audit -> Curator
+    funnel -> size-capped write. The script asserts corrupt count,
+    funnel consistency, file sizing, and dup elimination internally."""
+    out = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "batch_curation_job.py")],
+        capture_output=True,
+        text=True,
+        timeout=290,
+        cwd=REPO,
+        check=False,
+    )
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    assert "2 corrupt" in out.stdout
+    assert "OK: batch curation job complete" in out.stdout

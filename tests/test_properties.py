@@ -128,3 +128,50 @@ def test_dsl_merge_idempotent_and_preserves_fixed(discovered):
     assert t1["a"].windows == (60,)
     # merging the same discovery again changes nothing
     assert merged.merge_discovered(discovered).tasks() == merged.tasks()
+
+
+# --- HLL error envelope across register sizes --------------------------------
+# Parametrized rather than hypothesis-looped: the estimator is fully
+# deterministic (md5-derived hashes), so each (b, n) point is one fixed
+# case — and each needs a Spark job, which hypothesis's hundreds of
+# examples would multiply for zero extra coverage.
+
+import pytest
+
+
+@pytest.mark.parametrize("b", [8, 10, 12])
+def test_hll_error_envelope_across_b(spark, b):
+    """VERDICT r4 item 7: the relative error of hll_distinct must stay
+    within ~3·(1.04/sqrt(m)) for m = 2^b across cardinalities spanning
+    the linear-counting and raw-HLL regimes, and the linear-counting
+    branch must actually ENGAGE at low cardinality (est_raw <= 2.5m
+    with empty registers present — recomputed from the register state
+    itself, not inferred from accuracy)."""
+    from sarkac_spark.operators.sketch import (
+        _hll_alpha,
+        hll_distinct,
+        hll_registers,
+    )
+
+    m = 1 << b
+    bound = 3 * 1.04 / m**0.5
+    for n in (max(8, m // 8), 5 * m, 40 * m):
+        d = spark.range(n).selectExpr(f"concat('v{b}_', id) AS v")
+        est = hll_distinct(d, "v", b=b).collect()[0].est_distinct
+        assert abs(est - n) / n <= bound, (b, n, est)
+
+    # low-cardinality regime: prove the linear-counting branch is taken
+    n_small = m // 16
+    d = spark.range(n_small).selectExpr(f"concat('lc{b}_', id) AS v")
+    regs = {r.idx: r.M for r in hll_registers(d, "v", [], b=b).collect()}
+    zeros = m - len(regs)
+    rho_max = 60 - b + 1
+    s = sum(2.0 ** (-M) for M in regs.values()) + zeros * 2.0 ** (-rho_max) * 0
+    s += zeros  # untouched registers contribute 2^0 = 1 each
+    est_raw = _hll_alpha(m) * m * m / s
+    assert zeros > 0 and est_raw <= 2.5 * m  # branch condition holds
+    est = hll_distinct(d, "v", b=b).collect()[0].est_distinct
+    # linear counting is near-exact this far below m (±2 absolute floor:
+    # at b=8 n_small is 16 and a single register collision moves the
+    # rounded estimate by 1)
+    assert abs(est - n_small) <= max(2, 0.05 * n_small), (b, n_small, est)
