@@ -366,3 +366,129 @@ def fixed_histogram_estimate(
             F.round(F.least(edge, F.lit(float(hi))), 6).alias(f"p{_q_tag(q)}_est")
         )
     return est.select(*out_cols)
+
+
+# --- Bloom filter -------------------------------------------------------------
+
+
+def _bloom_pos(col: Column, i: int, m_bits: int) -> Column:
+    """Bit position i for a value: md5-derived 60-bit hash of the
+    i-salted value, mod m_bits — same engine-portable hashing contract
+    as the CMS/HLL sketches."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"bloom{i}:"), col)), 1, _HASH_HEX_LEN),
+        16,
+        10,
+    ).cast("long")
+    return (h % m_bits).cast("long")
+
+
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int = 16384, k_hashes: int = 4
+) -> DataFrame:
+    """Bloom filter over a column, as the sparse relation of SET bit
+    positions: (pos) distinct — at most ``m_bits`` rows whatever the
+    input size. The operational 100 TB role is the INGEST PRE-GATE for
+    incremental dedup: probe a new batch's digests against the bloom of
+    everything kept so far; "definitely unseen" rows (any unset
+    position) skip the exact anti-join entirely, "maybe seen" rows
+    (expected fraction ~(1-e^(-kn/m))^k) go on to it — membership has NO
+    FALSE NEGATIVES, so the gate can never drop a genuinely new row or
+    admit a duplicate past the exact check.
+
+    Shape: one scan, one sketch-sized distinct (explode factor
+    ``k_hashes``, map-side combined). Merging two blooms is relation
+    UNION — same mergeable-state contract as the other sketches. NULLs
+    dropped up front (same rationale as count_min_sketch).
+    """
+    df = df.filter(F.col(col).isNotNull())
+    poss = F.array(*[_bloom_pos(F.col(col), i, m_bits) for i in range(k_hashes)])
+    return df.select(F.explode(poss).alias("pos")).distinct()
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    items: DataFrame,
+    col: str,
+    m_bits: int = 16384,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Membership probe per DISTINCT item value: might_contain is true
+    iff ALL the value's (distinct) bit positions are set. ``m_bits`` /
+    ``k_hashes`` must match the build call (the sketch's identity).
+
+    Shape: probes explode by <= k_hashes; the bloom side is at most
+    ``m_bits`` rows so it broadcasts; one aggregate per value. The
+    position array is materialized in its own projection before
+    ``size``/``explode`` read it (no CSE across the HOF boundary).
+
+    Output: (<col>, might_contain boolean) — no false negatives.
+    """
+    poss = F.array(*[_bloom_pos(F.col(col), i, m_bits) for i in range(k_hashes)])
+    staged = (
+        items.filter(F.col(col).isNotNull())
+        .select(col)
+        .distinct()
+        .select(F.col(col), F.array_distinct(poss).alias("__pp"))
+    )
+    probes = staged.select(
+        F.col(col), F.size(F.col("__pp")).alias("__need"), F.explode("__pp").alias("pos")
+    )
+    marked = bloom.withColumn("__set", F.lit(1))
+    return (
+        probes.join(F.broadcast(marked), "pos", "left")
+        .groupBy(col)
+        .agg(
+            F.sum(F.coalesce(F.col("__set"), F.lit(0))).alias("__got"),
+            F.first("__need").alias("__need"),
+        )
+        .select(F.col(col), (F.col("__got") == F.col("__need")).alias("might_contain"))
+    )
+
+
+# --- HLL set algebra ----------------------------------------------------------
+
+
+def hll_merge(regs_list: list[DataFrame], group_cols: list[str]) -> DataFrame:
+    """Union of HLL sketches: max per register across the inputs — the
+    merge algebra that makes registers the right stored/streamed state
+    (register(union) == max(register_a, register_b), exactly)."""
+    out = regs_list[0]
+    for r in regs_list[1:]:
+        out = out.unionByName(r)
+    return out.groupBy(*group_cols, "idx").agg(F.max("M").alias("M"))
+
+
+def hll_overlap(
+    df_a: DataFrame, df_b: DataFrame, col: str, b: int = 12
+) -> DataFrame:
+    """Set-overlap estimate by inclusion-exclusion over HLL:
+    |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B), where est(A ∪ B) comes from
+    max-merging the two register relations — no re-scan of the union.
+    The 100 TB use: estimate train/eval or corpus/corpus contamination
+    BEFORE paying for the exact inverted-index decontamination pass —
+    three register-sized sketches instead of a key-sized distinct join.
+    Error compounds (three ±1.04/sqrt(m) estimates), so size ``b`` for
+    the expected overlap magnitude; a deployment persists the per-corpus
+    register relations (KBs) rather than recomputing them as this
+    single-query form does.
+
+    Output: one row (est_a, est_b, est_union, est_overlap), all longs.
+    """
+    ra = hll_registers(df_a, col, [], b=b)
+    rb = hll_registers(df_b, col, [], b=b)
+    ru = hll_merge([ra, rb], [])
+    ea = hll_estimate(ra, [], b=b).select(F.col("est_distinct").alias("est_a"))
+    eb = hll_estimate(rb, [], b=b).select(F.col("est_distinct").alias("est_b"))
+    eu = hll_estimate(ru, [], b=b).select(F.col("est_distinct").alias("est_union"))
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .withColumn(
+            "est_overlap",
+            F.greatest(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                F.lit(0).cast("long"),
+            ),
+        )
+    )

@@ -1049,6 +1049,91 @@ FROM exact JOIN fin USING (lang)
 """
 
 
+def _bloom_vocab_sql() -> str:
+    return f"""
+WITH {_LANG_SHINGLES_CTE},
+corpus AS (SELECT DISTINCT shingle FROM lsh WHERE lang != 'en'),
+probes AS (SELECT DISTINCT shingle FROM lsh WHERE lang = 'en'),
+bloom AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5('bloom' || i || ':' || shingle), 1, 15))::BIGINT
+      % {BLOOM_M} AS pos
+  FROM corpus CROSS JOIN range({BLOOM_K}) t(i)
+),
+pp AS (
+  SELECT DISTINCT shingle,
+    ('0x' || substr(md5('bloom' || i || ':' || shingle), 1, 15))::BIGINT
+      % {BLOOM_M} AS pos
+  FROM probes CROSS JOIN range({BLOOM_K}) t(i)
+),
+need AS (SELECT shingle, count(*) AS need FROM pp GROUP BY 1),
+got AS (
+  SELECT pp.shingle, count(*) AS got FROM pp JOIN bloom USING (pos) GROUP BY 1
+)
+SELECT n.shingle,
+       (CASE WHEN coalesce(g.got, 0) = n.need THEN 1 ELSE 0 END)::BIGINT
+         AS maybe_seen,
+       (CASE WHEN n.shingle IN (SELECT shingle FROM corpus) THEN 1 ELSE 0 END)::BIGINT
+         AS true_seen
+FROM need n LEFT JOIN got g USING (shingle)
+"""
+
+
+def _hll_est_cte(src: str, tag: str, b: int) -> str:
+    """The md5-HLL estimator over a one-column (term) CTE ``src`` —
+    the same construction _hll_distinct_sql mirrors, emitted once per
+    operand so _corpus_overlap_sql can estimate A, B, and A∪B."""
+    from sarkac_spark.operators.sketch import _hll_alpha
+
+    m = 1 << b
+    rho_max = 60 - b + 1
+    scale = 1 << rho_max
+    numer = _hll_alpha(m) * (m * m) * scale
+    return f"""
+h_{tag} AS (
+  SELECT ('0x' || substr(md5('hll:' || term), 1, 15))::BIGINT AS hv FROM {src}
+),
+regs_{tag} AS (
+  SELECT hv & {m - 1} AS idx,
+         max(CASE WHEN (hv >> {b}) = 0 THEN {rho_max}
+             ELSE {rho_max} - length(bin(hv >> {b})) END) AS M
+  FROM h_{tag} GROUP BY 1
+),
+agg_{tag} AS (
+  SELECT sum(CAST(pow(2, {rho_max} - M) AS BIGINT)) AS s, count(*) AS n
+  FROM regs_{tag}
+),
+fin_{tag} AS (
+  SELECT CAST(round(CASE
+    WHEN {numer!r} / (s + ({m} - n) * {scale}) <= {2.5 * m} AND ({m} - n) > 0
+      THEN {float(m)!r} * ln({float(m)!r} / ({m} - n))
+    ELSE {numer!r} / (s + ({m} - n) * {scale}) END) AS BIGINT) AS est
+  FROM agg_{tag}
+)"""
+
+
+def _corpus_overlap_sql() -> str:
+    b = OVERLAP_B
+    return f"""
+WITH {_LANG_SHINGLES_CTE},
+a AS (SELECT shingle AS term FROM lsh WHERE lang = 'en'),
+bb AS (SELECT shingle AS term FROM lsh WHERE lang != 'en'),
+uu AS (SELECT term FROM a UNION ALL SELECT term FROM bb),
+{_hll_est_cte('a', 'a', b)},
+{_hll_est_cte('bb', 'b', b)},
+{_hll_est_cte('uu', 'u', b)},
+tru AS (
+  SELECT count(*) AS true_overlap
+  FROM (SELECT DISTINCT term FROM a) ta
+  JOIN (SELECT DISTINCT term FROM bb) tb USING (term)
+)
+SELECT fa.est AS est_a, fb.est AS est_b, fu.est AS est_union,
+       greatest(fa.est + fb.est - fu.est, 0) AS est_overlap,
+       tru.true_overlap
+FROM fin_a fa, fin_b fb, fin_u fu, tru
+"""
+
+
 HIST_K = 64  # bins — error bound is one bin width = (max-min)/64
 
 
@@ -1199,7 +1284,71 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
+# The unit for the bloom / overlap audits is the 3-gram SHINGLE, not the
+# bare term: the synthetic fixture shares one ~31-word vocabulary across
+# languages (term-level membership would be trivially all-true), while
+# shingle sets have real structure (sf0.01: 9k EN / 11k non-EN / 4k
+# shared). m = 2^18 bits -> ~0.06% fp at the sf0.01 shingle count; at
+# sf0.1 the same filter runs ~45% fp — deliberately kept so the audit
+# SHOWS saturation (the sizing decision the fp column is for).
+BLOOM_M = 262144
+BLOOM_K = 4
+
+
+def _lang_shingles(spark, sf_dir):
+    from sarkac_spark.operators.dedup import shingles
+
+    return shingles(_docs(spark, sf_dir), "lang", "text", n=3)
+
+
+def q_bloom_vocab(spark, sf_dir):
+    """Bloom-filter membership pre-gate audit: the non-English corpus
+    shingle set builds the filter, English shingles probe it.
+    true_seen=1 rows must ALWAYS be maybe_seen=1 (the no-false-negative
+    guarantee that makes the bloom a safe ingest pre-gate: "definitely
+    unseen" rows can skip the exact anti-join); maybe_seen=1 &
+    true_seen=0 rows are the quantified false-positive overhead that
+    still pays the exact check."""
+    from sarkac_spark.operators.sketch import bloom_build, bloom_might_contain
+
+    sh = _lang_shingles(spark, sf_dir)
+    corpus = sh.filter(F.col("lang") != "en").select("shingle").distinct()
+    probes = sh.filter(F.col("lang") == "en").select("shingle").distinct()
+    bloom = bloom_build(corpus, "shingle", m_bits=BLOOM_M, k_hashes=BLOOM_K)
+    flags = bloom_might_contain(bloom, probes, "shingle", BLOOM_M, BLOOM_K)
+    seen = corpus.select(F.col("shingle"), F.lit(1).alias("__seen"))
+    return flags.join(seen, "shingle", "left").select(
+        "shingle",
+        F.col("might_contain").cast("long").alias("maybe_seen"),
+        F.coalesce(F.col("__seen"), F.lit(0)).cast("long").alias("true_seen"),
+    )
+
+
+OVERLAP_B = 12  # 4096 registers => ~1.6% per-estimate error
+
+
+def q_corpus_overlap(spark, sf_dir):
+    """Inclusion-exclusion overlap estimate over HLL registers:
+    |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B) with the union estimated
+    from MAX-MERGED registers (no re-scan of the union) — the cheap
+    contamination pre-check before an exact decontamination pass, here
+    audited against the exact overlap (EN shingle set vs non-EN
+    shingle set)."""
+    from sarkac_spark.operators.sketch import hll_overlap
+
+    sh = _lang_shingles(spark, sf_dir)
+    a = sh.filter(F.col("lang") == "en").select("shingle")
+    b = sh.filter(F.col("lang") != "en").select("shingle")
+    est = hll_overlap(a, b, "shingle", b=OVERLAP_B)
+    true = a.distinct().join(b.distinct(), "shingle").agg(
+        F.count(F.lit(1)).alias("true_overlap")
+    )
+    return est.crossJoin(F.broadcast(true))
+
+
 QUERIES = {
+    "bloom_vocab": q_bloom_vocab,
+    "corpus_overlap": q_corpus_overlap,
     "dedup_exact": q_dedup_exact,
     "stratified_sample": q_stratified_sample,
     "corpus_mix": q_corpus_mix,
@@ -1270,6 +1419,24 @@ sh AS (
   ) AS u(s)
 )
 """
+
+
+# lang-tagged 3-gram shingles — mirror of operators/dedup.shingles with
+# lang carried instead of doc_id (per-row distinct is immaterial here:
+# every consumer takes a global DISTINCT or max-aggregated registers)
+_LANG_SHINGLES_CTE = f"""
+lsh AS (
+  SELECT lang, u.s AS shingle
+  FROM (SELECT lang, {_WORDS} AS w FROM documents) ws,
+  UNNEST(
+    CASE WHEN len(w) >= 3 THEN
+      list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    ELSE [] END
+  ) AS u(s)
+)"""
+
+
 
 
 def _minhash_sql() -> str:
@@ -2124,6 +2291,8 @@ FROM feats
     "unigram_kl": _unigram_kl_sql(),
     "cms_term_counts": _cms_term_counts_sql(),
     "hll_distinct": _hll_distinct_sql(),
+    "bloom_vocab": _bloom_vocab_sql(),
+    "corpus_overlap": _corpus_overlap_sql(),
     "hist_quantiles": _hist_quantiles_sql(),
     "winnow_pairs": _winnow_pairs_sql(),
     "weighted_sample": _weighted_sample_sql(),

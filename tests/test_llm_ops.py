@@ -1584,3 +1584,66 @@ def test_incremental_dedup_equivalences(spark, sf_dir):
         if r.id_a % 5 == 0 or r.id_b % 5 == 0
     }
     assert inc == full_pairs
+
+
+def test_bloom_filter_guarantees(spark):
+    """bloom_build/bloom_might_contain: NO false negatives ever (even
+    under a deliberately saturated filter), small fp rate when sized
+    right, and merge-by-union equals the filter built over the union —
+    the mergeable-state contract shared with the other sketches."""
+    from sarkac_spark.operators.sketch import bloom_build, bloom_might_contain
+
+    corpus = spark.range(400).selectExpr("concat('in', id) AS v")
+    probes = spark.range(200).selectExpr("concat('in', id) AS v").union(
+        spark.range(200).selectExpr("concat('out', id) AS v")
+    )
+
+    # saturated: m=512 bits for 400 values -> high fp, still zero fn
+    tiny = bloom_build(corpus, "v", m_bits=512, k_hashes=4)
+    assert tiny.count() <= 512
+    f1 = {
+        r.v: r.might_contain
+        for r in bloom_might_contain(tiny, probes, "v", 512, 4).collect()
+    }
+    assert all(f1[f"in{i}"] for i in range(200))  # no false negatives
+
+    # right-sized: m=16384 -> fp ~(1-e^-0.098)^4 ~ 8e-5
+    okf = bloom_build(corpus, "v", m_bits=16384, k_hashes=4)
+    f2 = {
+        r.v: r.might_contain
+        for r in bloom_might_contain(okf, probes, "v", 16384, 4).collect()
+    }
+    assert all(f2[f"in{i}"] for i in range(200))
+    assert sum(f2[f"out{i}"] for i in range(200)) <= 3
+
+    # merge algebra: union of two blooms == bloom of the union
+    c1 = spark.range(200).selectExpr("concat('in', id) AS v")
+    c2 = spark.range(200, 400).selectExpr("concat('in', id) AS v")
+    merged = (
+        bloom_build(c1, "v", 16384, 4)
+        .unionByName(bloom_build(c2, "v", 16384, 4))
+        .distinct()
+    )
+    whole = {r.pos for r in okf.collect()}
+    assert {r.pos for r in merged.collect()} == whole
+
+
+def test_hll_overlap_inclusion_exclusion(spark):
+    """hll_overlap: each estimate within the b=12 error envelope and the
+    inclusion-exclusion overlap within the summed envelopes; disjoint
+    sets clamp to >= 0 (never a negative overlap)."""
+    from sarkac_spark.operators.sketch import hll_overlap
+
+    a = spark.range(0, 3000).selectExpr("concat('k', id) AS v")
+    b = spark.range(2000, 6000).selectExpr("concat('k', id) AS v")
+    row = hll_overlap(a, b, "v", b=12).collect()[0]
+    env = 3 * 1.04 / (1 << 12) ** 0.5  # ~4.9%
+    assert abs(row.est_a - 3000) / 3000 <= env
+    assert abs(row.est_b - 4000) / 4000 <= env
+    assert abs(row.est_union - 6000) / 6000 <= env
+    assert abs(row.est_overlap - 1000) <= env * (3000 + 4000 + 6000)
+
+    disj = spark.range(0, 500).selectExpr("concat('x', id) AS v")
+    other = spark.range(0, 500).selectExpr("concat('y', id) AS v")
+    row2 = hll_overlap(disj, other, "v", b=12).collect()[0]
+    assert row2.est_overlap >= 0  # clamped inclusion-exclusion
