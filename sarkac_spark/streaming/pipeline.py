@@ -531,7 +531,8 @@ def streaming_count_min(
         ]
     )
     return (
-        stream.select(F.col(ts_col), F.explode(rows).alias("rb"))
+        stream.filter(F.col(col).isNotNull())  # NULL parity with the batch build
+        .select(F.col(ts_col), F.explode(rows).alias("rb"))
         .withWatermark(ts_col, watermark)
         .groupBy(
             F.window(ts_col, window).alias("win"),
@@ -576,7 +577,8 @@ def streaming_hll_distinct(
 
     idx, rho = hll_rho(col, b)
     return (
-        stream.select(F.col(ts_col), idx.alias("idx"), rho.alias("__rho"))
+        stream.filter(F.col(col).isNotNull())  # NULL parity with the batch build
+        .select(F.col(ts_col), idx.alias("idx"), rho.alias("__rho"))
         .withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("win"), "idx")
         .agg(F.max("__rho").alias("M"))
