@@ -44,7 +44,11 @@ raises):
   batch side against the corpus (``dedup_minhash_incremental``) —
   per-ingest cost scales with the batch, not the corpus. Committed
   corpus rows are never dropped; a batch row loses to any corpus
-  near-dup and to lower-id batch mates.
+  near-dup and to lower-id batch mates. PRECONDITION: batch and corpus
+  ids are disjoint — a shared id merges the two documents' shingle sets
+  in the groupBy and duplicates the ``__new`` flag join rows, silently
+  corrupting pair flags and drop decisions. ``report()`` enforces this
+  loudly (one semi-join count); ``apply()`` stays lazy and trusts it.
 
 Output-shaping stages (always last; they CHANGE the schema):
 
@@ -138,7 +142,24 @@ class Curator:
         eval_df: DataFrame | None = None,
         corpus_df: DataFrame | None = None,
     ) -> dict[str, int]:
-        """Row-count funnel: input plus count after every stage."""
+        """Row-count funnel: input plus count after every stage.
+
+        When incremental dedup is configured, first enforces the
+        batch/corpus id-disjointness precondition (one semi-join count)
+        so a colliding ingest fails loudly instead of silently
+        corrupting pair flags downstream."""
+        if corpus_df is not None and (self.config.get("dedup") or {}).get(
+            "incremental"
+        ):
+            n_shared = df.select(self.id_col).join(
+                corpus_df.select(self.id_col), self.id_col, "semi"
+            ).count()
+            if n_shared:
+                raise ValueError(
+                    f"incremental dedup precondition violated: {n_shared} "
+                    f"batch {self.id_col} value(s) already exist in corpus_df "
+                    "(batch and corpus ids must be disjoint)"
+                )
         counts = {"input": df.count()}
         for name, fn in self.stages(eval_df, corpus_df):
             df = fn(df)

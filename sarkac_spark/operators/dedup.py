@@ -93,6 +93,32 @@ MINHASH_P = 2147483647
 _LCG_A = [1103515245 + 12820163 * i for i in range(64)]
 _LCG_B = [377003613 + 1013904223 * i for i in range(64)]
 
+# Hot-band guard (on by default): a band key shared by D docs yields
+# D(D-1)/2 candidate rows from the band self-join — one boilerplate-heavy
+# band with df=1e6 means 5e11 join rows, the same quadratic scale-killer
+# ngram_jaccard_pairs caps with max_df. Bands with df > this cap are
+# excluded from candidacy (fanout bounded at cap^2/2 per band); a doc can
+# still pair via its other, discriminating bands. Docs whose EVERY band is
+# hot are by construction near-identical to >cap others — route them
+# through dedup_exact / minhash_hot_bands clustering, not pairwise LSH.
+# Mirrored verbatim in the DuckDB oracles (queries/llm.py).
+MINHASH_MAX_BAND_DF = 1024
+
+
+def _cap_band_df(banded: DataFrame, max_band_df: int | None) -> DataFrame:
+    """df cap as a count-window over the band_key partitioning the band
+    self-join needs anyway: ONE exchange on band_key that the join legs
+    reuse (an aggregate+anti-join formulation would re-band per leg)."""
+    if max_band_df is None:
+        return banded
+    return (
+        banded.withColumn(
+            "__bdf", F.count(F.lit(1)).over(Window.partitionBy("band_key"))
+        )
+        .filter(F.col("__bdf") <= max_band_df)
+        .drop("__bdf")
+    )
+
 
 def _minhash_aggs(k: int) -> list[F.Column]:
     return [
@@ -121,14 +147,9 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*_minhash_aggs(k))
 
 
-def minhash_lsh_candidates(
-    sigs: DataFrame, id_col: str, k: int = 16, bands: int = 4
-) -> DataFrame:
-    """Band signatures into ``bands`` buckets of k/bands rows; docs sharing
-    any band key become a candidate pair (id_a < id_b). The band equi-join
-    replaces the O(n^2) cross product — the core LSH scale move."""
+def _band_keys_expr(k: int, bands: int) -> F.Column:
     rows = k // bands
-    band_keys = F.array(
+    return F.array(
         *[
             F.concat_ws(
                 "|",
@@ -138,7 +159,27 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str,
+    k: int = 16,
+    bands: int = 4,
+    max_band_df: int | None = MINHASH_MAX_BAND_DF,
+) -> DataFrame:
+    """Band signatures into ``bands`` buckets of k/bands rows; docs sharing
+    any band key become a candidate pair (id_a < id_b). The band equi-join
+    replaces the O(n^2) cross product — the core LSH scale move.
+
+    ``max_band_df`` (on by default) drops degenerate bands before the
+    self-join — see MINHASH_MAX_BAND_DF. ``None`` restores uncapped
+    candidacy for small corpora. Hot bands remain auditable via
+    ``minhash_hot_bands``."""
+    banded = _cap_band_df(
+        sigs.select(F.col(id_col), F.explode(_band_keys_expr(k, bands)).alias("band_key")),
+        max_band_df,
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -151,6 +192,30 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_hot_bands(
+    sigs: DataFrame,
+    id_col: str,
+    k: int = 16,
+    bands: int = 4,
+    max_band_df: int | None = MINHASH_MAX_BAND_DF,
+) -> DataFrame:
+    """Audit relation for the capped bands: (band_key, band_df) for every
+    band the ``max_band_df`` guard excluded from pairwise candidacy. All
+    members of one hot band are mutual near-duplicates by construction
+    (identical signature rows on that band), so the scale-safe handling
+    is per-bucket clustering — pick min(id) per band_key as canonical —
+    not D^2/2 pairs. One grouped count, no self-join."""
+    cap = 0 if max_band_df is None else max_band_df
+    banded = sigs.select(
+        F.col(id_col), F.explode(_band_keys_expr(k, bands)).alias("band_key")
+    )
+    return (
+        banded.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("band_df"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("band_df") > cap)
+    )
+
+
 def dedup_minhash(
     df: DataFrame,
     id_col: str,
@@ -159,6 +224,7 @@ def dedup_minhash(
     bands: int = 4,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    max_band_df: int | None = MINHASH_MAX_BAND_DF,
 ) -> DataFrame:
     """MinHash -> LSH banding -> exact-Jaccard verification. Returns
     near-duplicate pairs (id_a, id_b, jaccard >= threshold).
@@ -175,13 +241,20 @@ def dedup_minhash(
     strings: the set payload is 8 bytes/shingle, and a cross-doc
     collision needs ~2^30 distinct shingles before it perturbs one
     count (birthday on 2^60) — deterministic for a fixed corpus either
-    way, and bit-identical to the string oracle in every run we gate."""
+    way, and bit-identical to the string oracle in every run we gate.
+
+    ``max_band_df`` (on by default) bounds the band self-join's fanout —
+    see MINHASH_MAX_BAND_DF; hot bands audit via ``minhash_hot_bands``."""
     hashed = _hashed_shingles(df, id_col, text_col, shingle_n)
     doc = hashed.groupBy(id_col).agg(
         *_minhash_aggs(k), F.collect_set("h").alias("__sh_set")
     )
     cands = minhash_lsh_candidates(
-        doc.select(id_col, *[f"mh_{i}" for i in range(k)]), id_col, k=k, bands=bands
+        doc.select(id_col, *[f"mh_{i}" for i in range(k)]),
+        id_col,
+        k=k,
+        bands=bands,
+        max_band_df=max_band_df,
     )
     sets_a = doc.select(F.col(id_col).alias("id_a"), F.col("__sh_set").alias("__set_a"))
     sets_b = doc.select(F.col(id_col).alias("id_b"), F.col("__sh_set").alias("__set_b"))
@@ -735,6 +808,7 @@ def dedup_minhash_incremental(
     bands: int = 4,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    max_band_df: int | None = MINHASH_MAX_BAND_DF,
 ) -> DataFrame:
     """Near-dup pairs INVOLVING the new batch only: band keys of the new
     rows equi-join the whole corpus's band keys, so old-old pairs are
@@ -746,6 +820,17 @@ def dedup_minhash_incremental(
     ``new_col`` is a boolean column on ``df`` marking the batch. Output
     matches ``dedup_minhash``: (id_a, id_b, jaccard >= threshold) with
     id_a < id_b, restricted to pairs where at least one side is new.
+
+    ``max_band_df`` (on by default) caps band df over the FULL corpus∪batch
+    banded relation before the corpus×new join — a hot band's fanout is
+    corpus_df × batch_df, unbounded in the corpus dimension without it.
+    See MINHASH_MAX_BAND_DF; hot bands audit via ``minhash_hot_bands``.
+
+    PRECONDITION: batch and corpus ids are DISJOINT. A shared id makes
+    the groupBy(id_col) merge the two documents' shingle sets and
+    duplicates the ``new_col`` flag join rows, silently corrupting pair
+    flags and drop decisions downstream. Enforce at ingest (e.g.
+    monotonically increasing ids, or Curator.report()'s anti-join guard).
     """
     hashed = _hashed_shingles(df, id_col, text_col, shingle_n)
     flags = df.select(F.col(id_col), F.col(new_col).alias("__new"))
@@ -754,18 +839,13 @@ def dedup_minhash_incremental(
         .agg(*_minhash_aggs(k), F.collect_set("h").alias("__sh_set"))
         .join(flags, id_col)
     )
-    rows = k // bands
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)],
-            )
-            for b in range(bands)
-        ]
+    band_keys = _band_keys_expr(k, bands)
+    banded = _cap_band_df(
+        doc.select(
+            F.col(id_col), F.col("__new"), F.explode(band_keys).alias("band_key")
+        ),
+        max_band_df,
     )
-    banded = doc.select(F.col(id_col), F.col("__new"), F.explode(band_keys).alias("band_key"))
     corpus_side = banded.alias("a")
     new_side = banded.filter(F.col("__new")).alias("b")
     cands = (

@@ -187,6 +187,13 @@ def mllib_minhash_pairs(
     # auto-evicts); localCheckpoint materializes the same bounded
     # relation (|docs| x nnz(shingle) ids) but its RDD blocks are
     # reclaimed by the ContextCleaner once the result is unreferenced.
+    # Fault-tolerance trade-off: localCheckpoint TRUNCATES lineage and
+    # stores non-replicated executor-local blocks — an executor loss
+    # between here and the caller's action makes the similarity join
+    # unrecoverable (persist would recompute from lineage; this raises).
+    # Acceptable for an interactive audit query whose caller just
+    # re-runs; for a long pipeline stage, prefer persist + unpersist
+    # after YOUR action, accepting the recompute-on-re-read cost.
     vecs = cv.transform(tokens).select(id_col, "__tf").localCheckpoint()
     mh = MinHashLSH(
         inputCol="__tf", outputCol="__hashes", numHashTables=num_tables, seed=seed

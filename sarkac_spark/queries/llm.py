@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from sarkac_spark.operators.dedup import (
     _LCG_A,
     _LCG_B,
+    MINHASH_MAX_BAND_DF,
     MINHASH_P,
     SIMHASH_BITS,
     dedup_exact,
@@ -688,6 +689,24 @@ SELECT doc_id, text_hash FROM (
 """
 
 
+def _capped_bands_cte(band_exprs: str) -> str:
+    """``bands`` CTE with the MINHASH_MAX_BAND_DF hot-band cap — mirrors
+    operators.dedup._cap_band_df exactly, so Spark and oracle stay
+    hash-identical on ANY corpus (even one with bands above the cap)."""
+    return f"""bands0 AS (
+  SELECT doc_id, UNNEST([
+      {band_exprs}
+  ]) AS band_key FROM sigs
+),
+bands AS (
+  SELECT doc_id, band_key FROM (
+    SELECT doc_id, band_key,
+           count(*) OVER (PARTITION BY band_key) AS bdf
+    FROM bands0
+  ) WHERE bdf <= {MINHASH_MAX_BAND_DF}
+)"""
+
+
 def _incremental_minhash_sql() -> str:
     rows = MINHASH_K // MINHASH_BANDS
     mh_aggs = ",\n    ".join(
@@ -712,11 +731,7 @@ hashed AS (
   FROM sh
 ),
 sigs AS (SELECT doc_id, {mh_aggs} FROM hashed GROUP BY doc_id),
-bands AS (
-  SELECT doc_id, UNNEST([
-      {band_exprs}
-  ]) AS band_key FROM sigs
-),
+{_capped_bands_cte(band_exprs)},
 cand AS (
   SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
                   greatest(a.doc_id, b.doc_id) AS id_b
@@ -824,11 +839,7 @@ hashed AS (
   FROM sh
 ),
 sigs AS (SELECT doc_id, {mh_aggs} FROM hashed GROUP BY doc_id),
-bands AS (
-  SELECT doc_id, UNNEST([
-      {band_exprs}
-  ]) AS band_key FROM sigs
-),
+{_capped_bands_cte(band_exprs)},
 bcand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -1466,11 +1477,7 @@ sigs AS (
   SELECT doc_id, {mh_aggs}
   FROM hashed GROUP BY doc_id
 ),
-bands AS (
-  SELECT doc_id, UNNEST([
-      {band_exprs}
-  ]) AS band_key FROM sigs
-),
+{_capped_bands_cte(band_exprs)},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id

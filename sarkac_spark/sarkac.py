@@ -217,6 +217,15 @@ class Sarkac:
         # subscribePattern the rebuild is a no-op-equivalent (same
         # pattern), and user-supplied streams are reused as-is.
         stream = None if self._kafka_internal else self._envelope_stream
+        if self._kafka_internal and self._discovery_query is not None:
+            # The discovery sidecar was started on the PRE-merge envelope
+            # stream; with an internally-built kafka source and an explicit
+            # topic list that stream still subscribes to the stale topics,
+            # so discovery on newly added topics would never fire again.
+            # Stop it here; analyse() restarts it against the rebuilt
+            # envelope stream (it only skips the start when one is live).
+            self._discovery_query.stop()
+            self._discovery_query = None
         self.analyse(stream, trigger_seconds=self._trigger_seconds)
         return True
 

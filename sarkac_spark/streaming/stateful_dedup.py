@@ -30,6 +30,15 @@ cap, new arrivals are still *checked* (and droppable) but no longer
 *added* as representatives — the documented degradation is missed dups
 against post-cap arrivals, never false drops. Scoring per batch is one
 numpy matmul per bucket-group: O(|batch| x reps x dim), vectorized.
+
+Compatibility (round 5): OUT_SCHEMA gained the ``saturated`` column
+(bucket-cap observability). This is CHECKPOINT/SINK-BREAKING for
+queries deployed on the pre-change schema: resuming from an existing
+checkpoint into a previously-written parquet sink hits an output schema
+mismatch with the old files, and downstream readers of the old output
+see a new column. Migrate by starting a NEW sink directory (+ fresh
+checkpoint), or one-time rewrite the old sink adding ``saturated`` as
+NULL; never mix the two schemas under one sink path.
 """
 
 from __future__ import annotations

@@ -93,6 +93,80 @@ def test_ngram_jaccard_max_df_guard(spark):
     assert uncapped > 100
 
 
+def test_minhash_planted_hot_band(spark):
+    """Hot-band guard (VERDICT round 5, item 1): a degenerate band shared
+    by D docs yields D(D-1)/2 rows from the band self-join — the same
+    quadratic scale-killer ngram_jaccard_pairs caps. Plant 200 identical
+    boilerplate docs (every band key df=200) plus one genuine duplicate
+    pair: with the cap the clique produces ZERO candidates (bounded
+    fanout), the real pair still pairs at jaccard 1.0, and the dropped
+    bands stay auditable via minhash_hot_bands; max_band_df=None
+    restores the uncapped clique."""
+    from sarkac_spark.operators.dedup import (
+        _hashed_shingles,
+        _minhash_aggs,
+        minhash_hot_bands,
+        minhash_lsh_candidates,
+    )
+
+    n = 200
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    rows = [(i, boiler) for i in range(n)]
+    rows += [(1000, "a genuinely unique document body"), (1001, "a genuinely unique document body")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup_minhash(df, "doc_id", "text", threshold=0.5, max_band_df=50)
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    assert got == {(1000, 1001): 1.0}  # clique gone, real pair intact
+
+    sigs = (
+        _hashed_shingles(df, "doc_id", "text", 3)
+        .groupBy("doc_id")
+        .agg(*_minhash_aggs(16))
+    )
+    # bounded fanout: candidate count is 1 with the cap, the full
+    # D(D-1)/2 clique without it
+    assert minhash_lsh_candidates(sigs, "doc_id", max_band_df=50).count() == 1
+    assert (
+        minhash_lsh_candidates(sigs, "doc_id", max_band_df=None).count()
+        == n * (n - 1) // 2 + 1
+    )
+
+    # the dropped bands are auditable: 4 hot band keys (one per band),
+    # each df=200, canonical = min doc_id of the bucket
+    hot = minhash_hot_bands(sigs, "doc_id", max_band_df=50).collect()
+    assert len(hot) == 4
+    assert all(r.band_df == n and r.canonical_id == 0 for r in hot)
+
+
+def test_incremental_minhash_hot_band_capped(spark):
+    """The corpus x batch band join gets the same guard: a hot band's
+    fanout is corpus_df x batch_df, unbounded in the corpus dimension
+    without the cap over the FULL banded relation."""
+    from sarkac_spark.operators.dedup import dedup_minhash_incremental
+
+    n = 200
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    rows = [(i, boiler, False) for i in range(n)]
+    rows += [
+        (1000, "a genuinely unique document body", False),
+        (1001, "a genuinely unique document body", True),
+        (1002, boiler, True),  # new boilerplate doc: hot band, capped out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_new boolean")
+
+    out = dedup_minhash_incremental(
+        df, "doc_id", "text", "is_new", threshold=0.5, max_band_df=50
+    )
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert got == {(1000, 1001)}
+
+    uncapped = dedup_minhash_incremental(
+        df, "doc_id", "text", "is_new", threshold=0.5, max_band_df=None
+    )
+    assert uncapped.count() == n + 1  # 1002 pairs all n old boiler docs + real pair
+
+
 def test_dedup_simhash(docs):
     pairs = {(r.id_a, r.id_b): r.hamming for r in dedup_simhash(docs, "doc_id", "text", max_hamming=10).collect()}
     assert pairs[(1, 2)] == 0  # identical text -> identical fingerprint

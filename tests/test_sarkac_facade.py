@@ -270,6 +270,47 @@ def test_facade_stateful_discovery_sidecar_and_restart(spark, tmp_path):
     }
 
 
+def test_restart_recycles_discovery_sidecar_for_internal_kafka(spark, tmp_path):
+    """ADVICE round 5: with an internally-built kafka source and an
+    explicit topic list, restart_if_needed must also stop the discovery
+    sidecar — it was started on the PRE-merge envelope stream with the
+    stale subscription, so leaving it running means discovery on
+    newly-added topics never fires again. Pinned with stubs (no broker
+    in the sandbox): the stale sidecar is stopped and analyse() is
+    re-entered, which restarts it against the rebuilt stream."""
+    from sarkac_spark.sarkac import Sarkac
+
+    s = Sarkac(
+        spark,
+        {"engine": "stateful",
+         "dsl": {"t": {"fields": {"x": {"windows": ["15m"]}}}}},
+        work_dir=str(tmp_path),
+    )
+
+    class _StubQuery:
+        def __init__(self):
+            self.stopped = False
+
+        def stop(self):
+            self.stopped = True
+
+    stale_scoring, stale_sidecar = _StubQuery(), _StubQuery()
+    s.query = stale_scoring
+    s._discovery_query = stale_sidecar
+    s._kafka_internal = True
+    s._pending_restart = True
+
+    reanalysed = {}
+    s.analyse = lambda stream, trigger_seconds: reanalysed.update(
+        stream=stream, trigger=trigger_seconds
+    )
+
+    assert s.restart_if_needed() is True
+    assert stale_scoring.stopped and stale_sidecar.stopped
+    assert s._discovery_query is None  # analyse() restarts it on rebuild
+    assert reanalysed == {"stream": None, "trigger": s._trigger_seconds}
+
+
 def test_facade_unknown_engine_raises(spark, tmp_path):
     import pytest as _pytest
 

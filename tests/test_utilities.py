@@ -428,6 +428,12 @@ def test_curator_incremental_dedup_stage(spark, sf_dir):
     with pytest.raises(ValueError):
         cur.stages()
 
+    # id-disjointness precondition: a colliding ingest fails LOUDLY in
+    # report() (a shared id would silently merge shingle sets and
+    # duplicate __new flag rows in dedup_minhash_incremental)
+    with pytest.raises(ValueError, match="disjoint"):
+        cur.report(batch, corpus_df=corpus.unionByName(batch.limit(1)))
+
 
 def test_formats_jsonl_csv_orc_roundtrip(spark, tmp_path):
     """Ingestion formats: declared-schema JSONL/CSV reads route broken
