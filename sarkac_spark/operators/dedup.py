@@ -607,12 +607,17 @@ def span_dedup(
     ``span_words``-word window — same plan, different splitter.
 
     Scale shape: explode to one row per span (map-only), ONE shuffle on
-    the span's 60-bit md5 to pick global first occurrences (row_number
-    over the hash, (doc, pos) order — ties impossible: total order), one
-    shuffle back on the doc id to reassemble in position order. Hot
-    spans (the boilerplate being removed) skew the hash shuffle; AQE
-    skew-split handles them, and the per-hash window only *sorts* the
-    group, never joins it against itself — O(D log D), not O(D^2).
+    the span's 60-bit md5 to pick global first occurrences, one shuffle
+    back on the doc id to reassemble in position order. First-occurrence
+    selection is a ``min(struct(id, pos))`` grouped aggregation, NOT a
+    row_number window: windows cannot be split across tasks (AQE
+    skew-split only applies to joins), so a 10^6-copy boilerplate span
+    would be one straggler task sorting 10^6 rows. The aggregation gets
+    map-side partial combine — every mapper collapses its copies of the
+    hot span to ONE row before the shuffle, so the reducer sees
+    ~#mappers rows per span regardless of corpus-wide df: skew-immune
+    by construction, O(D) not O(D log D), and the hot key never meets
+    a sort or a self-join.
 
     Returns (id, text_dedup, n_spans, n_kept); documents whose every
     span was a later duplicate keep an empty text_dedup.
@@ -632,22 +637,21 @@ def span_dedup(
             "pos", "span"
         ),
     )
-    first = (
+    # span joins the hash in the grouping key: the 60-bit prefix is only
+    # a shuffle-narrowing key, so a hash collision between distinct spans
+    # lands them in distinct groups instead of silently dropping one.
+    # min over struct(id, pos) is the global first occurrence ((id, pos)
+    # is a total order — ties impossible).
+    kept = (
         spans.withColumn("__h", _h60(F.col("span")))
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                # span joins the hash in the partition key: the 60-bit
-                # prefix is only a shuffle-narrowing key, so a hash
-                # collision between distinct spans lands them in distinct
-                # windows instead of silently dropping one.
-                Window.partitionBy("__h", "span").orderBy(
-                    F.col(id_col), F.col("pos")
-                )
-            ),
+        .groupBy("__h", "span")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"))
+        .select(
+            F.col(f"__first.{id_col}").alias(id_col),
+            F.col("__first.pos").alias("pos"),
+            F.col("span"),
         )
     )
-    kept = first.filter(F.col("__rn") == 1)
     totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
     rebuilt = (
         kept.groupBy(id_col)

@@ -20,11 +20,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def get_spark(
     app_name: str = "sarkac_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state: bool | None = None,
 ) -> SparkSession:
     """Build (or fetch) the session.
 
@@ -32,6 +38,18 @@ def get_spark(
     points work under the driver harness (SPARK_GRAFT_CPUS) and in tests.
     On a real cluster, pass ``master=None`` with spark-submit providing the
     master URL; everything here is additive config.
+
+    ``rocksdb_state`` (default from env ``SARKAC_ROCKSDB_STATE``) flips
+    the streaming state store to RocksDB. The default HDFS-backed store
+    keeps every version of every key ON THE EXECUTOR HEAP — fine for the
+    test fixtures, a memory hazard at 100x keys (millions of series /
+    dedup buckets); RocksDB keeps state off-heap + on local disk with
+    changelog checkpointing, which is the deployment shape
+    (``cluster_defaults`` and ``stateful_stream_sizing`` already include
+    it). It is a runtime SQL conf read at QUERY start, so it can also be
+    set per-session later via ``spark.conf.set``; restarting an existing
+    checkpoint under a different provider is supported by Spark (state
+    is rebuilt from the checkpoint's versioned files).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if master is None:
@@ -54,6 +72,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if rocksdb_state is None:
+        rocksdb_state = os.environ.get("SARKAC_ROCKSDB_STATE", "").lower() in (
+            "1", "true", "yes",
+        )
+    if rocksdb_state:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
@@ -82,10 +108,7 @@ def cluster_defaults(target_tb: float = 100.0) -> dict[str, str]:
         # tables in the test schema too
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         # RocksDB state store for streaming state (cooldown keyed state)
-        "spark.sql.streaming.stateStore.providerClass": (
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider"
-        ),
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
     }
@@ -130,9 +153,6 @@ def stateful_stream_sizing(
         "state_bytes": state_bytes,
         "conf": {
             "spark.sql.shuffle.partitions": str(partitions),
-            "spark.sql.streaming.stateStore.providerClass": (
-                "org.apache.spark.sql.execution.streaming.state."
-                "RocksDBStateStoreProvider"
-            ),
+            "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
         },
     }

@@ -1,0 +1,159 @@
+"""Opt-in Kafka end-to-end integration test (VERDICT round 5, gap #1).
+
+The sandbox has no broker and no spark-sql-kafka connector jar, so the
+Kafka surface (S1 source / S3 sink, reference Stream.js:29-30,157-170)
+is otherwise verified only at config/projection level. This module is
+the true integration run for environments that have both:
+
+    # 1. a broker, e.g.:  docker run -p 9092:9092 apache/kafka:3.8.0
+    # 2. the connector on the session classpath:
+    SARKAC_KAFKA_BOOTSTRAP=localhost:9092 \
+    PYSPARK_SUBMIT_ARGS="--packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 pyspark-shell" \
+    pytest tests/test_kafka_integration.py -m kafka
+
+Skipped cleanly (not failed) when SARKAC_KAFKA_BOOTSTRAP is unset, the
+broker is unreachable, or the connector jar is absent — CI without
+Kafka stays green while the test remains one env var away from real.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import time
+import uuid
+
+import pytest
+
+BOOTSTRAP = os.environ.get("SARKAC_KAFKA_BOOTSTRAP")
+
+pytestmark = pytest.mark.kafka
+
+
+def _broker_reachable(bootstrap: str, timeout: float = 2.0) -> bool:
+    host, _, port = bootstrap.partition(":")
+    try:
+        with socket.create_connection((host, int(port or 9092)), timeout=timeout):
+            return True
+    except OSError:
+        return False
+
+
+requires_broker = pytest.mark.skipif(
+    not BOOTSTRAP or not _broker_reachable(BOOTSTRAP or ""),
+    reason="set SARKAC_KAFKA_BOOTSTRAP to a reachable broker to run",
+)
+
+
+def _connector_available(spark) -> bool:
+    try:
+        spark.readStream.format("kafka").option(
+            "kafka.bootstrap.servers", BOOTSTRAP
+        ).option("subscribe", "probe").load()
+        return True
+    except Exception as e:
+        return "Failed to find data source: kafka" not in str(e)
+
+
+@requires_broker
+def test_kafka_sigma_end_to_end(spark, tmp_path):
+    """kafka_stream -> envelope -> StatefulSigmaPipeline -> write_kafka:
+    planted 3-sigma spikes on a real topic come back out on the anomaly
+    topic. Batch-side producer/consumer use spark.read/write.format
+    ("kafka") so the test needs no extra Python client library."""
+    from sarkac_spark.config import DSL
+    from sarkac_spark.sources.kafka import (
+        KafkaSourceConfig,
+        anomaly_sink_frame,
+        envelope,
+        kafka_stream,
+        write_kafka,
+    )
+    from sarkac_spark.streaming.pipeline import StatefulSigmaPipeline
+
+    if not _connector_available(spark):
+        pytest.skip("spark-sql-kafka connector jar not on the classpath")
+
+    run = uuid.uuid4().hex[:8]
+    in_topic, out_topic = f"sarkac-in-{run}", f"sarkac-out-{run}"
+
+    # produce baseline + one spike (batch write auto-creates the topic
+    # on default broker configs)
+    rows = [
+        (f"k{i}", json.dumps({"lat": 20.0 + (0.2 if i % 2 else -0.2)}))
+        for i in range(40)
+    ]
+    rows.append(("spike", json.dumps({"lat": 500.0})))
+    (
+        spark.createDataFrame(rows, "key string, value string")
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", BOOTSTRAP)
+        .option("topic", in_topic)
+        .save()
+    )
+
+    dsl = DSL.parse({in_topic: {"fields": {"lat": {"windows": ["15m"]}}}})
+    src = KafkaSourceConfig(
+        bootstrap_servers=BOOTSTRAP,
+        topics=[in_topic],
+        starting_offsets="earliest",
+        max_offsets_per_trigger=None,  # one batch, deterministic scoring
+    )
+    pipe = StatefulSigmaPipeline(
+        spark,
+        dsl,
+        anomaly_dir=str(tmp_path / "anomalies"),
+        cooldown_seconds=0,
+    )
+    score_q = pipe.start(
+        envelope(kafka_stream(spark, src)),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=1,
+    )
+    try:
+        score_q.processAllAvailable()
+        anomalies = spark.read.parquet(str(tmp_path / "anomalies"))
+        assert anomalies.filter("value = 500.0").count() >= 1
+
+        sink_q = write_kafka(
+            anomaly_sink_frame(
+                spark.readStream.schema(anomalies.schema).parquet(
+                    str(tmp_path / "anomalies")
+                ),
+                ["topic", "path"],
+            ),
+            BOOTSTRAP,
+            out_topic,
+            checkpoint_dir=str(tmp_path / "ckpt_sink"),
+            trigger_seconds=1,
+        )
+        try:
+            deadline = time.monotonic() + 30
+            produced = 0
+            while time.monotonic() < deadline and not produced:
+                sink_q.processAllAvailable()
+                produced = (
+                    spark.read.format("kafka")
+                    .option("kafka.bootstrap.servers", BOOTSTRAP)
+                    .option("subscribe", out_topic)
+                    .option("startingOffsets", "earliest")
+                    .load()
+                    .count()
+                )
+        finally:
+            sink_q.stop()
+        assert produced >= 1
+        out = (
+            spark.read.format("kafka")
+            .option("kafka.bootstrap.servers", BOOTSTRAP)
+            .option("subscribe", out_topic)
+            .option("startingOffsets", "earliest")
+            .load()
+            .selectExpr("CAST(value AS STRING) AS v")
+            .collect()
+        )
+        payloads = [json.loads(r.v) for r in out]
+        assert any(p["value"] == 500.0 for p in payloads)
+    finally:
+        score_q.stop()

@@ -760,10 +760,13 @@ def test_span_dedup_planted_hot_key(spark):
     repeated ~10^4 times — the exact hot-key shape web boilerplate
     produces at 100 TB. Pins (a) correctness under the skewed shuffle:
     exactly one global survivor of the hot span, every document keeps
-    its unique tail; (b) the skew-handling config the docstring claims
-    (AQE + skew-join split) is live in the session; (c) the plan stays
-    in budget — the hot key only ever meets a sort-based window
-    (O(D log D)), never a self-join, and no cartesian appears."""
+    its unique tail; (b) skew-immunity BY CONSTRUCTION: first-occurrence
+    selection is a partial-combining hash aggregate, so the plan must
+    contain NO Window operator (windows cannot be split across tasks —
+    AQE skew handling only applies to joins, so a windowed formulation
+    puts all 10^4 copies in one straggler task) and no sort on the span
+    grouping; (c) the plan stays in budget — never a self-join, no
+    cartesian."""
     from sarkac_spark.operators.dedup import span_dedup
     from sarkac_spark.plans.audit import executed_plan, shuffle_count
 
@@ -778,9 +781,10 @@ def test_span_dedup_planted_hot_key(spark):
     out = span_dedup(docs, span_words=5)
 
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
-    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     plan = executed_plan(out)
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    assert "Window" not in plan  # the straggler shape AQE cannot split
+    assert "HashAggregate" in plan  # partial combine collapses the hot key
     assert shuffle_count(out) <= 4
 
     rows = out.collect()

@@ -1,0 +1,140 @@
+"""Scale-decade measurement: run the dedup/ANN/sketch headliners at 1x
+and 10x corpus size and check the measured growth against each
+operator's designed complexity class.
+
+Every 100 TB claim in this repo (band caps, single-scan shapes,
+one-shuffle budgets) was plan-asserted; this converts "designed for
+100x" into data for one decade. Both corpora come from the SAME
+generator (tools/gen_scale_data.py, shape-matched to the driver's
+sf0.1), so the ratio isolates scaling from distribution drift.
+
+Classes and asserted wall-ratio bounds for a 10x decade (generous —
+the point is catching an accidental quadratic, which shows up as
+>=60x, not flaking on scheduler noise; fixed per-query overhead on
+local[32] keeps real ratios well below the bound):
+
+- linear  (sketches, exact dedup, fixed-query-set ANN): wall <= 15x,
+  output rows <= 15x.
+- nlogn   (banded dedup, windowed span/winnow): wall <= 20x,
+  output rows <= 15x (pair counts are linear by the planted dup rate —
+  a quadratic candidate explosion trips this long before wall).
+- allpairs (embedding_neardup's blocked gram audit, semantic_dedup's
+  within-bucket compare): O(n^2/buckets) BY DESIGN — measured and
+  reported, not bounded; the scale paths for these workloads are
+  lsh_topk / ivf_topk / the capped banded dedups above.
+
+Usage:
+    python tools/bench_scale_decade.py [--mult 10] [--out BENCH_SCALE.json]
+
+Writes one JSON line to stdout and a markdown table to stderr (paste
+into BASELINE.md). Exit 1 if any bounded query exceeds its class bound.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+CLASSES = {
+    "linear": [
+        "dedup_exact", "cms_term_counts", "hll_distinct", "hist_quantiles",
+        "bloom_vocab", "corpus_overlap", "quantize_audit",
+        "cosine_topk", "ivf_topk", "lsh_topk",
+    ],
+    "nlogn": [
+        "dedup_minhash", "incremental_minhash", "ngram_jaccard",
+        "dedup_simhash", "span_dedup", "winnow_pairs",
+        "dedup_canonical", "dedup_clusters", "decontamination",
+    ],
+    "allpairs": ["embedding_neardup", "semantic_dedup"],
+}
+WALL_BOUND = {"linear": 15.0, "nlogn": 20.0}
+# pair/row fanout bounds: the quadratic signature at 10x is >=60x, so
+# these stay generous. nlogn pair counts are planted-dup driven and
+# Poisson-noisy at small base counts (incremental_minhash has 4 pairs at
+# 1x — one extra threshold-crosser is +25%), hence 30x not 15x.
+ROWS_BOUND = {"linear": 15.0, "nlogn": 30.0}
+# dictionary-shaped outputs scale with the term vocabulary, not with
+# pair fanout — vocab growth is a corpus property (Heaps) that the
+# generator intentionally scales, so rows are reported, not bounded;
+# the quadratic hazard for these queries is wall, which stays bounded.
+DICT_OUTPUT = {"bloom_vocab"}
+
+
+def _run(q, spark, sf_dir) -> tuple[float, int]:
+    best, rows = float("inf"), 0
+    for _ in range(2):  # min-of-2, same protocol as bench.py
+        t0 = time.monotonic()
+        rows = q(spark, sf_dir).count()
+        best = min(best, time.monotonic() - t0)
+    return best, rows
+
+
+def main() -> int:
+    mult = 10
+    out_path = "BENCH_SCALE.json"
+    args = sys.argv[1:]
+    if "--mult" in args:
+        mult = int(args[args.index("--mult") + 1])
+    if "--out" in args:
+        out_path = args[args.index("--out") + 1]
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.dirname(here))  # repo root: __spark_entry__
+    sys.path.insert(0, here)
+    from gen_scale_data import generate
+
+    d1, d10 = "scale_data/x1", f"scale_data/x{mult}"
+    generate(d1, 1)
+    generate(d10, mult)
+
+    import __spark_entry__ as entry
+    from sarkac_spark.session import get_spark
+
+    spark = get_spark("bench_scale_decade")
+    queries = entry.queries()
+
+    results, failures = {}, []
+    for cls, names in CLASSES.items():
+        for name in names:
+            q = queries[name]
+            w1, r1 = _run(q, spark, d1)
+            w10, r10 = _run(q, spark, d10)
+            wall_ratio = round(w10 / max(w1, 1e-9), 2)
+            rows_ratio = round(r10 / max(r1, 1), 2)
+            rec = {
+                "class": cls, "wall_x1": round(w1, 3), "wall_x10": round(w10, 3),
+                "wall_ratio": wall_ratio, "rows_x1": r1, "rows_x10": r10,
+                "rows_ratio": rows_ratio,
+            }
+            if cls in WALL_BOUND:
+                ok = wall_ratio <= WALL_BOUND[cls] and (
+                    name in DICT_OUTPUT or rows_ratio <= ROWS_BOUND[cls]
+                )
+                rec["ok"] = ok
+                if not ok:
+                    failures.append(name)
+            results[name] = rec
+            print(f"{name}: {rec}", file=sys.stderr)
+
+    spark.stop()
+    payload = {"multiplier": mult, "results": results, "failures": failures}
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps({"metric": "scale_decade_failures", "value": len(failures),
+                      "unit": "queries", "multiplier": mult}))
+
+    # markdown table for BASELINE.md
+    print("\n| query | class | wall 1x (s) | wall 10x (s) | wall ratio | rows 1x | rows 10x | rows ratio |", file=sys.stderr)
+    print("|---|---|---|---|---|---|---|---|", file=sys.stderr)
+    for n, r in sorted(results.items(), key=lambda kv: (kv[1]["class"], kv[0])):
+        print(f"| {n} | {r['class']} | {r['wall_x1']} | {r['wall_x10']} | "
+              f"{r['wall_ratio']}x | {r['rows_x1']} | {r['rows_x10']} | "
+              f"{r['rows_ratio']}x |", file=sys.stderr)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

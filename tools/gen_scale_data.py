@@ -1,0 +1,146 @@
+"""Deterministic scale-sweep corpus generator (documents + embeddings).
+
+The driver's /root/testdata is read-only and stops at sf0.1, so every
+scale claim in this repo (band caps, one-shuffle budgets) was
+plan-asserted but never *measured* across a decade. This generator
+produces corpora with the SAME shape as the driver's sf0.1 documents /
+embeddings tables (vocab, words/doc, dup rates, cluster structure —
+measured from the real sf0.1 files and hard-coded below) at any row
+multiplier, so `tools/bench_scale_decade.py` can compare e.g. 1x vs 10x
+runs of the dedup/ANN/sketch headliners where both corpora come from
+the SAME process — scaling is isolated from distribution drift.
+
+Shape measured from /root/testdata/sf0.1 (seed-42 driver data):
+- documents: 5000 rows, 31-word vocabulary, ~54 words/doc,
+  8 exact-duplicate pairs per 5000 docs, langs en(41%)/zh/es/fr/de,
+  sources src0..src19, n_chars = len(text).
+- embeddings: 2000 rows, 64-dim unit-norm float vectors in 10
+  label clusters (centroid + noise, renormalized).
+
+Everything is numpy + pyarrow (no Spark) and fully determined by
+(multiplier, seed): re-running overwrites the same bytes.
+
+Usage:
+    python tools/gen_scale_data.py <out_dir> <multiplier>
+    # e.g. python tools/gen_scale_data.py scale_data/x10 10
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE_DOCS = 5000
+BASE_EMBS = 2000
+WORDS_PER_DOC = 54
+DIM = 64
+N_LABELS = 10
+LANGS = ["en", "zh", "es", "fr", "de"]
+LANG_P = [0.41, 0.15, 0.15, 0.15, 0.14]
+N_SOURCES = 20
+# per 5000 docs: 8 exact-dup copies, 12 near-dup copies (a perturbed
+# clone of an earlier doc — keeps minhash/ngram selectivity constant
+# across multipliers so pair counts scale linearly, never quadratically)
+EXACT_DUPS_PER_BASE = 8
+NEAR_DUPS_PER_BASE = 12
+VOCAB = [
+    "agg", "batch", "big", "column", "data", "fast", "filter", "group",
+    "hash", "join", "key", "line", "merge", "order", "part", "plan",
+    "query", "row", "scan", "shuffle", "slow", "small", "sort", "spark",
+    "stream", "table", "value", "window", "a", "the", "of",
+]
+
+
+def _vocab_for(n_docs: int) -> np.ndarray:
+    """Heaps'-law vocabulary: V grows ~ sqrt(corpus size), anchored at
+    the driver fixture's 31 words for the base 5000 docs. A FIXED vocab
+    would densify the shingle space as the corpus grows — random
+    cross-doc collisions (shared n-grams, close simhash fingerprints)
+    then grow quadratically and swamp the planted duplicates, making
+    every pair-producing operator look quadratic when the operator is
+    fine and the corpus is just unrealistically repetitive. Real corpora
+    grow vocabulary with size (Heaps exponent ~0.4-0.6); with V ~ m^0.5
+    random-collision pairs grow ~ m^0.5 (sublinear) while planted dups
+    grow ~ m, so the planted signal dominates the measurement."""
+    mult = max(1.0, n_docs / BASE_DOCS)
+    v = int(len(VOCAB) * mult**0.5)
+    base = list(VOCAB)
+    i = 0
+    while len(base) < v:
+        base.append(f"{VOCAB[i % len(VOCAB)]}{i // len(VOCAB)}x")
+        i += 1
+    return np.array(base)
+
+
+def gen_documents(n_docs: int, rng: np.random.Generator) -> pa.Table:
+    vocab = _vocab_for(n_docs)
+    words = vocab[rng.integers(0, len(vocab), size=(n_docs, WORDS_PER_DOC))]
+    texts = [" ".join(row) for row in words]
+
+    # plant exact + near duplicates of earlier docs (clone target always
+    # below the clone id, mirroring the fixture's min-id-canonical shape)
+    n_exact = n_docs * EXACT_DUPS_PER_BASE // BASE_DOCS
+    n_near = n_docs * NEAR_DUPS_PER_BASE // BASE_DOCS
+    clone_ids = rng.choice(
+        np.arange(n_docs // 2, n_docs), size=n_exact + n_near, replace=False
+    )
+    for j, cid in enumerate(clone_ids):
+        src = int(rng.integers(0, n_docs // 2))
+        t = texts[src].split(" ")
+        if j >= n_exact:  # near dup: swap 3 words
+            for pos in rng.integers(0, len(t), size=3):
+                t[pos] = str(vocab[rng.integers(0, len(vocab))])
+        texts[int(cid)] = " ".join(t)
+
+    langs = rng.choice(LANGS, size=n_docs, p=LANG_P)
+    sources = np.array([f"src{i}" for i in rng.integers(0, N_SOURCES, n_docs)])
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def gen_embeddings(n_vecs: int, rng: np.random.Generator) -> pa.Table:
+    centroids = rng.normal(size=(N_LABELS, DIM))
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    labels = rng.integers(0, N_LABELS, size=n_vecs)
+    vecs = centroids[labels] + 0.6 * rng.normal(size=(n_vecs, DIM))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n_vecs), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def generate(out_dir: str, multiplier: float, seed: int = 42) -> dict:
+    os.makedirs(out_dir, exist_ok=True)
+    n_docs = int(BASE_DOCS * multiplier)
+    n_embs = int(BASE_EMBS * multiplier)
+    rng = np.random.default_rng(seed)
+    pq.write_table(gen_documents(n_docs, rng), os.path.join(out_dir, "documents.parquet"))
+    pq.write_table(gen_embeddings(n_embs, rng), os.path.join(out_dir, "embeddings.parquet"))
+    meta = {"multiplier": multiplier, "seed": seed, "n_docs": n_docs, "n_embs": n_embs}
+    with open(os.path.join(out_dir, "META.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "scale_data/x1"
+    mult = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
+    print(json.dumps(generate(out, mult)))
