@@ -565,6 +565,38 @@ def ivf_topk(
     )
 
 
+def ivf_bucket_stats(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF index-health audit: per-bucket occupancy and corpus share —
+    the gate run before a bucketed index serves traffic. Probe cost is
+    ∝ bucket size, so one bucket holding 30% of a 100 TB corpus makes
+    every query that probes it pay 0.3·|corpus| instead of
+    |corpus|/n_buckets; the fix is re-fitting centroids (or splitting
+    the bucket), and this relation is the evidence. Plan: the map-only
+    argmax assignment (shared with ``ivf_topk``) + one
+    |centroids|-row aggregation + a broadcast of the 1-row total —
+    nothing data-sized beyond the single corpus scan.
+
+    Output: (bucket, n_vecs, share), rounded for cross-engine equality;
+    empty buckets don't appear (count them against the centroid relation
+    — their absence is itself the imbalance signal)."""
+    counts = (
+        assign_buckets(corpus, centroids, id_col, vec_col)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    total = counts.agg(F.sum("n_vecs").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        "n_vecs",
+        F.round(F.col("n_vecs") / F.col("__total"), 6).alias("share"),
+    )
+
+
 def embedding_health(
     df: DataFrame,
     group_col: str = "label",

@@ -180,6 +180,39 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(e, e.filter(F.col("vec_id") < N_QUERIES), centroids, k=TOPK)
 
 
+def q_ivf_bucket_stats(spark, sf_dir):
+    """IVF index-health audit: bucket occupancy + corpus share for the
+    same centroid set ivf_topk serves from — probe cost follows bucket
+    size, so this is the imbalance evidence a re-fit decision needs."""
+    from sarkac_spark.operators.similarity import ivf_bucket_stats
+
+    e = _embs(spark, sf_dir)
+    centroids = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return ivf_bucket_stats(e, centroids)
+
+
+def _ivf_bucket_stats_sql() -> str:
+    cent_cos = _COS.format(a="v.v", b="c.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS bucket, v FROM e WHERE vec_id < {N_CENTROIDS}),
+ranked AS (
+  SELECT v.vec_id, c.bucket, row_number() OVER (
+    PARTITION BY v.vec_id ORDER BY {cent_cos} DESC, c.bucket
+  ) AS rn
+  FROM e v CROSS JOIN cents c
+),
+counts AS (
+  SELECT bucket, count(*) AS n_vecs FROM ranked WHERE rn = 1 GROUP BY bucket
+)
+SELECT bucket, n_vecs,
+       round(n_vecs / (SELECT sum(n_vecs) FROM counts), 6) AS share
+FROM counts
+"""
+
+
 IVF_NPROBE = 2  # the multi-probe recall lever, oracle-mirrored
 
 
@@ -753,6 +786,64 @@ FROM inter i
 JOIN sizes na ON na.doc_id = i.id_a
 JOIN sizes nb ON nb.doc_id = i.id_b
 WHERE round(n_common / (na.n_sh + nb.n_sh - n_common), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_minhash_hot_bands(spark, sf_dir):
+    """Hot-band audit relation (the other half of the max_band_df guard):
+    every LSH band bucket above the df cap, with its occupancy and the
+    min-id canonical for per-bucket clustering. Queried at cap=1 so the
+    fixture's duplicate pairs make the audit non-empty; production runs
+    it at MINHASH_MAX_BAND_DF to see exactly what the capped band join
+    excluded. One grouped count — no self-join, map-side combined."""
+    from sarkac_spark.operators.dedup import (
+        _hashed_shingles,
+        _minhash_aggs,
+        minhash_hot_bands,
+    )
+
+    d = _docs(spark, sf_dir)
+    sigs = (
+        _hashed_shingles(d, "doc_id", "text", 3)
+        .groupBy("doc_id")
+        .agg(*_minhash_aggs(MINHASH_K))
+    )
+    return minhash_hot_bands(
+        sigs, "doc_id", k=MINHASH_K, bands=MINHASH_BANDS, max_band_df=1
+    )
+
+
+def _minhash_hot_bands_sql() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    mh_aggs = ",\n    ".join(
+        f"min(({_LCG_A[i] % MINHASH_P} * h + {_LCG_B[i] % MINHASH_P}) % {MINHASH_P})"
+        f" AS mh_{i}"
+        for i in range(MINHASH_K)
+    )
+    band_exprs = ",\n      ".join(
+        "'{b}|' || {cols}".format(
+            b=b,
+            cols=" || '|' || ".join(
+                f"mh_{b * rows + r}::varchar" for r in range(rows)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::bigint % {MINHASH_P} AS h
+  FROM sh
+),
+sigs AS (SELECT doc_id, {mh_aggs} FROM hashed GROUP BY doc_id),
+bands0 AS (
+  SELECT doc_id, UNNEST([
+      {band_exprs}
+  ]) AS band_key FROM sigs
+)
+SELECT band_key, count(*) AS band_df, min(doc_id) AS canonical_id
+FROM bands0 GROUP BY band_key HAVING count(*) > 1
 """
 
 
@@ -1378,6 +1469,7 @@ QUERIES = {
     "embedding_health": q_embedding_health,
     "curation_pipeline": q_curation_pipeline,
     "dedup_minhash": q_dedup_minhash,
+    "minhash_hot_bands": q_minhash_hot_bands,
     "dedup_clusters": q_dedup_clusters,
     "dedup_canonical": q_dedup_canonical,
     "dedup_simhash": q_dedup_simhash,
@@ -1385,6 +1477,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "cosine_topk": q_cosine_topk,
     "ivf_topk": q_ivf_topk,
+    "ivf_bucket_stats": q_ivf_bucket_stats,
     "lsh_topk": q_lsh_topk,
     "ivf_probe2": q_ivf_probe2,
     "token_stats": q_token_stats,
@@ -2225,6 +2318,7 @@ FROM embeddings GROUP BY label
 """,
     "curation_pipeline": _curation_pipeline_sql(),
     "dedup_minhash": _minhash_sql(),
+    "minhash_hot_bands": _minhash_hot_bands_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "dedup_canonical": _dedup_canonical_sql(),
     "dedup_simhash": _simhash_sql(),
@@ -2239,6 +2333,7 @@ WHERE {_COS.format(a="a.v", b="b.v")} >= {EMB_NEARDUP_THRESHOLD}
     "cosine_topk": _cosine_topk_sql(),
     "lsh_topk": _lsh_topk_sql(),
     "ivf_topk": _ivf_topk_sql(),
+    "ivf_bucket_stats": _ivf_bucket_stats_sql(),
     "ivf_probe2": _ivf_topk_sql(nprobe=IVF_NPROBE),
     "ann_recall": f"""
 WITH exact AS ({_cosine_topk_sql()}),

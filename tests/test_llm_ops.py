@@ -167,6 +167,24 @@ def test_incremental_minhash_hot_band_capped(spark):
     assert uncapped.count() == n + 1  # 1002 pairs all n old boiler docs + real pair
 
 
+def test_ivf_bucket_stats(spark, sf_dir):
+    """Index-health audit: occupancy sums to the corpus, shares to ~1,
+    every bucket is a real centroid id."""
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.operators.similarity import ivf_bucket_stats
+    from sarkac_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    rows = ivf_bucket_stats(e, centroids).collect()
+    assert sum(r.n_vecs for r in rows) == e.count()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert {r.bucket for r in rows} <= set(range(8))
+
+
 def test_dedup_simhash(docs):
     pairs = {(r.id_a, r.id_b): r.hamming for r in dedup_simhash(docs, "doc_id", "text", max_hamming=10).collect()}
     assert pairs[(1, 2)] == 0  # identical text -> identical fingerprint
