@@ -14,8 +14,11 @@ cheap map-only gates before shuffling stages):
                        "min_score": 0.5},      # quality_score cutoff
         "decontaminate": {"min_shared": 1},    # drop eval-overlap docs
         "dedup":      {"exact": True,          # md5 canonicalization
-                       "minhash": {"k": 16, "bands": 4,
-                                   "threshold": 0.5}},  # near-dup drop
+                       "minhash": {"k": 16, "bands": 4, "threshold": 0.5,
+                                   "max_band_df": 1024}},  # near-dup drop
+                                   # max_band_df: hot-band fanout cap
+                                   # (defaults to MINHASH_MAX_BAND_DF;
+                                   # None disables for tiny corpora)
         "winnow":     {"min_shared": 2},       # local-overlap drop
         "domain_cap": {"domain_col": "source", "cap": 1000,
                        "quality_col": "n_chars"},
@@ -64,6 +67,8 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sarkac_spark.operators.dedup import MINHASH_MAX_BAND_DF
 
 
 class Curator:
@@ -222,6 +227,7 @@ class Curator:
                     k=int(mh.get("k", 16)),
                     bands=int(mh.get("bands", 4)),
                     threshold=float(mh.get("threshold", 0.5)),
+                    max_band_df=mh.get("max_band_df", MINHASH_MAX_BAND_DF),
                 )
                 # keep-lowest-id: drop every id that appears as the
                 # larger side of a near-dup pair
@@ -261,6 +267,7 @@ class Curator:
                     k=int(mh.get("k", 16)),
                     bands=int(mh.get("bands", 4)),
                     threshold=float(mh.get("threshold", 0.5)),
+                    max_band_df=mh.get("max_band_df", MINHASH_MAX_BAND_DF),
                 )
                 # committed corpus rows never lose: a batch row is dropped
                 # when it pairs with a corpus row (either side of the

@@ -588,6 +588,65 @@ def inverted_index(
 # --- span-level (paragraph) dedup ---------------------------------------------
 
 
+def doc_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 10,
+) -> DataFrame:
+    """Fixed word-window span segmentation shared by ``span_dedup`` and
+    ``hot_spans`` (one definition, so the audit sees exactly the units
+    the dedup deduplicates). Map-only posexplode: (id, pos, span)."""
+    words = df.select(F.col(id_col), words_col(text_col).alias("__w"))
+    w = F.col("__w")
+    n_spans = F.ceil(F.size(w) / F.lit(span_words)).cast("int")
+    idx = F.sequence(F.lit(0), n_spans - 1)
+    # materialize __w first (no CSE across the HOF boundary — see shingles)
+    span = F.transform(
+        idx,
+        lambda i: F.array_join(F.slice(w, i * span_words + 1, span_words), " "),
+    )
+    return words.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(F.size(w) > 0, span).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "span"),
+    )
+
+
+def hot_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 10,
+    min_df: int = 2,
+    top_k: int = 20,
+) -> DataFrame:
+    """Boilerplate audit: the ``top_k`` most-duplicated spans — WHAT
+    ``span_dedup`` is about to remove, before committing a 100 TB pass
+    (navigation chrome, license blocks, cookie banners dominate; a
+    surprise entry here usually means a scraper bug, not real text).
+
+    One grouped count over the span shuffle (map-side combined, so the
+    hot keys being audited are themselves skew-immune — same argument
+    as span_dedup's first-occurrence agg) + distributed TakeOrdered
+    top-k under the (span_df desc, n_docs desc, span) total order —
+    deterministic, no global sort materialized.
+
+    Output: (span, span_df, n_docs) — total occurrences and distinct
+    docs touched."""
+    spans = doc_spans(df, id_col, text_col, span_words)
+    counts = spans.groupBy("span").agg(
+        F.count(F.lit(1)).alias("span_df"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    return (
+        counts.filter(F.col("span_df") >= min_df)
+        .orderBy(F.col("span_df").desc(), F.col("n_docs").desc(), F.col("span"))
+        .limit(top_k)
+    )
+
+
 def span_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -622,21 +681,7 @@ def span_dedup(
     Returns (id, text_dedup, n_spans, n_kept); documents whose every
     span was a later duplicate keep an empty text_dedup.
     """
-    words = df.select(F.col(id_col), words_col(text_col).alias("__w"))
-    w = F.col("__w")
-    n_spans = F.ceil(F.size(w) / F.lit(span_words)).cast("int")
-    idx = F.sequence(F.lit(0), n_spans - 1)
-    # materialize __w first (no CSE across the HOF boundary — see shingles)
-    span = F.transform(
-        idx,
-        lambda i: F.array_join(F.slice(w, i * span_words + 1, span_words), " "),
-    )
-    spans = words.select(
-        F.col(id_col),
-        F.posexplode(F.when(F.size(w) > 0, span).otherwise(F.array().cast("array<string>"))).alias(
-            "pos", "span"
-        ),
-    )
+    spans = doc_spans(df, id_col, text_col, span_words)
     # span joins the hash in the grouping key: the 60-bit prefix is only
     # a shuffle-narrowing key, so a hash collision between distinct spans
     # lands them in distinct groups instead of silently dropping one.

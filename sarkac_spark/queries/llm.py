@@ -130,6 +130,21 @@ def q_pack_sequences(spark, sf_dir):
     ).select("doc_id", "pack_group", "seq_id", "seq_pos")
 
 
+HOT_SPANS_TOP_K = 20
+
+
+def q_hot_spans(spark, sf_dir):
+    """Boilerplate audit: the most-duplicated spans (exactly the units
+    span_dedup deduplicates) — the pre-commit evidence of WHAT a span
+    pass will remove."""
+    from sarkac_spark.operators.dedup import hot_spans
+
+    return hot_spans(
+        _docs(spark, sf_dir), "doc_id", "text",
+        span_words=SPAN_WORDS, top_k=HOT_SPANS_TOP_K,
+    )
+
+
 def q_span_dedup(spark, sf_dir):
     """C4-style cross-corpus span dedup: later occurrences of a repeated
     10-word span are dropped, documents reassembled from survivors."""
@@ -1484,6 +1499,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "span_dedup": q_span_dedup,
+    "hot_spans": q_hot_spans,
     "temperature_sample": q_temperature_sample,
     "vocab_coverage": q_vocab_coverage,
     "pack_sequences": q_pack_sequences,
@@ -2429,6 +2445,22 @@ SELECT sa.g AS group_a, sb.g AS group_b,
          / (sa.vocab + sb.vocab - coalesce(i.shared, 0)) AS jaccard
 FROM sizes sa JOIN sizes sb ON sa.g < sb.g
 LEFT JOIN inter i ON i.ga = sa.g AND i.gb = sb.g
+""",
+    "hot_spans": f"""
+WITH ws AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+spans AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(
+           list_slice(w, u.i * {SPAN_WORDS} + 1, u.i * {SPAN_WORDS} + {SPAN_WORDS}),
+           ' ') AS span
+  FROM ws, UNNEST(range(0, CAST(ceil(len(w) / {SPAN_WORDS}.0) AS INT))) AS u(i)
+),
+counts AS (
+  SELECT span, count(*) AS span_df, count(DISTINCT doc_id) AS n_docs
+  FROM spans GROUP BY span HAVING count(*) >= 2
+)
+SELECT span, span_df, n_docs FROM counts
+ORDER BY span_df DESC, n_docs DESC, span LIMIT {HOT_SPANS_TOP_K}
 """,
     "span_dedup": f"""
 WITH ws AS (SELECT doc_id, {_WORDS} AS w FROM documents),

@@ -773,6 +773,20 @@ def test_span_dedup_fully_duplicate_doc_empties(spark):
     assert out[2].text_dedup == "" and out[2].n_kept == 0 and out[2].n_spans == 1
 
 
+def test_hot_spans_audit(spark):
+    """The boilerplate audit surfaces the planted hot span first, with
+    exact occurrence/doc counts, and respects min_df and top_k."""
+    from sarkac_spark.operators.dedup import hot_spans
+
+    boiler = "alpha beta gamma delta epsilon"
+    rows = [(i, f"{boiler} unique token word number {i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = hot_spans(df, span_words=5, top_k=5).collect()
+    assert out[0].span == boiler
+    assert out[0].span_df == 50 and out[0].n_docs == 50
+    assert len(out) == 1  # unique tails never reach min_df=2
+
+
 def test_span_dedup_planted_hot_key(spark):
     """Skew proof (VERDICT round 3, item 5): one boilerplate span
     repeated ~10^4 times — the exact hot-key shape web boilerplate
