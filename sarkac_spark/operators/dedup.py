@@ -105,19 +105,41 @@ _LCG_B = [377003613 + 1013904223 * i for i in range(64)]
 MINHASH_MAX_BAND_DF = 1024
 
 
-def _cap_band_df(banded: DataFrame, max_band_df: int | None) -> DataFrame:
-    """df cap as a count-window over the band_key partitioning the band
-    self-join needs anyway: ONE exchange on band_key that the join legs
-    reuse (an aggregate+anti-join formulation would re-band per leg)."""
-    if max_band_df is None:
-        return banded
-    return (
-        banded.withColumn(
-            "__bdf", F.count(F.lit(1)).over(Window.partitionBy("band_key"))
-        )
-        .filter(F.col("__bdf") <= max_band_df)
-        .drop("__bdf")
+def _df_cap(rel: DataFrame, key_col: str, max_df: int | None) -> DataFrame:
+    """Shared hot-key df cap: drop every row whose ``key_col`` value
+    occurs more than ``max_df`` times.
+
+    Formulated as a map-side-combined count aggregation + BROADCAST
+    anti-join against the (tiny, by definition) hot-key set — NOT a
+    count window. A window partitioned by the key funnels the entire
+    hot key through ONE unsplittable task (windows cannot be split
+    across tasks; AQE skew handling covers joins only): at df=1e8 —
+    the boilerplate shape this cap exists for — that is a
+    minutes-long straggler sorting 1e8 rows, i.e. the guard itself
+    reintroduces the skew it guards against. Here the hot key
+    collapses to ~one row per mapper in the count's partial
+    aggregation, the hot set broadcasts, and the probe side stays
+    map-only. The price is one extra derivation of ``rel`` for the
+    count leg (fully parallel; subtrees below an exchange dedupe via
+    ReuseExchange where one exists) — a linear cost, versus an
+    unbounded straggler. Result-identical to the window formulation,
+    so the DuckDB oracles (which keep the simpler windowed SQL) are
+    unaffected."""
+    if max_df is None:
+        return rel
+    hot = (
+        rel.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select(key_col)
     )
+    return rel.join(F.broadcast(hot), key_col, "left_anti")
+
+
+def _cap_band_df(banded: DataFrame, max_band_df: int | None) -> DataFrame:
+    """Band-key instance of ``_df_cap`` (see its docstring for the
+    anti-join-not-window rationale)."""
+    return _df_cap(banded, "band_key", max_band_df)
 
 
 def _minhash_aggs(k: int) -> list[F.Column]:
@@ -204,16 +226,20 @@ def minhash_hot_bands(
     members of one hot band are mutual near-duplicates by construction
     (identical signature rows on that band), so the scale-safe handling
     is per-bucket clustering — pick min(id) per band_key as canonical —
-    not D^2/2 pairs. One grouped count, no self-join."""
-    cap = 0 if max_band_df is None else max_band_df
+    not D^2/2 pairs. One grouped count, no self-join.
+
+    ``max_band_df=None`` (guard disabled) excludes nothing, so the
+    audit is EMPTY by definition — mirrored here with a false filter
+    rather than returning every band."""
     banded = sigs.select(
         F.col(id_col), F.explode(_band_keys_expr(k, bands)).alias("band_key")
     )
-    return (
-        banded.groupBy("band_key")
-        .agg(F.count(F.lit(1)).alias("band_df"), F.min(id_col).alias("canonical_id"))
-        .filter(F.col("band_df") > cap)
+    counts = banded.groupBy("band_key").agg(
+        F.count(F.lit(1)).alias("band_df"), F.min(id_col).alias("canonical_id")
     )
+    if max_band_df is None:
+        return counts.filter(F.lit(False))
+    return counts.filter(F.col("band_df") > max_band_df)
 
 
 def dedup_minhash(
@@ -399,21 +425,14 @@ def cross_contamination(
     and a *correctness* risk too: a shingle every train doc carries
     inflates every pair's n_shared with non-evidence. ``max_train_df``
     (default on) drops shingles whose train-side document frequency
-    exceeds the cap, as a count window over the same hash partitioning
-    the join needs (one exchange, AQE-reused — the ngram_jaccard
-    pattern). ``None`` restores the uncapped measure.
+    exceeds the cap, via the shared ``_df_cap`` broadcast anti-join
+    (map-combined hot-key count, no unsplittable window task — see its
+    docstring). ``None`` restores the uncapped measure.
     """
     t = shingles(train, id_col, text_col, n=shingle_n).select(
         F.col(id_col).alias("train_id"), _h60(F.col("shingle")).alias("h")
     )
-    if max_train_df is not None:
-        t = (
-            t.withColumn(
-                "__df", F.count(F.lit(1)).over(Window.partitionBy("h"))
-            )
-            .filter(F.col("__df") <= max_train_df)
-            .drop("__df")
-        )
+    t = _df_cap(t, "h", max_train_df)
     e = shingles(eval_df, id_col, text_col, n=shingle_n).select(
         F.col(id_col).alias("eval_id"), _h60(F.col("shingle")).alias("h")
     )
@@ -453,21 +472,7 @@ def ngram_jaccard_pairs(
     ``inverted_index(df, min_df=max_df + 1, max_df=2**62)``.
     ``max_df=None`` restores the uncapped exact measure for small
     corpora. At large n prefer ``dedup_minhash`` (LSH candidates)."""
-    sh = shingles(df, id_col, text_col, n=shingle_n)
-    if max_df is not None:
-        # df cap as a count-window over the shingle partitioning the
-        # self-join needs anyway: ONE exchange on shingle that the a/b
-        # join legs and the sizes agg all reuse (an aggregate+anti-join
-        # formulation re-scanned + re-shingled the corpus per leg — 8
-        # scans, zero reuse)
-        sh = (
-            sh.withColumn(
-                "__df",
-                F.count(F.lit(1)).over(Window.partitionBy("shingle")),
-            )
-            .filter(F.col("__df") <= max_df)
-            .drop("__df")
-        )
+    sh = _df_cap(shingles(df, id_col, text_col, n=shingle_n), "shingle", max_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed(id_col, "id_a")
     b = sh.withColumnRenamed(id_col, "id_b")
@@ -790,19 +795,12 @@ def winnow_pairs(
     Same scale discipline as ``ngram_jaccard_pairs``: the self-join runs
     over the winnowed relation (already ~2/(w+1) the gram count) with
     the ``max_df`` hot-fingerprint cap bounding per-key fanout at
-    max_df^2/2; the cap window rides the same exchange the join needs.
+    max_df^2/2 via the shared ``_df_cap`` broadcast anti-join (no
+    unsplittable window task — see its docstring).
 
     Output: (id_a, id_b, n_shared), id_a < id_b.
     """
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
-    if max_df is not None:
-        fps = (
-            fps.withColumn(
-                "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-            )
-            .filter(F.col("__df") <= max_df)
-            .drop("__df")
-        )
+    fps = _df_cap(winnow_fingerprints(df, id_col, text_col, k=k, w=w), "fp", max_df)
     a = fps.withColumnRenamed(id_col, "id_a")
     b = fps.withColumnRenamed(id_col, "id_b")
     return (

@@ -22,6 +22,16 @@ def executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def final_plan(df: DataFrame) -> str:
+    """The AQE-FINAL plan string — triggers one ``collect()`` so the
+    adaptive re-plan actually happens. Shows runtime facts the initial
+    plan cannot: ReusedExchange dedup of repeated subtrees, skew-join
+    splits, SMJ→BHJ conversions. Use for assertions of the form 'these
+    N static subtree copies collapse to one exchange at runtime'."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of hash-partitioned exchanges — the data-sized shuffles.
     Broadcast exchanges are deliberately NOT counted (they're the cheap

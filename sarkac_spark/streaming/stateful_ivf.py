@@ -35,7 +35,10 @@ scored so far) so downstream consumers (and the stream≡batch test) can
 pick the latest snapshot per query: after the stream drains, the
 snapshot with max ``n_seen`` equals batch ``ivf_topk`` over the full
 corpus row-for-row (same rounding, same (cos_sim desc, neighbor_id)
-tiebreak; pinned in tests/test_stateful_ivf.py).
+tiebreak; pinned in tests/test_stateful_ivf.py). Sole exception:
+zero-norm vectors score NULL-cosine and are dropped from the stream's
+candidate flow (see the inline note) — batch pads trailing ranks with
+null-score rows only in buckets with fewer than k finite candidates.
 """
 
 from __future__ import annotations
@@ -100,6 +103,15 @@ def streaming_ivf_topk(
                 6,
             ).alias("cos_sim"),
         )
+        # zero-norm vectors score NULL (try_divide contract) -> NaN in
+        # the Arrow batch; Python's sort is undefined under NaN keys, so
+        # a NaN could silently occupy a top-k state slot forever. Drop
+        # them here: a null-cosine candidate can never beat a real score
+        # (batch's desc window sorts nulls LAST), so the only divergence
+        # from batch ivf_topk is the degenerate bucket with fewer than k
+        # finite-scored candidates, where batch pads trailing ranks with
+        # null-score rows and the stream emits the shorter honest list.
+        .filter(F.col("cos_sim").isNotNull())
     )
 
     def merge_topk(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:

@@ -138,6 +138,10 @@ def test_minhash_planted_hot_band(spark):
     assert len(hot) == 4
     assert all(r.band_df == n and r.canonical_id == 0 for r in hot)
 
+    # guard disabled -> nothing was excluded -> the audit is EMPTY (not
+    # every band in the corpus)
+    assert minhash_hot_bands(sigs, "doc_id", max_band_df=None).count() == 0
+
 
 def test_incremental_minhash_hot_band_capped(spark):
     """The corpus x batch band join gets the same guard: a hot band's

@@ -128,12 +128,19 @@ def test_lsh_assign_is_map_only(spark, sf_dir):
 def test_dedup_minhash_bounded_corpus_scans(spark, sf_dir):
     from sarkac_spark.operators.dedup import dedup_minhash
 
+    from sarkac_spark.plans.audit import final_plan
+
     docs = load_table(spark, sf_dir, "documents")
-    plan = _plan(dedup_minhash(docs, "doc_id", "text"))
+    df = dedup_minhash(docs, "doc_id", "text")
+    plan = _plan(df)
     # the shingle explode legs must stay bounded: signature+set come from
-    # one aggregation (4 pruned copies max), never the 6-scan
-    # inverted-index re-join shape
-    assert plan.count("Scan parquet") <= 4
+    # one aggregation. 4 pruned static copies for the dedup itself plus 2
+    # for the band-cap's hot-count leg (round 6) — never the 6+-scan
+    # inverted-index re-join shape GROWING with features. The cap's
+    # copies are the same doc-agg subtree, so they must collapse at
+    # runtime: the AQE-final plan shows ReusedExchange (asserted below).
+    assert plan.count("Scan parquet") <= 6
+    assert "ReusedExchange" in final_plan(df)
 
 
 def test_supplier_nation_revenue_broadcasts_dims(spark, sf_dir):

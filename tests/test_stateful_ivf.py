@@ -39,6 +39,18 @@ def test_streaming_ivf_topk_equals_batch(spark, sf_dir, tmp_path):
     e, queries, centroids = _fixture(spark, sf_dir)
     corpus = e.select("vec_id", "embedding").collect()
     schema = "vec_id long, embedding array<float>"
+    # plant a zero-norm vector: its cosine is NULL on both arms; batch
+    # sorts nulls last (never top-k while >= k finite candidates exist),
+    # the stream drops it pre-state — equality must still hold and no
+    # NaN may reach a snapshot
+    zero_id = 10_000
+    corpus = [(r.vec_id, r.embedding) for r in corpus]
+    corpus.append((zero_id, [0.0] * 64))
+    e = e.unionByName(
+        spark.createDataFrame([(zero_id, [0.0] * 64, 0)],
+                              "vec_id long, embedding array<float>, label int")
+        .select(*e.columns)
+    )
     src = tmp_path / "src"
     half = len(corpus) // 2
     out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")

@@ -114,13 +114,13 @@ def main() -> int:
                 continue
             q = queries[name]
             w1, r1 = _run(q, spark, d1, runs)
-            w10, r10 = _run(q, spark, d10, runs)
-            wall_ratio = round(w10 / max(w1, 1e-9), 2)
-            rows_ratio = round(r10 / max(r1, 1), 2)
+            wN, rN = _run(q, spark, d10, runs)
+            wall_ratio = round(wN / max(w1, 1e-9), 2)
+            rows_ratio = round(rN / max(r1, 1), 2)
             rec = {
-                "class": cls, "wall_x1": round(w1, 3), "wall_x10": round(w10, 3),
-                "wall_ratio": wall_ratio, "rows_x1": r1, "rows_x10": r10,
-                "rows_ratio": rows_ratio,
+                "class": cls, "wall_x1": round(w1, 3),
+                f"wall_x{mult}": round(wN, 3), "wall_ratio": wall_ratio,
+                "rows_x1": r1, f"rows_x{mult}": rN, "rows_ratio": rows_ratio,
             }
             if cls in WALL_BOUND:
                 # bounds are calibrated per decade; scale linearly in the
@@ -143,11 +143,11 @@ def main() -> int:
                       "unit": "queries", "multiplier": mult}))
 
     # markdown table for BASELINE.md
-    print("\n| query | class | wall 1x (s) | wall 10x (s) | wall ratio | rows 1x | rows 10x | rows ratio |", file=sys.stderr)
+    print(f"\n| query | class | wall 1x (s) | wall {mult}x (s) | wall ratio | rows 1x | rows {mult}x | rows ratio |", file=sys.stderr)
     print("|---|---|---|---|---|---|---|---|", file=sys.stderr)
     for n, r in sorted(results.items(), key=lambda kv: (kv[1]["class"], kv[0])):
-        print(f"| {n} | {r['class']} | {r['wall_x1']} | {r['wall_x10']} | "
-              f"{r['wall_ratio']}x | {r['rows_x1']} | {r['rows_x10']} | "
+        print(f"| {n} | {r['class']} | {r['wall_x1']} | {r[f'wall_x{mult}']} | "
+              f"{r['wall_ratio']}x | {r['rows_x1']} | {r[f'rows_x{mult}']} | "
               f"{r['rows_ratio']}x |", file=sys.stderr)
     return 1 if failures else 0
 
