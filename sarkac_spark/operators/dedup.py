@@ -109,36 +109,46 @@ def _df_cap(rel: DataFrame, key_col: str, max_df: int | None) -> DataFrame:
     """Shared hot-key df cap: drop every row whose ``key_col`` value
     occurs more than ``max_df`` times.
 
-    Formulated as a map-side-combined count aggregation + BROADCAST
-    anti-join against the (tiny, by definition) hot-key set — NOT a
-    count window. A window partitioned by the key funnels the entire
-    hot key through ONE unsplittable task (windows cannot be split
-    across tasks; AQE skew handling covers joins only): at df=1e8 —
-    the boilerplate shape this cap exists for — that is a
-    minutes-long straggler sorting 1e8 rows, i.e. the guard itself
-    reintroduces the skew it guards against. Here the hot key
-    collapses to ~one row per mapper in the count's partial
-    aggregation, the hot set broadcasts, and the probe side stays
-    map-only. The price is one extra derivation of ``rel`` for the
-    count leg (fully parallel; subtrees below an exchange dedupe via
-    ReuseExchange where one exists) — a linear cost, versus an
-    unbounded straggler. Result-identical to the window formulation,
-    so the DuckDB oracles (which keep the simpler windowed SQL) are
-    unaffected."""
+    Formulated as a map-side-combined count aggregation + shuffle
+    SEMI-JOIN on the key (merge hint) — NOT a count window, and NOT a
+    broadcast anti-join:
+
+    - A window partitioned by the key funnels the entire hot key
+      through ONE unsplittable task (windows cannot be split across
+      tasks; AQE skew handling covers joins only): at df=1e8 — the
+      boilerplate shape this cap exists for — that is a minutes-long
+      straggler sorting 1e8 rows, i.e. the guard itself reintroduces
+      the skew it guards against.
+    - A broadcast anti-join against the hot set is skew-safe but
+      re-derives ``rel`` for the count leg (map-only subtrees have no
+      exchange for ReuseExchange to dedupe) — measured 2-3x wall on
+      the shingle-explode relations.
+    - The shuffle semi-join gets both: the aggregation and the probe
+      leg consume the SAME exchange on the key (ReuseExchange — one
+      derivation of ``rel``, one shuffle), the hot key collapses
+      map-side in the count's partial aggregation, and a skewed
+      partition in a sort-merge join IS AQE-splittable
+      (OptimizeSkewedJoin covers LeftSemi). AQE may still convert to
+      broadcast at runtime from the already-materialized stage — no
+      recompute either way.
+
+    Result-identical to the window formulation, so the DuckDB oracles
+    (which keep the simpler windowed SQL) are unaffected — equivalence
+    property-tested in test_properties.py."""
     if max_df is None:
         return rel
-    hot = (
+    keep = (
         rel.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") > max_df)
+        .filter(F.col("__df") <= max_df)
         .select(key_col)
     )
-    return rel.join(F.broadcast(hot), key_col, "left_anti")
+    return rel.join(keep.hint("merge"), key_col, "left_semi")
 
 
 def _cap_band_df(banded: DataFrame, max_band_df: int | None) -> DataFrame:
     """Band-key instance of ``_df_cap`` (see its docstring for the
-    anti-join-not-window rationale)."""
+    semi-join-not-window rationale)."""
     return _df_cap(banded, "band_key", max_band_df)
 
 
@@ -425,9 +435,9 @@ def cross_contamination(
     and a *correctness* risk too: a shingle every train doc carries
     inflates every pair's n_shared with non-evidence. ``max_train_df``
     (default on) drops shingles whose train-side document frequency
-    exceeds the cap, via the shared ``_df_cap`` broadcast anti-join
-    (map-combined hot-key count, no unsplittable window task — see its
-    docstring). ``None`` restores the uncapped measure.
+    exceeds the cap, via the shared ``_df_cap`` exchange-reusing
+    semi-join (map-combined hot-key count, no unsplittable window task
+    — see its docstring). ``None`` restores the uncapped measure.
     """
     t = shingles(train, id_col, text_col, n=shingle_n).select(
         F.col(id_col).alias("train_id"), _h60(F.col("shingle")).alias("h")
@@ -795,8 +805,8 @@ def winnow_pairs(
     Same scale discipline as ``ngram_jaccard_pairs``: the self-join runs
     over the winnowed relation (already ~2/(w+1) the gram count) with
     the ``max_df`` hot-fingerprint cap bounding per-key fanout at
-    max_df^2/2 via the shared ``_df_cap`` broadcast anti-join (no
-    unsplittable window task — see its docstring).
+    max_df^2/2 via the shared ``_df_cap`` exchange-reusing semi-join
+    (no unsplittable window task — see its docstring).
 
     Output: (id_a, id_b, n_shared), id_a < id_b.
     """

@@ -175,3 +175,27 @@ def test_hll_error_envelope_across_b(spark, b):
     # at b=8 n_small is 16 and a single register collision moves the
     # rounded estimate by 1)
     assert abs(est - n_small) <= max(2, 0.05 * n_small), (b, n_small, est)
+
+
+@pytest.mark.parametrize("cap", [1, 3, 7, None])
+def test_df_cap_equals_window_formulation(spark, cap):
+    """_df_cap (broadcast anti-join, the de-straggler round-6 rewrite)
+    must be row-identical to the count-window formulation it replaced —
+    the DuckDB oracles still encode the windowed SQL, so this is the
+    bridge that keeps the hash gate honest."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sarkac_spark.operators.dedup import _df_cap
+
+    rows = [(i, f"k{i % 5}") for i in range(40)] + [(100 + i, "hot") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, key string")
+
+    got = {(r.id, r.key) for r in _df_cap(df, "key", cap).collect()}
+    windowed = df.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("key"))
+    )
+    if cap is not None:
+        windowed = windowed.filter(F.col("__df") <= cap)
+    expect = {(r.id, r.key) for r in windowed.collect()}
+    assert got == expect
