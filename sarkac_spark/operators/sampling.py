@@ -369,3 +369,122 @@ def weighted_sample(
         rank_topk(top, "__key", id_col, rank_col="sample_rank")
         .drop("__key")
     )
+
+
+def assign_shards(
+    df: DataFrame, id_col: str, n_shards: int, salt: str = "shard",
+    out_col: str = "shard_id",
+) -> DataFrame:
+    """Deterministic training-shard deal: shard = h60(salt|id) % 1e6
+    % n_shards — the output-sharding move of a training-data pipeline
+    (each shard becomes one dataloader file group). Same engine-portable
+    md5 variate as every sampler here, so the assignment is a pure
+    function of (id, salt): stable across runs, task retries, engines,
+    and input partitionings — re-running the pipeline never migrates a
+    document between shards. Map-only (no shuffle); the grouping that
+    usually follows shuffles on ``out_col``, which is uniform by
+    construction — no skew at any corpus size. Exactly uniform when
+    ``n_shards`` divides 1e6 (powers of 2 up to 64, powers of 10);
+    otherwise biased by at most 1 part in 1e6/n_shards.
+
+    Long-typed to match BIGINT modulo arithmetic in SQL oracles.
+    """
+    return df.withColumn(
+        out_col, sample_hash(id_col, salt) % F.lit(int(n_shards))
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    weights: dict[str, Column] | None = None,
+    salt: str = "shard",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-shard manifest + balance audit: deal rows into ``n_shards``
+    deterministic hash shards (``assign_shards``) and aggregate one row
+    per shard — doc count plus a summed column per ``weights`` entry
+    (e.g. token counts, byte sizes). ``load_ratio`` compares each
+    shard's first-weight load (doc count if no weights) to the ideal
+    sum/n_shards — the number a dataloader balancer actually reads; a
+    healthy manifest sits within a few percent of 1.0.
+
+    Shape: one map-side-combined groupBy on the uniform shard key
+    (n_shards result rows), then a 1-row total broadcast back — no
+    second scan, no skew, identical cost at any corpus size.
+    """
+    weights = weights or {}
+    aggs = [F.count(F.lit(1)).alias("n_docs")] + [
+        F.sum(c).cast("long").alias(name) for name, c in weights.items()
+    ]
+    load = next(iter(weights), "n_docs")
+    g = assign_shards(df, id_col, n_shards, salt=salt).groupBy("shard_id").agg(*aggs)
+    tot = g.agg((F.sum(load) / F.lit(int(n_shards))).alias("__ideal"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "load_ratio", F.round(F.col(load) / F.col("__ideal"), round_digits)
+        )
+        .drop("__ideal")
+    )
+
+
+def mixture_plan(
+    df: DataFrame,
+    stratum_col: str,
+    targets: dict[str, float],
+    weight_col: Column | str | None = None,
+    budget: int | None = None,
+    load_name: str = "n_tokens",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Target-mixture planning (the Pile/DoReMi domain-reweighting
+    move): given explicit target mixture ``targets`` (stratum ->
+    weight), report per stratum its measured load (``weight_col`` sum,
+    row count if None), natural share, target weight, and ``epochs`` —
+    the sampling factor that realizes the target mixture in expectation
+    under ``budget`` total load (default: corpus load). epochs < 1 is a
+    ``hash_sample`` downsampling rate; epochs > 1 means the stratum
+    must repeat (upsample) — the audit signal that a target is
+    infeasible without duplication. Strata absent from ``targets`` get
+    weight 0 (epochs 0 → dropped by the realizing sampler).
+
+    Unlike ``temperature_mix_rates`` (weights *derived* from counts),
+    the targets here are an explicit spec — the operator is the planning
+    /audit half of a mixture change, meant to be reviewed before
+    ``stratified_sample`` applies the rates.
+
+    Shape: one map-side-combined grouped sum, |strata|-row broadcast
+    joins for the target table and the 1-row total — scale-free.
+    """
+    if weight_col is None:
+        w: Column = F.lit(1)
+    elif isinstance(weight_col, str):
+        w = F.col(weight_col)
+    else:
+        w = weight_col
+    counts = df.groupBy(stratum_col).agg(F.sum(w).cast("long").alias(load_name))
+    tgt = df.sparkSession.createDataFrame(
+        [(str(k), float(v)) for k, v in targets.items()],
+        schema=f"{stratum_col} string, target_weight double",
+    )
+    tot = counts.agg(F.sum(load_name).alias("__total"))
+    budget_col = F.lit(budget) if budget is not None else F.col("__total")
+    return (
+        counts.join(F.broadcast(tgt), on=stratum_col, how="left")
+        .na.fill({"target_weight": 0.0})
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "natural_share",
+            F.round(F.col(load_name) / F.col("__total"), round_digits),
+        )
+        .withColumn(
+            "epochs",
+            F.round(
+                budget_col * F.col("target_weight") / F.col(load_name),
+                round_digits,
+            ),
+        )
+        .select(stratum_col, load_name, "natural_share", "target_weight", "epochs")
+    )

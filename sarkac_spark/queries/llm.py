@@ -1463,6 +1463,44 @@ def q_corpus_overlap(spark, sf_dir):
     return est.crossJoin(F.broadcast(true))
 
 
+N_SHARDS = 16  # divides 1e6 exactly -> unbiased deal (assign_shards doc)
+# explicit target mixture over the corpus languages (Pile/DoReMi-style
+# spec — an *input*, unlike temperature_sample's count-derived weights)
+MIX_TARGETS = {"en": 0.4, "zh": 0.2, "de": 0.15, "es": 0.15, "fr": 0.1}
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Training-shard manifest: deal documents into N_SHARDS
+    deterministic hash shards and audit per-shard doc/token/char load
+    vs the ideal — the output-sharding balance check a dataloader
+    depends on. Map-only deal + one uniform-key groupBy."""
+    from sarkac_spark.operators.sampling import shard_manifest
+    from sarkac_spark.operators.text import token_count
+
+    return shard_manifest(
+        _docs(spark, sf_dir),
+        "doc_id",
+        N_SHARDS,
+        weights={
+            "n_tokens": token_count("text"),
+            "n_chars": F.col("n_chars"),
+        },
+    )
+
+
+def q_mixture_plan(spark, sf_dir):
+    """Domain-reweighting plan: per-language token loads vs the
+    MIX_TARGETS spec — natural share, target weight, and the epochs
+    factor (>1 = target infeasible without repetition). One grouped
+    sum + broadcast dims."""
+    from sarkac_spark.operators.sampling import mixture_plan
+    from sarkac_spark.operators.text import token_count
+
+    return mixture_plan(
+        _docs(spark, sf_dir), "lang", MIX_TARGETS, weight_col=token_count("text")
+    )
+
+
 QUERIES = {
     "bloom_vocab": q_bloom_vocab,
     "corpus_overlap": q_corpus_overlap,
@@ -1520,6 +1558,8 @@ QUERIES = {
     "minhash_recall": q_minhash_recall,
     "incremental_dedup": q_incremental_dedup,
     "incremental_minhash": q_incremental_minhash,
+    "shard_manifest": q_shard_manifest,
+    "mixture_plan": q_mixture_plan,
 }
 
 
@@ -2576,5 +2616,38 @@ SELECT doc_id AS media_id,
        octet_length(encode(text)) AS n_bytes,
        lower(substring(hex(encode(text)), 1, 16)) AS head_hex
 FROM documents
+""",
+    "shard_manifest": f"""
+WITH s AS (
+  SELECT {_sample_hash_sql("shard")} % {N_SHARDS} AS shard_id,
+         len({_WORDS}) AS n_toks, n_chars
+  FROM documents
+),
+g AS (
+  SELECT shard_id, count(*) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM s GROUP BY 1
+),
+t AS (SELECT sum(n_tokens) / {N_SHARDS} AS ideal FROM g)
+SELECT shard_id, n_docs, n_tokens, n_chars,
+       round(n_tokens / t.ideal, 6) AS load_ratio
+FROM g, t
+""",
+    "mixture_plan": f"""
+WITH c AS (
+  SELECT lang, CAST(sum(len({_WORDS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM c),
+w(lang, target_weight) AS (VALUES {", ".join(
+    f"('{k}', {v})" for k, v in MIX_TARGETS.items()
+)})
+SELECT c.lang, c.n_tokens,
+       round(c.n_tokens / t.total, 6) AS natural_share,
+       CAST(coalesce(w.target_weight, 0.0) AS DOUBLE) AS target_weight,
+       round(t.total * CAST(coalesce(w.target_weight, 0.0) AS DOUBLE)
+             / c.n_tokens, 6) AS epochs
+FROM c LEFT JOIN w USING (lang), t
 """,
 }

@@ -253,3 +253,68 @@ def test_weighted_sample_es(spark):
     dz = d.withColumn("w", F.when(F.col("doc_id") < 990, F.lit(0.0)).otherwise(F.col("w")))
     kept = {r.doc_id for r in weighted_sample(dz, "doc_id", "w", 50).collect()}
     assert kept == {i for i in range(990, 1000)}
+
+
+def test_assign_shards_deterministic_uniform_and_map_only(spark):
+    from sarkac_spark.operators.sampling import assign_shards
+
+    df = _corpus(spark)
+    a = assign_shards(df, "doc_id", 16).select("doc_id", "shard_id")
+    b = assign_shards(df.repartition(7), "doc_id", 16).select("doc_id", "shard_id")
+    # pure function of (id, salt): partitioning-independent, stable
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    counts = [r.n for r in a.groupBy("shard_id").agg(F.count("*").alias("n")).collect()]
+    assert len(counts) == 16
+    # uniform deal: 2000 rows / 16 shards = 125 expected, allow 4 sigma
+    assert max(counts) - min(counts) < 90
+    # different salt draws an independent deal
+    c = assign_shards(df, "doc_id", 16, salt="other")
+    moved = (
+        a.join(c.withColumnRenamed("shard_id", "s2"), "doc_id")
+        .filter("shard_id != s2")
+        .count()
+    )
+    assert moved > 1500  # ~15/16 of rows should move
+    # map-only: no exchange in the assignment plan
+    assert "Exchange" not in a._jdf.queryExecution().executedPlan().toString()
+
+
+def test_shard_manifest_balance_audit(spark):
+    from sarkac_spark.operators.sampling import shard_manifest
+
+    df = _corpus(spark).withColumn("n_chars", F.lit(10) + F.col("doc_id") % 7)
+    m = shard_manifest(
+        df, "doc_id", 8, weights={"n_chars": F.col("n_chars")}
+    ).collect()
+    assert len(m) == 8
+    assert sum(r.n_docs for r in m) == 2000
+    total = sum(r.n_chars for r in m)
+    # load_ratio is load / (total/n_shards): mean over shards is exactly 1
+    mean_ratio = sum(r.load_ratio for r in m) / 8
+    assert abs(mean_ratio - 1.0) < 1e-4
+    for r in m:
+        assert abs(r.load_ratio - r.n_chars / (total / 8)) < 1e-5
+    # no weights: audit on doc counts
+    m2 = shard_manifest(df, "doc_id", 8).collect()
+    assert {r.shard_id for r in m2} == {r.shard_id for r in m}
+    assert all(abs(r.load_ratio - r.n_docs / 250) < 1e-5 for r in m2)
+
+
+def test_mixture_plan_epochs_identity_and_unknown_stratum(spark):
+    from sarkac_spark.operators.sampling import mixture_plan
+
+    df = _corpus(spark)
+    targets = {"en": 0.5, "de": 0.3, "xx": 0.2}  # fr absent -> weight 0
+    plan = {r.lang: r for r in mixture_plan(df, "lang", targets).collect()}
+    assert set(plan) == {"en", "de", "fr"}  # strata from data, not spec
+    total = sum(r.n_tokens for r in plan.values())
+    for lang, r in plan.items():
+        # epochs realizes the target: epochs * load / total == target_w
+        assert abs(r.epochs * r.n_tokens / total - r.target_weight) < 1e-4
+        assert abs(r.natural_share - r.n_tokens / total) < 1e-5
+    assert plan["fr"].target_weight == 0.0 and plan["fr"].epochs == 0.0
+    # en is 60% of rows but targeted at 50% -> downsample; de upsamples
+    assert plan["en"].epochs < 1.0 < plan["de"].epochs
+    # explicit budget scales epochs linearly
+    half = {r.lang: r for r in mixture_plan(df, "lang", targets, budget=total // 2).collect()}
+    assert abs(half["de"].epochs - plan["de"].epochs / 2) < 1e-3
