@@ -662,6 +662,63 @@ def hot_spans(
     )
 
 
+def dup_ngram_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_df: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document cross-corpus duplicate n-gram fraction — the
+    RefinedWeb/Dolma quality signal that catches *partially* templated
+    documents (a page that is 60% navigation chrome around 40% unique
+    text is invisible to doc-level dedup and to within-doc repetition
+    features alike): the share of a doc's n-gram OCCURRENCES whose
+    n-gram appears in >= ``min_df`` distinct documents.
+
+    Output: (id, n_ngrams, n_dup, dup_frac) — one row per doc with at
+    least one n-gram; dup_frac in [0, 1], filter-ready (e.g. drop
+    docs with dup_frac > 0.6).
+
+    Scale shape: occurrences collapse to (doc, gram, cnt) first (one
+    shuffle, map-side combined), the gram document-frequency relation
+    derives from THAT (second map-side-combined agg, |distinct grams|
+    rows), joins back on the gram key (per-occurrence fanout is exactly
+    1 — linear, no hot-key hazard regardless of how duplicated a gram
+    is), and the per-doc roll-up is the third and last shuffle. No
+    all-pairs structure anywhere: cost is O(corpus n-gram occurrences)
+    at any duplication level — this is the audit you can afford corpus-
+    wide even when pairwise dedup needs banding.
+    """
+    words = df.select(F.col(id_col), words_col(text_col).alias("__w"))
+    w = F.col("__w")
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, n), " "))
+    occ = words.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+        ).alias("__g"),
+    )
+    per_doc_gram = occ.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__cnt"))
+    gram_df = per_doc_gram.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        per_doc_gram.join(gram_df, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__cnt").alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("__df") >= min_df, F.col("__cnt")).otherwise(F.lit(0))
+            ).alias("n_dup"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup") / F.col("n_ngrams"), round_digits),
+        )
+    )
+
+
 def span_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -95,6 +95,53 @@ def profile_columns(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_col: str | Column = "text",
+) -> DataFrame:
+    """Corpus-snapshot diff — the data-versioning audit run between two
+    drops of the same corpus (crawl N vs crawl N+1, pre- vs post-filter
+    rebuild): per id, whether the document was ``added``, ``removed``,
+    ``changed`` (same id, different content fingerprint) or
+    ``unchanged``. The status relation is what retraining-impact
+    analysis consumes (how much of the corpus actually moved?) and what
+    incremental pipelines use to process only the delta instead of
+    re-curating 100 TB.
+
+    ``content_col`` may be a column name or an expression; content is
+    compared by md5 fingerprint, so wide text never crosses the
+    shuffle — each side is projected to (id, 32-byte digest) before the
+    join.
+
+    Output: (id, status, old_fp, new_fp) — fingerprints NULL on the
+    missing side.
+
+    Scale shape: two narrow projections (map-only digest) and ONE
+    full-outer equi-join on the id key — ids are unique per side, so
+    the join is skew-free by construction and AQE sizes the partitions;
+    there is no other shuffle. Roll up with a grouped count on
+    ``status`` for the 4-row churn summary.
+    """
+    c = F.col(content_col) if isinstance(content_col, str) else content_col
+    o = old.select(F.col(id_col), F.md5(c.cast("string")).alias("old_fp"))
+    n = new.select(F.col(id_col), F.md5(c.cast("string")).alias("new_fp"))
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(
+            id_col,
+            F.when(F.col("old_fp").isNull(), F.lit("added"))
+            .when(F.col("new_fp").isNull(), F.lit("removed"))
+            .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+            "old_fp",
+            "new_fp",
+        )
+    )
+
+
 def quantile_bucket_stats(
     df: DataFrame,
     value_col: str,

@@ -31,8 +31,11 @@ _HASH_HEX_LEN = 15
 
 
 def sample_hash(id_col, salt: str) -> F.Column:
-    """The shared variate: 60-bit md5 prefix of 'salt|id', mod 1e6."""
-    payload = F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    """The shared variate: 60-bit md5 prefix of 'salt|id', mod 1e6.
+    ``id_col`` may be a column name or any Column expression (e.g. a
+    cluster representative id for group-level draws)."""
+    key = F.col(id_col) if isinstance(id_col, str) else id_col
+    payload = F.concat_ws("|", F.lit(salt), key.cast("string"))
     h = F.conv(F.substring(F.md5(payload), 1, _HASH_HEX_LEN), 16, 10).cast("long")
     return h % SAMPLE_MOD
 
@@ -487,4 +490,58 @@ def mixture_plan(
             ),
         )
         .select(stratum_col, load_name, "natural_share", "target_weight", "epochs")
+    )
+
+
+def cluster_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    eval_rate: float = 0.01,
+    salt: str = "split",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Leakage-safe train/eval split: the Bernoulli draw happens on the
+    near-duplicate CLUSTER, not the document, so two near-duplicates can
+    never land on opposite sides of the split. ``train_eval_split``'s
+    per-doc hash is correct only for an already-deduplicated corpus —
+    on a raw corpus it puts ~eval_rate of every near-dup cluster into
+    eval while the rest of the cluster trains, which is exactly the
+    eval-set contamination (memorized paraphrase) decontamination
+    exists to prevent.
+
+    ``pairs`` is any near-dup pair relation (``dedup_minhash``,
+    ``dedup_simhash``, ``ngram_jaccard_pairs``, embedding near-dup);
+    transitive closure turns it into clusters (A~B, B~C => {A,B,C}
+    split together) and the split key is the cluster representative
+    (min reachable id) — singletons draw on their own id, so the
+    operator degrades to ``train_eval_split`` on a clean corpus.
+
+    Output: ``id_col``, ``split_key`` (the id the draw was made on),
+    ``split`` ('train'/'eval').
+
+    Scale shape: components run over the PAIR relation only (orders of
+    magnitude smaller than the corpus after banding); the corpus sees
+    one left equi-join against the (node, component) labels and a
+    map-only hash — no corpus-side shuffle beyond that join, which AQE
+    can broadcast whenever the duplicate population is small.
+    """
+    from sarkac_spark.operators.graph import connected_components
+
+    cc = connected_components(pairs, src=src, dst=dst).select(
+        F.col("node").alias(id_col), F.col("component").alias("__component")
+    )
+    key = F.coalesce(F.col("__component"), F.col(id_col))
+    return (
+        df.join(cc, id_col, "left")
+        .select(
+            id_col,
+            key.alias("split_key"),
+            F.when(
+                sample_hash(key, salt) < F.lit(_cutoff(eval_rate)), F.lit("eval")
+            )
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
     )

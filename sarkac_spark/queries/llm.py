@@ -1380,6 +1380,71 @@ def q_dedup_canonical(spark, sf_dir):
     return canonical_select(docs, pairs, "doc_id", "n_chars")
 
 
+def q_cluster_split(spark, sf_dir):
+    """Leakage-safe train/eval split: the split draw is made on the
+    near-dup CLUSTER representative (transitive closure over the
+    minhash pairs), so paraphrase pairs can never straddle the split —
+    the contamination mode a per-doc hash split cannot prevent."""
+    from sarkac_spark.operators.sampling import cluster_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_minhash(
+        docs,
+        "doc_id",
+        "text",
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+    )
+    return cluster_split(docs, "doc_id", pairs, eval_rate=EVAL_RATE)
+
+
+DUP_NGRAM_N = 3
+DUP_NGRAM_MIN_DF = 2
+
+# snapshot-diff fixture: old/new corpus snapshots derived from the one
+# documents table by hash — ~10% added (absent from old), ~10% removed
+# (absent from new), ~20% edited (old text reversed). Cutoffs are over
+# the shared 1e6 hash modulus.
+SNAP_ADD_CUTOFF = 100_000
+SNAP_DEL_CUTOFF = 100_000
+SNAP_EDIT_CUTOFF = 200_000
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Corpus-version diff: added/removed/changed/unchanged status per
+    doc between two snapshot views of the corpus — the delta relation
+    an incremental re-curation consumes. One full-outer join on id over
+    md5 fingerprints."""
+    from sarkac_spark.operators.profiling import snapshot_diff
+    from sarkac_spark.operators.sampling import sample_hash
+
+    d = _docs(spark, sf_dir)
+    edited = F.when(
+        sample_hash("doc_id", "snap_edit") < SNAP_EDIT_CUTOFF,
+        F.reverse(F.col("text")),
+    ).otherwise(F.col("text"))
+    old = d.filter(sample_hash("doc_id", "snap_add") >= SNAP_ADD_CUTOFF).select(
+        "doc_id", edited.alias("text")
+    )
+    new = d.filter(sample_hash("doc_id", "snap_del") >= SNAP_DEL_CUTOFF).select(
+        "doc_id", "text"
+    )
+    return snapshot_diff(old, new, "doc_id", "text")
+
+
+def q_dup_ngram_frac(spark, sf_dir):
+    """RefinedWeb-style partial-duplication audit: per doc, the share
+    of its 3-gram occurrences whose 3-gram appears in >= 2 documents —
+    catches templated/boilerplate-heavy docs that doc-level dedup and
+    within-doc repetition features both miss."""
+    from sarkac_spark.operators.dedup import dup_ngram_fraction
+
+    return dup_ngram_fraction(
+        _docs(spark, sf_dir), "doc_id", "text", n=DUP_NGRAM_N, min_df=DUP_NGRAM_MIN_DF
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """The composed corpus-curation pass: exact-dedup to canonical docs
     -> quality gate -> per-language corpus budget (docs + BPE-ish
@@ -1524,6 +1589,9 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "minhash_hot_bands": q_minhash_hot_bands,
     "dedup_clusters": q_dedup_clusters,
+    "cluster_split": q_cluster_split,
+    "dup_ngram_frac": q_dup_ngram_frac,
+    "snapshot_diff": q_snapshot_diff,
     "dedup_canonical": q_dedup_canonical,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1921,6 +1989,36 @@ FROM documents d JOIN lbl l USING (doc_id) JOIN sizes s USING (cluster_id)
 UNION ALL
 SELECT doc_id, doc_id, 1, true FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM lbl)
+"""
+
+
+def _cluster_split_sql() -> str:
+    # same transitive closure as _dedup_clusters_sql; the Bernoulli
+    # draw uses the cluster representative (min reachable id) as the
+    # hash key, doc_id for singletons.
+    cutoff = int(round(EVAL_RATE * 1_000_000))
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_sql()}) mh
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM (SELECT u, v FROM edges UNION ALL SELECT u, u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+lbl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+SELECT d.doc_id,
+       coalesce(l.cluster_id, d.doc_id) AS split_key,
+       CASE WHEN ('0x' || substr(md5('split|' ||
+                 CAST(coalesce(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 15)
+            )::BIGINT % 1000000 < {cutoff}
+            THEN 'eval' ELSE 'train' END AS split
+FROM documents d LEFT JOIN lbl l USING (doc_id)
 """
 
 
@@ -2376,6 +2474,51 @@ FROM embeddings GROUP BY label
     "dedup_minhash": _minhash_sql(),
     "minhash_hot_bands": _minhash_hot_bands_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
+    "cluster_split": _cluster_split_sql(),
+    "dup_ngram_frac": f"""
+WITH ws AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+occ AS (
+  SELECT doc_id, u.g AS g
+  FROM ws, UNNEST(
+    CASE WHEN len(w) >= {DUP_NGRAM_N} THEN
+      list_transform(range(1, len(w) - {DUP_NGRAM_N} + 2),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    ELSE [] END
+  ) AS u(g)
+),
+pdg AS (SELECT doc_id, g, count(*) AS cnt FROM occ GROUP BY 1, 2),
+gdf AS (SELECT g, count(*) AS df FROM pdg GROUP BY 1)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+       CAST(sum(CASE WHEN df >= {DUP_NGRAM_MIN_DF} THEN cnt ELSE 0 END)
+            AS BIGINT) AS n_dup,
+       round(sum(CASE WHEN df >= {DUP_NGRAM_MIN_DF} THEN cnt ELSE 0 END)
+             / sum(cnt), 6) AS dup_frac
+FROM pdg JOIN gdf USING (g)
+GROUP BY doc_id
+""",
+    "snapshot_diff": f"""
+WITH old AS (
+  SELECT doc_id,
+         CASE WHEN {_sample_hash_sql("snap_edit")} < {SNAP_EDIT_CUTOFF}
+              THEN reverse(text) ELSE text END AS text
+  FROM documents
+  WHERE {_sample_hash_sql("snap_add")} >= {SNAP_ADD_CUTOFF}
+),
+new AS (
+  SELECT doc_id, text FROM documents
+  WHERE {_sample_hash_sql("snap_del")} >= {SNAP_DEL_CUTOFF}
+),
+o AS (SELECT doc_id, md5(text) AS old_fp FROM old),
+n AS (SELECT doc_id, md5(text) AS new_fp FROM new)
+SELECT doc_id,
+       CASE WHEN old_fp IS NULL THEN 'added'
+            WHEN new_fp IS NULL THEN 'removed'
+            WHEN old_fp != new_fp THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       old_fp, new_fp
+FROM o FULL OUTER JOIN n USING (doc_id)
+""",
     "dedup_canonical": _dedup_canonical_sql(),
     "dedup_simhash": _simhash_sql(),
     "ngram_jaccard": _ngram_jaccard_sql(),

@@ -1761,3 +1761,69 @@ def test_hll_overlap_inclusion_exclusion(spark):
     other = spark.range(0, 500).selectExpr("concat('y', id) AS v")
     row2 = hll_overlap(disj, other, "v", b=12).collect()[0]
     assert row2.est_overlap >= 0  # clamped inclusion-exclusion
+
+
+def test_dup_ngram_fraction_planted_template(spark):
+    from sarkac_spark.operators.dedup import dup_ngram_fraction
+
+    # 20 docs share the same 6-word template prefix, each with a unique
+    # 6-word tail; one fully-unique doc; one too-short doc (no 3-grams)
+    tmpl = "the quick brown fox jumps over"
+    rows = [
+        (i, f"{tmpl} unique{i} tail{i} words{i} here{i} now{i} end{i}")
+        for i in range(20)
+    ]
+    rows.append((100, "completely different content with no shared grams at all"))
+    rows.append((101, "too short"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dup_ngram_fraction(df, "doc_id", "text", n=3).collect()}
+
+    # the short doc yields no 3-grams -> no row
+    assert 101 not in out and len(out) == 21
+    # template docs: 12 words -> 10 grams; grams inside the 6-word
+    # template (4 of them) appear in all 20 docs; the 2 bridge grams +
+    # 4 tail grams are unique per doc
+    for i in range(20):
+        r = out[i]
+        assert r.n_ngrams == 10 and r.n_dup == 4
+        assert abs(r.dup_frac - 0.4) < 1e-9
+    # the unique doc has zero duplicated occurrences
+    assert out[100].n_dup == 0 and out[100].dup_frac == 0.0
+    # multiplicity counts occurrences, not distinct grams: a doc that
+    # repeats a shared gram twice counts it twice in both numerator and
+    # denominator
+    rep = spark.createDataFrame(
+        [(0, "a b c x a b c"), (1, "a b c")], "doc_id long, text string"
+    )
+    r0 = {r.doc_id: r for r in dup_ngram_fraction(rep, "doc_id", "text", n=3).collect()}
+    assert r0[0].n_ngrams == 5 and r0[0].n_dup == 2  # 'a b c' twice
+    assert r0[1].n_ngrams == 1 and r0[1].n_dup == 1
+
+
+def test_snapshot_diff_statuses(spark):
+    from sarkac_spark.operators.profiling import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "GAMMA-EDITED"), (4, "delta")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in snapshot_diff(old, new, "doc_id", "text").collect()}
+    assert {k: v.status for k, v in out.items()} == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",
+        4: "added",
+    }
+    assert out[1].new_fp is None and out[4].old_fp is None
+    assert out[3].old_fp != out[3].new_fp and out[2].old_fp == out[2].new_fp
+    # plan: exactly one join, no extra shuffle beyond its two exchanges
+    plan = (
+        snapshot_diff(old, new, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) == 1

@@ -318,3 +318,59 @@ def test_mixture_plan_epochs_identity_and_unknown_stratum(spark):
     # explicit budget scales epochs linearly
     half = {r.lang: r for r in mixture_plan(df, "lang", targets, budget=total // 2).collect()}
     assert abs(half["de"].epochs - plan["de"].epochs / 2) < 1e-3
+
+
+def test_cluster_split_no_pair_straddles_and_degrades_to_per_doc(spark):
+    from sarkac_spark.operators.sampling import cluster_split
+
+    df = _corpus(spark, n=1000)
+    # planted near-dup graph: chains {i, i+1000->no..} use triples
+    # {3k, 3k+1, 3k+2} for k < 100 as A~B, B~C pairs (closure must
+    # merge them); docs >= 300 are singletons
+    pairs = spark.range(100).selectExpr(
+        "id * 3 AS id_a", "id * 3 + 1 AS id_b"
+    ).union(spark.range(100).selectExpr("id * 3 + 1", "id * 3 + 2"))
+    out = cluster_split(df, "doc_id", pairs, eval_rate=0.3)
+    assert out.count() == 1000
+
+    # THE invariant: no planted pair straddles the split
+    sides = out.select("doc_id", "split")
+    a = pairs.join(sides.withColumnRenamed("doc_id", "id_a"), "id_a")
+    ab = a.join(
+        sides.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+            "split", "split_b"
+        ),
+        "id_b",
+    )
+    assert ab.filter("split != split_b").count() == 0
+    # and each triple shares one split_key = min id of the triple
+    keys = {r.doc_id: r.split_key for r in out.collect()}
+    for k in range(100):
+        assert keys[3 * k] == keys[3 * k + 1] == keys[3 * k + 2] == 3 * k
+
+    # the naive per-doc split DOES leak on the same fixture (the
+    # failure mode this operator exists to close)
+    naive = train_eval_split(df, "doc_id", eval_rate=0.3).select(
+        "doc_id", "split"
+    )
+    na = pairs.join(naive.withColumnRenamed("doc_id", "id_a"), "id_a")
+    nab = na.join(
+        naive.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+            "split", "split_b"
+        ),
+        "id_b",
+    )
+    assert nab.filter("split != split_b").count() > 0
+
+    # singletons: draw on own id == train_eval_split's assignment
+    single = out.filter("doc_id >= 300")
+    ref = train_eval_split(df.filter("doc_id >= 300"), "doc_id", eval_rate=0.3)
+    diff = (
+        single.join(ref.withColumnRenamed("split", "ref_split"), "doc_id")
+        .filter("split != ref_split")
+        .count()
+    )
+    assert diff == 0
+    # calibration survives clustering (draws are per-key, rate ~0.3)
+    n_eval = out.filter("split = 'eval'").count()
+    assert 0.2 < n_eval / 1000 < 0.4
