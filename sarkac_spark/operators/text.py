@@ -541,6 +541,104 @@ def top_terms(
     return rank_topk(top, "n_occ", "term")
 
 
+def bpe_merge_pairs(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """First BPE merge iteration, corpus-wide: the frequency of every
+    adjacent CHARACTER pair inside words, weighted by word occurrences —
+    the statistic the BPE training loop (Sennrich et al. 2016) greedily
+    maximizes each round. Run on a pre-training corpus it answers "is
+    the shipped tokenizer fit to this data?" (the top merge candidates
+    here should already be merges in its vocab) without training one.
+
+    Output: (pair, occurrences, rank) — top-k by occurrences, pair-asc
+    tie-break, so the selected SET is deterministic for the oracle.
+
+    Scale shape: word occurrences collapse FIRST (one map-side-combined
+    shuffle down to |vocab|); the pair explosion runs on the
+    distinct-word relation — ~word_len pairs per VOCAB ENTRY, not per
+    occurrence — so the second shuffle carries <= |vocab| x word_len
+    rows whatever the corpus row count. Top-k is orderBy().limit()
+    (TakeOrderedAndProject) + ``rank_topk``, never a global sort or a
+    single-partition window.
+    """
+    words = df.select(F.explode(words_col(text_col)).alias("__word"))
+    wc = words.groupBy("__word").agg(F.count(F.lit(1)).alias("__cnt"))
+    wlen = F.length("__word")
+    # sequence(1, 0) counts DOWN in Spark — guard 1-char words explicitly
+    grams = F.transform(
+        F.sequence(F.lit(1), wlen - 1),
+        lambda i: F.col("__word").substr(i, F.lit(2)),
+    )
+    pairs = wc.select(
+        F.explode(
+            F.when(wlen >= 2, grams).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+        F.col("__cnt"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("__cnt").cast("long").alias("occurrences"))
+    top = agg.orderBy(F.col("occurrences").desc(), F.col("pair")).limit(k)
+    return rank_topk(top, "occurrences", "pair")
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text", top_k: int = 500) -> DataFrame:
+    """Zipf-law fit over the term-frequency head: the least-squares
+    slope of log10(frequency) on log10(rank) across the ``top_k`` most
+    frequent terms. Natural corpora sit near slope -1 (Zipf 1949);
+    a slope far from -1 or a low r2 flags synthetic/templated text,
+    boilerplate floods, or tokenizer mismatch — a one-row corpus health
+    gate cheap enough to run per ingest.
+
+    Output: ONE row (n_terms, slope, intercept, r2), rounded to 6.
+
+    Determinism / oracle note: ranks come from ``rank_topk`` (broadcast
+    self-join, no window); each log10 input is lifted to exact integer
+    micro-units (round(log10(v) * 1e6)) so every regression SUM is
+    integer arithmetic — identical under any partitioning and in either
+    engine. The final slope/intercept/r2 combine casts those exact
+    integers to double: the one inexact step, but identical inputs give
+    identical IEEE results cross-engine.
+
+    Scale shape: one map-side-combined term-count shuffle (|vocab|
+    rows), a TakeOrderedAndProject top-k, then O(top_k^2) broadcast
+    rank pairs and a 1-row aggregate — corpus size only touches the
+    first scan.
+    """
+    words = df.select(F.explode(words_col(text_col)).alias("term"))
+    counts = words.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    top = counts.orderBy(F.col("n_occ").desc(), F.col("term")).limit(top_k)
+    ranked = rank_topk(top, "n_occ", "term")
+    micro = 1_000_000
+    pts = ranked.select(
+        F.round(F.log10(F.col("rank").cast("double")) * micro)
+        .cast("long")
+        .alias("__x"),
+        F.round(F.log10(F.col("n_occ").cast("double")) * micro)
+        .cast("long")
+        .alias("__y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = cov / varx
+    return sums.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n / F.lit(float(micro)), 6).alias("intercept"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
 def bigram_transitions(
     df: DataFrame,
     text_col: str = "text",

@@ -1409,6 +1409,8 @@ DUP_NGRAM_MIN_DF = 2
 SNAP_ADD_CUTOFF = 100_000
 SNAP_DEL_CUTOFF = 100_000
 SNAP_EDIT_CUTOFF = 200_000
+BPE_TOPK = 50
+ZIPF_TOPK = 500
 
 
 def q_snapshot_diff(spark, sf_dir):
@@ -1417,19 +1419,8 @@ def q_snapshot_diff(spark, sf_dir):
     an incremental re-curation consumes. One full-outer join on id over
     md5 fingerprints."""
     from sarkac_spark.operators.profiling import snapshot_diff
-    from sarkac_spark.operators.sampling import sample_hash
 
-    d = _docs(spark, sf_dir)
-    edited = F.when(
-        sample_hash("doc_id", "snap_edit") < SNAP_EDIT_CUTOFF,
-        F.reverse(F.col("text")),
-    ).otherwise(F.col("text"))
-    old = d.filter(sample_hash("doc_id", "snap_add") >= SNAP_ADD_CUTOFF).select(
-        "doc_id", edited.alias("text")
-    )
-    new = d.filter(sample_hash("doc_id", "snap_del") >= SNAP_DEL_CUTOFF).select(
-        "doc_id", "text"
-    )
+    old, new = _snapshot_pair(_docs(spark, sf_dir))
     return snapshot_diff(old, new, "doc_id", "text")
 
 
@@ -1566,8 +1557,89 @@ def q_mixture_plan(spark, sf_dir):
     )
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Distilled-classifier quality gate (the fastText-filter shape of
+    CCNet/LLaMA pipelines): logistic scoring over the quality features
+    with the shipped literal weights. The logit is exact integer
+    nano-units (BIGINT) — no float summation anywhere — so the oracle
+    matches bit-for-bit; map-only, no shuffle."""
+    from sarkac_spark.operators.classify import logistic_quality_score
+
+    return logistic_quality_score(_docs(spark, sf_dir))
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Tokenizer-fit audit: corpus-wide adjacent character-pair counts
+    inside words (the first BPE merge iteration), top-k candidates."""
+    from sarkac_spark.operators.text import bpe_merge_pairs
+
+    return bpe_merge_pairs(_docs(spark, sf_dir), "text", k=BPE_TOPK)
+
+
+def q_zipf_fit(spark, sf_dir):
+    """One-row corpus health gate: least-squares Zipf fit (log-freq on
+    log-rank) over the term-frequency head; integer-exact regression
+    sums so the oracle can't drift."""
+    from sarkac_spark.operators.text import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), "text", top_k=ZIPF_TOPK)
+
+
+def _snapshot_pair(d):
+    """Two deterministic snapshot views of the corpus (drop-in fixture
+    for snapshot-delta queries): 10% of ids absent from each side, 20%
+    edited on the old side — all hash-derived, engine-stable."""
+    from sarkac_spark.operators.sampling import sample_hash
+
+    edited = F.when(
+        sample_hash("doc_id", "snap_edit") < SNAP_EDIT_CUTOFF,
+        F.reverse(F.col("text")),
+    ).otherwise(F.col("text"))
+    old = d.filter(sample_hash("doc_id", "snap_add") >= SNAP_ADD_CUTOFF).select(
+        "doc_id", edited.alias("text")
+    )
+    new = d.filter(sample_hash("doc_id", "snap_del") >= SNAP_DEL_CUTOFF).select(
+        "doc_id", "text"
+    )
+    return old, new
+
+
+def q_delta_curation(spark, sf_dir):
+    """Incremental re-curation: the snapshot delta drives the work list
+    — only added/changed docs are (re)scored by the quality classifier;
+    unchanged docs keep their prior verdict, removed docs drop. The
+    100 TB point: per-drop curation cost is O(delta), not O(corpus).
+    Output: per-status churn/work/keep counts (4 rows)."""
+    from sarkac_spark.operators.classify import logistic_quality_score
+    from sarkac_spark.operators.profiling import snapshot_diff
+
+    old, new = _snapshot_pair(_docs(spark, sf_dir))
+    diff = snapshot_diff(old, new, "doc_id", "text")
+    work_ids = diff.filter(F.col("status").isin("added", "changed")).select("doc_id")
+    scored = logistic_quality_score(
+        new.join(work_ids, "doc_id", "left_semi"), "doc_id", "text"
+    )
+    return (
+        diff.join(scored, "doc_id", "left")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("logit_nano").alias("n_scored"),
+            F.coalesce(
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+
+
 QUERIES = {
     "bloom_vocab": q_bloom_vocab,
+    "quality_classifier": q_quality_classifier,
+    "bpe_merges": q_bpe_merges,
+    "zipf_fit": q_zipf_fit,
+    "delta_curation": q_delta_curation,
     "corpus_overlap": q_corpus_overlap,
     "dedup_exact": q_dedup_exact,
     "stratified_sample": q_stratified_sample,
@@ -2440,7 +2512,171 @@ GROUP BY gt.grp
 """
 
 
+def _quality_micro_cte(src: str) -> str:
+    """Quality features in exact integer micro-units over ``src`` —
+    shared by the classifier oracles; mirrors
+    operators/classify.quality_feature_frame."""
+    return f"""
+feats AS (
+  SELECT doc_id,
+         len({_WORDS}) AS n_words,
+         round(len(list_distinct({_WORDS})) / len({_WORDS}), 6) AS unique_ratio,
+         round(CAST(list_sum(list_transform({_WORDS}, x -> length(x))) AS BIGINT)
+               / len({_WORDS}), 6) AS mean_word_len,
+         round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               / length(text), 6) AS punct_ratio,
+         round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               / length(text), 6) AS digit_ratio
+  FROM {src}
+),
+micro AS (
+  SELECT doc_id,
+         CAST(round(unique_ratio * 1000000) AS BIGINT) AS unique_ratio,
+         least(n_words * 10000, 1000000) AS len_term,
+         CAST(round(mean_word_len * 1000000) AS BIGINT) AS mean_word_len,
+         CAST(round(punct_ratio * 1000000) AS BIGINT) AS punct_ratio,
+         CAST(round(digit_ratio * 1000000) AS BIGINT) AS digit_ratio
+  FROM feats
+)"""
+
+
+def _logit_nano_expr() -> str:
+    """The shipped model's integer logit — generated from the SAME
+    weight dict the Spark operator reads (one source of truth)."""
+    from sarkac_spark.operators.classify import (
+        DEFAULT_BIAS_MILLI,
+        DEFAULT_WEIGHTS_MILLI,
+    )
+
+    terms = " + ".join(
+        f"({w}) * {name}" for name, w in sorted(DEFAULT_WEIGHTS_MILLI.items())
+    )
+    # CAST: DuckDB integer literals are INT32 — bias*1e6 overflows them
+    return f"(CAST({DEFAULT_BIAS_MILLI} AS BIGINT) * 1000000 + {terms})"
+
+
+def _quality_classifier_sql() -> str:
+    return f"""
+WITH {_quality_micro_cte("documents")}
+SELECT doc_id,
+       {_logit_nano_expr()} AS logit_nano,
+       ({_logit_nano_expr()} >= 0) AS keep
+FROM micro
+"""
+
+
+def _delta_curation_sql() -> str:
+    return f"""
+WITH old AS (
+  SELECT doc_id,
+         CASE WHEN {_sample_hash_sql("snap_edit")} < {SNAP_EDIT_CUTOFF}
+              THEN reverse(text) ELSE text END AS text
+  FROM documents
+  WHERE {_sample_hash_sql("snap_add")} >= {SNAP_ADD_CUTOFF}
+),
+new AS (
+  SELECT doc_id, text FROM documents
+  WHERE {_sample_hash_sql("snap_del")} >= {SNAP_DEL_CUTOFF}
+),
+o AS (SELECT doc_id, md5(text) AS old_fp FROM old),
+nn AS (SELECT doc_id, md5(text) AS new_fp FROM new),
+diff AS (
+  SELECT doc_id,
+         CASE WHEN old_fp IS NULL THEN 'added'
+              WHEN new_fp IS NULL THEN 'removed'
+              WHEN old_fp != new_fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM o FULL OUTER JOIN nn USING (doc_id)
+),
+work AS (SELECT doc_id FROM diff WHERE status IN ('added', 'changed')),
+src AS (SELECT n.doc_id, n.text FROM new n JOIN work USING (doc_id)),
+{_quality_micro_cte("src")},
+scored AS (
+  SELECT doc_id,
+         {_logit_nano_expr()} AS logit_nano,
+         ({_logit_nano_expr()} >= 0) AS keep
+  FROM micro
+)
+SELECT d.status,
+       count(*) AS n_docs,
+       count(s.logit_nano) AS n_scored,
+       CAST(sum(CASE WHEN s.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM diff d LEFT JOIN scored s USING (doc_id)
+GROUP BY 1
+"""
+
+
+def _bpe_merges_sql() -> str:
+    return f"""
+WITH w AS (SELECT u.t AS word FROM documents, UNNEST({_WORDS}) AS u(t)),
+wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+p AS (
+  SELECT u.s AS pair, cnt
+  FROM wc, UNNEST(
+    CASE WHEN length(word) >= 2 THEN
+      list_transform(range(1, length(word)), i -> substr(word, i, 2))
+    ELSE [] END
+  ) AS u(s)
+),
+agg AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS occurrences FROM p GROUP BY 1),
+top AS (
+  SELECT pair, occurrences FROM agg ORDER BY occurrences DESC, pair LIMIT {BPE_TOPK}
+)
+SELECT pair, occurrences,
+       (SELECT count(*) FROM top t2
+        WHERE t2.occurrences > t.occurrences
+           OR (t2.occurrences = t.occurrences AND t2.pair < t.pair)) + 1 AS rank
+FROM top t
+"""
+
+
+def _zipf_fit_sql() -> str:
+    return f"""
+WITH w AS (SELECT u.t AS term FROM documents, UNNEST({_WORDS}) AS u(t)),
+counts AS (SELECT term, CAST(count(*) AS BIGINT) AS n_occ FROM w GROUP BY 1),
+top AS (SELECT term, n_occ FROM counts ORDER BY n_occ DESC, term LIMIT {ZIPF_TOPK}),
+ranked AS (
+  SELECT n_occ,
+         (SELECT count(*) FROM top t2
+          WHERE t2.n_occ > t.n_occ
+             OR (t2.n_occ = t.n_occ AND t2.term < t.term)) + 1 AS rank
+  FROM top t
+),
+pts AS (
+  SELECT CAST(round(log10(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         CAST(round(log10(CAST(n_occ AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM ranked
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_big,
+         CAST(sum(x) AS BIGINT) AS sxi, CAST(sum(y) AS BIGINT) AS syi,
+         CAST(sum(x * y) AS BIGINT) AS sxyi,
+         CAST(sum(x * x) AS BIGINT) AS sxxi,
+         CAST(sum(y * y) AS BIGINT) AS syyi
+  FROM pts
+),
+d AS (
+  SELECT n_big, CAST(n_big AS DOUBLE) AS n,
+         CAST(sxi AS DOUBLE) AS sx, CAST(syi AS DOUBLE) AS sy,
+         CAST(sxyi AS DOUBLE) AS sxy, CAST(sxxi AS DOUBLE) AS sxx,
+         CAST(syyi AS DOUBLE) AS syy
+  FROM s
+)
+SELECT n_big AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+             / 1000000.0, 6) AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM d
+"""
+
+
 ORACLE = {
+    "quality_classifier": _quality_classifier_sql(),
+    "delta_curation": _delta_curation_sql(),
+    "bpe_merges": _bpe_merges_sql(),
+    "zipf_fit": _zipf_fit_sql(),
     "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
 FROM documents GROUP BY md5(text)

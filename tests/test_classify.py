@@ -1,0 +1,111 @@
+"""Classifier-based quality filtering: integer-logit scoring semantics
+and the MLlib fit -> quantize -> relational-score round trip."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sarkac_spark.operators.classify import (
+    DEFAULT_BIAS_MILLI,
+    DEFAULT_WEIGHTS_MILLI,
+    FEATURES,
+    fit_quality_lr,
+    logistic_quality_score,
+    quality_feature_frame,
+)
+
+GOOD = (
+    "the river carried cold water past the quiet village while farmers "
+    "walked along the bank discussing the coming harvest and the roads "
+    "they would need before winter arrived in the northern valley"
+)
+BAD_DIGITS = "4823 9911 3004 77 120391 555 23 881 0 42 17 93 5550 123456 777"
+BAD_PUNCT = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) ;;; ::: ,,, ... ---"
+BAD_SHORT = "ok"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i in range(40):
+        rows.append((i, f"{GOOD} variant {chr(97 + i % 26)}"))
+    for i in range(40, 60):
+        rows.append((i, BAD_DIGITS))
+    for i in range(60, 80):
+        rows.append((i, BAD_PUNCT))
+    for i in range(80, 90):
+        rows.append((i, BAD_SHORT))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_logit_matches_manual_computation(spark):
+    df = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
+    feats = {
+        r: v
+        for r, v in zip(
+            FEATURES,
+            quality_feature_frame(df).select(*FEATURES).first(),
+        )
+    }
+    expected = DEFAULT_BIAS_MILLI * 1_000_000 + sum(
+        DEFAULT_WEIGHTS_MILLI[f] * feats[f] for f in FEATURES
+    )
+    row = logistic_quality_score(df).first()
+    assert row.logit_nano == expected
+    assert row.keep == (expected >= 0)
+
+
+def test_default_weights_separate_planted_quality(corpus):
+    got = {r.doc_id: r.keep for r in logistic_quality_score(corpus).collect()}
+    for i in range(40):
+        assert got[i], f"good doc {i} was dropped"
+    for i in range(40, 90):
+        assert not got[i], f"junk doc {i} was kept"
+
+
+def test_threshold_is_monotone_in_logit(corpus):
+    scored = logistic_quality_score(corpus, threshold_nano=0)
+    strict = logistic_quality_score(corpus, threshold_nano=2_000_000_000)
+    kept = {r.doc_id for r in scored.filter("keep").collect()}
+    kept_strict = {r.doc_id for r in strict.filter("keep").collect()}
+    assert kept_strict <= kept  # raising the bar can only shrink the set
+
+
+def test_unknown_weight_feature_raises(corpus):
+    with pytest.raises(ValueError, match="unknown features"):
+        logistic_quality_score(corpus, weights_milli={"not_a_feature": 1})
+
+
+def test_fit_quantize_score_round_trip(corpus):
+    """The distillation loop: fit MLlib LR on gopher weak labels, feed
+    the quantized milli-weights back into the relational scorer, and
+    check the scorer reproduces the MLlib model's own decisions (the
+    planted margins dwarf the 1e-3 quantization error)."""
+    weights_milli, bias_milli = fit_quality_lr(corpus)
+    scored = {
+        r.doc_id: r.keep
+        for r in logistic_quality_score(
+            corpus, weights_milli=weights_milli, bias_milli=bias_milli
+        ).collect()
+    }
+    # MLlib's own sigmoid decision, recomputed driver-side from the
+    # exact float weights on the same micro-unit features
+    feats = quality_feature_frame(corpus).collect()
+    for row in feats:
+        logit = bias_milli / 1000 + sum(
+            (weights_milli[f] / 1000) * (row[f] / 1_000_000) for f in FEATURES
+        )
+        assert scored[row.doc_id] == (logit >= 0) or abs(logit) < 0.01
+
+    # and the fit actually learned the planted separation
+    assert all(scored[i] for i in range(40))
+    assert not any(scored[i] for i in range(40, 80))
+
+
+def test_fit_fraction_subsamples_deterministically(corpus):
+    w1, b1 = fit_quality_lr(corpus, fit_fraction=0.7)
+    w2, b2 = fit_quality_lr(corpus, fit_fraction=0.7)
+    assert (w1, b1) == (w2, b2)  # hash sample + seeded fit => reproducible

@@ -1827,3 +1827,61 @@ def test_snapshot_diff_statuses(spark):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
         "BroadcastHashJoin"
     ) == 1
+
+
+def test_bpe_merge_pairs_counts(spark):
+    from sarkac_spark.operators.text import bpe_merge_pairs
+
+    # aaab x2 -> pairs (aa, aa, ab) each weighted 2; ab x1 -> (ab);
+    # the 1-char word contributes nothing (and must not error)
+    df = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "x")], "doc_id long, text string"
+    )
+    got = {r.pair: r for r in bpe_merge_pairs(df, "text", k=10).collect()}
+    assert {p: r.occurrences for p, r in got.items()} == {"aa": 4, "ab": 3}
+    assert got["aa"].rank == 1 and got["ab"].rank == 2
+
+
+def test_bpe_merge_pairs_topk_tiebreak(spark):
+    from sarkac_spark.operators.text import bpe_merge_pairs
+
+    # equal counts -> pair-asc tie-break decides both the k-cut and rank
+    df = spark.createDataFrame(
+        [(1, "zz yy xx")], "doc_id long, text string"
+    )
+    got = bpe_merge_pairs(df, "text", k=2).collect()
+    assert {(r.pair, r.rank) for r in got} == {("xx", 1), ("yy", 2)}
+
+
+def test_zipf_fit_matches_reference_regression(spark):
+    import math
+
+    from sarkac_spark.operators.text import zipf_fit
+
+    # counts proportional to 1/rank: an exact Zipf law, slope -1, r2 ~ 1
+    counts = {"alpha": 1200, "beta": 600, "gamma": 400, "delta": 300, "eps": 240}
+    text = " ".join(" ".join([w] * c) for w, c in counts.items())
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = zipf_fit(df, "text", top_k=10).first()
+    assert row.n_terms == 5
+
+    # replicate the documented integer-micro pipeline exactly
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (round(math.log10(i + 1) * 1e6), round(math.log10(c) * 1e6))
+        for i, (_, c) in enumerate(ordered)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n / 1e6
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(row.slope - round(slope, 6)) < 2e-6
+    assert abs(row.intercept - round(intercept, 6)) < 2e-6
+    assert abs(row.r2 - round(r2, 6)) < 2e-6
+    # counts ∝ 1/rank: slope -1 and a near-perfect fit by construction
+    assert row.r2 > 0.999 and abs(row.slope - (-1.0)) < 1e-3
