@@ -454,6 +454,82 @@ def cross_contamination(
     )
 
 
+def contamination_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_run: int = 2,
+    max_train_df: int | None = 256,
+) -> DataFrame:
+    """Exact-substring contamination spans — the signal behind
+    exact-substring decontamination (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") re-expressed
+    relationally: per (eval doc, train doc) pair, the longest RUN of
+    CONSECUTIVE eval n-gram positions whose n-grams all occur in that
+    train doc. ``cross_contamination`` counts shared shingles with no
+    adjacency — a verbatim 50-token quote inside an otherwise-novel
+    eval doc scores like 50 scattered common trigrams; here the quote
+    lights up as max_run ~ 50-n while scatter stays near 1.
+
+    Relaxation (the documented contract): adjacency is required on the
+    EVAL side, containment anywhere on the train side — so max_run
+    upper-bounds the true shared-substring run. Safe for
+    decontamination: drop decisions err toward dropping.
+
+    Output: (eval_id, train_id, max_run, span_words, n_matched_pos)
+    for pairs with max_run >= ``min_run``; span_words = max_run +
+    shingle_n - 1 (the longest verbatim-shared window in words).
+
+    Scale shape: train side is the distinct-shingle inverted index,
+    df-capped like ``cross_contamination`` (boilerplate shingles are
+    non-evidence AND the skew hazard — the cap bounds the h-join's
+    per-key fanout); the eval side carries positions, one row per
+    n-gram occurrence. Join output is bounded by shared-shingle volume,
+    never |train| x |eval|. The island window partitions by
+    (eval_id, train_id) — bounded by one eval doc's length, so no
+    single hot partition can exceed a document.
+    """
+    words = eval_df.select(F.col(id_col), words_col(text_col).alias("__w"))
+    w = F.col("__w")
+    idx = F.sequence(F.lit(0), F.size(w) - shingle_n)
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            _h60(F.array_join(F.slice(w, i + 1, shingle_n), " ")).alias("h"),
+        ),
+    )
+    e = words.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(
+            F.when(F.size(w) >= shingle_n, grams).otherwise(
+                F.array().cast("array<struct<pos:int,h:bigint>>")
+            )
+        ).alias("g"),
+    ).select("eval_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    t = shingles(train, id_col, text_col, n=shingle_n).select(
+        F.col(id_col).alias("train_id"), _h60(F.col("shingle")).alias("h")
+    )
+    t = _df_cap(t, "h", max_train_df)
+    m = e.join(t, "h").select("eval_id", "train_id", "pos").distinct()
+    win = Window.partitionBy("eval_id", "train_id").orderBy("pos")
+    runs = m.withColumn("__island", F.col("pos") - F.row_number().over(win))
+    per_island = runs.groupBy("eval_id", "train_id", "__island").agg(
+        F.count(F.lit(1)).alias("__run")
+    )
+    return (
+        per_island.groupBy("eval_id", "train_id")
+        .agg(
+            F.max("__run").alias("max_run"),
+            F.sum("__run").cast("long").alias("n_matched_pos"),
+        )
+        .withColumn("span_words", F.col("max_run") + F.lit(shingle_n - 1))
+        .filter(F.col("max_run") >= min_run)
+    )
+
+
 # --- n-gram Jaccard (no minhash approximation) --------------------------------
 
 

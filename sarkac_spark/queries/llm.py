@@ -357,6 +357,7 @@ def q_stratified_sample(spark, sf_dir):
 # level coincidence in this corpus; the planted near-dup groups share 20+)
 DECONTAM_MIN_SHARED = 3
 DECONTAM_MAX_TRAIN_DF = 256  # boilerplate-shingle cap, mirrored in oracle
+SPAN_MIN_RUN = 2  # contamination_spans: >= 2 consecutive matching 3-grams
 
 
 def q_decontamination(spark, sf_dir):
@@ -1634,9 +1635,30 @@ def q_delta_curation(spark, sf_dir):
     )
 
 
+def q_contamination_spans(spark, sf_dir):
+    """Exact-substring contamination: longest run of consecutive eval
+    n-gram positions contained in a train doc — catches the verbatim
+    quote that scattered-shingle counting (decontamination) scores the
+    same as common-trigram noise."""
+    from sarkac_spark.operators.dedup import contamination_spans
+    from sarkac_spark.operators.sampling import train_eval_split
+
+    s = train_eval_split(_docs(spark, sf_dir), "doc_id", eval_rate=EVAL_RATE)
+    return contamination_spans(
+        s.filter(F.col("split") == "train"),
+        s.filter(F.col("split") == "eval"),
+        "doc_id",
+        "text",
+        shingle_n=3,
+        min_run=SPAN_MIN_RUN,
+        max_train_df=DECONTAM_MAX_TRAIN_DF,
+    )
+
+
 QUERIES = {
     "bloom_vocab": q_bloom_vocab,
     "quality_classifier": q_quality_classifier,
+    "contamination_spans": q_contamination_spans,
     "bpe_merges": q_bpe_merges,
     "zipf_fit": q_zipf_fit,
     "delta_curation": q_delta_curation,
@@ -2512,6 +2534,61 @@ GROUP BY gt.grp
 """
 
 
+def _contamination_spans_sql(n: int = 3) -> str:
+    cutoff = int(round(EVAL_RATE * 1_000_000))
+    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(n))
+    return f"""
+WITH labeled AS (
+  SELECT doc_id, text,
+         CASE WHEN {_sample_hash_sql("split")} < {cutoff}
+              THEN 'eval' ELSE 'train' END AS split
+  FROM documents
+),
+ws AS (SELECT doc_id, split, {_WORDS} AS w FROM labeled),
+tg AS (
+  SELECT DISTINCT doc_id AS train_id,
+         ('0x' || substr(md5(u.s), 1, 15))::BIGINT AS h
+  FROM ws, UNNEST(
+    CASE WHEN len(w) >= {n} THEN
+      list_transform(range(1, len(w) - {n - 2}), i -> {gram})
+    ELSE [] END
+  ) AS u(s)
+  WHERE split = 'train'
+),
+tcap AS (
+  SELECT * FROM tg WHERE h NOT IN (
+    SELECT h FROM tg GROUP BY 1 HAVING count(*) > {DECONTAM_MAX_TRAIN_DF}
+  )
+),
+eg AS (
+  SELECT doc_id AS eval_id, u.i - 1 AS pos,
+         ('0x' || substr(md5({gram}), 1, 15))::BIGINT AS h
+  FROM ws, UNNEST(
+    CASE WHEN len(w) >= {n} THEN range(1, len(w) - {n - 2}) ELSE [] END
+  ) AS u(i)
+  WHERE split = 'eval'
+),
+m AS (SELECT DISTINCT e.eval_id, t.train_id, e.pos FROM eg e JOIN tcap t USING (h)),
+r AS (
+  SELECT eval_id, train_id,
+         pos - row_number() OVER (
+           PARTITION BY eval_id, train_id ORDER BY pos
+         ) AS island
+  FROM m
+),
+isl AS (
+  SELECT eval_id, train_id, island, count(*) AS run FROM r GROUP BY 1, 2, 3
+)
+SELECT eval_id, train_id,
+       CAST(max(run) AS BIGINT) AS max_run,
+       CAST(sum(run) AS BIGINT) AS n_matched_pos,
+       CAST(max(run) + {n - 1} AS BIGINT) AS span_words
+FROM isl
+GROUP BY 1, 2
+HAVING max(run) >= {SPAN_MIN_RUN}
+"""
+
+
 def _quality_micro_cte(src: str) -> str:
     """Quality features in exact integer micro-units over ``src`` —
     shared by the classifier oracles; mirrors
@@ -2674,6 +2751,7 @@ FROM d
 
 ORACLE = {
     "quality_classifier": _quality_classifier_sql(),
+    "contamination_spans": _contamination_spans_sql(),
     "delta_curation": _delta_curation_sql(),
     "bpe_merges": _bpe_merges_sql(),
     "zipf_fit": _zipf_fit_sql(),

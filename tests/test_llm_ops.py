@@ -1885,3 +1885,34 @@ def test_zipf_fit_matches_reference_regression(spark):
     assert abs(row.r2 - round(r2, 6)) < 2e-6
     # counts ∝ 1/rank: slope -1 and a near-perfect fit by construction
     assert row.r2 > 0.999 and abs(row.slope - (-1.0)) < 1e-3
+
+
+def test_contamination_spans_planted_quote(spark):
+    from sarkac_spark.operators.dedup import contamination_spans
+
+    quote = "the secret launch code is seven four nine two exactly"  # 10 words
+    train = spark.createDataFrame(
+        [
+            (1, "filler words here " + quote + " trailing filler text"),
+            (2, "unrelated training document about entirely other things"),
+        ],
+        "doc_id long, text string",
+    )
+    evald = spark.createDataFrame(
+        [
+            (10, "novel eval content " + quote + " and novel conclusion words"),
+            (11, "completely novel eval doc with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = contamination_spans(train, evald, "doc_id", "text", shingle_n=3, min_run=2)
+    rows = {(r.eval_id, r.train_id): r for r in out.collect()}
+    assert (10, 1) in rows  # the verbatim quote is detected
+    assert (11, 1) not in rows and (10, 2) not in rows  # no false pairs
+    r = rows[(10, 1)]
+    # a 10-word quote = 8 consecutive 3-gram positions; the boundary
+    # 3-grams straddling quote/context differ between train and eval,
+    # so the run is exactly the quote
+    assert r.max_run == 8
+    assert r.span_words == 10
+    assert r.n_matched_pos == 8
