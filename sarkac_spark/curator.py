@@ -11,7 +11,12 @@ cheap map-only gates before shuffling stages):
 
     Curator(spark, {
         "quality":    {"gopher": True,         # Rae et al. rule gates
-                       "min_score": 0.5},      # quality_score cutoff
+                       "min_score": 0.5,       # quality_score cutoff
+                       "classifier": True},    # distilled-classifier gate
+                       # classifier: True uses the shipped weights; a
+                       # dict passes weights_milli/bias_milli/
+                       # threshold_nano through (e.g. from
+                       # fit_quality_lr) — map-only either way
         "decontaminate": {"min_shared": 1},    # drop eval-overlap docs
         "dedup":      {"exact": True,          # md5 canonicalization
                        "minhash": {"k": 16, "bands": 4, "threshold": 0.5,
@@ -186,6 +191,14 @@ class Curator:
 
                 df = quality_score(df, self.text_col).filter(
                     F.col("quality_score") >= float(min_score)
+                )
+            clf = cfg.get("classifier")
+            if clf:
+                from sarkac_spark.operators.classify import quality_gate
+
+                kw = clf if isinstance(clf, dict) else {}
+                df = quality_gate(df, self.id_col, self.text_col, **kw).filter(
+                    F.col("keep")
                 )
             return df.select(*cols)
 

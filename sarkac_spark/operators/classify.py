@@ -77,6 +77,33 @@ def _micro(col) -> F.Column:
     return F.round(F.col(col) * _MICRO).cast("long")
 
 
+def _micro_features() -> dict[str, F.Column]:
+    """Feature-name -> micro-unit Column, over a quality_features
+    relation."""
+    return {
+        "unique_ratio": _micro("unique_ratio"),
+        "len_term": F.least(F.col("n_words") * 10_000, F.lit(_MICRO)).cast("long"),
+        "mean_word_len": _micro("mean_word_len"),
+        "punct_ratio": _micro("punct_ratio"),
+        "digit_ratio": _micro("digit_ratio"),
+    }
+
+
+def _logit_col(
+    weights_milli: dict[str, int] | None,
+    bias_milli: int,
+    features: dict[str, F.Column],
+) -> F.Column:
+    w = dict(DEFAULT_WEIGHTS_MILLI if weights_milli is None else weights_milli)
+    unknown = set(w) - set(FEATURES)
+    if unknown:
+        raise ValueError(f"unknown features in weights: {sorted(unknown)}")
+    logit = F.lit(int(bias_milli) * _MICRO).cast("long")
+    for name, milli in sorted(w.items()):
+        logit = logit + F.lit(int(milli)).cast("long") * features[name]
+    return logit
+
+
 def quality_feature_frame(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -85,13 +112,7 @@ def quality_feature_frame(
     feats = quality_features(df, text_col)
     return feats.select(
         F.col(id_col),
-        _micro("unique_ratio").alias("unique_ratio"),
-        F.least(F.col("n_words") * 10_000, F.lit(_MICRO))
-        .cast("long")
-        .alias("len_term"),
-        _micro("mean_word_len").alias("mean_word_len"),
-        _micro("punct_ratio").alias("punct_ratio"),
-        _micro("digit_ratio").alias("digit_ratio"),
+        *[expr.alias(name) for name, expr in _micro_features().items()],
     )
 
 
@@ -116,16 +137,30 @@ def logistic_quality_score(
     ~ 1.3e10 for the defaults — far inside BIGINT, no overflow at any
     corpus size (the bound is per-row, not per-corpus).
     """
-    w = dict(DEFAULT_WEIGHTS_MILLI if weights_milli is None else weights_milli)
-    unknown = set(w) - set(FEATURES)
-    if unknown:
-        raise ValueError(f"unknown features in weights: {sorted(unknown)}")
-    feats = quality_feature_frame(df, id_col, text_col)
-    logit = F.lit(int(bias_milli) * _MICRO).cast("long")
-    for name, milli in sorted(w.items()):
-        logit = logit + F.lit(int(milli)).cast("long") * F.col(name)
+    return quality_gate(
+        df, id_col, text_col, weights_milli, bias_milli, threshold_nano
+    ).select(id_col, "logit_nano", "keep")
+
+
+def quality_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights_milli: dict[str, int] | None = None,
+    bias_milli: int = DEFAULT_BIAS_MILLI,
+    threshold_nano: int = 0,
+) -> DataFrame:
+    """``df`` with ``logit_nano``/``keep`` APPENDED (all original
+    columns preserved) — the map-only filter form the Curator stage
+    and streaming pipelines consume: ``quality_gate(df).filter("keep")``
+    adds zero shuffles and zero joins, and being stateless it runs
+    unchanged on a streaming DataFrame (no watermark, no state store).
+    Same integer-logit semantics as ``logistic_quality_score``.
+    """
+    feats = quality_features(df, text_col)
+    logit = _logit_col(weights_milli, bias_milli, _micro_features())
     return feats.select(
-        F.col(id_col),
+        *df.columns,
         logit.alias("logit_nano"),
         (logit >= F.lit(int(threshold_nano))).alias("keep"),
     )

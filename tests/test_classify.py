@@ -109,3 +109,53 @@ def test_fit_fraction_subsamples_deterministically(corpus):
     w1, b1 = fit_quality_lr(corpus, fit_fraction=0.7)
     w2, b2 = fit_quality_lr(corpus, fit_fraction=0.7)
     assert (w1, b1) == (w2, b2)  # hash sample + seeded fit => reproducible
+
+
+def test_curator_classifier_stage(spark, corpus):
+    """The Curator 'classifier' quality stage equals the hand-built
+    gate and preserves the input schema."""
+    from sarkac_spark.curator import Curator
+
+    cur = Curator(spark, {"quality": {"classifier": True}})
+    out = cur.apply(corpus)
+    assert out.columns == corpus.columns
+    kept = {r.doc_id for r in out.collect()}
+    expect = {
+        r.doc_id
+        for r in logistic_quality_score(corpus).filter("keep").collect()
+    }
+    assert kept == expect and kept  # equal and non-trivial
+
+    rep = cur.report(corpus)
+    assert rep["input"] == 90 and rep["quality"] == len(kept)
+
+
+def test_quality_gate_runs_on_streams(spark, tmp_path):
+    """quality_gate is stateless map-only, so the SAME call works on a
+    streaming DataFrame — stream result == batch result."""
+    from sarkac_spark.operators.classify import quality_gate
+
+    rows = [(1, GOOD), (2, BAD_DIGITS), (3, BAD_PUNCT), (4, BAD_SHORT)]
+    schema = "doc_id long, text string"
+    src = tmp_path / "qgate_src"
+    spark.createDataFrame(rows, schema).write.parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        quality_gate(stream)
+        .filter("keep")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("qgate_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM qgate_out").collect()}
+    batch = {
+        r.doc_id
+        for r in quality_gate(spark.createDataFrame(rows, schema))
+        .filter("keep")
+        .collect()
+    }
+    assert got == batch == {1}
