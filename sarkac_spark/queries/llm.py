@@ -1655,9 +1655,27 @@ def q_contamination_spans(spark, sf_dir):
     )
 
 
+def q_classifier_confusion(spark, sf_dir):
+    """Filter-launch audit: the agreement matrix between the distilled
+    classifier gate and its gopher weak-label teacher — the
+    precision/recall evidence reviewed before flipping a corpus-wide
+    filter on. ONE scan, zero joins: both gates are map-only column
+    expressions stacked on the same pass."""
+    from sarkac_spark.operators.classify import quality_gate
+    from sarkac_spark.operators.text import gopher_rules
+
+    g = gopher_rules(quality_gate(_docs(spark, sf_dir)), "text").select(
+        F.col("keep"), F.col("passes").alias("gopher_pass")
+    )
+    return g.groupBy("keep", "gopher_pass").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 QUERIES = {
     "bloom_vocab": q_bloom_vocab,
     "quality_classifier": q_quality_classifier,
+    "classifier_confusion": q_classifier_confusion,
     "contamination_spans": q_contamination_spans,
     "bpe_merges": q_bpe_merges,
     "zipf_fit": q_zipf_fit,
@@ -2749,8 +2767,22 @@ FROM d
 """
 
 
+def _classifier_confusion_sql() -> str:
+    return f"""
+WITH {_quality_micro_cte("documents")},
+logits AS (
+  SELECT doc_id, ({_logit_nano_expr()} >= 0) AS keep FROM micro
+),
+gp AS (SELECT doc_id, passes FROM ({_gopher_rules_sql()}) g)
+SELECT l.keep, gp.passes AS gopher_pass, count(*) AS n_docs
+FROM logits l JOIN gp USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 ORACLE = {
     "quality_classifier": _quality_classifier_sql(),
+    "classifier_confusion": _classifier_confusion_sql(),
     "contamination_spans": _contamination_spans_sql(),
     "delta_curation": _delta_curation_sql(),
     "bpe_merges": _bpe_merges_sql(),

@@ -47,11 +47,14 @@ CLASSES = {
         "dedup_exact", "cms_term_counts", "hll_distinct", "hist_quantiles",
         "bloom_vocab", "corpus_overlap", "quantize_audit",
         "cosine_topk", "ivf_topk", "lsh_topk",
+        "dup_ngram_frac", "quality_classifier", "snapshot_diff",
+        "bpe_merges", "zipf_fit", "delta_curation",
     ],
     "nlogn": [
         "dedup_minhash", "incremental_minhash", "ngram_jaccard",
         "dedup_simhash", "span_dedup", "winnow_pairs",
         "dedup_canonical", "dedup_clusters", "decontamination",
+        "contamination_spans", "cluster_split",
     ],
     "allpairs": ["embedding_neardup", "semantic_dedup"],
 }
