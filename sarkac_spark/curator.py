@@ -264,7 +264,12 @@ class Curator:
                 ).select(*cols)
             mh = cfg.get("minhash")
             if mh:
-                from sarkac_spark.operators.dedup import dedup_minhash_incremental
+                # committed corpus rows never lose: a batch row is dropped
+                # when it pairs with a corpus row (either side of the
+                # ordered pair) or with a LOWER-id batch mate (id_b side)
+                from sarkac_spark.operators.dedup import (
+                    incremental_minhash_drop_ids,
+                )
 
                 base = [self.id_col, self.text_col]
                 combined = (
@@ -272,41 +277,15 @@ class Curator:
                 ).unionByName(
                     df.select(*base).withColumn("__new", F.lit(True))
                 )
-                pairs = dedup_minhash_incremental(
+                drop = incremental_minhash_drop_ids(
                     combined,
                     self.id_col,
                     self.text_col,
-                    "__new",
                     k=int(mh.get("k", 16)),
                     bands=int(mh.get("bands", 4)),
                     threshold=float(mh.get("threshold", 0.5)),
                     max_band_df=mh.get("max_band_df", MINHASH_MAX_BAND_DF),
                 )
-                # committed corpus rows never lose: a batch row is dropped
-                # when it pairs with a corpus row (either side of the
-                # ordered pair) or with a LOWER-id batch mate (id_b side)
-                flags = combined.select(
-                    F.col(self.id_col).alias("__fid"), "__new"
-                )
-                sided = (
-                    pairs.join(
-                        flags.withColumnRenamed("__fid", "id_a")
-                        .withColumnRenamed("__new", "__new_a"),
-                        "id_a",
-                    )
-                    .join(
-                        flags.withColumnRenamed("__fid", "id_b")
-                        .withColumnRenamed("__new", "__new_b"),
-                        "id_b",
-                    )
-                )
-                drop = sided.select(
-                    F.when(
-                        F.col("__new_a") & ~F.col("__new_b"), F.col("id_a")
-                    )
-                    .otherwise(F.col("id_b"))
-                    .alias(self.id_col)
-                ).distinct()
                 df = df.join(drop, self.id_col, "left_anti")
             return df.select(*cols)
 

@@ -1069,3 +1069,54 @@ def dedup_minhash_incremental(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def incremental_minhash_drop_ids(
+    combined: DataFrame,
+    id_col: str,
+    text_col: str,
+    new_col: str = "__new",
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_band_df: int | None = MINHASH_MAX_BAND_DF,
+) -> DataFrame:
+    """Batch ids to DROP, given the combined corpus∪batch relation
+    (``new_col`` marks batch rows): committed corpus rows never lose —
+    a batch row is dropped when it near-dup-pairs with a corpus row
+    (either side of the ordered pair) or with a LOWER-id batch mate.
+    One-column output (``id_col``), distinct.
+
+    This is the drop-decision half of ingest-time near-dedup, shared by
+    the ``Curator`` incremental stage and
+    ``streaming/incremental_dedup.IncrementalDedupPipeline`` so both
+    paths cannot diverge. Same PRECONDITION as
+    ``dedup_minhash_incremental``: batch and corpus ids are disjoint.
+    """
+    pairs = dedup_minhash_incremental(
+        combined,
+        id_col,
+        text_col,
+        new_col,
+        k=k,
+        bands=bands,
+        threshold=threshold,
+        shingle_n=shingle_n,
+        max_band_df=max_band_df,
+    )
+    flags = combined.select(F.col(id_col).alias("__fid"), F.col(new_col).alias("__nf"))
+    sided = pairs.join(
+        flags.withColumnRenamed("__fid", "id_a").withColumnRenamed("__nf", "__new_a"),
+        "id_a",
+    ).join(
+        flags.withColumnRenamed("__fid", "id_b").withColumnRenamed("__nf", "__new_b"),
+        "id_b",
+    )
+    return (
+        sided.select(
+            F.when(F.col("__new_a") & ~F.col("__new_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias(id_col)
+        ).distinct()
+    )

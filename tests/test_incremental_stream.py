@@ -1,0 +1,131 @@
+"""Streaming ingest-time dedup (IncrementalDedupPipeline): stream result
+equals the hand-applied batch operators, earlier-committed docs win,
+and the checkpointed pipeline survives a kill-resume."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+BETA = "spark shuffles data between stages when aggregations regroup rows by key"
+BETA_NEAR = "spark shuffles data between stages when aggregations regroup rows by keys"
+SCHEMA = "doc_id long, text string"
+
+
+def _batches():
+    # b0: two originals; b1: exact dup of 1 + novel; b2: near-dup of 2 + novel
+    return [
+        [(1, "the first original document with completely unique words here"),
+         (2, BETA)],
+        [(3, "the first original document with completely unique words here"),
+         (4, "a genuinely novel document about storage formats and encodings")],
+        [(5, BETA_NEAR),
+         (6, "another novel doc discussing broadcast joins and partition pruning")],
+    ]
+
+
+def _write_batches(spark, src, batches):
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+
+
+MH = {"k": 16, "bands": 4, "threshold": 0.5, "max_band_df": None}
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    from sarkac_spark.streaming.incremental_dedup import IncrementalDedupPipeline
+
+    src = tmp_path / "src"
+    _write_batches(spark, src, _batches())
+
+    pipe = IncrementalDedupPipeline(
+        spark, str(tmp_path / "store"), minhash=MH
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(str(src / "*"))
+    )
+    q = pipe.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = {r.doc_id for r in pipe.committed().collect()}
+    # 3 is an exact dup of committed 1; 5 a near-dup of committed 2
+    assert got == {1, 2, 4, 6}
+
+    # stream == the batch operators applied ingest-by-ingest by hand
+    from sarkac_spark.operators.dedup import (
+        incremental_exact_dedup,
+        incremental_minhash_drop_ids,
+    )
+
+    committed: list[tuple[int, str]] = []
+    for rows in _batches():
+        # materialize the (tiny) corpus each round: the lazy form nests
+        # the full minhash plan 3 levels deep (corpus referenced 3x per
+        # iteration) and codegen blows up
+        corpus = spark.createDataFrame(committed or [], SCHEMA)
+        batch = spark.createDataFrame(rows, SCHEMA)
+        seen = corpus.select(F.md5(F.col("text")).alias("text_hash"))
+        kept = incremental_exact_dedup(batch, seen, "doc_id", "text").drop(
+            "text_hash"
+        )
+        combined = corpus.withColumn("__new", F.lit(False)).unionByName(
+            kept.withColumn("__new", F.lit(True))
+        )
+        drop = incremental_minhash_drop_ids(combined, "doc_id", "text", **MH)
+        kept = kept.join(drop, "doc_id", "left_anti")
+        committed += [
+            (r.doc_id, r.text) for r in kept.select("doc_id", "text").collect()
+        ]
+    assert got == {i for i, _ in committed}
+
+
+def test_incremental_dedup_stream_survives_restart(spark, tmp_path):
+    from sarkac_spark.streaming.incremental_dedup import IncrementalDedupPipeline
+
+    src = tmp_path / "src"
+    batches = _batches()
+    _write_batches(spark, src, batches[:1])  # only b0 exists at first
+
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    pipe = IncrementalDedupPipeline(spark, store, minhash=MH)
+
+    def run():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = pipe.start(stream, ckpt)
+        q.awaitTermination(180)
+
+    run()
+    assert {r.doc_id for r in pipe.committed().collect()} == {1, 2}
+
+    # "crash", land the remaining ingests, resume from the checkpoint
+    for i, rows in enumerate(batches[1:], start=1):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    run()
+    assert {r.doc_id for r in pipe.committed().collect()} == {1, 2, 4, 6}
+
+
+def test_incremental_dedup_stream_exact_only(spark, tmp_path):
+    from sarkac_spark.streaming.incremental_dedup import IncrementalDedupPipeline
+
+    src = tmp_path / "src"
+    _write_batches(spark, src, _batches())
+    pipe = IncrementalDedupPipeline(spark, str(tmp_path / "store"), minhash=None)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = pipe.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    # exact-only: the near-dup (5) survives, the exact dup (3) does not
+    assert {r.doc_id for r in pipe.committed().collect()} == {1, 2, 4, 5, 6}
