@@ -403,3 +403,38 @@ def test_new_sketch_and_curation_budgets(spark, sf_dir):
     hq = histogram_quantiles(docs, "n_chars", ["lang"], k=64)
     assert shuffle_count(hq) <= 4
     assert has_broadcast_hash_join(hq)
+
+
+def test_round6_query_plan_shapes(spark, sf_dir):
+    """Plan budgets for the round-6 operators: the classifier is a pure
+    scan (ZERO shuffles — the whole point of integer-logit scoring),
+    the confusion audit adds only its 4-group agg, and the span/dedup
+    additions stay inside their banded/windowed budgets."""
+    from sarkac_spark.queries.llm import (
+        q_classifier_confusion,
+        q_contamination_spans,
+        q_dup_ngram_frac,
+        q_quality_classifier,
+        q_snapshot_diff,
+    )
+
+    qc = q_quality_classifier(spark, sf_dir)
+    assert shuffle_count(qc) == 0  # map-only scoring, one scan
+
+    cc = q_classifier_confusion(spark, sf_dir)
+    assert shuffle_count(cc) <= 1  # both gates stacked on one pass
+
+    sd = q_snapshot_diff(spark, sf_dir)
+    # ONE full-outer equi-join on the unique id key: two input exchanges
+    assert shuffle_count(sd) <= 2
+
+    df_ = q_dup_ngram_frac(spark, sf_dir)
+    # (doc,gram) collapse -> gram-df agg -> join back -> per-doc rollup:
+    # every shuffle data-sized, per-occurrence join fanout exactly 1
+    assert shuffle_count(df_) <= 4
+
+    cs = q_contamination_spans(spark, sf_dir)
+    # shingle df-cap semi-join legs + h-join + island window + rollup
+    assert shuffle_count(cs) <= 6
+    plan = _plan(cs)
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
