@@ -545,3 +545,53 @@ def cluster_split(
             .alias("split"),
         )
     )
+
+
+def apply_mixture(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    targets: dict[str, float],
+    weight_col: Column | str | None = None,
+    budget: int | None = None,
+    salt: str = "mix_epochs",
+) -> DataFrame:
+    """Realize a ``mixture_plan``: each document appears
+    floor(epochs) times plus one more with probability frac(epochs) —
+    the Bernoulli draw is the deterministic hash variate over
+    (salt, id, copy), so the expected per-stratum load hits the target
+    mixture exactly while staying retry-safe and engine-stable (the
+    repetition schedule is a pure function of the corpus and the spec,
+    not of task scheduling).
+
+    Output: ``df`` columns + ``epoch_copy`` (0-based copy ordinal, the
+    column a dataloader shards on — repeats of a doc carry distinct
+    ordinals so a downstream pseudo-shuffle spreads them apart).
+    epochs < 1 degrades to plain hash downsampling; epochs = 0 (stratum
+    absent from ``targets``) drops the stratum.
+
+    Scale shape: ``mixture_plan``'s scale-free aggregations + ONE
+    broadcast join of the |strata|-row epochs dim onto the corpus + a
+    map-only explode of ceil(epochs) copies — no corpus-sized shuffle
+    anywhere; output volume is exactly the planned training load.
+    """
+    plan = mixture_plan(
+        df, stratum_col, targets, weight_col=weight_col, budget=budget
+    )
+    dim = plan.select(stratum_col, "epochs")
+    joined = df.join(F.broadcast(dim), stratum_col)
+    n_full = F.floor(F.col("epochs")).cast("int")
+    frac_cutoff = (
+        F.round((F.col("epochs") - F.floor(F.col("epochs"))) * SAMPLE_MOD)
+        .cast("long")
+    )
+    exploded = joined.withColumn(
+        "epoch_copy", F.explode(F.sequence(F.lit(0), n_full))
+    ).withColumn("epoch_copy", F.col("epoch_copy").cast("long"))
+    copy_key = F.concat_ws(
+        "#", F.col(id_col).cast("string"), F.col("epoch_copy").cast("string")
+    )
+    keep = (F.col("epoch_copy") < n_full.cast("long")) | (
+        sample_hash(copy_key, salt) < frac_cutoff
+    )
+    return exploded.filter(keep).select(*df.columns, "epoch_copy")

@@ -1672,11 +1672,29 @@ def q_classifier_confusion(spark, sf_dir):
     )
 
 
+def q_mixture_realize(spark, sf_dir):
+    """Execute the MIX_TARGETS plan: floor(epochs) copies per doc plus a
+    deterministic fractional Bernoulli copy — the repetition schedule a
+    dataloader actually consumes; expected per-language token load hits
+    the target mixture exactly."""
+    from sarkac_spark.operators.sampling import apply_mixture
+    from sarkac_spark.operators.text import token_count
+
+    return apply_mixture(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "lang",
+        MIX_TARGETS,
+        weight_col=token_count("text"),
+    ).select("doc_id", "lang", "epoch_copy")
+
+
 QUERIES = {
     "bloom_vocab": q_bloom_vocab,
     "quality_classifier": q_quality_classifier,
     "classifier_confusion": q_classifier_confusion,
     "contamination_spans": q_contamination_spans,
+    "mixture_realize": q_mixture_realize,
     "bpe_merges": q_bpe_merges,
     "zipf_fit": q_zipf_fit,
     "delta_curation": q_delta_curation,
@@ -2780,9 +2798,38 @@ GROUP BY 1, 2
 """
 
 
+def _mixture_realize_sql() -> str:
+    targets = ", ".join(f"('{k}', {v})" for k, v in MIX_TARGETS.items())
+    h = (
+        "('0x' || substr(md5('mix_epochs|' || CAST(doc_id AS VARCHAR) || '#' "
+        "|| CAST(u.c AS VARCHAR)), 1, 15))::BIGINT % 1000000"
+    )
+    return f"""
+WITH c AS (
+  SELECT lang, CAST(sum(len({_WORDS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM c),
+w(lang, target_weight) AS (VALUES {targets}),
+plan AS (
+  SELECT c.lang,
+         round(t.total * CAST(coalesce(w.target_weight, 0.0) AS DOUBLE)
+               / c.n_tokens, 6) AS epochs
+  FROM c LEFT JOIN w USING (lang), t
+)
+SELECT d.doc_id, d.lang, u.c AS epoch_copy
+FROM documents d
+JOIN plan p USING (lang),
+UNNEST(range(0, CAST(floor(p.epochs) AS BIGINT) + 1)) AS u(c)
+WHERE u.c < CAST(floor(p.epochs) AS BIGINT)
+   OR {h} < CAST(round((p.epochs - floor(p.epochs)) * 1000000) AS BIGINT)
+"""
+
+
 ORACLE = {
     "quality_classifier": _quality_classifier_sql(),
     "classifier_confusion": _classifier_confusion_sql(),
+    "mixture_realize": _mixture_realize_sql(),
     "contamination_spans": _contamination_spans_sql(),
     "delta_curation": _delta_curation_sql(),
     "bpe_merges": _bpe_merges_sql(),

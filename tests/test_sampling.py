@@ -374,3 +374,48 @@ def test_cluster_split_no_pair_straddles_and_degrades_to_per_doc(spark):
     # calibration survives clustering (draws are per-key, rate ~0.3)
     n_eval = out.filter("split = 'eval'").count()
     assert 0.2 < n_eval / 1000 < 0.4
+
+
+def test_apply_mixture_realizes_expected_load(spark):
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.operators.sampling import apply_mixture
+
+    rows = [(i, "a") for i in range(400)] + [(i, "b") for i in range(400, 600)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    # loads: a=400, b=200, total=600; targets 50/50 =>
+    # epochs_a = 600*.5/400 = 0.75 (downsample), epochs_b = 1.5 (repeat)
+    out = apply_mixture(df, "doc_id", "stratum", {"a": 0.5, "b": 0.5})
+    assert out.columns == ["doc_id", "stratum", "epoch_copy"]
+
+    per = {
+        r.stratum: r.n
+        for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    }
+    # expectation 300 each; hash Bernoulli over 200-400 draws — ±20%
+    assert abs(per["a"] - 300) < 60 and abs(per["b"] - 300) < 60
+
+    # epochs>1: every b doc keeps its guaranteed full copy (epoch_copy 0)
+    b_copy0 = out.filter("stratum = 'b' and epoch_copy = 0").count()
+    assert b_copy0 == 200
+    # epochs<1: a docs never repeat
+    assert out.filter("stratum = 'a' and epoch_copy > 0").count() == 0
+
+    # deterministic: the realized schedule is a pure function of inputs
+    again = apply_mixture(df, "doc_id", "stratum", {"a": 0.5, "b": 0.5})
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_apply_mixture_integer_epochs_exact(spark):
+    from sarkac_spark.operators.sampling import apply_mixture
+
+    df = spark.createDataFrame(
+        [(i, "only") for i in range(50)], "doc_id long, stratum string"
+    )
+    # one stratum at weight 1.0 => epochs exactly 1.0 => identity, copy 0
+    out = apply_mixture(df, "doc_id", "stratum", {"only": 1.0}).collect()
+    assert len(out) == 50 and all(r.epoch_copy == 0 for r in out)
+
+    # absent stratum => epochs 0 => dropped entirely
+    none = apply_mixture(df, "doc_id", "stratum", {"other": 1.0})
+    assert none.count() == 0
