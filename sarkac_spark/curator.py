@@ -29,6 +29,9 @@ cheap map-only gates before shuffling stages):
                        "quality_col": "n_chars"},
         "sample":     {"temperature": 0.5,     # p_l ∝ count^alpha
                        "stratum_col": "lang"},
+        "mixture":    {"targets": {"en": 0.5, ...},  # explicit spec —
+                       "stratum_col": "lang"},  # realized via apply_mixture
+                       # (adds epoch_copy; repeats docs where epochs > 1)
         "chunk":      {"chunk_words": 40, "overlap": 8},
         "pack":       {"budget": 2048},        # sequence packing plan
     })
@@ -60,6 +63,10 @@ raises):
 
 Output-shaping stages (always last; they CHANGE the schema):
 
+- ``mixture`` realizes a target-mixture spec via ``apply_mixture`` —
+  appends ``epoch_copy`` and REPEATS rows where the plan's epochs
+  exceed 1 (the repetition schedule a dataloader consumes; the ONE
+  stage whose output can be larger than its input, by design).
 - ``chunk`` splits each doc into fixed word-budget chunks — output
   rows are (id_col, chunk_id, chunk_uid, chunk_text, n_words).
 - ``pack`` appends a sequence-packing plan (pack_group, seq_id,
@@ -86,7 +93,7 @@ class Curator:
     ) -> None:
         unknown = set(config) - {
             "dedup", "quality", "domain_cap", "sample", "decontaminate",
-            "winnow", "chunk", "pack",
+            "winnow", "mixture", "chunk", "pack",
         }
         if unknown:
             raise ValueError(f"unknown curation stages: {sorted(unknown)}")
@@ -130,6 +137,8 @@ class Curator:
             out.append(("domain_cap", self._domain_cap_stage(c["domain_cap"])))
         if "sample" in c:
             out.append(("sample", self._sample_stage(c["sample"])))
+        if "mixture" in c:
+            out.append(("mixture", self._mixture_stage(c["mixture"])))
         if "chunk" in c:
             out.append(("chunk", self._chunk_stage(c["chunk"])))
         if "pack" in c:
@@ -360,6 +369,21 @@ class Curator:
                 cfg.get("quality_col", "n_chars"),
                 self.id_col,
             ).select(*cols)
+
+        return fn
+
+    def _mixture_stage(self, cfg: dict):
+        def fn(df: DataFrame) -> DataFrame:
+            from sarkac_spark.operators.sampling import apply_mixture
+
+            return apply_mixture(
+                df,
+                self.id_col,
+                cfg.get("stratum_col", "lang"),
+                dict(cfg["targets"]),
+                weight_col=cfg.get("weight_col"),
+                budget=cfg.get("budget"),
+            )
 
         return fn
 

@@ -159,3 +159,25 @@ def test_quality_gate_runs_on_streams(spark, tmp_path):
         .collect()
     }
     assert got == batch == {1}
+
+
+def test_curator_mixture_stage(spark):
+    """The Curator 'mixture' stage equals hand-applied apply_mixture and
+    may grow the row count (epochs > 1 repeats)."""
+    from sarkac_spark.curator import Curator
+    from sarkac_spark.operators.sampling import apply_mixture
+
+    rows = [(i, "a", "text body") for i in range(40)] + [
+        (i, "b", "text body") for i in range(40, 60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string, text string")
+    targets = {"a": 0.5, "b": 0.5}
+    cur = Curator(
+        spark, {"mixture": {"targets": targets, "stratum_col": "stratum"}}
+    )
+    out = cur.apply(df)
+    assert out.columns == df.columns + ["epoch_copy"]
+    expect = apply_mixture(df, "doc_id", "stratum", targets)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, expect.collect())
+    )

@@ -3,9 +3,12 @@
 recall against exact ground truth (is the similarity index trustworthy?),
 MinHash LSH banding recall (is near-dup candidate generation missing
 pairs?), per-source unigram KL drift (which sources diverge from the
-corpus mixture?), and embedding health (norm/NaN/zero-vector hygiene).
+corpus mixture?), embedding health (norm/NaN/zero-vector hygiene),
+the classifier-vs-gopher confusion matrix (does the distilled quality
+gate still track its teacher?), and the Zipf fit (is the term
+distribution still natural-corpus shaped?).
 
-All four are existing registry queries (each independently verified by
+All six are existing registry queries (each independently verified by
 the DuckDB oracle gate); this tool just runs them at one scale factor
 and emits ONE JSON object so the result can be diffed, stored next to
 the snapshot, or gated on in CI.
@@ -24,7 +27,17 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-AUDITS = ["ann_recall", "minhash_recall", "unigram_kl", "embedding_health"]
+# each audit is aggregate-sized by construction: recall scalars,
+# per-source drift, health counters, a 4-cell confusion matrix, a
+# 1-row Zipf fit
+AUDITS = [
+    "ann_recall",
+    "minhash_recall",
+    "unigram_kl",
+    "embedding_health",
+    "classifier_confusion",
+    "zipf_fit",
+]
 
 
 def run_audits(spark, sf_dir: str, audits: list[str] | None = None) -> dict:
