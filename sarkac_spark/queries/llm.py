@@ -1689,12 +1689,28 @@ def q_mixture_realize(spark, sf_dir):
     ).select("doc_id", "lang", "epoch_copy")
 
 
+def q_bpe_tokenize(spark, sf_dir):
+    """Per-doc token counts under a REAL learned BPE merge table (32
+    merges trained on this corpus). Training is the sequential Sennrich
+    merge loop over the bounded (word, count) vocabulary — iterative,
+    no closed-form SQL, so this query is rows-only checked like the
+    MLlib fits; the deterministic guarantees live in tests/test_bpe.py.
+    Encoding applies merges once per DISTINCT word (Arrow-batched UDF
+    over the vocab dim); all corpus-sized stages are JVM-side."""
+    from sarkac_spark.operators.bpe import bpe_token_counts, train_bpe
+
+    d = _docs(spark, sf_dir)
+    merges = train_bpe(d, n_merges=32)
+    return bpe_token_counts(d, "doc_id", "text", merges)
+
+
 QUERIES = {
     "bloom_vocab": q_bloom_vocab,
     "quality_classifier": q_quality_classifier,
     "classifier_confusion": q_classifier_confusion,
     "contamination_spans": q_contamination_spans,
     "mixture_realize": q_mixture_realize,
+    "bpe_tokenize": q_bpe_tokenize,
     "bpe_merges": q_bpe_merges,
     "zipf_fit": q_zipf_fit,
     "delta_curation": q_delta_curation,

@@ -1,0 +1,78 @@
+"""BPE tokenizer plumbing: deterministic training on a known corpus,
+encode identities and bounds, and the vocab-sized-Python plan shape."""
+
+from __future__ import annotations
+
+from sarkac_spark.operators.bpe import (
+    _encode_word,
+    bpe_token_counts,
+    train_bpe,
+    word_counts,
+)
+
+
+def test_train_bpe_learns_the_planted_merge_order(spark):
+    # 'aaab' x40: pair ('a','a') dominates (2 per word x 40); after the
+    # first merge 'aa'+'a' (1 per word) beats 'a'+'b'? no — 'aa a b</w>':
+    # pairs (aa,a)=40, (a,b)=40, (b,</w>)=40 -> tie broken lexically:
+    # ('a','b') < ('aa','a') < ('b','</w>')
+    df = spark.createDataFrame([(1, " ".join(["aaab"] * 40))], "doc_id long, text string")
+    merges = train_bpe(df, n_merges=3)
+    assert merges[0] == ("a", "a")
+    assert merges[1] == ("a", "b")  # lexicographic tie-break, pinned
+    assert merges[2] == ("aa", "ab")
+
+
+def test_train_bpe_stops_when_nothing_repeats(spark):
+    df = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
+    merges = train_bpe(df, n_merges=50)
+    # every candidate pair occurs once => count < 2 stop, no noise merges
+    assert merges == []
+
+
+def test_encode_word_identities():
+    # no merges: chars + sentinel
+    assert _encode_word("spark", [], "</w>") == 6
+    # full merge chain collapses the whole word to one token
+    merges = [("a", "b"), ("ab", "</w>"), ("ab", "ab</w>")]
+    assert _encode_word("abab", merges, "</w>") == 1
+    # merge order matters: later merges see earlier merges' symbols
+    assert _encode_word("ab", [("a", "b"), ("ab", "</w>")], "</w>") == 1
+
+
+def test_bpe_token_counts_match_driver_encoding(spark):
+    rows = [(1, "aaab aaab xy"), (2, "xy xy"), (3, "aaab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, n_merges=4)
+    got = {r.doc_id: r.bpe_tokens for r in bpe_token_counts(df, "doc_id", "text", merges).collect()}
+    expect = {
+        i: sum(_encode_word(w, merges, "</w>") for w in text.split())
+        for i, text in rows
+    }
+    assert got == expect
+    # bounds: 1 <= tokens(word) <= chars+1, so per doc: n_words <= total
+    for (i, text) in rows:
+        n_words = len(text.split())
+        n_chars = sum(len(w) + 1 for w in text.split())
+        assert n_words <= got[i] <= n_chars
+
+
+def test_word_counts_cap_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "b b a a c")], "doc_id long, text string"
+    )
+    top2 = {r.word for r in word_counts(df, max_vocab=2).collect()}
+    assert top2 == {"a", "b"}  # count desc, word asc tie-break
+
+
+def test_bpe_token_counts_python_is_vocab_sized(spark, sf_dir):
+    """Plan contract: the only Python in the plan is the Arrow-batched
+    vocab-dim UDF — never row-at-a-time BatchEvalPython."""
+    from sarkac_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [("t", "h"), ("th", "e")]
+    out = bpe_token_counts(docs, "doc_id", "text", merges)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
