@@ -219,3 +219,66 @@ def fit_quality_lr(
         for name, coef in zip(FEATURES, model.coefficients)
     }
     return weights_milli, int(round(float(model.intercept) * 1000))
+
+
+def calibration_table(
+    df: DataFrame,
+    keep_rates: tuple[float, ...] = (0.25, 0.5, 0.75),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights_milli: dict[str, int] | None = None,
+    bias_milli: int = DEFAULT_BIAS_MILLI,
+) -> DataFrame:
+    """Threshold calibration for the quality gate: for each target
+    ``keep_rate``, the exact logit percentile that realizes it
+    (``threshold_nano`` = percentile(logit, 1-rate)) and the keep count
+    that threshold actually yields — what an operator reads before
+    setting ``threshold_nano`` for a corpus-wide pass ("keep the best
+    half" instead of trusting the shipped 0 cutoff on a shifted corpus).
+
+    Output: (keep_rate, threshold_nano, n_kept), one row per rate.
+
+    Scale shape: one scoring scan (map-only), one exact-percentile
+    aggregation per rate over the SAME relation (conditional aggs, no
+    re-scan), then a broadcast of the |rates|-row threshold dim back
+    over the logits for the realized counts. Exact percentiles buffer
+    the logit column per group on the reducer — at true 100 TB swap in
+    approx_percentile; the calibration question tolerates sketch error.
+    """
+    scored = logistic_quality_score(
+        df, id_col, text_col, weights_milli, bias_milli
+    ).select("logit_nano")
+    # percentile fractions must be literals (both engines), so all rates
+    # compute in ONE aggregation pass over the same relation
+    aggs = [
+        F.round(
+            F.expr(f"percentile(logit_nano, {1.0 - float(r)!r})").cast("double"),
+            6,
+        ).alias(f"__t{i}")
+        for i, r in enumerate(keep_rates)
+    ]
+    one = scored.agg(*aggs)
+    thr = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(r)).alias("keep_rate"),
+                        F.col(f"__t{i}").alias("threshold_nano"),
+                    )
+                    for i, r in enumerate(keep_rates)
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("keep_rate", "threshold_nano")
+        .agg(
+            F.sum(
+                F.when(F.col("logit_nano") >= F.col("threshold_nano"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept")
+        )
+    )

@@ -1689,6 +1689,17 @@ def q_mixture_realize(spark, sf_dir):
     ).select("doc_id", "lang", "epoch_copy")
 
 
+def q_classifier_calibration(spark, sf_dir):
+    """Threshold calibration for the quality gate: per target keep rate
+    (25/50/75%), the exact logit percentile realizing it and the keep
+    count that threshold yields — read before setting threshold_nano on
+    a shifted corpus. One scoring scan + one percentile agg + a 3-row
+    broadcast back for the realized counts."""
+    from sarkac_spark.operators.classify import calibration_table
+
+    return calibration_table(_docs(spark, sf_dir))
+
+
 def q_bpe_tokenize(spark, sf_dir):
     """Per-doc token counts under a REAL learned BPE merge table (32
     merges trained on this corpus). Training is the sequential Sennrich
@@ -1711,6 +1722,7 @@ QUERIES = {
     "contamination_spans": q_contamination_spans,
     "mixture_realize": q_mixture_realize,
     "bpe_tokenize": q_bpe_tokenize,
+    "classifier_calibration": q_classifier_calibration,
     "bpe_merges": q_bpe_merges,
     "zipf_fit": q_zipf_fit,
     "delta_curation": q_delta_curation,
@@ -2842,9 +2854,31 @@ WHERE u.c < CAST(floor(p.epochs) AS BIGINT)
 """
 
 
+def _classifier_calibration_sql(rates=(0.25, 0.5, 0.75)) -> str:
+    thr_rows = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({r} AS DOUBLE) AS keep_rate,"
+        f" round(quantile_cont(logit_nano, {1.0 - float(r)!r}), 6)"
+        f" AS threshold_nano FROM logits"
+        for r in rates
+    )
+    return f"""
+WITH {_quality_micro_cte("documents")},
+logits AS (SELECT {_logit_nano_expr()} AS logit_nano FROM micro),
+thr AS (
+{thr_rows}
+)
+SELECT t.keep_rate, t.threshold_nano,
+       CAST(sum(CASE WHEN l.logit_nano >= t.threshold_nano THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM logits l CROSS JOIN thr t
+GROUP BY 1, 2
+"""
+
+
 ORACLE = {
     "quality_classifier": _quality_classifier_sql(),
     "classifier_confusion": _classifier_confusion_sql(),
+    "classifier_calibration": _classifier_calibration_sql(),
     "mixture_realize": _mixture_realize_sql(),
     "contamination_spans": _contamination_spans_sql(),
     "delta_curation": _delta_curation_sql(),

@@ -181,3 +181,24 @@ def test_curator_mixture_stage(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, expect.collect())
     )
+
+
+def test_calibration_table_realizes_target_rates(spark, corpus):
+    from sarkac_spark.operators.classify import calibration_table
+
+    out = {r.keep_rate: r for r in calibration_table(corpus).collect()}
+    assert set(out) == {0.25, 0.5, 0.75}
+    n = corpus.count()
+    for rate, row in out.items():
+        # the percentile threshold guarantees AT LEAST the target rate;
+        # tied logits (the fixture's 40 near-identical good docs) can
+        # only push the realized count above it, never below
+        assert row.n_kept >= rate * n - 2
+    # monotone: a higher keep rate can only lower the threshold and
+    # grow the kept set
+    assert (
+        out[0.25].threshold_nano
+        >= out[0.5].threshold_nano
+        >= out[0.75].threshold_nano
+    )
+    assert out[0.25].n_kept <= out[0.5].n_kept <= out[0.75].n_kept
