@@ -1,0 +1,358 @@
+"""Product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the
+memory-side ANN scale path: each vector is split into ``m`` subvectors,
+each subvector snapped to one of ``k`` per-subspace centroids, so a
+64-dim float vector compresses to m (here 8) small codes, and query
+distance evaluation becomes m table lookups (ADC — asymmetric distance
+computation) instead of a 64-term dot product. At 100 TB of embeddings
+this is the difference between an index that fits executor memory and
+one that does not; compose with ``assign_buckets`` (IVF) for the
+classic IVF-PQ layout.
+
+Oracle-boundary split, same contract as the MLlib anomaly family:
+
+- ``fit_pq_codebooks`` — per-subspace KMeans (MLlib, seeded). Iterative,
+  so pytest-proven (reconstruction-error dominance over hash-derived
+  codebooks; see tests/test_pq.py).
+- ``pq_assign`` / ``pq_adc_topk`` — pure relational arithmetic against
+  LITERAL codebooks (``PQ_CODEBOOKS`` ships the seeded sf0.01 fit, the
+  ``KMEANS_SCORING_CENTERS`` precedent): distances are fixed-order
+  fold sums rounded to 6 decimals before every argmin/rank, so DuckDB
+  replays them bit-for-bit.
+
+Scale shape: assignment is map-only against broadcast literals (one
+scan, zero shuffles); ADC top-k joins the m-long code relation to a
+|queries|x m x k distance-table dim (broadcast), aggregates per
+(query, vector), and ranks inside each query partition — no global
+sort, no all-pairs float math at query time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# Seeded sf0.01 fit of fit_pq_codebooks(seed=7, maxIter=20) over the
+# driver embeddings, rounded to 4 decimals - the literal codebooks the
+# oracle-checked scoring path uses (KMEANS_SCORING_CENTERS precedent).
+PQ_CODEBOOKS = [
+    [
+        [-0.0663, -0.0075, 0.1012, 0.0676, 0.0013, -0.0991, 0.1227, 0.0709],
+        [-0.0369, 0.1114, 0.0316, 0.1135, 0.1168, 0.0481, -0.1409, -0.0908],
+        [0.1476, 0.056, 0.0819, -0.017, -0.087, -0.0455, 0.0737, 0.0247],
+        [0.1038, 0.0345, -0.0409, -0.0924, 0.0971, -0.0481, -0.0836, 0.1196],
+        [-0.0445, -0.0328, 0.0367, -0.1411, 0.0895, 0.0183, 0.058, -0.1319],
+        [0.1022, -0.13, -0.0906, -0.0825, -0.0637, -0.1043, 0.0513, 0.0563],
+        [-0.1078, -0.0187, -0.1749, -0.023, 0.0701, 0.0544, 0.1122, 0.0269],
+        [0.1386, -0.0954, -0.0122, 0.0665, 0.0187, 0.1126, -0.0884, -0.0846],
+        [-0.052, 0.149, 0.0564, -0.0557, -0.0664, 0.1481, -0.0361, -0.0117],
+        [-0.0281, -0.0398, -0.0033, 0.0532, -0.0527, -0.113, 0.0063, -0.1804],
+        [-0.0532, -0.1797, 0.0208, -0.0183, 0.003, 0.0606, -0.115, 0.0948],
+        [-0.108, -0.0244, 0.024, -0.0039, 0.1232, -0.1155, -0.1332, 0.0177],
+        [-0.0567, -0.05, 0.1438, -0.0751, -0.1862, 0.0722, -0.0143, 0.0004],
+        [-0.0092, 0.0505, -0.0953, 0.0097, -0.18, 0.0132, -0.1145, -0.0241],
+        [0.0528, 0.0621, -0.0935, 0.1305, -0.0022, 0.0587, 0.0115, 0.1421],
+        [0.0098, -0.0182, 0.1823, -0.0361, 0.1268, 0.1533, -0.0064, 0.0986],
+    ],
+    [
+        [0.075, -0.0876, 0.0389, -0.1207, 0.024, -0.0994, -0.0957, 0.0948],
+        [0.0072, -0.1704, -0.0244, -0.0865, -0.0758, 0.1777, 0.0518, -0.1296],
+        [-0.091, 0.0364, -0.0049, -0.087, -0.1563, 0.0647, -0.0616, 0.0357],
+        [-0.084, 0.1397, -0.0289, 0.0338, 0.1112, -0.1023, 0.0165, -0.0446],
+        [0.098, -0.0124, -0.0986, 0.0142, 0.0466, -0.1317, 0.1373, -0.0074],
+        [-0.0264, 0.124, -0.0644, -0.1586, 0.0613, 0.0697, -0.0043, 0.059],
+        [0.1609, 0.0782, 0.0528, 0.0356, -0.1362, -0.0151, 0.0571, -0.0687],
+        [-0.0204, 0.0564, 0.0425, 0.2155, -0.0947, -0.0343, -0.1178, 0.033],
+        [0.058, 0.0026, -0.1511, 0.0623, 0.0225, 0.0996, -0.0339, 0.1169],
+        [-0.156, -0.164, -0.0417, -0.0127, -0.0183, 0.025, -0.0039, 0.1502],
+        [-0.0341, -0.06, 0.0478, -0.096, -0.0707, -0.1402, -0.012, -0.1157],
+        [-0.0547, -0.0893, -0.0263, 0.0277, -0.0254, 0.0173, -0.1066, -0.1745],
+        [-0.0474, 0.1887, 0.0728, 0.0626, -0.0086, 0.15, 0.0372, -0.0367],
+        [-0.0427, 0.0, 0.1316, 0.024, 0.1275, 0.0631, -0.1489, 0.0907],
+        [0.0626, -0.0155, 0.1455, -0.0535, 0.0594, 0.0324, 0.1132, 0.0808],
+        [-0.0491, -0.1281, 0.0376, 0.1207, 0.0373, 0.0428, 0.116, -0.0111],
+    ],
+    [
+        [-0.1404, -0.1769, -0.049, -0.0409, 0.0223, 0.0654, -0.0725, 0.006],
+        [0.1515, -0.0133, 0.0339, -0.0362, -0.1008, 0.0213, 0.0601, -0.118],
+        [0.1085, -0.0342, 0.0609, 0.0699, 0.0788, 0.0112, -0.1711, 0.0421],
+        [-0.0066, -0.1069, -0.1338, -0.0629, -0.0256, 0.0538, 0.0116, -0.1361],
+        [0.0223, 0.0942, 0.0076, 0.166, 0.019, -0.0729, 0.0712, -0.1198],
+        [-0.0367, -0.0789, 0.0198, 0.0685, 0.0954, -0.0358, 0.0969, 0.0568],
+        [-0.0585, 0.1868, -0.0076, -0.1102, -0.0081, -0.0787, 0.0796, -0.0917],
+        [0.0576, 0.0285, -0.0761, 0.1225, 0.0086, 0.1286, 0.0685, 0.081],
+        [-0.0759, 0.0627, -0.1116, 0.052, -0.0793, -0.0356, -0.0649, -0.0375],
+        [-0.0912, 0.0679, 0.1603, 0.0304, -0.0829, 0.0955, -0.0251, -0.0197],
+        [-0.0946, -0.0314, 0.1097, 0.03, -0.0243, -0.1596, -0.0394, 0.0746],
+        [-0.1406, -0.0941, 0.0164, -0.0596, 0.1446, 0.1378, 0.2107, -0.1017],
+        [0.0233, 0.1035, 0.0604, -0.0858, 0.1331, 0.0516, -0.0087, -0.1286],
+        [0.0212, 0.0621, 0.0498, -0.1005, -0.0822, 0.0857, 0.0273, 0.1813],
+        [0.0926, -0.1341, -0.1027, 0.0184, -0.0443, -0.0942, -0.0657, 0.0242],
+        [0.1639, 0.0222, -0.0441, -0.1338, 0.0331, -0.0628, 0.059, 0.07],
+    ],
+    [
+        [-0.1029, -0.0638, 0.0099, -0.1509, 0.0202, -0.0384, 0.0451, -0.0268],
+        [0.0262, -0.1208, -0.1072, 0.0066, -0.0598, 0.0299, 0.1196, 0.0419],
+        [0.0392, 0.0174, 0.1446, 0.0494, 0.0683, 0.0594, -0.0864, 0.0901],
+        [0.0832, 0.086, -0.0201, 0.0685, -0.1793, -0.0181, 0.1086, -0.0428],
+        [-0.0333, -0.0514, 0.2408, -0.003, 0.0355, 0.0722, -0.0174, -0.1478],
+        [0.127, 0.1733, 0.0522, -0.0509, -0.0291, 0.0406, -0.0142, 0.1421],
+        [-0.1733, 0.0507, 0.1169, 0.0481, -0.151, 0.1297, 0.0051, -0.0592],
+        [0.127, 0.0676, -0.1094, 0.1528, 0.0086, 0.0287, -0.1112, 0.0089],
+        [0.1256, 0.0752, -0.0047, -0.0388, 0.0804, 0.105, 0.0567, -0.1379],
+        [-0.0651, -0.0517, -0.1206, 0.0147, 0.0258, -0.0636, -0.0608, -0.1667],
+        [-0.0353, -0.0903, -0.0229, 0.1953, 0.0169, 0.0334, 0.0281, -0.0665],
+        [0.0456, -0.0452, 0.0647, 0.0711, -0.0345, -0.1924, -0.0577, 0.1185],
+        [-0.0426, 0.1836, 0.0056, -0.0089, 0.0123, -0.1661, 0.0869, -0.0333],
+        [-0.118, 0.0918, -0.1152, 0.0111, 0.059, 0.119, -0.0358, 0.0919],
+        [-0.0146, 0.007, -0.0412, -0.0537, -0.126, -0.0158, -0.1627, 0.0132],
+        [-0.0022, -0.073, 0.0312, 0.0159, 0.1238, -0.0266, 0.1157, 0.0157],
+    ],
+    [
+        [0.0038, -0.0106, 0.0755, 0.024, -0.2108, -0.0879, 0.1151, 0.015],
+        [0.0498, 0.118, 0.1004, -0.0486, -0.05, 0.1455, 0.064, 0.013],
+        [0.0929, -0.0265, 0.0626, 0.1394, -0.0205, 0.0155, 0.0199, -0.1519],
+        [0.0469, -0.0713, 0.0725, 0.0014, 0.0202, -0.0154, -0.0946, 0.1789],
+        [-0.1942, -0.0625, 0.0596, 0.0553, 0.034, 0.0427, 0.0325, 0.0809],
+        [0.1238, 0.1749, 0.0099, 0.0109, 0.0637, -0.1036, -0.1078, -0.0061],
+        [-0.0246, -0.1042, -0.0826, -0.0994, 0.0257, -0.1622, -0.062, 0.0419],
+        [-0.0189, -0.0491, 0.2103, -0.0406, 0.0682, -0.0573, -0.038, -0.045],
+        [-0.0113, 0.0599, -0.1116, 0.0428, -0.1466, 0.0878, -0.0117, 0.0989],
+        [0.0879, 0.0025, -0.0196, 0.0801, 0.112, 0.0249, 0.1127, 0.0757],
+        [0.1284, -0.0767, -0.0042, -0.1583, -0.0226, -0.0226, 0.1284, -0.0497],
+        [0.0437, -0.1525, -0.1368, 0.0357, 0.048, 0.0928, -0.046, 0.0025],
+        [0.013, 0.0496, 0.0025, 0.0125, 0.037, 0.1198, -0.1922, -0.0671],
+        [-0.0652, 0.0294, -0.0665, 0.1694, 0.0216, -0.1242, 0.0574, -0.0321],
+        [-0.0789, 0.0335, -0.0261, -0.0618, -0.008, -0.0086, 0.021, -0.1666],
+        [-0.167, -0.0323, -0.0208, -0.1279, -0.0987, 0.0807, -0.1001, -0.0397],
+    ],
+    [
+        [0.2212, -0.0119, -0.0389, -0.1199, 0.0566, 0.0005, 0.0272, 0.074],
+        [0.0767, 0.0457, 0.1961, -0.0461, -0.0391, -0.0193, 0.059, -0.1279],
+        [-0.0012, -0.0701, -0.105, -0.0287, 0.1289, 0.1124, -0.0305, -0.0056],
+        [-0.0464, 0.0069, -0.0035, 0.052, -0.0498, 0.1385, 0.0196, -0.1596],
+        [0.078, -0.1877, -0.0084, -0.0913, -0.0693, -0.0408, 0.0523, -0.002],
+        [0.0072, 0.0915, -0.1369, 0.0628, -0.1447, 0.0216, 0.0745, 0.0204],
+        [-0.0494, 0.0281, 0.0258, 0.0238, -0.0629, -0.1448, 0.0026, 0.1882],
+        [0.0849, -0.0538, 0.0837, 0.1504, 0.0177, 0.0936, -0.0535, 0.0599],
+        [-0.0536, 0.0089, -0.0676, -0.2138, -0.0333, -0.0403, -0.1031, 0.0053],
+        [-0.0733, -0.1046, -0.0335, 0.0117, -0.0252, -0.0116, -0.1872, 0.1415],
+        [-0.0559, 0.158, 0.0039, -0.0631, 0.1005, 0.0096, 0.0515, 0.1309],
+        [0.0504, -0.0771, 0.1012, 0.0241, -0.1841, 0.0609, -0.1258, -0.0239],
+        [-0.1307, -0.0957, 0.0535, 0.0514, 0.0197, 0.0672, 0.0448, 0.0713],
+        [-0.1124, -0.0526, -0.0855, -0.0117, -0.0461, -0.1549, 0.0264, -0.0881],
+        [0.0181, 0.1293, -0.0177, 0.0012, 0.0211, -0.0749, -0.1207, -0.0296],
+        [0.0456, -0.0217, -0.0219, 0.1379, 0.0775, -0.049, 0.121, -0.0433],
+    ],
+    [
+        [-0.0574, 0.1018, 0.0923, 0.0513, 0.1031, 0.0895, -0.1453, 0.0389],
+        [-0.1851, -0.0765, 0.1447, 0.0183, -0.0532, -0.0415, -0.0031, 0.08],
+        [-0.1052, 0.0146, -0.0159, 0.0783, -0.0408, 0.0924, -0.0804, -0.1858],
+        [-0.1182, -0.1034, -0.0906, 0.0414, -0.0571, 0.1032, -0.0155, 0.1134],
+        [0.1174, -0.1706, 0.1013, -0.0266, -0.0226, 0.0531, -0.0321, 0.0433],
+        [-0.0595, -0.1205, -0.0453, -0.0818, 0.0395, -0.0646, 0.0442, -0.1357],
+        [-0.0886, 0.02, -0.0337, 0.1395, 0.0821, -0.0936, 0.0618, -0.0004],
+        [-0.0389, -0.0107, 0.0827, 0.0307, 0.0533, 0.153, 0.0866, -0.0245],
+        [0.0639, 0.0526, -0.0996, -0.1607, -0.0227, 0.0522, 0.1303, -0.0234],
+        [-0.0215, -0.0194, -0.0018, 0.063, -0.1589, 0.0039, 0.1792, -0.0116],
+        [0.0254, -0.0448, -0.0728, 0.0439, -0.0556, -0.2005, -0.103, 0.0207],
+        [0.1507, 0.0102, -0.0943, 0.054, 0.0068, 0.0285, -0.0158, 0.0979],
+        [0.0474, 0.0409, 0.1197, -0.0055, 0.1172, -0.0792, 0.1247, 0.1061],
+        [0.0771, 0.0986, 0.1024, -0.0665, 0.0034, -0.038, -0.0834, -0.0955],
+        [-0.054, -0.0384, -0.0463, -0.0804, 0.1462, -0.0347, -0.0609, 0.0326],
+        [-0.0266, 0.0148, -0.0017, -0.0518, -0.2292, -0.0085, -0.0438, -0.093],
+    ],
+    [
+        [-0.0182, -0.0067, 0.0519, -0.0606, -0.0781, -0.1085, 0.1272, -0.1355],
+        [-0.0113, 0.1904, -0.2284, -0.0968, -0.0255, -0.0464, -0.0196, -0.0043],
+        [-0.1289, 0.0867, 0.0733, -0.0154, 0.0076, -0.0783, 0.1432, 0.0789],
+        [-0.014, 0.0612, -0.063, 0.0362, 0.1115, -0.024, -0.081, 0.1524],
+        [0.0443, -0.0481, -0.1502, -0.0731, 0.0492, -0.1831, -0.0184, -0.0721],
+        [0.1241, 0.101, 0.1421, 0.0104, 0.1334, 0.0014, -0.0811, -0.0472],
+        [0.1032, -0.0174, -0.0142, 0.0061, 0.0524, 0.1836, 0.0689, -0.0508],
+        [0.0142, -0.0457, 0.1056, 0.1343, -0.1011, 0.0175, -0.0331, -0.0942],
+        [-0.0436, -0.0308, -0.1393, 0.1343, 0.0286, 0.0022, 0.0893, -0.063],
+        [0.0936, 0.0777, -0.0184, 0.1087, -0.1204, -0.1006, -0.0064, 0.0574],
+        [-0.0744, 0.0513, -0.0079, 0.0438, -0.0305, 0.0995, -0.1336, -0.0902],
+        [0.0355, -0.1999, -0.0472, -0.0905, 0.0693, 0.0064, -0.0208, 0.0412],
+        [0.0201, -0.0939, 0.0395, 0.0308, -0.0244, 0.0959, 0.1066, 0.1243],
+        [0.0533, 0.0023, 0.047, -0.0896, -0.1232, 0.0501, -0.0916, 0.0163],
+        [-0.0311, -0.0185, -0.0917, -0.1699, -0.0331, 0.0657, 0.0536, 0.0472],
+        [-0.0879, -0.0572, 0.0849, -0.0886, 0.1079, 0.0208, -0.0409, -0.1198],
+    ],
+]
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # centroids per subspace (4-bit codes)
+PQ_DIM = 64  # embedding dim (TESTDATA.md)
+
+
+def fit_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    seed: int = 7,
+    max_iter: int = 20,
+    round_digits: int = 6,
+    dim: int = PQ_DIM,
+) -> list[list[list[float]]]:
+    """Train per-subspace KMeans codebooks. Returns
+    ``codebooks[m][c][j]`` rounded for literal embedding. m fits run
+    sequentially, each over the (n x dim/m) subvector relation —
+    training cost is the corpus scan x m; at true scale fit on a
+    hash-sample (codebooks are statistics, not indexes)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub = dim // m
+    sub_d = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+    out: list[list[list[float]]] = []
+    for mi in range(m):
+        sv = sub_d.select(
+            array_to_vector(F.slice(F.col("v"), mi * sub + 1, sub)).alias(
+                "features"
+            )
+        )
+        model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(sv)
+        out.append(
+            [
+                [round(float(x), round_digits) for x in center]
+                for center in model.clusterCenters()
+            ]
+        )
+    return out
+
+
+def _dist_expr(sv: F.Column, cent: F.Column) -> F.Column:
+    """Squared L2 between two equal-length arrays, fixed-order fold,
+    rounded to 6 — the cross-engine-exact distance every PQ decision
+    uses."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(sv, cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def pq_assign_long(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, m, code) — one row per subspace, each vector snapped to its
+    nearest centroid (round-6 distance, centroid-index tie-break).
+    Map-only against broadcast literals; the long form is what ADC
+    joins consume, ``pq_assign`` pivots it for humans."""
+    v = F.col(vec_col).cast("array<double>")
+    sub = len(codebooks[0][0])
+    rows = []
+    for mi, cents in enumerate(codebooks):
+        sv = F.slice(v, mi * sub + 1, sub)
+        cents_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cent]) for cent in cents]
+        )
+        scored = F.transform(
+            cents_lit,
+            lambda cent, i: F.struct(
+                _dist_expr(sv, cent).alias("d"), i.cast("long").alias("c")
+            ),
+        )
+        rows.append(
+            F.struct(
+                F.lit(mi).cast("long").alias("m"),
+                F.array_min(scored).getField("c").alias("code"),
+            )
+        )
+    return df.select(
+        F.col(id_col), F.explode(F.array(*rows)).alias("__mc")
+    ).select(id_col, F.col("__mc.m").alias("m"), F.col("__mc.code").alias("code"))
+
+
+def pq_assign(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code_0..code_{m-1}) — the compressed index relation (4-bit
+    codes; the 100 TB artifact). One conditional-agg pivot over the
+    long form."""
+    long = pq_assign_long(df, codebooks, id_col, vec_col)
+    aggs = [
+        F.max(F.when(F.col("m") == mi, F.col("code"))).alias(f"code_{mi}")
+        for mi in range(len(codebooks))
+    ]
+    return long.groupBy(id_col).agg(*aggs)
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    k: int = 3,
+) -> DataFrame:
+    """ADC top-k: for each query (``id < n_queries``, the corpus-query
+    convention shared with ``cosine_topk``), rank corpus vectors by the
+    SUM of per-subspace distances between the query subvector and the
+    corpus vector's ASSIGNED CENTROID — the quantized distance, m
+    lookups per candidate. Output: (query_id, neighbor_id,
+    adist_micro, rank); self-matches excluded.
+
+    Plan: the code relation (n x m rows) joins the |queries| x m x k
+    distance-table dim (BROADCAST — it is tiny by construction), one
+    grouped sum per (query, vector), then a rank window partitioned by
+    query — parallel across queries, never a global sort.
+    """
+    codes = pq_assign_long(df, codebooks, id_col, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    q = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), v.alias("qv")
+    )
+    sub = len(codebooks[0][0])
+    tab_rows = []
+    for mi, cents in enumerate(codebooks):
+        sv = F.slice(F.col("qv"), mi * sub + 1, sub)
+        for ci, cent in enumerate(cents):
+            cent_lit = F.array(*[F.lit(float(x)) for x in cent])
+            tab_rows.append(
+                F.struct(
+                    F.lit(mi).cast("long").alias("m"),
+                    F.lit(ci).cast("long").alias("code"),
+                    _dist_expr(sv, cent_lit).alias("d"),
+                )
+            )
+    tab = q.select(
+        "query_id", F.explode(F.array(*tab_rows)).alias("__t")
+    ).select(
+        "query_id",
+        F.col("__t.m").alias("m"),
+        F.col("__t.code").alias("code"),
+        F.col("__t.d").alias("d"),
+    )
+    # per-subspace distances are round-6 doubles; lift to exact integer
+    # micro-units BEFORE summing so partitioning/merge order cannot move
+    # the total by an ulp — adist_micro is BIGINT, hash-risk-free
+    adist = (
+        codes.join(F.broadcast(tab), ["m", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum(F.round(F.col("d") * 1_000_000).cast("long")).alias(
+                "adist_micro"
+            )
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist_micro"), F.col(id_col))
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "adist_micro", "rank"
+        )
+    )

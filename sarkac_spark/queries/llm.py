@@ -1700,6 +1700,28 @@ def q_classifier_calibration(spark, sf_dir):
     return calibration_table(_docs(spark, sf_dir))
 
 
+def q_pq_assign(spark, sf_dir):
+    """Product-quantization codes: every vector snapped to its nearest
+    per-subspace centroid (literal codebooks from the seeded sf0.01
+    fit) — the compressed 4-bit-per-subspace index relation. Map-only
+    against broadcast literals."""
+    from sarkac_spark.operators.pq import PQ_CODEBOOKS, pq_assign
+
+    return pq_assign(_embs(spark, sf_dir), PQ_CODEBOOKS)
+
+
+def q_pq_topk(spark, sf_dir):
+    """PQ ADC top-k: quantized nearest neighbors per query (distance =
+    sum of per-subspace query→assigned-centroid distances in exact
+    integer micro-units) — m table lookups per candidate instead of a
+    64-term dot product."""
+    from sarkac_spark.operators.pq import PQ_CODEBOOKS, pq_adc_topk
+
+    return pq_adc_topk(
+        _embs(spark, sf_dir), PQ_CODEBOOKS, n_queries=N_QUERIES, k=TOPK
+    )
+
+
 def q_bpe_tokenize(spark, sf_dir):
     """Per-doc token counts under a REAL learned BPE merge table (32
     merges trained on this corpus). Training is the sequential Sennrich
@@ -1723,6 +1745,8 @@ QUERIES = {
     "mixture_realize": q_mixture_realize,
     "bpe_tokenize": q_bpe_tokenize,
     "classifier_calibration": q_classifier_calibration,
+    "pq_assign": q_pq_assign,
+    "pq_topk": q_pq_topk,
     "bpe_merges": q_bpe_merges,
     "zipf_fit": q_zipf_fit,
     "delta_curation": q_delta_curation,
@@ -2854,6 +2878,82 @@ WHERE u.c < CAST(floor(p.epochs) AS BIGINT)
 """
 
 
+def _pq_cb_values() -> str:
+    from sarkac_spark.operators.pq import PQ_CODEBOOKS
+
+    rows = []
+    for m, cents in enumerate(PQ_CODEBOOKS):
+        for c, cent in enumerate(cents):
+            lst = ", ".join(repr(float(x)) for x in cent)
+            rows.append(f"({m}, {c}, CAST([{lst}] AS DOUBLE[]))")
+    return ",\n  ".join(rows)
+
+
+def _pq_codes_cte() -> str:
+    """cb + e + per-(vec, subspace) argmin code — shared by both PQ
+    oracles; mirrors pq_assign_long (round-6 distance, index
+    tie-break)."""
+    return f"""cb(m, c, cent) AS (VALUES
+  {_pq_cb_values()}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sub AS (
+  SELECT e.vec_id, cb.m, cb.c,
+         round(list_sum(list_transform(range(1, 9),
+               j -> (v[cb.m * 8 + j] - cent[j]) * (v[cb.m * 8 + j] - cent[j])
+         )), 6) AS d
+  FROM e CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, m, c FROM (
+    SELECT vec_id, m, c,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+    FROM sub
+  ) WHERE rn = 1
+)"""
+
+
+def _pq_assign_sql() -> str:
+    from sarkac_spark.operators.pq import PQ_M
+
+    codes = ",\n       ".join(
+        f"CAST(max(CASE WHEN m = {mi} THEN c END) AS BIGINT) AS code_{mi}"
+        for mi in range(PQ_M)
+    )
+    return f"""
+WITH {_pq_codes_cte()}
+SELECT vec_id,
+       {codes}
+FROM best GROUP BY vec_id
+"""
+
+
+def _pq_topk_sql() -> str:
+    return f"""
+WITH {_pq_codes_cte()},
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+tab AS (
+  SELECT q.query_id, cb.m, cb.c AS code,
+         round(list_sum(list_transform(range(1, 9),
+               j -> (qv[cb.m * 8 + j] - cent[j]) * (qv[cb.m * 8 + j] - cent[j])
+         )), 6) AS d
+  FROM q CROSS JOIN cb
+),
+adist AS (
+  SELECT t.query_id, b.vec_id,
+         CAST(sum(CAST(round(t.d * 1000000) AS BIGINT)) AS BIGINT)
+           AS adist_micro
+  FROM best b JOIN tab t ON t.m = b.m AND t.code = b.c
+  WHERE b.vec_id != t.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS neighbor_id, adist_micro, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adist_micro, vec_id
+  ) AS rank FROM adist
+) WHERE rank <= {TOPK}
+"""
+
+
 def _classifier_calibration_sql(rates=(0.25, 0.5, 0.75)) -> str:
     thr_rows = "\n  UNION ALL\n".join(
         f"  SELECT CAST({r} AS DOUBLE) AS keep_rate,"
@@ -2879,6 +2979,8 @@ ORACLE = {
     "quality_classifier": _quality_classifier_sql(),
     "classifier_confusion": _classifier_confusion_sql(),
     "classifier_calibration": _classifier_calibration_sql(),
+    "pq_assign": _pq_assign_sql(),
+    "pq_topk": _pq_topk_sql(),
     "mixture_realize": _mixture_realize_sql(),
     "contamination_spans": _contamination_spans_sql(),
     "delta_curation": _delta_curation_sql(),
