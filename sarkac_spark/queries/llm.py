@@ -1722,6 +1722,55 @@ def q_pq_topk(spark, sf_dir):
     )
 
 
+def q_pq_recall(spark, sf_dir):
+    """PQ quality gate (the ann_recall discipline for the quantized
+    path): recall@k of ADC top-k against the exact L2 top-k — the
+    number an operator reads before trusting 4-bit codes at 100 TB.
+    On this synthetic corpus (near-random embeddings, no true
+    neighbors — same caveat as LSH_BITS above) recall@3 sits ~0.2 at
+    64x compression; real embedding corpora with actual near-neighbor
+    structure sit far right of this operating point, and the knobs are
+    m/k (code budget) exactly as in the paper."""
+    from sarkac_spark.operators.pq import PQ_CODEBOOKS, _dist_expr, pq_adc_topk
+    from pyspark.sql.window import Window
+
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _dist_expr(F.col("qv"), F.col("v")).alias("d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d"), F.col("neighbor_id"))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    approx = pq_adc_topk(
+        _embs(spark, sf_dir), PQ_CODEBOOKS, n_queries=N_QUERIES, k=TOPK
+    ).select("query_id", "neighbor_id")
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    base = exact.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / float(TOPK), 6).alias(
+            "recall"
+        ),
+    )
+
+
 def q_bpe_tokenize(spark, sf_dir):
     """Per-doc token counts under a REAL learned BPE merge table (32
     merges trained on this corpus). Training is the sequential Sennrich
@@ -1747,6 +1796,7 @@ QUERIES = {
     "classifier_calibration": q_classifier_calibration,
     "pq_assign": q_pq_assign,
     "pq_topk": q_pq_topk,
+    "pq_recall": q_pq_recall,
     "bpe_merges": q_bpe_merges,
     "zipf_fit": q_zipf_fit,
     "delta_curation": q_delta_curation,
@@ -2954,6 +3004,58 @@ SELECT query_id, vec_id AS neighbor_id, adist_micro, rank FROM (
 """
 
 
+def _pq_recall_sql() -> str:
+    return f"""
+WITH {_pq_codes_cte()},
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_sum(list_transform(range(1, 65),
+                       j -> (qv[j] - c.v[j]) * (qv[j] - c.v[j]))), 6),
+                      c.vec_id
+           ) AS rank
+    FROM q CROSS JOIN e c
+    WHERE c.vec_id != q.query_id
+  ) WHERE rank <= {TOPK}
+),
+tab AS (
+  SELECT q.query_id, cb.m, cb.c AS code,
+         round(list_sum(list_transform(range(1, 9),
+               j -> (qv[cb.m * 8 + j] - cent[j]) * (qv[cb.m * 8 + j] - cent[j])
+         )), 6) AS d
+  FROM q CROSS JOIN cb
+),
+adist AS (
+  SELECT t.query_id, b.vec_id,
+         CAST(sum(CAST(round(t.d * 1000000) AS BIGINT)) AS BIGINT)
+           AS adist_micro
+  FROM best b JOIN tab t ON t.m = b.m AND t.code = b.c
+  WHERE b.vec_id != t.query_id
+  GROUP BY 1, 2
+),
+ap AS (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adist_micro, vec_id
+    ) AS rank FROM adist
+  ) WHERE rank <= {TOPK}
+),
+hits AS (
+  SELECT e2.query_id, count(*) AS n_hits
+  FROM ap JOIN ex e2 USING (query_id, neighbor_id)
+  GROUP BY 1
+)
+SELECT b.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / CAST({TOPK} AS DOUBLE), 6) AS recall
+FROM (SELECT DISTINCT query_id FROM ex) b
+LEFT JOIN hits h USING (query_id)
+"""
+
+
 def _classifier_calibration_sql(rates=(0.25, 0.5, 0.75)) -> str:
     thr_rows = "\n  UNION ALL\n".join(
         f"  SELECT CAST({r} AS DOUBLE) AS keep_rate,"
@@ -2981,6 +3083,7 @@ ORACLE = {
     "classifier_calibration": _classifier_calibration_sql(),
     "pq_assign": _pq_assign_sql(),
     "pq_topk": _pq_topk_sql(),
+    "pq_recall": _pq_recall_sql(),
     "mixture_realize": _mixture_realize_sql(),
     "contamination_spans": _contamination_spans_sql(),
     "delta_curation": _delta_curation_sql(),

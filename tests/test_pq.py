@@ -116,3 +116,15 @@ def test_fit_pq_codebooks_shape_and_determinism(spark):
     assert cb1 == cb2  # seeded fit is reproducible
     assert len(cb1) == 4 and all(len(m) == 4 for m in cb1)
     assert all(len(c) == 16 for m in cb1 for c in m)
+
+
+def test_pq_recall_floor(spark, sf_dir):
+    """The shipped codebooks must retrieve SOMETHING real: mean ADC
+    recall@3 vs exact L2 stays above a floor on the fixture corpus
+    (0.2 operating point documented in q_pq_recall; floor at half)."""
+    from sarkac_spark.queries.llm import q_pq_recall
+
+    rows = q_pq_recall(spark, sf_dir).collect()
+    assert len(rows) == 10
+    mean = sum(r.recall for r in rows) / len(rows)
+    assert mean >= 0.1
