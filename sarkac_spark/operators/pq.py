@@ -314,6 +314,34 @@ def pq_adc_topk(
     q = df.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), v.alias("qv")
     )
+    tab = _adc_tables(q, codebooks)
+    # per-subspace distances are round-6 doubles; lift to exact integer
+    # micro-units BEFORE summing so partitioning/merge order cannot move
+    # the total by an ulp — adist_micro is BIGINT, hash-risk-free
+    adist = (
+        codes.join(F.broadcast(tab), ["m", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum(F.round(F.col("d") * 1_000_000).cast("long")).alias(
+                "adist_micro"
+            )
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist_micro"), F.col(id_col))
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "adist_micro", "rank"
+        )
+    )
+
+
+def _adc_tables(q: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """(query_id, m, code, d) — per-query distance tables against every
+    centroid; |queries| x m x k rows, always broadcast-sized. ``q`` is
+    (query_id, qv array<double>)."""
     sub = len(codebooks[0][0])
     tab_rows = []
     for mi, cents in enumerate(codebooks):
@@ -327,20 +355,64 @@ def pq_adc_topk(
                     _dist_expr(sv, cent_lit).alias("d"),
                 )
             )
-    tab = q.select(
-        "query_id", F.explode(F.array(*tab_rows)).alias("__t")
-    ).select(
+    return q.select("query_id", F.explode(F.array(*tab_rows)).alias("__t")).select(
         "query_id",
         F.col("__t.m").alias("m"),
         F.col("__t.code").alias("code"),
         F.col("__t.d").alias("d"),
     )
-    # per-subspace distances are round-6 doubles; lift to exact integer
-    # micro-units BEFORE summing so partitioning/merge order cannot move
-    # the total by an ulp — adist_micro is BIGINT, hash-risk-free
-    adist = (
-        codes.join(F.broadcast(tab), ["m", "code"])
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """The classic IVF-PQ layout (Jégou et al. §V): the IVF coarse
+    quantizer prunes to ``nprobe`` buckets' candidates, then the PQ
+    codes rank them by ADC distance — at 100 TB the query never
+    touches a float vector outside its own distance tables: bucket
+    membership and 4-bit codes are the entire hot index.
+
+    Output: (query_id, neighbor_id, adist_micro, rank), k per query.
+
+    Plan: corpus bucket assignment is the map-only ``assign_buckets``
+    argmax (no shuffle), candidates come from one equi-join on the
+    bucket key against the broadcast probe dim, and the ADC sum/rank
+    run only over in-bucket candidates — the candidate volume is
+    corpus/buckets x nprobe per query, the IVF pruning knob.
+    """
+    from sarkac_spark.operators.similarity import assign_buckets
+
+    corpus_b = assign_buckets(df, centroids, id_col, vec_col, n_best=1).select(
+        F.col(id_col), F.col("bucket")
+    )
+    queries = df.filter(F.col(id_col) < n_queries)
+    probes = assign_buckets(
+        queries, centroids, id_col, vec_col, n_best=nprobe
+    ).select(F.col(id_col).alias("query_id"), "bucket")
+    # no distinct needed: each corpus vector lives in exactly ONE bucket
+    # (n_best=1) and a query's probed buckets are distinct, so a
+    # (query, candidate) pair can only arise once
+    cand = (
+        corpus_b.join(F.broadcast(probes), "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+    )
+    codes = pq_assign_long(df, codebooks, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    tab = _adc_tables(q, codebooks)
+    adist = (
+        cand.join(codes, id_col)
+        .join(F.broadcast(tab), ["query_id", "m", "code"])
         .groupBy("query_id", id_col)
         .agg(
             F.sum(F.round(F.col("d") * 1_000_000).cast("long")).alias(

@@ -1771,6 +1771,22 @@ def q_pq_recall(spark, sf_dir):
     )
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """The classic IVF-PQ layout: coarse-quantizer bucket pruning
+    (nprobe=2) + in-bucket ADC ranking over 4-bit codes — the query
+    path that never touches a raw float vector outside its own
+    distance tables."""
+    from sarkac_spark.operators.pq import PQ_CODEBOOKS, ivfpq_topk
+
+    e = _embs(spark, sf_dir)
+    centroids = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return ivfpq_topk(
+        e, PQ_CODEBOOKS, centroids, n_queries=N_QUERIES, k=TOPK, nprobe=2
+    )
+
+
 def q_bpe_tokenize(spark, sf_dir):
     """Per-doc token counts under a REAL learned BPE merge table (32
     merges trained on this corpus). Training is the sequential Sennrich
@@ -1797,6 +1813,7 @@ QUERIES = {
     "pq_assign": q_pq_assign,
     "pq_topk": q_pq_topk,
     "pq_recall": q_pq_recall,
+    "ivfpq_topk": q_ivfpq_topk,
     "bpe_merges": q_bpe_merges,
     "zipf_fit": q_zipf_fit,
     "delta_curation": q_delta_curation,
@@ -3056,6 +3073,52 @@ LEFT JOIN hits h USING (query_id)
 """
 
 
+def _ivfpq_topk_sql(nprobe: int = 2) -> str:
+    cent_cos = _COS.format(a="v.v", b="c.v")
+    return f"""
+WITH {_pq_codes_cte()},
+cents AS (SELECT vec_id AS bucket, v FROM e WHERE vec_id < {N_CENTROIDS}),
+ivfranked AS (
+  SELECT v.vec_id, c.bucket, row_number() OVER (
+    PARTITION BY v.vec_id ORDER BY {cent_cos} DESC, c.bucket
+  ) AS rn
+  FROM e v CROSS JOIN cents c
+),
+assign_all AS (SELECT vec_id, bucket FROM ivfranked WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, bucket FROM ivfranked
+  WHERE rn <= {nprobe} AND vec_id < {N_QUERIES}
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+tab AS (
+  SELECT q.query_id, cb.m, cb.c AS code,
+         round(list_sum(list_transform(range(1, 9),
+               j -> (qv[cb.m * 8 + j] - cent[j]) * (qv[cb.m * 8 + j] - cent[j])
+         )), 6) AS d
+  FROM q CROSS JOIN cb
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign_all a
+    ON a.bucket = p.bucket AND a.vec_id != p.query_id
+),
+adist AS (
+  SELECT c.query_id, c.vec_id,
+         CAST(sum(CAST(round(t.d * 1000000) AS BIGINT)) AS BIGINT)
+           AS adist_micro
+  FROM cand c
+  JOIN best b ON b.vec_id = c.vec_id
+  JOIN tab t ON t.query_id = c.query_id AND t.m = b.m AND t.code = b.c
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS neighbor_id, adist_micro, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adist_micro, vec_id
+  ) AS rank FROM adist
+) WHERE rank <= {TOPK}
+"""
+
+
 def _classifier_calibration_sql(rates=(0.25, 0.5, 0.75)) -> str:
     thr_rows = "\n  UNION ALL\n".join(
         f"  SELECT CAST({r} AS DOUBLE) AS keep_rate,"
@@ -3084,6 +3147,7 @@ ORACLE = {
     "pq_assign": _pq_assign_sql(),
     "pq_topk": _pq_topk_sql(),
     "pq_recall": _pq_recall_sql(),
+    "ivfpq_topk": _ivfpq_topk_sql(),
     "mixture_realize": _mixture_realize_sql(),
     "contamination_spans": _contamination_spans_sql(),
     "delta_curation": _delta_curation_sql(),

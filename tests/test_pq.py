@@ -128,3 +128,43 @@ def test_pq_recall_floor(spark, sf_dir):
     assert len(rows) == 10
     mean = sum(r.recall for r in rows) / len(rows)
     assert mean >= 0.1
+
+
+def test_ivfpq_candidates_are_bucket_pruned(spark, sf_dir):
+    """IVF-PQ returns a subset of the probed buckets' members, ranked by
+    the SAME ADC distance pq_adc_topk would give them — pruning changes
+    the candidate set, never the distance arithmetic."""
+    from sarkac_spark.operators.pq import ivfpq_topk, pq_adc_topk
+    from sarkac_spark.operators.similarity import assign_buckets
+    from sarkac_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    got = ivfpq_topk(emb, PQ_CODEBOOKS, cents, n_queries=3, k=3, nprobe=2)
+    rows = got.collect()
+    assert {r.query_id for r in rows} <= {0, 1, 2}
+    # every returned neighbor's ADC distance equals the unpruned one
+    full = {
+        (r.query_id, r.neighbor_id): r.adist_micro
+        for r in pq_adc_topk(emb, PQ_CODEBOOKS, n_queries=3, k=10**9).collect()
+    }
+    for r in rows:
+        assert full[(r.query_id, r.neighbor_id)] == r.adist_micro
+    # and every neighbor really lives in a probed bucket
+    corpus_b = {
+        r.vec_id: r.bucket
+        for r in assign_buckets(emb, cents, n_best=1)
+        .select("vec_id", "bucket")
+        .collect()
+    }
+    probes = {}
+    for r in (
+        assign_buckets(emb.filter(F.col("vec_id") < 3), cents, n_best=2)
+        .select("vec_id", "bucket")
+        .collect()
+    ):
+        probes.setdefault(r.vec_id, set()).add(r.bucket)
+    for r in rows:
+        assert corpus_b[r.neighbor_id] in probes[r.query_id]
