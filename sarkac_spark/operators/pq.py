@@ -19,8 +19,10 @@ Oracle-boundary split, same contract as the MLlib anomaly family:
   fold sums rounded to 6 decimals before every argmin/rank, so DuckDB
   replays them bit-for-bit.
 
-Scale shape: assignment is map-only against broadcast literals (one
-scan, zero shuffles); ADC top-k joins the m-long code relation to a
+Scale shape: assignment is map-only against a BROADCAST codebook dim
+(one scan, zero data shuffles — codebooks ride as data, not as literal
+expression trees, which kept every plan constant-sized; see
+``_codebook_dim``); ADC top-k joins the m-long code relation to a
 |queries|x m x k distance-table dim (broadcast), aggregates per
 (query, vector), and ranks inside each query partition — no global
 sort, no all-pairs float math at query time.
@@ -237,6 +239,46 @@ def _dist_expr(sv: F.Column, cent: F.Column) -> F.Column:
     )
 
 
+def _codebook_dim(df: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """(m, c, cent) — the codebooks as a broadcastable m x k-row dim.
+    Expressing the codebooks as DATA instead of literal expression
+    trees matters: the literal form put ~m x k x sub Literal nodes into
+    every plan, and Catalyst/codegen compile time (seconds, data-size-
+    independent) dominated the whole query. The dim join runs the same
+    arithmetic with a plan of constant size."""
+    rows = [
+        (mi, ci, [float(x) for x in cent])
+        for mi, cents in enumerate(codebooks)
+        for ci, cent in enumerate(cents)
+    ]
+    return df.sparkSession.createDataFrame(rows, "m long, c long, cent array<double>")
+
+
+def _subvectors(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    out_id: str | None = None,
+) -> DataFrame:
+    """(id, m, sv) — one row per (vector, subspace), map-only explode."""
+    v = F.col(vec_col).cast("array<double>")
+    sub = len(codebooks[0][0])
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(mi).cast("long").alias("m"),
+                F.slice(v, mi * sub + 1, sub).alias("sv"),
+            )
+            for mi in range(len(codebooks))
+        ]
+    )
+    name = out_id or id_col
+    return df.select(
+        F.col(id_col).alias(name), F.explode(parts).alias("__s")
+    ).select(name, F.col("__s.m").alias("m"), F.col("__s.sv").alias("sv"))
+
+
 def pq_assign_long(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -244,32 +286,30 @@ def pq_assign_long(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, m, code) — one row per subspace, each vector snapped to its
-    nearest centroid (round-6 distance, centroid-index tie-break).
-    Map-only against broadcast literals; the long form is what ADC
-    joins consume, ``pq_assign`` pivots it for humans."""
-    v = F.col(vec_col).cast("array<double>")
-    sub = len(codebooks[0][0])
-    rows = []
-    for mi, cents in enumerate(codebooks):
-        sv = F.slice(v, mi * sub + 1, sub)
-        cents_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in cent]) for cent in cents]
-        )
-        scored = F.transform(
-            cents_lit,
-            lambda cent, i: F.struct(
-                _dist_expr(sv, cent).alias("d"), i.cast("long").alias("c")
-            ),
-        )
-        rows.append(
-            F.struct(
-                F.lit(mi).cast("long").alias("m"),
-                F.array_min(scored).getField("c").alias("code"),
-            )
-        )
-    return df.select(
-        F.col(id_col), F.explode(F.array(*rows)).alias("__mc")
-    ).select(id_col, F.col("__mc.m").alias("m"), F.col("__mc.code").alias("code"))
+    nearest centroid (round-6 distance, centroid-index tie-break via a
+    lexicographic min over (d, c) structs). The codebooks ride a
+    broadcast dim join (see ``_codebook_dim``); per-vector cost is the
+    inherent m x k x sub multiplies. The long form is what ADC joins
+    consume, ``pq_assign`` pivots it for humans."""
+    # collapse the dim to ONE row per subspace (m, [(c, cent), ...]) so
+    # assignment stays MAP-ONLY: broadcast join on m, then an argmin
+    # HOF over the k-element centroid array — no groupBy shuffle
+    cbm = (
+        _codebook_dim(df, codebooks)
+        .groupBy("m")
+        .agg(F.array_sort(F.collect_list(F.struct("c", "cent"))).alias("cents"))
+    )
+    sub = _subvectors(df, codebooks, id_col, vec_col)
+    scored = F.transform(
+        F.col("cents"),
+        lambda s: F.struct(
+            _dist_expr(F.col("sv"), s.getField("cent")).alias("d"),
+            s.getField("c").alias("c"),
+        ),
+    )
+    return sub.join(F.broadcast(cbm), "m").select(
+        id_col, "m", F.array_min(scored).getField("c").alias("code")
+    )
 
 
 def pq_assign(
@@ -341,25 +381,15 @@ def pq_adc_topk(
 def _adc_tables(q: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
     """(query_id, m, code, d) — per-query distance tables against every
     centroid; |queries| x m x k rows, always broadcast-sized. ``q`` is
-    (query_id, qv array<double>)."""
-    sub = len(codebooks[0][0])
-    tab_rows = []
-    for mi, cents in enumerate(codebooks):
-        sv = F.slice(F.col("qv"), mi * sub + 1, sub)
-        for ci, cent in enumerate(cents):
-            cent_lit = F.array(*[F.lit(float(x)) for x in cent])
-            tab_rows.append(
-                F.struct(
-                    F.lit(mi).cast("long").alias("m"),
-                    F.lit(ci).cast("long").alias("code"),
-                    _dist_expr(sv, cent_lit).alias("d"),
-                )
-            )
-    return q.select("query_id", F.explode(F.array(*tab_rows)).alias("__t")).select(
+    (query_id, qv array<double>). Same dim-join formulation as
+    ``pq_assign_long`` (constant-size plan)."""
+    cb = _codebook_dim(q, codebooks)
+    sub = _subvectors(q, codebooks, "query_id", "qv")
+    return sub.join(F.broadcast(cb), "m").select(
         "query_id",
-        F.col("__t.m").alias("m"),
-        F.col("__t.code").alias("code"),
-        F.col("__t.d").alias("d"),
+        "m",
+        F.col("c").alias("code"),
+        _dist_expr(F.col("sv"), F.col("cent")).alias("d"),
     )
 
 
