@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from sarkac_spark.functions.ranking import rank_topk
-from sarkac_spark.operators.dedup import words_col
+from sarkac_spark.operators.dedup import _h60, words_col
 
 # tiny per-language stopword profiles — an n-gram/stopword-ratio heuristic
 # (fastText-style lang-id is out of scope: no model files in this env)
@@ -881,3 +881,58 @@ def group_vocab_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def hash_embed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Hashing-trick document embeddings (Weinberger et al., ICML 2009):
+    every token hashes to a bucket j = h(term) % dim with a sign from an
+    independent hash bit; the doc vector is the signed bucket-count
+    histogram, L2-normalized. No vocabulary, no training, no Python —
+    the deterministic text→vector bridge that lets the embedding stack
+    (semantic dedup, IVF/LSH/PQ ANN, cosine near-dup) run on raw text
+    when no learned encoder output is available.
+
+    Output: (id, embedding array<double>), unit-norm (all-zero docs —
+    no tokens — keep a zero vector), components rounded to 6.
+
+    Scale shape: one (id, bucket) map-side-combined shuffle (at most
+    ``dim`` rows per doc survive the combine) and one per-doc
+    aggregation that densifies via a map lookup over ``sequence(0,
+    dim-1)`` — no |vocab|-sized state anywhere, which is the point of
+    the hashing trick. Cross-engine exact: signed counts are integers;
+    normalization divides identical integers by the same sqrt.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(words_col(text_col)).alias("__t")
+    ).withColumn("__t", F.lower(F.col("__t")))
+    h = _h60(F.col("__t"))
+    signed = words.select(
+        F.col(id_col),
+        (h % dim).alias("__b"),
+        F.when((h % (2 * dim)) >= dim, F.lit(-1)).otherwise(F.lit(1)).alias("__s"),
+    )
+    per_bucket = signed.groupBy(id_col, "__b").agg(
+        F.sum("__s").cast("long").alias("__v")
+    )
+    dense = per_bucket.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("__b", "__v"))).alias("__m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.coalesce(
+            F.element_at(F.col("__m"), j.cast("long")), F.lit(0)
+        ).cast("double"),
+    )
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    unit = F.when(
+        norm > 0,
+        F.transform(vec, lambda x: F.round(x / norm, 6)),
+    ).otherwise(F.transform(vec, lambda x: x * 0.0))
+    return dense.select(F.col(id_col), unit.alias("embedding"))

@@ -1787,6 +1787,19 @@ def q_ivfpq_topk(spark, sf_dir):
     )
 
 
+def q_hash_embed(spark, sf_dir):
+    """Hashing-trick document embeddings, long form (doc_id, j, v):
+    the deterministic text->vector bridge that feeds the embedding
+    stack (semantic dedup / IVF / LSH / PQ) from raw text — no vocab,
+    no model, integer bucket sums normalized once."""
+    from sarkac_spark.operators.text import hash_embed
+
+    emb = hash_embed(_docs(spark, sf_dir), "doc_id", "text", dim=EMB_DIM)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("j", "v")
+    ).withColumn("j", F.col("j").cast("long"))
+
+
 def q_bpe_tokenize(spark, sf_dir):
     """Per-doc token counts under a REAL learned BPE merge table (32
     merges trained on this corpus). Training is the sequential Sennrich
@@ -1814,6 +1827,7 @@ QUERIES = {
     "pq_topk": q_pq_topk,
     "pq_recall": q_pq_recall,
     "ivfpq_topk": q_ivfpq_topk,
+    "hash_embed": q_hash_embed,
     "bpe_merges": q_bpe_merges,
     "zipf_fit": q_zipf_fit,
     "delta_curation": q_delta_curation,
@@ -3119,6 +3133,37 @@ SELECT query_id, vec_id AS neighbor_id, adist_micro, rank FROM (
 """
 
 
+def _hash_embed_sql(dim: int = EMB_DIM) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, lower(u.t) AS t FROM documents, UNNEST({_WORDS}) AS u(t)
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM w
+),
+sb AS (
+  SELECT doc_id, hv % {dim} AS b,
+         CASE WHEN hv % {2 * dim} >= {dim} THEN -1 ELSE 1 END AS s
+  FROM h
+),
+pb AS (SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v FROM sb GROUP BY 1, 2),
+grid AS (
+  SELECT d.doc_id, r.j
+  FROM (SELECT DISTINCT doc_id FROM pb) d, range(0, {dim}) r(j)
+),
+dense AS (
+  SELECT g.doc_id, g.j, coalesce(pb.v, 0) AS v
+  FROM grid g LEFT JOIN pb ON pb.doc_id = g.doc_id AND pb.b = g.j
+),
+nrm AS (
+  SELECT doc_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS n FROM dense GROUP BY 1
+)
+SELECT d.doc_id, d.j,
+       CASE WHEN n.n > 0 THEN round(d.v / n.n, 6) ELSE 0.0 END AS v
+FROM dense d JOIN nrm n USING (doc_id)
+"""
+
+
 def _classifier_calibration_sql(rates=(0.25, 0.5, 0.75)) -> str:
     thr_rows = "\n  UNION ALL\n".join(
         f"  SELECT CAST({r} AS DOUBLE) AS keep_rate,"
@@ -3148,6 +3193,7 @@ ORACLE = {
     "pq_topk": _pq_topk_sql(),
     "pq_recall": _pq_recall_sql(),
     "ivfpq_topk": _ivfpq_topk_sql(),
+    "hash_embed": _hash_embed_sql(),
     "mixture_realize": _mixture_realize_sql(),
     "contamination_spans": _contamination_spans_sql(),
     "delta_curation": _delta_curation_sql(),

@@ -1916,3 +1916,32 @@ def test_contamination_spans_planted_quote(spark):
     assert r.max_run == 8
     assert r.span_words == 10
     assert r.n_matched_pos == 8
+
+
+def test_hash_embed_bridges_text_to_semantic_dedup(spark):
+    """End-to-end text -> hashing-trick embedding -> semantic dedup:
+    identical texts produce identical unit vectors and the embedding-
+    side dedup drops the later copy; unrelated text survives."""
+    import math as _math
+
+    from sarkac_spark.operators.similarity import semantic_dedup
+    from sarkac_spark.operators.text import hash_embed
+
+    a = "the quick brown fox jumps over the lazy dog near the river"
+    b = "completely unrelated words about distributed query planning engines"
+    df = spark.createDataFrame(
+        [(1, a), (2, a), (3, b)], "doc_id long, text string"
+    )
+    emb = hash_embed(df, "doc_id", "text", dim=16)
+    vecs = {r.doc_id: r.embedding for r in emb.collect()}
+    assert vecs[1] == vecs[2] and vecs[1] != vecs[3]
+    for v in vecs.values():
+        assert abs(_math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-4
+
+    out = semantic_dedup(
+        emb.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        dim=16,
+        tau=0.95,
+    )
+    kept_ids = {r.vec_id for r in out.filter("kept = 1").collect()}
+    assert 1 in kept_ids and 3 in kept_ids and 2 not in kept_ids
