@@ -38,7 +38,9 @@ SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 N_PLANTED_DUPS = 3
 PLANTED_ID_BASE = 900_000
 CURATION = {
-    "quality": {"gopher": True},
+    # gopher rule gates + the distilled-classifier gate (shipped
+    # weights; swap in fit_quality_lr output via a dict) — both map-only
+    "quality": {"gopher": True, "classifier": True},
     "dedup": {"exact": True},
     "domain_cap": {"domain_col": "source", "cap": 60, "quality_col": "n_chars"},
 }

@@ -922,17 +922,26 @@ def hash_embed(
     dense = per_bucket.groupBy(id_col).agg(
         F.map_from_entries(F.collect_list(F.struct("__b", "__v"))).alias("__m")
     )
+    # STAGE the dense vector and its norm in their own projections: an
+    # expression referenced inside a HOF lambda is re-evaluated per
+    # element (no CSE across the lambda boundary — the shingles lesson),
+    # so inlining `vec`/`norm` into the normalize transform cost
+    # dim x (dim lookups + a fold) per row
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda j: F.coalesce(
             F.element_at(F.col("__m"), j.cast("long")), F.lit(0)
         ).cast("double"),
     )
-    norm = F.sqrt(
-        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    staged = dense.select(F.col(id_col), vec.alias("__vec")).select(
+        F.col(id_col),
+        F.col("__vec"),
+        F.sqrt(
+            F.aggregate(F.col("__vec"), F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("__n"),
     )
     unit = F.when(
-        norm > 0,
-        F.transform(vec, lambda x: F.round(x / norm, 6)),
-    ).otherwise(F.transform(vec, lambda x: x * 0.0))
-    return dense.select(F.col(id_col), unit.alias("embedding"))
+        F.col("__n") > 0,
+        F.transform(F.col("__vec"), lambda x: F.round(x / F.col("__n"), 6)),
+    ).otherwise(F.transform(F.col("__vec"), lambda x: x * 0.0))
+    return staged.select(F.col(id_col), unit.alias("embedding"))

@@ -141,9 +141,10 @@ def test_registry_priority_and_consistency():
         # driver row through r03 and must therefore hold a head slot
         if "ivf_probe2" not in green:
             assert "ivf_probe2" in names[:5]
-    # rows-only queries are exactly the documented MLlib trio
+    # rows-only queries are exactly the documented iterative set:
+    # the MLlib fit trio + the BPE merge-loop tokenizer
     assert set(qs) - set(oracles) == {
-        "kmeans_anomaly", "lsh_isolation", "mllib_minhash",
+        "kmeans_anomaly", "lsh_isolation", "mllib_minhash", "bpe_tokenize",
     }
 
 
