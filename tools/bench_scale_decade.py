@@ -49,6 +49,9 @@ CLASSES = {
         "cosine_topk", "ivf_topk", "lsh_topk",
         "dup_ngram_frac", "quality_classifier", "snapshot_diff",
         "bpe_merges", "zipf_fit", "delta_curation",
+        "pq_assign", "pq_topk", "ivfpq_topk", "hash_embed",
+        "mixture_realize", "classifier_confusion", "classifier_calibration",
+        "bpe_tokenize",
     ],
     "nlogn": [
         "dedup_minhash", "incremental_minhash", "ngram_jaccard",
