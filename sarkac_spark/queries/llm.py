@@ -1787,6 +1787,24 @@ def q_ivfpq_topk(spark, sf_dir):
     )
 
 
+PQ_SHORTLIST = 20
+
+
+def q_pq_rerank(spark, sf_dir):
+    """Two-stage retrieval: ADC shortlist (20) -> exact L2 re-rank ->
+    top-3 — full-precision math touches shortlist x queries vectors,
+    not the corpus; the standard PQ deployment shape."""
+    from sarkac_spark.operators.pq import PQ_CODEBOOKS, pq_rerank_topk
+
+    return pq_rerank_topk(
+        _embs(spark, sf_dir),
+        PQ_CODEBOOKS,
+        n_queries=N_QUERIES,
+        shortlist=PQ_SHORTLIST,
+        k=TOPK,
+    )
+
+
 def q_hash_embed(spark, sf_dir):
     """Hashing-trick document embeddings, long form (doc_id, j, v):
     the deterministic text->vector bridge that feeds the embedding
@@ -1828,6 +1846,7 @@ QUERIES = {
     "pq_recall": q_pq_recall,
     "ivfpq_topk": q_ivfpq_topk,
     "hash_embed": q_hash_embed,
+    "pq_rerank": q_pq_rerank,
     "bpe_merges": q_bpe_merges,
     "zipf_fit": q_zipf_fit,
     "delta_curation": q_delta_curation,
@@ -3164,6 +3183,48 @@ FROM dense d JOIN nrm n USING (doc_id)
 """
 
 
+def _pq_rerank_sql() -> str:
+    return f"""
+WITH {_pq_codes_cte()},
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+tab AS (
+  SELECT q.query_id, cb.m, cb.c AS code,
+         round(list_sum(list_transform(range(1, 9),
+               j -> (qv[cb.m * 8 + j] - cent[j]) * (qv[cb.m * 8 + j] - cent[j])
+         )), 6) AS d
+  FROM q CROSS JOIN cb
+),
+adist AS (
+  SELECT t.query_id, b.vec_id,
+         CAST(sum(CAST(round(t.d * 1000000) AS BIGINT)) AS BIGINT)
+           AS adist_micro
+  FROM best b JOIN tab t ON t.m = b.m AND t.code = b.c
+  WHERE b.vec_id != t.query_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adist_micro, vec_id
+    ) AS rn FROM adist
+  ) WHERE rn <= {PQ_SHORTLIST}
+),
+rescored AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_sum(list_transform(range(1, 65),
+               j -> (q.qv[j] - n.v[j]) * (q.qv[j] - n.v[j]))), 6) AS dist
+  FROM short s
+  JOIN q ON q.query_id = s.query_id
+  JOIN e n ON n.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, dist, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY dist, neighbor_id
+  ) AS rank FROM rescored
+) WHERE rank <= {TOPK}
+"""
+
+
 def _classifier_calibration_sql(rates=(0.25, 0.5, 0.75)) -> str:
     thr_rows = "\n  UNION ALL\n".join(
         f"  SELECT CAST({r} AS DOUBLE) AS keep_rate,"
@@ -3194,6 +3255,7 @@ ORACLE = {
     "pq_recall": _pq_recall_sql(),
     "ivfpq_topk": _ivfpq_topk_sql(),
     "hash_embed": _hash_embed_sql(),
+    "pq_rerank": _pq_rerank_sql(),
     "mixture_realize": _mixture_realize_sql(),
     "contamination_spans": _contamination_spans_sql(),
     "delta_curation": _delta_curation_sql(),

@@ -168,3 +168,48 @@ def test_ivfpq_candidates_are_bucket_pruned(spark, sf_dir):
         probes.setdefault(r.vec_id, set()).add(r.bucket)
     for r in rows:
         assert corpus_b[r.neighbor_id] in probes[r.query_id]
+
+
+def test_pq_rerank_improves_or_matches_adc_recall(spark, sf_dir):
+    """Two-stage re-rank recall vs exact L2 must dominate the raw ADC
+    ranking's (the shortlist contains ADC's top-k, so re-ranking can
+    only promote true neighbors into the top-k, never lose them...
+    provided the true neighbor made the shortlist — assert >=)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sarkac_spark.operators.pq import (
+        PQ_CODEBOOKS,
+        _dist_expr,
+        pq_adc_topk,
+        pq_rerank_topk,
+    )
+    from sarkac_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _dist_expr(F.col("qv"), F.col("v")).alias("d"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 3")
+    )
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    def recall(df):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    adc = recall(pq_adc_topk(emb, PQ_CODEBOOKS, n_queries=10, k=3))
+    rr = recall(pq_rerank_topk(emb, PQ_CODEBOOKS, n_queries=10, shortlist=20, k=3))
+    assert rr >= adc
+    assert rr >= 0.3  # the shortlist recovers well past raw-ADC recall
