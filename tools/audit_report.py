@@ -5,10 +5,11 @@ MinHash LSH banding recall (is near-dup candidate generation missing
 pairs?), per-source unigram KL drift (which sources diverge from the
 corpus mixture?), embedding health (norm/NaN/zero-vector hygiene),
 the classifier-vs-gopher confusion matrix (does the distilled quality
-gate still track its teacher?), and the Zipf fit (is the term
-distribution still natural-corpus shaped?).
+gate still track its teacher?), the Zipf fit (is the term
+distribution still natural-corpus shaped?), and PQ recall (are the
+4-bit quantized codes still trustworthy for retrieval?).
 
-All six are existing registry queries (each independently verified by
+All seven are existing registry queries (each independently verified by
 the DuckDB oracle gate); this tool just runs them at one scale factor
 and emits ONE JSON object so the result can be diffed, stored next to
 the snapshot, or gated on in CI.
@@ -37,6 +38,7 @@ AUDITS = [
     "embedding_health",
     "classifier_confusion",
     "zipf_fit",
+    "pq_recall",
 ]
 
 
