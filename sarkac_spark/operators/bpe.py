@@ -32,10 +32,26 @@ encode identities, count bounds).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import IntegerType
 
 from sarkac_spark.operators.dedup import words_col
+
+# train_bpe(documents @ sf0.01, n_merges=32) — the shipped literal merge
+# table (the PQ_CODEBOOKS / KMEANS_SCORING_CENTERS precedent): training
+# is iterative and rows-only checked, but SCORING against a fixed
+# artifact is pure relational work, so `bpe_apply` is oracle-checked
+# bit-for-bit against DuckDB. Regenerate with tools/train_bpe_table.py.
+BPE_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+    ("a", "</w>"), ("g", "</w>"), ("y", "</w>"), ("a", "r"),
+    ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+    ("r", "ow</w>"), ("at", "c"), ("atc", "h</w>"), ("b", "atch</w>"),
+    ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"), ("c", "o"),
+]
 
 
 def word_counts(
@@ -119,6 +135,120 @@ def _encode_word(word: str, merges: list[tuple[str, str]], end_of_word: str) -> 
                 i += 1
         seq = out
     return len(seq)
+
+
+def merge_chain_col(
+    word_col: Column,
+    merges: list[tuple[str, str]],
+    end_of_word: str = "</w>",
+    passes: int = 2,
+) -> Column:
+    """Token count of a word under ``merges`` as a PURE JVM expression —
+    no Python anywhere, and the exact same chain replays in DuckDB, so
+    the oracle gate holds on any corpus by construction.
+
+    Encoding model ("relational BPE apply"): the token sequence is a
+    space-delimited string with a leading/trailing space (words come
+    from whitespace split, so tokens never contain spaces), and each
+    merge (a, b) is ``replace(s, ' a b ', ' ab ')`` applied ``passes``
+    times. One replace pass is a left-to-right non-overlapping scan —
+    exactly the classic greedy pass — except that replacing consumes
+    the shared boundary space, skipping an IMMEDIATELY adjacent second
+    occurrence; the second pass catches those (two passes are maximal
+    for a != b). The one divergence from textbook greedy BPE is runs of
+    >= 3 self-merging tokens (merge a+a on 'aaa...'), where the
+    leftover single lands mid-run instead of at the end — per-merge
+    token COUNTS still match, only downstream merge interactions can
+    differ, and tests/test_bpe.py pins count equality with the greedy
+    encoder for every distinct word in the shipped corpora.
+
+    Scale: called once per DISTINCT word (the vocab dim), never per
+    occurrence; the whole thing inlines into whole-stage codegen.
+    """
+    # ' h e l l o </w> ' — chars space-joined, Sennrich end-of-word
+    # sentinel, boundary spaces on both ends.
+    s = F.concat(
+        F.lit(" "),
+        F.regexp_replace(word_col, "(.)", "$1 "),
+        F.lit(end_of_word + " "),
+    )
+    for a, b in merges:
+        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        for _ in range(passes):
+            s = F.replace(s, pat, rep)
+    # tokens = separators - 1
+    return (
+        F.length(s) - F.length(F.replace(s, F.lit(" "), F.lit(""))) - 1
+    ).cast("long")
+
+
+def bpe_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]] | None = None,
+    end_of_word: str = "</w>",
+    token_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Per-document token count under a FIXED merge table (default: the
+    shipped ``BPE_MERGES`` artifact) — the scoring half of the
+    train/apply split, fully oracle-checkable because the encode chain
+    is deterministic string algebra (``merge_chain_col``).
+
+    Plan shape (same as ``bpe_token_counts`` but with zero Python):
+    occurrences explode JVM-side → (doc, word, n) collapse → the merge
+    chain evaluates once per DISTINCT word → join the vocab dim back
+    and sum. Corpus-sized stages are explode + two map-side-combined
+    aggs + one equi-join on the word key; the replace chain runs
+    |vocab| times total regardless of corpus row count.
+    """
+    merges = BPE_MERGES if merges is None else merges
+    occ = df.select(F.col(id_col), F.explode(words_col(text_col)).alias("word"))
+    per_doc_word = occ.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("__n"))
+    vocab_dim = (
+        per_doc_word.select("word")
+        .distinct()
+        .withColumn("__tok", merge_chain_col(F.col("word"), merges, end_of_word))
+    )
+    return (
+        per_doc_word.join(vocab_dim, "word")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__n") * F.col("__tok")).cast("long").alias(token_col))
+    )
+
+
+def bpe_apply_sql(
+    merges: list[tuple[str, str]] | None = None,
+    end_of_word: str = "</w>",
+    passes: int = 2,
+) -> str:
+    """DuckDB oracle for ``bpe_apply`` — the SAME replace chain, token
+    for token, so Spark and the oracle agree on any corpus."""
+    merges = BPE_MERGES if merges is None else merges
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = f"' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '{q(end_of_word)} '"
+    for a, b in merges:
+        for _ in range(passes):
+            expr = f"replace({expr}, ' {q(a)} {q(b)} ', ' {q(a)}{q(b)} ')"
+    return f"""
+WITH occ AS (
+  SELECT doc_id, u.t AS word
+  FROM documents, UNNEST(string_split_regex(trim(text), '\\s+')) AS u(t)
+),
+pdw AS (SELECT doc_id, word, count(*) AS n FROM occ GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT word FROM pdw),
+tok AS (
+  SELECT word,
+         CAST(length(s) - length(replace(s, ' ', '')) - 1 AS BIGINT) AS toks
+  FROM (SELECT word, {expr} AS s FROM vocab)
+)
+SELECT p.doc_id, CAST(sum(p.n * t.toks) AS BIGINT) AS bpe_tokens
+FROM pdw p JOIN tok t USING (word)
+GROUP BY p.doc_id
+"""
 
 
 def bpe_token_counts(

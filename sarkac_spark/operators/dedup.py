@@ -1071,6 +1071,133 @@ def dedup_minhash_incremental(
     )
 
 
+def dedup_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The per-doc DEDUP SIGNATURE relation — everything ingest-time
+    dedup ever needs from a committed document, with the text left
+    behind: (id, text_hash, band_keys array<string>, sh_set
+    array<long>). Persist THIS alongside (or instead of re-reading) the
+    text store and per-trigger corpus cost becomes signature-sized: at
+    100 TB of text the signature relation is a few hundred GB of hashes,
+    and re-shingling the corpus per ingest — O(corpus text) — disappears.
+
+    Docs shorter than ``shingle_n`` words have no shingles, hence empty
+    ``band_keys``/``sh_set`` (they can never near-dup-pair, exactly as
+    in the text-side operators where the shingle groupBy drops them);
+    ``text_hash`` still covers them for exact dedup.
+    """
+    hashed = _hashed_shingles(df, id_col, text_col, shingle_n)
+    doc = hashed.groupBy(id_col).agg(
+        *_minhash_aggs(k), F.collect_set("h").alias("sh_set")
+    )
+    empty_str = F.array().cast("array<string>")
+    empty_long = F.array().cast("array<long>")
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .join(doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("text_hash"),
+            F.when(F.col("mh_0").isNull(), empty_str)
+            .otherwise(_band_keys_expr(k, bands))
+            .alias("band_keys"),
+            F.coalesce(F.col("sh_set"), empty_long).alias("sh_set"),
+        )
+    )
+
+
+def incremental_minhash_drop_ids_sigs(
+    corpus_sigs: DataFrame | None,
+    batch_sigs: DataFrame,
+    id_col: str,
+    threshold: float = 0.5,
+    max_band_df: int | None = MINHASH_MAX_BAND_DF,
+) -> DataFrame:
+    """``incremental_minhash_drop_ids`` over MATERIALIZED signature
+    relations (``dedup_signatures`` shape) — the per-trigger scan is the
+    signature store, never the corpus text. Semantics are identical by
+    construction: same banded relation (exploded ``band_keys``), same
+    union-wide band-df cap, same corpus×batch-only candidate join, same
+    rounded-jaccard verify against ``sh_set``, same corpus-never-loses /
+    lower-batch-id-wins drop rule. Same id-disjointness PRECONDITION.
+
+    ``corpus_sigs=None`` (empty corpus) dedups the batch against itself
+    only. One-column output (``id_col``), distinct: batch ids to drop.
+    """
+    cols = [F.col(id_col), "band_keys", "sh_set"]
+    combined = (
+        batch_sigs.select(*cols).withColumn("__new", F.lit(True))
+        if corpus_sigs is None
+        else corpus_sigs.select(*cols)
+        .withColumn("__new", F.lit(False))
+        .unionByName(batch_sigs.select(*cols).withColumn("__new", F.lit(True)))
+    )
+    banded = _cap_band_df(
+        combined.select(
+            F.col(id_col), F.col("__new"), F.explode("band_keys").alias("band_key")
+        ),
+        max_band_df,
+    )
+    corpus_side = banded.alias("a")
+    new_side = banded.filter(F.col("__new")).alias("b")
+    cands = (
+        corpus_side.join(new_side, "band_key")
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+    sets_a = combined.select(
+        F.col(id_col).alias("id_a"), F.col("sh_set").alias("__set_a")
+    )
+    sets_b = combined.select(
+        F.col(id_col).alias("id_b"), F.col("sh_set").alias("__set_b")
+    )
+    inter = F.size(F.array_intersect(F.col("__set_a"), F.col("__set_b")))
+    pairs = (
+        cands.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn("__n_common", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__n_common")
+                / (
+                    F.size(F.col("__set_a"))
+                    + F.size(F.col("__set_b"))
+                    - F.col("__n_common")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+    flags = combined.select(F.col(id_col).alias("__fid"), F.col("__new").alias("__nf"))
+    sided = pairs.join(
+        flags.withColumnRenamed("__fid", "id_a").withColumnRenamed("__nf", "__new_a"),
+        "id_a",
+    ).join(
+        flags.withColumnRenamed("__fid", "id_b").withColumnRenamed("__nf", "__new_b"),
+        "id_b",
+    )
+    return (
+        sided.select(
+            F.when(F.col("__new_a") & ~F.col("__new_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias(id_col)
+        ).distinct()
+    )
+
+
 def incremental_minhash_drop_ids(
     combined: DataFrame,
     id_col: str,
@@ -1093,30 +1220,18 @@ def incremental_minhash_drop_ids(
     ``streaming/incremental_dedup.IncrementalDedupPipeline`` so both
     paths cannot diverge. Same PRECONDITION as
     ``dedup_minhash_incremental``: batch and corpus ids are disjoint.
+
+    Implemented by signing both sides (``dedup_signatures``) and
+    delegating to ``incremental_minhash_drop_ids_sigs`` — ONE candidate
+    /verify/drop implementation whether the corpus arrives as text or
+    as its materialized signature store.
     """
-    pairs = dedup_minhash_incremental(
-        combined,
-        id_col,
-        text_col,
-        new_col,
-        k=k,
-        bands=bands,
-        threshold=threshold,
-        shingle_n=shingle_n,
-        max_band_df=max_band_df,
+    corpus_sigs = dedup_signatures(
+        combined.filter(~F.col(new_col)), id_col, text_col, k, bands, shingle_n
     )
-    flags = combined.select(F.col(id_col).alias("__fid"), F.col(new_col).alias("__nf"))
-    sided = pairs.join(
-        flags.withColumnRenamed("__fid", "id_a").withColumnRenamed("__nf", "__new_a"),
-        "id_a",
-    ).join(
-        flags.withColumnRenamed("__fid", "id_b").withColumnRenamed("__nf", "__new_b"),
-        "id_b",
+    batch_sigs = dedup_signatures(
+        combined.filter(F.col(new_col)), id_col, text_col, k, bands, shingle_n
     )
-    return (
-        sided.select(
-            F.when(F.col("__new_a") & ~F.col("__new_b"), F.col("id_a"))
-            .otherwise(F.col("id_b"))
-            .alias(id_col)
-        ).distinct()
+    return incremental_minhash_drop_ids_sigs(
+        corpus_sigs, batch_sigs, id_col, threshold=threshold, max_band_df=max_band_df
     )

@@ -24,6 +24,7 @@ from sarkac_spark.operators.dedup import (
     dedup_simhash,
     ngram_jaccard_pairs,
 )
+from sarkac_spark.operators.bpe import bpe_apply_sql
 from sarkac_spark.operators.similarity import cosine, cosine_topk, ivf_topk, lsh_topk
 from sarkac_spark.operators.text import (
     STOPWORDS,
@@ -1833,8 +1834,23 @@ def q_bpe_tokenize(spark, sf_dir):
     return bpe_token_counts(d, "doc_id", "text", merges)
 
 
+def q_bpe_apply(spark, sf_dir):
+    """Per-doc token counts under the SHIPPED literal merge table
+    (operators/bpe.py::BPE_MERGES, trained once on the sf0.01 corpus —
+    the PQ_CODEBOOKS precedent): scoring against a fixed artifact is
+    pure string algebra, so unlike `bpe_tokenize` (which re-trains, the
+    rows-only iterative tier) this one is oracle-checked bit-for-bit —
+    both engines replay the identical boundary-delimited replace chain.
+    Zero Python: the encode inlines into whole-stage codegen and runs
+    once per DISTINCT word."""
+    from sarkac_spark.operators.bpe import bpe_apply
+
+    return bpe_apply(_docs(spark, sf_dir), "doc_id", "text")
+
+
 QUERIES = {
     "bloom_vocab": q_bloom_vocab,
+    "bpe_apply": q_bpe_apply,
     "quality_classifier": q_quality_classifier,
     "classifier_confusion": q_classifier_confusion,
     "contamination_spans": q_contamination_spans,
@@ -3260,6 +3276,7 @@ ORACLE = {
     "contamination_spans": _contamination_spans_sql(),
     "delta_curation": _delta_curation_sql(),
     "bpe_merges": _bpe_merges_sql(),
+    "bpe_apply": bpe_apply_sql(),
     "zipf_fit": _zipf_fit_sql(),
     "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_dups

@@ -1,8 +1,8 @@
 """Streaming ingest-time corpus dedup: each micro-batch is deduped
 against the committed corpus store with the PROVEN batch operators
-(``incremental_exact_dedup`` + ``incremental_minhash_drop_ids``), and
-the survivors are committed — the foreachBatch twin of the Curator's
-incremental dedup stage, and the missing near-dup member of the
+(``incremental_exact_dedup`` + ``incremental_minhash_drop_ids_sigs``),
+and the survivors are committed — the foreachBatch twin of the
+Curator's incremental dedup stage, and the near-dup member of the
 streaming dedup family (exact: ``streaming_dedup_exact``; span:
 ``streaming_span_dedup``; semantic: ``streaming_semantic_dedup``).
 
@@ -20,39 +20,71 @@ directory written with overwrite (the ``SigmaStreamPipeline`` store
 trick — a replayed epoch rewrites its own partition instead of
 appending duplicates), and the corpus side of the dedup EXCLUDES the
 current epoch's partition, so a replayed batch never dedups against
-its own half-committed rows.
+its own half-committed rows. The signature store follows the same
+per-epoch-overwrite discipline, so text and signatures converge
+together on replay.
 
 PRECONDITION (inherited from ``dedup_minhash_incremental``): document
 ids are unique across the stream — a replayed epoch re-presents the
 same ids, which is exactly the case the epoch exclusion handles, but
 two DIFFERENT documents must never share an id.
 
-100 TB shape: per trigger, the batch is shingled once; the corpus is
-re-read per trigger but only its shingle/band relation participates in
-the join (at production scale, store the corpus's band keys + shingle
-hashes as their own partitioned relation and skip re-shingling — the
-operators already accept any relation of that shape; this module keeps
-(id, text) for oracle-simplicity). The band-df cap bounds hot-band
-fanout in the corpus dimension.
+100 TB shape: the corpus participates ONLY through its materialized
+SIGNATURE store (``dedup_signatures``: id, text_hash, LSH band keys,
+shingle-hash set — written once per epoch, when the text was already
+in memory). Per trigger, the batch is shingled once and joined against
+signature-sized corpus data; corpus TEXT is never re-read, so
+per-trigger scan bytes are independent of corpus text size (the text
+store could be deleted and dedup would not notice — pinned by test).
+The band-df cap bounds hot-band fanout in the corpus dimension.
 """
 
 from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sarkac_spark.operators.dedup import (
     MINHASH_MAX_BAND_DF,
+    dedup_signatures,
     incremental_exact_dedup,
-    incremental_minhash_drop_ids,
+    incremental_minhash_drop_ids_sigs,
 )
+
+# AnalysisException error classes that mean "nothing committed yet" —
+# the ONLY quiet path. Anything else (corrupt footer, permissions,
+# transient FS failure) must fail the trigger loudly: treating a broken
+# store as empty would commit the batch UNdeduped, and the damage is
+# permanent (a later retry replays only its own epoch).
+_EMPTY_STORE_CLASSES = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+
+
+def _is_empty_store_error(e: AnalysisException) -> bool:
+    cls = e.getCondition() if hasattr(e, "getCondition") else None
+    if cls is None and hasattr(e, "getErrorClass"):
+        cls = e.getErrorClass()
+    if cls in _EMPTY_STORE_CLASSES:
+        return True
+    msg = str(e)
+    return "Path does not exist" in msg or "Unable to infer schema" in msg
 
 
 class IncrementalDedupPipeline:
     """``minhash=None`` runs exact-only dedup; a dict (``k``, ``bands``,
     ``threshold``, ``max_band_df``) adds near-dup dropping after the
-    exact pass."""
+    exact pass.
+
+    Stores (both plain partitioned parquet, epoch=N partitions):
+
+    - ``store_dir`` — the committed (id, text) corpus, what a training
+      job reads via ``committed()``.
+    - ``sig_dir`` (default ``store_dir + "_sigs"``) — the
+      ``dedup_signatures`` relation for the SAME rows; the only thing
+      the per-trigger dedup reads back. Exact-only mode stores just
+      (id, text_hash).
+    """
 
     def __init__(
         self,
@@ -61,25 +93,30 @@ class IncrementalDedupPipeline:
         id_col: str = "doc_id",
         text_col: str = "text",
         minhash: dict | None = None,
+        sig_dir: str | None = None,
     ) -> None:
         self.spark = spark
         self.store_dir = store_dir
+        self.sig_dir = sig_dir or store_dir.rstrip("/") + "_sigs"
         self.id_col = id_col
         self.text_col = text_col
         self.minhash = minhash
 
-    def _read_corpus(self, exclude_epoch: int) -> DataFrame | None:
-        """Committed (id, text) rows, excluding ``exclude_epoch``'s
-        partition (replay safety). None when the store is empty."""
-        if not os.path.exists(self.store_dir):  # first epoch, quiet path
-            return None
+    def _read_sigs(self, exclude_epoch: int) -> DataFrame | None:
+        """Committed signature rows, excluding ``exclude_epoch``'s
+        partition (replay safety). None when nothing is committed yet;
+        any OTHER read failure propagates (see _EMPTY_STORE_CLASSES).
+
+        The existence probe IS the read attempt — no driver-local
+        ``os.path.exists``, so the store may live on HDFS/S3/anything
+        the session's Hadoop conf can reach."""
         try:
-            corpus = self.spark.read.parquet(self.store_dir)
-        except Exception:  # dir exists but no committed partitions yet
-            return None
-        return corpus.filter(F.col("epoch") != exclude_epoch).select(
-            self.id_col, self.text_col
-        )
+            sigs = self.spark.read.parquet(self.sig_dir)
+        except AnalysisException as e:
+            if _is_empty_store_error(e):
+                return None
+            raise
+        return sigs.filter(F.col("epoch") != exclude_epoch).drop("epoch")
 
     def committed(self) -> DataFrame:
         """The deduped corpus so far (id, text) — what a training job
@@ -88,12 +125,28 @@ class IncrementalDedupPipeline:
             self.id_col, self.text_col
         )
 
+    def _batch_sigs(self, kept: DataFrame) -> DataFrame:
+        if self.minhash is None:
+            # exact-only: text_hash is the whole signature
+            return kept.select(
+                self.id_col, F.md5(F.col(self.text_col)).alias("text_hash")
+            )
+        mh = self.minhash
+        return dedup_signatures(
+            kept,
+            self.id_col,
+            self.text_col,
+            k=int(mh.get("k", 16)),
+            bands=int(mh.get("bands", 4)),
+            shingle_n=int(mh.get("shingle_n", 3)),
+        )
+
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         fresh = batch.select(self.id_col, self.text_col)
-        corpus = self._read_corpus(exclude_epoch=epoch_id)
+        corpus_sigs = self._read_sigs(exclude_epoch=epoch_id)
         seen = (
-            corpus.select(F.md5(F.col(self.text_col)).alias("text_hash"))
-            if corpus is not None
+            corpus_sigs.select("text_hash")
+            if corpus_sigs is not None
             else self.spark.createDataFrame([], "text_hash string")
         )
         kept = incremental_exact_dedup(
@@ -101,29 +154,24 @@ class IncrementalDedupPipeline:
         ).drop("text_hash")
         if self.minhash is not None:
             mh = self.minhash
-            base = [self.id_col, self.text_col]
-            new_side = kept.select(*base).withColumn("__new", F.lit(True))
-            combined = (
-                corpus.select(*base)
-                .withColumn("__new", F.lit(False))
-                .unionByName(new_side)
-                if corpus is not None
-                else new_side
-            )
-            drop = incremental_minhash_drop_ids(
-                combined,
+            drop = incremental_minhash_drop_ids_sigs(
+                corpus_sigs,
+                self._batch_sigs(kept),
                 self.id_col,
-                self.text_col,
-                k=int(mh.get("k", 16)),
-                bands=int(mh.get("bands", 4)),
                 threshold=float(mh.get("threshold", 0.5)),
                 max_band_df=mh.get("max_band_df", MINHASH_MAX_BAND_DF),
             )
             kept = kept.join(drop, self.id_col, "left_anti")
         # per-epoch overwrite: a replayed epoch rewrites its own
-        # partition — the store stays exactly-once (see module docstring)
+        # partition — the store stays exactly-once (see module docstring).
+        # Signatures are derived from the SAME `kept` (one dedup verdict,
+        # two projections), so the stores cannot disagree.
+        kept = kept.localCheckpoint(eager=True)
         kept.write.mode("overwrite").parquet(
             os.path.join(self.store_dir, f"epoch={epoch_id}")
+        )
+        self._batch_sigs(kept).write.mode("overwrite").parquet(
+            os.path.join(self.sig_dir, f"epoch={epoch_id}")
         )
 
     def start(

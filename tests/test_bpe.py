@@ -76,3 +76,72 @@ def test_bpe_token_counts_python_is_vocab_sized(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan
+
+
+# --- bpe_apply: the oracle-checked scoring path against BPE_MERGES ---
+
+
+def _chain_count(word, merges, eow="</w>", passes=2):
+    """Driver-side mirror of merge_chain_col (relational replace chain)."""
+    s = " " + " ".join(list(word) + [eow]) + " "
+    for a, b in merges:
+        for _ in range(passes):
+            s = s.replace(f" {a} {b} ", f" {a}{b} ")
+    return s.count(" ") - 1
+
+
+def test_bpe_apply_matches_greedy_on_corpus_vocab(spark, sf_dir):
+    """The shipped artifact's relational encode == the greedy encoder
+    for EVERY distinct word in the corpus (the divergence window —
+    runs of >=3 self-merging tokens — never fires on real words)."""
+    from sarkac_spark.operators.bpe import BPE_MERGES, merge_chain_col
+    from pyspark.sql import functions as F
+    from sarkac_spark.operators.dedup import words_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = (
+        docs.select(F.explode(words_col("text")).alias("word"))
+        .distinct()
+        .withColumn("toks", merge_chain_col(F.col("word"), BPE_MERGES))
+        .collect()
+    )
+    assert len(vocab) > 0
+    for r in vocab:
+        assert r.toks == _encode_word(r.word, BPE_MERGES, "</w>"), r.word
+        assert r.toks == _chain_count(r.word, BPE_MERGES), r.word
+
+
+def test_bpe_apply_equals_python_encode_per_doc(spark):
+    from sarkac_spark.operators.bpe import BPE_MERGES, bpe_apply
+
+    rows = [(1, "join the hash batch"), (2, "scan row scan row scan"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.bpe_tokens for r in bpe_apply(df, "doc_id", "text").collect()}
+    expect = {
+        i: sum(_encode_word(w, BPE_MERGES, "</w>") for w in text.split())
+        for i, text in rows
+    }
+    assert got == expect
+
+
+def test_bpe_apply_adjacent_pair_repeats_need_two_passes():
+    """'abab'-style words: one replace pass misses the occurrence right
+    after a replaced one (boundary space consumed); the second pass is
+    what makes the chain equal greedy for a != b merges."""
+    merges = [("a", "b")]
+    assert _chain_count("ababab", merges, passes=1) != _encode_word(
+        "ababab", merges, "</w>"
+    )
+    assert _chain_count("ababab", merges, passes=2) == _encode_word(
+        "ababab", merges, "</w>"
+    )
+
+
+def test_bpe_merges_artifact_provenance(spark):
+    """BPE_MERGES is exactly train_bpe(sf0.01 docs, n_merges=32) — the
+    shipped table is the seeded fit, not a hand-edit (PQ_CODEBOOKS
+    contract). Regenerate with tools/train_bpe_table.py."""
+    from sarkac_spark.operators.bpe import BPE_MERGES
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert train_bpe(docs, n_merges=32) == BPE_MERGES

@@ -129,3 +129,60 @@ def test_incremental_dedup_stream_exact_only(spark, tmp_path):
     q.awaitTermination(180)
     # exact-only: the near-dup (5) survives, the exact dup (3) does not
     assert {r.doc_id for r in pipe.committed().collect()} == {1, 2, 4, 5, 6}
+
+
+def test_dedup_reads_signatures_never_corpus_text(spark, tmp_path):
+    """The 100 TB claim, behaviorally: after epochs commit, the corpus
+    TEXT store can be rendered unreadable and the next trigger still
+    dedups correctly — per-trigger reads touch only the signature
+    store, so scan bytes are independent of corpus text size."""
+    from sarkac_spark.streaming.incremental_dedup import IncrementalDedupPipeline
+
+    store = tmp_path / "store"
+    pipe = IncrementalDedupPipeline(spark, str(store), minhash=MH)
+    batches = _batches()
+    pipe.process_batch(spark.createDataFrame(batches[0], SCHEMA), 0)
+    pipe.process_batch(spark.createDataFrame(batches[1], SCHEMA), 1)
+
+    # vandalize every committed text file: unreadable as parquet
+    poisoned = 0
+    for p in store.rglob("*.parquet"):
+        p.write_bytes(b"not parquet at all")
+        poisoned += 1
+    assert poisoned > 0
+
+    # next trigger: near-dup of committed 2 must still be dropped, the
+    # novel doc committed — using signatures alone
+    pipe.process_batch(spark.createDataFrame(batches[2], SCHEMA), 2)
+    sigs = spark.read.parquet(pipe.sig_dir)
+    assert {r.doc_id for r in sigs.select("doc_id").collect()} == {1, 2, 4, 6}
+
+
+def test_corrupt_sig_store_fails_the_trigger_loudly(spark, tmp_path):
+    """A broken signature store must RAISE, not be treated as 'empty
+    corpus' — silently committing an undeduped batch is unrepairable
+    (replay only rewrites the batch's own epoch)."""
+    import pytest
+
+    from sarkac_spark.streaming.incremental_dedup import IncrementalDedupPipeline
+
+    store = tmp_path / "store"
+    pipe = IncrementalDedupPipeline(spark, str(store), minhash=MH)
+    epoch_dir = tmp_path / "store_sigs" / "epoch=0"
+    epoch_dir.mkdir(parents=True)
+    (epoch_dir / "part-00000.parquet").write_bytes(b"garbage footer")
+
+    with pytest.raises(Exception) as ei:
+        pipe.process_batch(spark.createDataFrame(_batches()[0], SCHEMA), 1)
+    # and NOT swallowed into the quiet empty-store path
+    assert "PATH_NOT_FOUND" not in str(ei.value)
+
+
+def test_missing_sig_store_is_the_quiet_first_epoch_path(spark, tmp_path):
+    from sarkac_spark.streaming.incremental_dedup import IncrementalDedupPipeline
+
+    pipe = IncrementalDedupPipeline(spark, str(tmp_path / "store"), minhash=MH)
+    assert pipe._read_sigs(exclude_epoch=0) is None
+    # empty dir (exists, no committed parquet) is also quiet
+    (tmp_path / "store_sigs").mkdir()
+    assert pipe._read_sigs(exclude_epoch=0) is None
