@@ -156,7 +156,29 @@ def quality_gate(
     adds zero shuffles and zero joins, and being stateless it runs
     unchanged on a streaming DataFrame (no watermark, no state store).
     Same integer-logit semantics as ``logistic_quality_score``.
+
+    Raises on input columns that collide with the computed feature /
+    output names: ``quality_features``'s withColumns would silently
+    OVERWRITE them, and the preserved-passthrough promise would return
+    recomputed features instead of the caller's data.
     """
+    reserved = {
+        "n_words",
+        "n_unique_words",
+        "unique_ratio",
+        "mean_word_len",
+        "punct_ratio",
+        "digit_ratio",
+        "logit_nano",
+        "keep",
+    }
+    clash = sorted(reserved.intersection(df.columns))
+    if clash:
+        raise ValueError(
+            f"quality_gate: input columns {clash} collide with computed "
+            "feature/output names and would be silently overwritten - "
+            "rename them first"
+        )
     feats = quality_features(df, text_col)
     logit = _logit_col(weights_milli, bias_milli, _micro_features())
     return feats.select(

@@ -897,8 +897,15 @@ def hash_embed(
     (semantic dedup, IVF/LSH/PQ ANN, cosine near-dup) run on raw text
     when no learned encoder output is available.
 
-    Output: (id, embedding array<double>), unit-norm (all-zero docs —
-    no tokens — keep a zero vector), components rounded to 6.
+    Output: (id, embedding array<double>), unit-norm, components rounded
+    to 6 — one row per input doc. Every doc yields >= 1 token under
+    ``words_col`` (whitespace split of trimmed text returns [''] for
+    empty text), so the explode never drops a doc — an invariant this
+    operator RELIES on and tests pin (a words_col change that filters
+    empties would silently drop token-less docs here). The zero-vector
+    branch below is for SIGN CANCELLATION: a doc whose signed bucket
+    counts all net to zero has norm 0 and keeps its zero vector rather
+    than dividing by it.
 
     Scale shape: one (id, bucket) map-side-combined shuffle (at most
     ``dim`` rows per doc survive the combine) and one per-doc

@@ -41,6 +41,9 @@ class StatsCounters:
     def __init__(self) -> None:
         self.scan_runs = 0
         self.anomalies_detected = 0
+        # detected-but-not-bus-emitted under the per-epoch emission cap
+        # (anomaly storms; the persisted store still has every row)
+        self.anomalies_dropped = 0
         self.analysed_messages = 0
         self.topic_updates = 0
         self.field_updates = 0

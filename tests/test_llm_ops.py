@@ -1945,3 +1945,32 @@ def test_hash_embed_bridges_text_to_semantic_dedup(spark):
     )
     kept_ids = {r.vec_id for r in out.filter("kept = 1").collect()}
     assert 1 in kept_ids and 3 in kept_ids and 2 not in kept_ids
+
+
+def test_hash_embed_emits_one_row_per_doc_including_empty_text(spark):
+    """hash_embed relies on words_col returning [''] for empty text so
+    the explode never drops a doc — pin the invariant (and the zero/
+    near-empty docs' presence) so a words_col change that filters
+    empties fails HERE, not as a silent row loss downstream."""
+    from sarkac_spark.operators.text import hash_embed
+
+    rows = [(1, "some real text here"), (2, ""), (3, "   "), (4, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.embedding for r in hash_embed(df, dim=8).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # unit norm (6-decimal rounded) for every emitted doc
+    for vec in out.values():
+        assert abs(sum(v * v for v in vec) - 1.0) < 1e-4
+
+
+def test_quality_gate_raises_on_feature_column_collision(spark):
+    from sarkac_spark.operators.classify import quality_gate
+
+    df = spark.createDataFrame(
+        [(1, "hello world", 99)], "doc_id long, text string, n_words long"
+    )
+    try:
+        quality_gate(df)
+        raise AssertionError("expected ValueError on n_words collision")
+    except ValueError as e:
+        assert "n_words" in str(e)

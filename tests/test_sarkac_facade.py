@@ -319,3 +319,48 @@ def test_facade_unknown_engine_raises(spark, tmp_path):
     s = Sarkac(spark, {"engine": "nope", "dsl": {}}, work_dir=str(tmp_path))
     with _pytest.raises(ValueError, match="unknown engine"):
         s.analyse(spark.readStream.format("rate").load())
+
+
+def test_anomaly_storm_bus_emission_is_capped(spark, tmp_path, monkeypatch):
+    """Round-6 ask #6: an anomaly storm must not grow the driver heap —
+    the per-epoch bus emission collects at most `anomaly_emit_cap` rows
+    (earliest event-time first); the overflow is counted in
+    `anomalies_dropped` (visible in /status) and every row still lands
+    in the persisted anomaly store."""
+    from sarkac_spark.sarkac import _BusSigmaPipeline
+
+    monkeypatch.setattr(_BusSigmaPipeline, "anomaly_emit_cap", 5)
+
+    src = str(tmp_path / "src")
+    example_messages(spark, n=96).coalesce(1).write.parquet(src)
+    envelope = (
+        spark.readStream.schema("topic string, key string, value string, ts timestamp")
+        .parquet(src)
+    )
+    config = {
+        "anomalyCooldownSeconds": 0,  # storm: nothing suppressed
+        "dsl": {
+            TOPIC: {
+                "fields": {
+                    "sub.one": {"windows": ["5m"]},
+                    "two": {"windows": ["5m"]},
+                }
+            }
+        },
+        "target": {"topic": "sarkac-detected-anomalies"},
+    }
+    sarkac = Sarkac(spark, config, work_dir=str(tmp_path / "work"))
+    emitted = []
+    sarkac.on("anomaly", emitted.append)
+    q = sarkac.analyse(envelope, trigger_seconds=1)
+    q.processAllAvailable()
+    sarkac.close()
+
+    stored = sarkac.anomalies().count()
+    st = sarkac.get_status()["stats"]
+    assert stored == st["anomalies_detected"] > 5  # the storm happened
+    assert len(emitted) == 5  # bounded collect
+    assert st["anomalies_dropped"] == st["anomalies_detected"] - 5
+    # earliest-first, deterministic
+    ts = [a["event_ts_us"] for a in emitted]
+    assert ts == sorted(ts)
