@@ -188,6 +188,161 @@ PQ_K = 16  # centroids per subspace (4-bit codes)
 PQ_DIM = 64  # embedding dim (TESTDATA.md)
 
 
+# fit_pq_codebooks(hash_embed(documents @ sf0.01, dim=64), seed=7,
+# maxIter=20) - the literal codebooks behind the raw-text retrieval path
+# (text_ivfpq): the PQ quantizer for HASH-EMBEDDED vectors, whose
+# distribution (sparse signed counts, unit norm) differs from the driver
+# embeddings PQ_CODEBOOKS was fit on. Regenerate with
+# tools/train_text_pq.py. Same broadcast-dim shipping rule as
+# PQ_CODEBOOKS (constants as data, never literal expression trees).
+TEXT_PQ_CODEBOOKS = [
+    [
+        [-0.035223, 0.0, 0.0, 0.0, 0.180536, 0.0, 0.0, 0.083724],
+        [-0.167744, 0.0, 0.0, 0.0, 0.241597, 0.0, 0.0, 0.045707],
+        [-0.006856, 0.0, 0.0, 0.0, 0.021058, 0.0, 0.0, 0.021862],
+        [-0.066802, 0.0, 0.0, 0.0, 0.053452, 0.0, 0.0, 0.632742],
+        [-0.115986, 0.0, 0.0, 0.0, 0.12623, 0.0, 0.0, 0.141376],
+        [-0.022324, 0.0, 0.0, 0.0, 0.230093, 0.0, 0.0, 0.27883],
+        [-0.03417, 0.0, 0.0, 0.0, 0.030102, 0.0, 0.0, 0.238314],
+        [-0.062971, 0.0, 0.0, 0.0, 0.387167, 0.0, 0.0, 0.069429],
+        [-0.282771, 0.0, 0.0, 0.0, 0.088772, 0.0, 0.0, 0.311769],
+        [-0.199493, 0.0, 0.0, 0.0, 0.046718, 0.0, 0.0, 0.176919],
+        [-0.302201, 0.0, 0.0, 0.0, 0.348928, 0.0, 0.0, 0.155367],
+        [-0.174156, 0.0, 0.0, 0.0, 0.005552, 0.0, 0.0, 0.014749],
+        [-0.165542, 0.0, 0.0, 0.0, 0.21654, 0.0, 0.0, 0.219511],
+        [-0.356208, 0.0, 0.0, 0.0, 0.015205, 0.0, 0.0, 0.147106],
+        [-0.295293, 0.0, 0.0, 0.0, 0.139043, 0.0, 0.0, 0.071438],
+        [-0.144925, 0.0, 0.0, 0.0, 0.119945, 0.0, 0.0, 0.021627],
+    ],
+    [
+        [0.0, 0.033864, -0.099887, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.233345, -0.129311, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.108896, -0.010108, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.019584, -0.405204, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.384038, -0.110773, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.012582, -0.217169, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.198156, -0.207162, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.228223, -0.439136, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.123896, -0.108953, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.523481, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, -0.00143, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.192724, -0.017969, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.322557, -0.22881, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.102999, -0.200948, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.304797, -0.024247, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.14621, -0.300888, 0.0, 0.0, 0.0, 0.0, 0.0],
+    ],
+    [
+        [0.0, -0.119922, -0.080088, 0.0, 0.0, 0.0, 0.0, 0.041517],
+        [0.0, -0.055703, -0.059703, 0.0, 0.0, 0.0, 0.0, 0.472472],
+        [0.0, -0.029988, -0.21757, 0.0, 0.0, 0.0, 0.0, 0.124969],
+        [0.0, 0.378367, -0.015316, 0.0, 0.0, 0.0, 0.0, 0.468772],
+        [0.0, 0.165009, -0.030428, 0.0, 0.0, 0.0, 0.0, 0.094734],
+        [0.0, -0.218584, -0.085754, 0.0, 0.0, 0.0, 0.0, 0.231938],
+        [0.0, 0.144906, -0.179849, 0.0, 0.0, 0.0, 0.0, 0.280709],
+        [0.0, 0.047861, -0.233167, 0.0, 0.0, 0.0, 0.0, 0.527369],
+        [0.0, 0.036145, -0.335261, 0.0, 0.0, 0.0, 0.0, 0.298441],
+        [0.0, -0.133422, -0.217694, 0.0, 0.0, 0.0, 0.0, 0.380715],
+        [0.0, -0.004682, -0.071051, 0.0, 0.0, 0.0, 0.0, 0.261147],
+        [0.0, -0.310226, -0.012635, 0.0, 0.0, 0.0, 0.0, 0.492837],
+        [0.0, -0.206479, -0.39922, 0.0, 0.0, 0.0, 0.0, 0.161618],
+        [0.0, 0.124005, -0.077199, 0.0, 0.0, 0.0, 0.0, 0.396922],
+        [0.0, 0.209519, -0.193532, 0.0, 0.0, 0.0, 0.0, 0.097355],
+        [0.0, 0.316081, -0.037334, 0.0, 0.0, 0.0, 0.0, 0.251852],
+    ],
+    [
+        [0.168511, -0.207452, 0.0, 0.0, 0.0, -0.106373, 0.008444, 0.0],
+        [0.237266, -0.35772, 0.0, 0.0, 0.0, -0.044408, 0.004611, 0.0],
+        [0.022469, -0.017277, 0.0, 0.0, 0.0, -0.042904, 0.006296, 0.0],
+        [0.236692, -0.020458, 0.0, 0.0, 0.0, -0.250018, 0.0, 0.0],
+        [0.064792, -0.247167, 0.0, 0.0, 0.0, -0.257302, 0.0, 0.0],
+        [0.221336, -0.171211, 0.0, 0.0, 0.0, -0.264544, 0.003558, 0.0],
+        [0.124634, -0.090665, 0.0, 0.0, 0.0, -0.067069, 0.004853, 0.0],
+        [0.025489, -0.212027, 0.0, 0.0, 0.0, -0.031258, 0.0052, 0.0],
+        [0.0653, -0.066733, 0.0, 0.0, 0.0, -0.346815, 0.003564, 0.0],
+        [0.134626, -0.115083, 0.0, 0.0, 0.0, -0.176409, 0.0, 0.0],
+        [0.369124, -0.147618, 0.0, 0.0, 0.0, -0.110643, 0.00411, 0.0],
+        [0.352278, 0.0, 0.0, 0.0, 0.0, -0.018519, 0.079483, 0.0],
+        [0.015997, -0.046216, 0.0, 0.0, 0.0, -0.205891, 0.007547, 0.0],
+        [0.053082, -0.382088, 0.0, 0.0, 0.0, -0.111072, 0.006618, 0.0],
+        [0.23986, -0.052418, 0.0, 0.0, 0.0, -0.033235, 0.001252, 0.0],
+        [0.118881, -0.257788, 0.0, 0.0, 0.0, -0.475773, 0.0, 0.0],
+    ],
+    [
+        [0.0, 0.023824, -0.024638, 0.0, 0.04367, 0.0, 0.0, 0.0],
+        [0.0, 0.048598, 0.179701, 0.0, 0.206561, 0.0, 0.0, 0.0],
+        [0.0, 0.297316, 0.415087, 0.0, 0.084479, 0.0, 0.0, 0.0],
+        [0.0, 0.152628, 0.070102, 0.0, 0.0937, 0.0, 0.0, 0.0],
+        [0.0, 0.150137, 0.280927, 0.0, 0.114159, 0.0, 0.0, 0.0],
+        [0.0, 0.221658, -0.046714, 0.0, 0.21204, 0.0, 0.0, 0.0],
+        [0.0, 0.063639, 0.194514, 0.0, 0.022, 0.0, 0.0, 0.0],
+        [0.0, 0.108004, -0.051156, 0.0, 0.391766, 0.0, 0.0, 0.0],
+        [0.0, 0.0621, -0.144057, 0.0, 0.204886, 0.0, 0.0, 0.0],
+        [0.0, 0.095009, -0.279452, 0.0, 0.060228, 0.0, 0.0, 0.0],
+        [0.0, 0.324774, -0.009439, 0.0, 0.029777, 0.0, 0.0, 0.0],
+        [0.0, 0.123239, 0.208146, 0.0, 0.399282, 0.0, 0.0, 0.0],
+        [0.0, 0.036056, 0.497237, 0.0, 0.011838, 0.0, 0.0, 0.0],
+        [0.0, 0.236823, 0.138954, 0.0, 0.246858, 0.0, 0.0, 0.0],
+        [0.0, 0.064146, 0.416368, 0.0, 0.19267, 0.0, 0.0, 0.0],
+        [0.0, 0.299217, 0.217105, 0.0, 0.040421, 0.0, 0.0, 0.0],
+    ],
+    [
+        [0.0, -0.046464, -0.183797, 0.0, -0.019612, -0.022222, 0.408807, 0.0],
+        [0.0, -0.403117, -0.357181, 0.0, -0.241881, -0.105052, 0.135896, 0.0],
+        [0.0, -0.235796, -0.508394, 0.0, -0.087435, -0.153672, 0.100125, 0.0],
+        [0.0, -0.495661, -0.348667, 0.0, -0.080899, -0.144101, 0.087121, 0.0],
+        [0.0, -0.298223, -0.105498, 0.0, -0.105435, -0.418454, 0.09925, 0.0],
+        [0.0, -0.067605, -0.128441, 0.0, -0.162528, -0.058196, 0.063999, 0.0],
+        [0.0, -0.303556, -0.119175, 0.0, -0.151236, -0.15909, 0.353891, 0.0],
+        [0.0, -0.157896, -0.316802, 0.0, -0.140384, -0.073715, 0.072652, 0.0],
+        [0.0, -0.136267, -0.290208, 0.0, -0.015883, -0.205373, 0.153723, 0.0],
+        [0.0, -0.270889, -0.180781, 0.0, -0.367938, -0.128062, 0.130412, 0.0],
+        [0.0, -0.334302, -0.142775, 0.0, -0.111025, -0.115682, 0.131735, 0.0],
+        [0.0, -0.062566, -0.210446, 0.0, -0.17865, -0.097699, 0.286274, 0.0],
+        [0.0, -0.362288, -0.288721, 0.0, -0.049364, -0.050409, 0.228657, 0.0],
+        [0.0, -0.522205, -0.147248, 0.0, -0.152849, -0.07161, 0.053257, 0.0],
+        [0.0, -0.143456, -0.444843, 0.0, -0.119719, -0.061058, 0.258657, 0.0],
+        [0.0, -0.270822, -0.275665, 0.0, -0.10659, -0.239493, 0.110649, 0.0],
+    ],
+    [
+        [0.0, 0.0, 0.0, -0.240862, 0.311256, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, -0.192629, 0.171823, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, -0.017497, 0.325548, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, -0.319112, 0.015897, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, -0.161231, 0.567645, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, -0.168439, 0.028962, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, -0.370082, 0.199613, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, -0.182496, 0.439988, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 0.0, 0.199049, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, -0.058685, 0.737648, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, -0.128342, 0.314841, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, -0.036872, 0.416421, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, -0.358455, 0.434014, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, -0.05376, 0.079262, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, -0.090481, 0.210514, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, -0.01986, 0.521918, 0.0, 0.0, 0.0],
+    ],
+    [
+        [0.0, 0.0, 0.221575, 0.0, 0.0, 0.0, 0.0, 0.125424],
+        [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.468041, 0.0, 0.0, 0.0, 0.0, 0.113474],
+        [0.0, 0.0, 0.068911, 0.0, 0.0, 0.0, 0.0, 0.302931],
+        [0.0, 0.0, 0.196471, 0.0, 0.0, 0.0, 0.0, 0.015151],
+        [0.0, 0.0, 0.316171, 0.0, 0.0, 0.0, 0.0, 0.017386],
+        [0.0, 0.0, 0.145876, 0.0, 0.0, 0.0, 0.0, 0.202787],
+        [0.0, 0.0, 0.387298, 0.0, 0.0, 0.0, 0.0, 0.516398],
+        [0.0, 0.0, 0.013846, 0.0, 0.0, 0.0, 0.0, 0.20896],
+        [0.0, 0.0, 0.023454, 0.0, 0.0, 0.0, 0.0, 0.469433],
+        [0.0, 0.0, 0.12556, 0.0, 0.0, 0.0, 0.0, 0.120766],
+        [0.0, 0.0, 0.341007, 0.0, 0.0, 0.0, 0.0, 0.15366],
+        [0.0, 0.0, 0.028626, 0.0, 0.0, 0.0, 0.0, 0.101641],
+        [0.0, 0.0, 0.236016, 0.0, 0.0, 0.0, 0.0, 0.263816],
+        [0.0, 0.0, 0.188186, 0.0, 0.0, 0.0, 0.0, 0.426425],
+        [0.0, 0.0, 0.114546, 0.0, 0.0, 0.0, 0.0, 0.021494],
+    ],
+]
+
+
 def fit_pq_codebooks(
     df: DataFrame,
     vec_col: str = "embedding",

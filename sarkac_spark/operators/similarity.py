@@ -597,6 +597,121 @@ def ivf_bucket_stats(
     )
 
 
+def ivf_refit_decision(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    skew_factor: float = 2.0,
+) -> DataFrame:
+    """The refit GATE, as a one-row relation: occupancy evidence from
+    ``ivf_bucket_stats`` reduced to (n_buckets, n_occupied, max_share,
+    needs_refit). ``needs_refit`` fires when the hottest bucket carries
+    more than ``skew_factor``× the uniform share (probe cost on that
+    bucket is that many times budget) or when buckets sit empty (the
+    index wastes its fanout). Pure relational — the decision an
+    ``ivf_maintenance`` cron evaluates per index epoch at 100 TB costs
+    one corpus scan + a |centroids|-row reduction."""
+    n_cents = centroids.count()
+    stats = ivf_bucket_stats(corpus, centroids, id_col, vec_col)
+    uniform = 1.0 / n_cents
+    return stats.agg(
+        F.lit(n_cents).cast("long").alias("n_buckets"),
+        F.count(F.lit(1)).cast("long").alias("n_occupied"),
+        F.max("share").alias("max_share"),
+        (
+            (F.max("share") > F.lit(round(skew_factor * uniform, 6)))
+            | (F.count(F.lit(1)) < F.lit(n_cents))
+        ).alias("needs_refit"),
+    )
+
+
+def refit_ivf_centroids(
+    corpus: DataFrame,
+    n_buckets: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+    max_train_rows: int = 100_000,
+    salt: str = "ivf_refit",
+) -> DataFrame:
+    """Re-fit IVF centroids with seeded KMeans on a hash-deterministic
+    sample of the CURRENT corpus — the repair arm of the maintenance
+    loop, run when ``ivf_refit_decision`` fires (drifted streams pile
+    into stale buckets; re-fitting restores both balanced probe cost
+    and same-cluster-same-bucket recall — see
+    tests/test_ivf_maintenance.py for the drift-recovery proof).
+
+    Training is capped at ``max_train_rows`` via ``hash_sample`` (row-
+    content-deterministic, replay-safe — k centroids over a sample are
+    statistically the centroids of the corpus, the ``kmeans_anomaly``
+    argument); the fit input is coalesced + persisted for the iteration
+    loop. Iterative ⇒ rows-only tier, like every MLlib fit here.
+
+    Output: (centroid_id long, ``vec_col`` array<double>) — drop-in for
+    ``assign_buckets`` / ``ivf_topk`` / ``ivf_bucket_stats``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from sarkac_spark.operators.sampling import hash_sample
+
+    n_rows = corpus.count()
+    train = corpus
+    if max_train_rows and n_rows > max_train_rows:
+        train = hash_sample(corpus, id_col, max_train_rows / n_rows, salt=salt)
+    feats = train.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features")
+    )
+    feats = feats.coalesce(8).persist()
+    try:
+        model = KMeans(
+            k=n_buckets, seed=seed, maxIter=max_iter, featuresCol="__features"
+        ).fit(feats)
+    finally:
+        feats.unpersist()
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        centers, f"centroid_id long, {vec_col} array<double>"
+    )
+
+
+def ivf_maintenance(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    skew_factor: float = 2.0,
+    seed: int = 7,
+    max_iter: int = 20,
+    max_train_rows: int = 100_000,
+) -> tuple[DataFrame, bool, dict]:
+    """One maintenance tick: evaluate ``ivf_refit_decision``; when it
+    fires, ``refit_ivf_centroids`` on the current corpus. Returns
+    (centroids', refitted, decision_row) — centroids' is the input
+    relation untouched when healthy, so callers re-assign only on
+    change. Driver cost: one |centroids|-row collect (the decision);
+    the refit itself is the capped KMeans fit."""
+    decision = ivf_refit_decision(
+        corpus, centroids, id_col, vec_col, skew_factor
+    ).collect()[0]
+    if not decision.needs_refit:
+        return centroids, False, decision.asDict()
+    new_cents = refit_ivf_centroids(
+        corpus,
+        decision.n_buckets,
+        id_col,
+        vec_col,
+        seed=seed,
+        max_iter=max_iter,
+        max_train_rows=max_train_rows,
+    )
+    return new_cents, True, decision.asDict()
+
+
 def embedding_health(
     df: DataFrame,
     group_col: str = "label",

@@ -229,6 +229,179 @@ FROM counts
 """
 
 
+def q_ivf_refit_decision(spark, sf_dir):
+    """The IVF maintenance GATE (round-6 ask #4): bucket-occupancy
+    evidence reduced to one row — (n_buckets, n_occupied, max_share,
+    needs_refit). `needs_refit` drives `ivf_maintenance` (seeded KMeans
+    re-fit on a hash-sample + re-assign; drift-recovery proven in
+    tests/test_ivf_maintenance.py). The decision itself is pure
+    relational work, so unlike the fit it is oracle-checked."""
+    from sarkac_spark.operators.similarity import ivf_refit_decision
+
+    e = _embs(spark, sf_dir)
+    centroids = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return ivf_refit_decision(e, centroids)
+
+
+def _ivf_refit_decision_sql() -> str:
+    cent_cos = _COS.format(a="v.v", b="c.v")
+    threshold = round(2.0 / N_CENTROIDS, 6)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS bucket, v FROM e WHERE vec_id < {N_CENTROIDS}),
+ranked AS (
+  SELECT v.vec_id, c.bucket, row_number() OVER (
+    PARTITION BY v.vec_id ORDER BY {cent_cos} DESC, c.bucket
+  ) AS rn
+  FROM e v CROSS JOIN cents c
+),
+counts AS (
+  SELECT bucket, count(*) AS n_vecs FROM ranked WHERE rn = 1 GROUP BY bucket
+),
+shares AS (
+  SELECT bucket,
+         round(n_vecs / (SELECT sum(n_vecs) FROM counts), 6) AS share
+  FROM counts
+)
+SELECT CAST({N_CENTROIDS} AS BIGINT) AS n_buckets,
+       CAST(count(*) AS BIGINT) AS n_occupied,
+       max(share) AS max_share,
+       (max(share) > {threshold} OR count(*) < {N_CENTROIDS}) AS needs_refit
+FROM shares
+"""
+
+
+def q_text_ivfpq(spark, sf_dir):
+    """Raw-text retrieval END-TO-END (round-6 ask #5): documents →
+    hash_embed (deterministic, no encoder) → fit-free IVF coarse
+    buckets (the first N docs' vectors as centroids, the vec_id<8
+    precedent) → IVF-PQ ADC ranking against the shipped
+    TEXT_PQ_CODEBOOKS literal. The whole no-model retrieval stack at
+    the query level, over the `documents` table only — the query never
+    touches a raw float vector outside its own distance tables.
+    Recall floor vs exact cosine on the same vectors pinned in
+    tests/test_pq.py."""
+    from sarkac_spark.operators.pq import TEXT_PQ_CODEBOOKS, ivfpq_topk
+    from sarkac_spark.operators.text import hash_embed
+
+    emb = hash_embed(_docs(spark, sf_dir), "doc_id", "text", dim=EMB_DIM)
+    centroids = emb.filter(F.col("doc_id") < N_CENTROIDS).select(
+        F.col("doc_id").alias("centroid_id"), "embedding"
+    )
+    return ivfpq_topk(
+        emb,
+        TEXT_PQ_CODEBOOKS,
+        centroids,
+        id_col="doc_id",
+        n_queries=N_QUERIES,
+        k=TOPK,
+        nprobe=2,
+    )
+
+
+def _hash_vec_cte(dim: int = EMB_DIM) -> str:
+    """CTE chain ending in e(vec_id, v DOUBLE[]) — the hash_embed
+    relation assembled into per-doc vectors, shared by the raw-text
+    retrieval oracles. Mirrors _hash_embed_sql exactly."""
+    return f"""w AS (
+  SELECT doc_id, lower(u.t) AS t FROM documents, UNNEST({_WORDS}) AS u(t)
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM w
+),
+sb AS (
+  SELECT doc_id, hv % {dim} AS b,
+         CASE WHEN hv % {2 * dim} >= {dim} THEN -1 ELSE 1 END AS s
+  FROM h
+),
+pb AS (SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v FROM sb GROUP BY 1, 2),
+grid AS (
+  SELECT d.doc_id, r.j
+  FROM (SELECT DISTINCT doc_id FROM pb) d, range(0, {dim}) r(j)
+),
+dense AS (
+  SELECT g.doc_id, g.j, coalesce(pb.v, 0) AS v
+  FROM grid g LEFT JOIN pb ON pb.doc_id = g.doc_id AND pb.b = g.j
+),
+nrm AS (
+  SELECT doc_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS n FROM dense GROUP BY 1
+),
+hv AS (
+  SELECT d.doc_id, d.j,
+         CASE WHEN n.n > 0 THEN round(d.v / n.n, 6) ELSE 0.0 END AS v
+  FROM dense d JOIN nrm n USING (doc_id)
+),
+e AS (
+  SELECT doc_id AS vec_id, list(v ORDER BY j) AS v FROM hv GROUP BY doc_id
+)"""
+
+
+def _text_ivfpq_sql(nprobe: int = 2) -> str:
+    from sarkac_spark.operators.pq import TEXT_PQ_CODEBOOKS
+
+    cent_cos = _COS.format(a="v.v", b="c.v")
+    return f"""
+WITH {_hash_vec_cte()},
+cb(m, c, cent) AS (VALUES
+  {_pq_cb_values(TEXT_PQ_CODEBOOKS)}),
+sub AS (
+  SELECT e.vec_id, cb.m, cb.c,
+         round(list_sum(list_transform(range(1, 9),
+               j -> (v[cb.m * 8 + j] - cent[j]) * (v[cb.m * 8 + j] - cent[j])
+         )), 6) AS d
+  FROM e CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, m, c FROM (
+    SELECT vec_id, m, c,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+    FROM sub
+  ) WHERE rn = 1
+),
+cents AS (SELECT vec_id AS bucket, v FROM e WHERE vec_id < {N_CENTROIDS}),
+ivfranked AS (
+  SELECT v.vec_id, c.bucket, row_number() OVER (
+    PARTITION BY v.vec_id ORDER BY {cent_cos} DESC, c.bucket
+  ) AS rn
+  FROM e v CROSS JOIN cents c
+),
+assign_all AS (SELECT vec_id, bucket FROM ivfranked WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, bucket FROM ivfranked
+  WHERE rn <= {nprobe} AND vec_id < {N_QUERIES}
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+tab AS (
+  SELECT q.query_id, cb.m, cb.c AS code,
+         round(list_sum(list_transform(range(1, 9),
+               j -> (qv[cb.m * 8 + j] - cent[j]) * (qv[cb.m * 8 + j] - cent[j])
+         )), 6) AS d
+  FROM q CROSS JOIN cb
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign_all a
+    ON a.bucket = p.bucket AND a.vec_id != p.query_id
+),
+adist AS (
+  SELECT c.query_id, c.vec_id,
+         CAST(sum(CAST(round(t.d * 1000000) AS BIGINT)) AS BIGINT)
+           AS adist_micro
+  FROM cand c
+  JOIN best b ON b.vec_id = c.vec_id
+  JOIN tab t ON t.query_id = c.query_id AND t.m = b.m AND t.code = b.c
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS neighbor_id, adist_micro, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adist_micro, vec_id
+  ) AS rank FROM adist
+) WHERE rank <= {TOPK}
+"""
+
+
 IVF_NPROBE = 2  # the multi-probe recall lever, oracle-mirrored
 
 
@@ -1897,6 +2070,8 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ivf_topk": q_ivf_topk,
     "ivf_bucket_stats": q_ivf_bucket_stats,
+    "ivf_refit_decision": q_ivf_refit_decision,
+    "text_ivfpq": q_text_ivfpq,
     "lsh_topk": q_lsh_topk,
     "ivf_probe2": q_ivf_probe2,
     "token_stats": q_token_stats,
@@ -2994,11 +3169,11 @@ WHERE u.c < CAST(floor(p.epochs) AS BIGINT)
 """
 
 
-def _pq_cb_values() -> str:
+def _pq_cb_values(codebooks=None) -> str:
     from sarkac_spark.operators.pq import PQ_CODEBOOKS
 
     rows = []
-    for m, cents in enumerate(PQ_CODEBOOKS):
+    for m, cents in enumerate(codebooks or PQ_CODEBOOKS):
         for c, cent in enumerate(cents):
             lst = ", ".join(repr(float(x)) for x in cent)
             rows.append(f"({m}, {c}, CAST([{lst}] AS DOUBLE[]))")
@@ -3370,6 +3545,8 @@ WHERE {_COS.format(a="a.v", b="b.v")} >= {EMB_NEARDUP_THRESHOLD}
     "lsh_topk": _lsh_topk_sql(),
     "ivf_topk": _ivf_topk_sql(),
     "ivf_bucket_stats": _ivf_bucket_stats_sql(),
+    "ivf_refit_decision": _ivf_refit_decision_sql(),
+    "text_ivfpq": _text_ivfpq_sql(),
     "ivf_probe2": _ivf_topk_sql(nprobe=IVF_NPROBE),
     "ann_recall": f"""
 WITH exact AS ({_cosine_topk_sql()}),

@@ -213,3 +213,35 @@ def test_pq_rerank_improves_or_matches_adc_recall(spark, sf_dir):
     rr = recall(pq_rerank_topk(emb, PQ_CODEBOOKS, n_queries=10, shortlist=20, k=3))
     assert rr >= adc
     assert rr >= 0.3  # the shortlist recovers well past raw-ADC recall
+
+
+def test_text_ivfpq_recall_floor_vs_exact_cosine(spark):
+    """Raw-text retrieval (hash_embed -> fit-free IVF -> TEXT_PQ ADC)
+    holds a recall floor against exact cosine on the SAME vectors.
+    The synthetic corpus is near the hardest operating point (31-word
+    vocabulary => hash-embed vectors are near-random, top neighbors at
+    modest cosine — the LSH_BITS note in queries/llm.py), so the floor
+    is 0.3, matching the documented LSH operating point; measured
+    0.4/0.5 at sf0.001/sf0.01."""
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.operators.pq import TEXT_PQ_CODEBOOKS, ivfpq_topk
+    from sarkac_spark.operators.similarity import ann_recall, cosine_topk
+    from sarkac_spark.operators.text import hash_embed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = hash_embed(docs, "doc_id", "text", dim=64)
+    cents = emb.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("centroid_id"), "embedding"
+    )
+    approx = ivfpq_topk(
+        emb, TEXT_PQ_CODEBOOKS, cents, id_col="doc_id", n_queries=10, k=3,
+        nprobe=2,
+    )
+    exact = cosine_topk(emb, emb.filter(F.col("doc_id") < 10), id_col="doc_id", k=3)
+    mean_recall = (
+        ann_recall(exact, approx, "text_ivfpq", 3)
+        .agg(F.avg("recall"))
+        .collect()[0][0]
+    )
+    assert mean_recall >= 0.3

@@ -52,6 +52,10 @@ CLASSES = {
         "pq_assign", "pq_topk", "ivfpq_topk", "hash_embed",
         "mixture_realize", "classifier_confusion", "classifier_calibration",
         "bpe_tokenize",
+        # round-7: fixed-query-set retrieval + per-doc scoring — all
+        # single-scan / broadcast-dim shapes
+        "pq_recall", "pq_rerank", "bpe_apply", "text_ivfpq",
+        "ivf_refit_decision",
     ],
     "nlogn": [
         "dedup_minhash", "incremental_minhash", "ngram_jaccard",
