@@ -14,6 +14,13 @@ the true integration run for environments that have both:
 Skipped cleanly (not failed) when SARKAC_KAFKA_BOOTSTRAP is unset, the
 broker is unreachable, or the connector jar is absent — CI without
 Kafka stays green while the test remains one env var away from real.
+
+In-sandbox broker attempt (VERDICT round 6, stretch #8), probed
+2026-08-15: the environment ships only the docker CLIENT (28.2.2) —
+no dockerd binary, no /var/run/docker.sock, `docker run` fails with
+"Cannot connect to the Docker daemon". A containerized apache/kafka
+broker is therefore impossible here; this opt-in module remains the
+recipe for any environment that can run one.
 """
 
 from __future__ import annotations
