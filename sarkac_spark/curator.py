@@ -189,18 +189,25 @@ class Curator:
 
     def _quality_stage(self, cfg: dict):
         def fn(df: DataFrame) -> DataFrame:
+            # restore the caller's schema after EACH sub-gate: every gate
+            # appends its own feature columns, and the next gate must see
+            # the caller's columns, not a predecessor's features —
+            # quality_gate's collision guard fails loudly otherwise
+            # (gopher_rules and quality_gate both compute an n_words)
             cols = df.columns
             if cfg.get("gopher"):
                 from sarkac_spark.operators.text import gopher_rules
 
-                df = gopher_rules(df, self.text_col).filter(F.col("passes") == 1)
+                df = gopher_rules(df, self.text_col).filter(
+                    F.col("passes") == 1
+                ).select(*cols)
             min_score = cfg.get("min_score")
             if min_score is not None:
                 from sarkac_spark.operators.text import quality_score
 
                 df = quality_score(df, self.text_col).filter(
                     F.col("quality_score") >= float(min_score)
-                )
+                ).select(*cols)
             clf = cfg.get("classifier")
             if clf:
                 from sarkac_spark.operators.classify import quality_gate

@@ -467,6 +467,52 @@ def pq_assign_long(
     )
 
 
+def pq_distortion(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace quantization-health audit: (m, n_vecs,
+    total_sqdist_micro) — the summed squared distance between each
+    subvector and its assigned centroid, in exact integer micro-units
+    (6-rounded distances x 1e6, so the oracle replays bit-for-bit; emit
+    sums not means — cross-engine mean rounding can tie, the
+    ``quality_score`` lesson).
+
+    This is the PQ counterpart of ``ivf_refit_decision``: k-means cost
+    IS the codebook-fit objective, so a rising total under a drifting
+    corpus is the evidence that ``fit_pq_codebooks`` should re-run —
+    the audit a maintenance cron trends per index epoch. Same map-only
+    shape as assignment (broadcast codebook dim, argmin HOF, one
+    |m|-row aggregation); cost is one corpus scan.
+    """
+    cbm = (
+        _codebook_dim(df, codebooks)
+        .groupBy("m")
+        .agg(F.array_sort(F.collect_list(F.struct("c", "cent"))).alias("cents"))
+    )
+    sub = _subvectors(df, codebooks, id_col, vec_col)
+    scored = F.transform(
+        F.col("cents"),
+        lambda s: F.struct(
+            _dist_expr(F.col("sv"), s.getField("cent")).alias("d"),
+            s.getField("c").alias("c"),
+        ),
+    )
+    return (
+        sub.join(F.broadcast(cbm), "m")
+        .select("m", F.array_min(scored).getField("d").alias("__d"))
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(F.round(F.col("__d") * 1_000_000).cast("long")).alias(
+                "total_sqdist_micro"
+            ),
+        )
+    )
+
+
 def pq_assign(
     df: DataFrame,
     codebooks: list[list[list[float]]],

@@ -229,6 +229,27 @@ FROM counts
 """
 
 
+def q_pq_distortion(spark, sf_dir):
+    """PQ codebook-health audit: per-subspace summed quantization error
+    in integer micro-units - the k-means-cost trend that tells a
+    maintenance cron when fit_pq_codebooks should re-run (the PQ
+    counterpart of ivf_refit_decision)."""
+    from sarkac_spark.operators.pq import PQ_CODEBOOKS, pq_distortion
+
+    return pq_distortion(_embs(spark, sf_dir), PQ_CODEBOOKS)
+
+
+def _pq_distortion_sql() -> str:
+    return f"""
+WITH {_pq_codes_cte()}
+SELECT m, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CAST(round(d * 1000000) AS BIGINT)) AS BIGINT)
+         AS total_sqdist_micro
+FROM (SELECT vec_id, m, min(d) AS d FROM sub GROUP BY 1, 2)
+GROUP BY m
+"""
+
+
 def q_ivf_refit_decision(spark, sf_dir):
     """The IVF maintenance GATE (round-6 ask #4): bucket-occupancy
     evidence reduced to one row — (n_buckets, n_occupied, max_share,
@@ -2007,6 +2028,158 @@ def q_bpe_tokenize(spark, sf_dir):
     return bpe_token_counts(d, "doc_id", "text", merges)
 
 
+CURATION_FUNNEL_CONFIG = {
+    "quality": {"gopher": True, "classifier": True},
+    "dedup": {"exact": True, "minhash": {
+        "k": MINHASH_K, "bands": MINHASH_BANDS,
+        "threshold": JACCARD_THRESHOLD,
+    }},
+    "domain_cap": {"domain_col": "source", "cap": 10,
+                   "quality_col": "n_chars"},
+}
+
+
+def q_curation_funnel(spark, sf_dir):
+    """Curator.report() as an oracle-checked query: the per-stage
+    survivor funnel of a full curation pass (gopher+classifier quality
+    gate → exact+MinHash dedup → per-source quota), one row per stage
+    boundary. This is the audit a pipeline operator reads before
+    committing a 100 TB pass — and because it drives the REAL Curator
+    stages (the same closures `apply()` composes), the oracle gate
+    covers the facade's stage wiring, not a parallel reimplementation."""
+    from functools import reduce
+
+    from sarkac_spark.curator import Curator
+
+    cur = Curator(spark, CURATION_FUNNEL_CONFIG)
+    d = _docs(spark, sf_dir)
+    frames = [
+        d.agg(
+            F.lit("0_input").alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    ]
+    for i, (name, fn) in enumerate(cur.stages(), start=1):
+        d = fn(d)
+        frames.append(
+            d.agg(
+                F.lit(f"{i}_{name}").alias("stage"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def _gopher_pass_cte(src: str) -> str:
+    """CTE ending in gop(doc_id) — ids passing all four Gopher rules
+    over ``src``; the same expressions as _gopher_rules_sql."""
+    from sarkac_spark.operators.text import _GOPHER_STOPWORDS
+
+    stoplist = ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS)
+    return f"""gstaged AS (
+  SELECT doc_id, {_WORDS} AS w, length(text) AS nc,
+         length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS nclean
+  FROM {src}
+),
+gop AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CASE WHEN len(w) > 0
+                THEN round(CAST(list_sum(list_transform(w, x -> length(x)))
+                                AS BIGINT) / len(w), 6)
+                ELSE 0.0 END AS mean_word_len,
+           CASE WHEN nc > 0 THEN round((nc - nclean) / nc, 6)
+                ELSE 0.0 END AS symbol_ratio,
+           CAST(len(list_filter(w, x -> list_contains([{stoplist}], lower(x))))
+                AS BIGINT) AS stop_hits
+    FROM gstaged)
+  WHERE n_words BETWEEN 10 AND 1000 AND mean_word_len BETWEEN 2.0 AND 12.0
+    AND symbol_ratio <= 0.1 AND stop_hits >= 2
+)"""
+
+
+def _curation_funnel_sql() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    mh_aggs = ",\n    ".join(
+        f"min(({_LCG_A[i] % MINHASH_P} * h + {_LCG_B[i] % MINHASH_P}) % {MINHASH_P})"
+        f" AS mh_{i}"
+        for i in range(MINHASH_K)
+    )
+    band_exprs = ",\n      ".join(
+        "'{b}|' || {cols}".format(
+            b=b,
+            cols=" || '|' || ".join(
+                f"mh_{b * rows + r}::varchar" for r in range(rows)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    cap = CURATION_FUNNEL_CONFIG["domain_cap"]["cap"]
+    return f"""
+WITH {_gopher_pass_cte("documents")},
+q1 AS (SELECT d.* FROM documents d WHERE doc_id IN (SELECT doc_id FROM gop)),
+{_quality_micro_cte("q1").strip()},
+kept AS (SELECT doc_id FROM micro WHERE {_logit_nano_expr()} >= 0),
+q2 AS (SELECT * FROM q1 WHERE doc_id IN (SELECT doc_id FROM kept)),
+canon AS (SELECT min(doc_id) AS doc_id FROM q2 GROUP BY md5(text)),
+q3 AS (SELECT * FROM q2 WHERE doc_id IN (SELECT doc_id FROM canon)),
+ws AS (SELECT doc_id, {_WORDS} AS w FROM q3),
+sh AS (
+  SELECT DISTINCT doc_id, u.s AS shingle
+  FROM ws, UNNEST(
+    CASE WHEN len(w) >= 3 THEN
+      list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    ELSE [] END
+  ) AS u(s)
+),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::bigint % {MINHASH_P} AS h
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id, {mh_aggs}
+  FROM hashed GROUP BY doc_id
+),
+{_capped_bands_cte(band_exprs)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+drops AS (
+  SELECT DISTINCT i.id_b FROM (
+    SELECT c.id_a, c.id_b, count(*) AS n_common
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+  ) i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE round(n_common / (na.n_sh + nb.n_sh - n_common), 6)
+        >= {JACCARD_THRESHOLD}
+),
+q4 AS (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT id_b FROM drops)),
+ranked AS (
+  SELECT doc_id, row_number() OVER (
+    PARTITION BY source ORDER BY n_chars DESC, doc_id
+  ) AS rn FROM q4
+),
+q5 AS (SELECT * FROM q4 WHERE doc_id IN
+       (SELECT doc_id FROM ranked WHERE rn <= {cap}))
+SELECT '0_input' AS stage, (SELECT count(*) FROM documents) AS n_docs
+UNION ALL
+SELECT '1_quality', (SELECT count(*) FROM q2)
+UNION ALL
+SELECT '2_dedup', (SELECT count(*) FROM q4)
+UNION ALL
+SELECT '3_domain_cap', (SELECT count(*) FROM q5)
+"""
+
+
 def q_bpe_apply(spark, sf_dir):
     """Per-doc token counts under the SHIPPED literal merge table
     (operators/bpe.py::BPE_MERGES, trained once on the sf0.01 corpus —
@@ -2024,6 +2197,7 @@ def q_bpe_apply(spark, sf_dir):
 QUERIES = {
     "bloom_vocab": q_bloom_vocab,
     "bpe_apply": q_bpe_apply,
+    "curation_funnel": q_curation_funnel,
     "quality_classifier": q_quality_classifier,
     "classifier_confusion": q_classifier_confusion,
     "contamination_spans": q_contamination_spans,
@@ -2071,6 +2245,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "ivf_bucket_stats": q_ivf_bucket_stats,
     "ivf_refit_decision": q_ivf_refit_decision,
+    "pq_distortion": q_pq_distortion,
     "text_ivfpq": q_text_ivfpq,
     "lsh_topk": q_lsh_topk,
     "ivf_probe2": q_ivf_probe2,
@@ -3452,6 +3627,7 @@ ORACLE = {
     "delta_curation": _delta_curation_sql(),
     "bpe_merges": _bpe_merges_sql(),
     "bpe_apply": bpe_apply_sql(),
+    "curation_funnel": _curation_funnel_sql(),
     "zipf_fit": _zipf_fit_sql(),
     "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
@@ -3546,6 +3722,7 @@ WHERE {_COS.format(a="a.v", b="b.v")} >= {EMB_NEARDUP_THRESHOLD}
     "ivf_topk": _ivf_topk_sql(),
     "ivf_bucket_stats": _ivf_bucket_stats_sql(),
     "ivf_refit_decision": _ivf_refit_decision_sql(),
+    "pq_distortion": _pq_distortion_sql(),
     "text_ivfpq": _text_ivfpq_sql(),
     "ivf_probe2": _ivf_topk_sql(nprobe=IVF_NPROBE),
     "ann_recall": f"""

@@ -245,3 +245,25 @@ def test_text_ivfpq_recall_floor_vs_exact_cosine(spark):
         .collect()[0][0]
     )
     assert mean_recall >= 0.3
+
+
+def test_pq_distortion_is_the_refit_trend_signal(spark, sf_dir):
+    """pq_distortion (the oracle-checked audit) must agree with the
+    k-means objective: the shipped fit's total distortion is strictly
+    below a degenerate all-zero codebook's (= full subvector energy),
+    and n_vecs covers the corpus in every subspace — the trendable
+    per-epoch health number a codebook-refit cron consumes."""
+    from sarkac_spark.operators.pq import PQ_CODEBOOKS, PQ_K, PQ_M, pq_distortion
+    from sarkac_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    zeros = [[[0.0] * 8 for _ in range(PQ_K)] for _ in range(PQ_M)]
+
+    fit = pq_distortion(emb, PQ_CODEBOOKS).collect()
+    degen = pq_distortion(emb, zeros).collect()
+    assert {r.m for r in fit} == set(range(PQ_M))
+    assert all(r.n_vecs == n for r in fit)
+    assert sum(r.total_sqdist_micro for r in fit) < 0.7 * sum(
+        r.total_sqdist_micro for r in degen
+    )
