@@ -1,0 +1,163 @@
+"""Streaming IVF maintenance (IvfMaintenancePipeline): incremental
+occupancy matches a full recount, the gate stays quiet on balanced
+ingest and fires on drift, the refit rolls the version forward and
+restores recall, and replayed epochs never double-count."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.test_ivf_maintenance import _axis, _drifted_corpus, _lcg_noise, _unit
+
+DIM = 8
+SCHEMA = "vec_id long, embedding array<double>"
+INITIAL = [(i, _axis(i)) for i in range(4)]
+
+
+def _balanced_rows(n_per_axis=8, id0=1000):
+    """Vectors hugging the four INITIAL axes, INTERLEAVED round-robin so
+    any prefix (micro-batch) is itself near-uniform across buckets."""
+    rows = []
+    vid = id0
+    for j in range(n_per_axis):
+        for axis in range(4):
+            noise = _lcg_noise(7000 + axis * 100 + j, DIM)
+            vec = _unit([c + 0.3 * n for c, n in zip(_axis(axis), noise)])
+            rows.append((vid, vec))
+            vid += 1
+    return rows
+
+
+def _drift_rows():
+    return [(vid, vec) for vid, _, vec in _drifted_corpus()]
+
+
+def _pipe(spark, tmp_path, **kw):
+    from sarkac_spark.streaming.ivf_maintenance import IvfMaintenancePipeline
+
+    kw.setdefault("min_total_for_refit", 10)
+    return IvfMaintenancePipeline(
+        spark, str(tmp_path / "ivf_store"), INITIAL, **kw
+    )
+
+
+def test_balanced_ingest_keeps_version_and_matches_full_recount(spark, tmp_path):
+    from sarkac_spark.operators.similarity import ivf_bucket_stats
+
+    pipe = _pipe(spark, tmp_path)
+    rows = _balanced_rows()
+    pipe.process_batch(spark.createDataFrame(rows[:16], SCHEMA), 0)
+    pipe.process_batch(spark.createDataFrame(rows[16:], SCHEMA), 1)
+
+    cents, version = pipe.centroids()
+    assert version == 0 and pipe.refits == 0
+    # invariant: incremental occupancy == full recount under current
+    # centroids over the stored corpus
+    occ = {r.bucket: r.n_vecs for r in pipe.occupancy(version).collect()}
+    corpus = spark.read.parquet(str(tmp_path / "ivf_store" / "vecs"))
+    full = {
+        r.bucket: r.n_vecs
+        for r in ivf_bucket_stats(corpus, cents).select("bucket", "n_vecs").collect()
+    }
+    assert occ == full
+    assert sum(occ.values()) == len(rows)
+
+
+def test_drift_fires_gate_refits_and_recall_recovers(spark, tmp_path):
+    from sarkac_spark.operators.similarity import ann_recall, cosine_topk, ivf_topk
+
+    pipe = _pipe(spark, tmp_path)
+    pipe.process_batch(spark.createDataFrame(_balanced_rows(4), SCHEMA), 0)
+    assert pipe.refits == 0
+
+    drift = spark.createDataFrame(_drift_rows(), SCHEMA)
+    pipe.process_batch(drift, 1)
+    cents, version = pipe.centroids()
+    assert pipe.refits == 1 and version == 1
+
+    # recall on the drifted queries under the MAINTAINED index beats the
+    # stale one (same measurement as tests/test_ivf_maintenance.py)
+    stale = spark.createDataFrame(INITIAL, f"centroid_id long, embedding array<double>")
+    queries = drift.filter(F.col("vec_id") % 5 == 0)
+
+    def recall(c):
+        exact = cosine_topk(drift, queries, k=3)
+        approx = ivf_topk(drift, queries, c, k=3, nprobe=1)
+        return ann_recall(exact, approx, "ivf", 3).agg(F.avg("recall")).collect()[0][0]
+
+    assert recall(cents) > recall(stale) + 0.1
+
+    # invariant survives the refit: occupancy == full recount at version 1
+    from sarkac_spark.operators.similarity import ivf_bucket_stats
+
+    corpus = spark.read.parquet(str(tmp_path / "ivf_store" / "vecs"))
+    occ = {r.bucket: r.n_vecs for r in pipe.occupancy(version).collect()}
+    full = {
+        r.bucket: r.n_vecs
+        for r in ivf_bucket_stats(corpus, cents).select("bucket", "n_vecs").collect()
+    }
+    assert occ == full
+
+
+def test_replayed_epoch_never_double_counts(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    b0 = spark.createDataFrame(_balanced_rows(4), SCHEMA)
+    pipe.process_batch(b0, 0)
+    before = sorted(pipe.occupancy(0).collect())
+    pipe.process_batch(b0, 0)  # at-least-once replay of the same epoch
+    after = sorted(pipe.occupancy(0).collect())
+    assert before == after
+
+    # replay across a refit boundary: drifted epoch replays post-commit
+    drift = spark.createDataFrame(_drift_rows(), SCHEMA)
+    pipe.process_batch(drift, 1)
+    assert pipe.refits == 1
+    _, v = pipe.centroids()
+    occ1 = sorted(pipe.occupancy(v).collect())
+    pipe.process_batch(drift, 1)  # replay the refit-triggering epoch
+    _, v2 = pipe.centroids()
+    occ2 = sorted(pipe.occupancy(v2).collect())
+    assert sum(r.n_vecs for r in occ2) == sum(r.n_vecs for r in occ1)
+
+
+def test_streaming_run_matches_hand_applied_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    batches = [_balanced_rows(4), _drift_rows()]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    pipe = _pipe(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = pipe.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    twin = _pipe(spark, tmp_path / "twin")
+    for i, rows in enumerate(batches):
+        twin.process_batch(spark.createDataFrame(rows, SCHEMA), i)
+
+    c1, v1 = pipe.centroids()
+    c2, v2 = twin.centroids()
+    assert v1 == v2 and pipe.refits == twin.refits == 1
+    # centroid VALUES are partitioning-dependent (KMeans init samples by
+    # physical layout; parquet-read vs createDataFrame differ), so the
+    # stream==batch contract is the state machine + the health outcome,
+    # not bitwise centers — replay determinism is pinned separately in
+    # test_replayed_epoch_never_double_counts (same store => same layout)
+    for p, v in ((pipe, v1), (twin, v2)):
+        needs, total = p.gate(v)
+        assert not needs  # both refits produced a healthy index
+        assert total == sum(len(b) for b in batches)
+    from sarkac_spark.operators.similarity import ivf_bucket_stats
+
+    corpus = spark.read.parquet(str(tmp_path / "ivf_store" / "vecs"))
+    occ = {r.bucket: r.n_vecs for r in pipe.occupancy(v1).collect()}
+    full = {
+        r.bucket: r.n_vecs
+        for r in ivf_bucket_stats(corpus, c1).select("bucket", "n_vecs").collect()
+    }
+    assert occ == full  # the occupancy invariant holds through streaming
