@@ -174,6 +174,46 @@ class IncrementalDedupPipeline:
             os.path.join(self.sig_dir, f"epoch={epoch_id}")
         )
 
+    def compact(self, target_partitions: int = 1) -> int:
+        """Fold every committed epoch partition of BOTH stores into one
+        base partition (``epoch=-1``) each — the small-files maintenance
+        op for a long-running ingest: thousands of triggers mean
+        thousands of tiny parquet files on the per-trigger signature
+        read path, and at 100 TB the file-listing alone would dominate
+        the trigger. Returns the compacted doc count.
+
+        Contract: run while the stream is STOPPED (the
+        ``SigmaStreamPipeline.compact_store`` precedent). foreachBatch
+        can only replay its last uncommitted epoch, and compaction must
+        never fold an epoch that could still replay — pausing the query
+        guarantees everything on disk is committed. ``epoch=-1`` never
+        collides with a checkpoint epoch id, and the replay-safety
+        ``epoch != current`` filter never excludes it.
+        """
+        import shutil
+
+        n_docs = 0
+        for store in (self.store_dir, self.sig_dir):
+            df = self._read_or_none_any(store)
+            if df is None:
+                continue
+            data = df.drop("epoch").coalesce(max(1, int(target_partitions)))
+            tmp = store.rstrip("/") + ".compact"
+            data.write.mode("overwrite").parquet(os.path.join(tmp, "epoch=-1"))
+            if store == self.store_dir:
+                n_docs = self.spark.read.parquet(tmp).count()
+            shutil.rmtree(store)
+            shutil.move(tmp, store)
+        return n_docs
+
+    def _read_or_none_any(self, path: str) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(path)
+        except AnalysisException as e:
+            if _is_empty_store_error(e):
+                return None
+            raise
+
     def start(
         self,
         doc_stream: DataFrame,

@@ -194,6 +194,48 @@ class IvfMaintenancePipeline:
         )
         self.refits += 1
 
+    def compact(self, target_partitions: int = 1) -> int:
+        """Maintenance fold for a long-running index (the
+        ``IncrementalDedupPipeline.compact`` contract: run while the
+        stream is STOPPED; ``epoch=-1`` never collides with checkpoint
+        epochs): vecs epochs merge into one base partition, the CURRENT
+        version's occupancy partitions collapse to one summed base row-
+        set, and superseded centroid/occupancy versions are dropped.
+        Returns the compacted vector count.Directory swaps use local-filesystem
+        moves (shutil, the compact_store precedent) — on an object store,
+        run the same rewrite as a batch job with a rename-capable
+        committer.
+        """
+        import shutil
+
+        _, version = self.centroids()
+        n = 0
+        # vecs: fold epochs
+        vecs = self._read_or_none(self._path("vecs"))
+        if vecs is not None:
+            tmp = self._path("vecs").rstrip("/") + ".compact"
+            vecs.drop("epoch").coalesce(max(1, int(target_partitions))).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(tmp, "epoch=-1"))
+            n = self.spark.read.parquet(tmp).count()
+            shutil.rmtree(self._path("vecs"))
+            shutil.move(tmp, self._path("vecs"))
+        # occupancy: current version only, summed into the base partition
+        occ = self.occupancy(version)
+        tmp = self._path("occupancy").rstrip("/") + ".compact"
+        occ.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, f"version={version}", "epoch=-1")
+        )
+        if os.path.exists(self._path("occupancy")):
+            shutil.rmtree(self._path("occupancy"))
+        shutil.move(tmp, self._path("occupancy"))
+        # centroids: drop superseded versions
+        cents_dir = self._path("centroids")
+        for d in os.listdir(cents_dir):
+            if d.startswith("version=") and d != f"version={version}":
+                shutil.rmtree(os.path.join(cents_dir, d))
+        return n
+
     def start(
         self,
         vec_stream: DataFrame,

@@ -186,3 +186,37 @@ def test_missing_sig_store_is_the_quiet_first_epoch_path(spark, tmp_path):
     # empty dir (exists, no committed parquet) is also quiet
     (tmp_path / "store_sigs").mkdir()
     assert pipe._read_sigs(exclude_epoch=0) is None
+
+
+def test_compact_folds_epochs_and_dedup_continues(spark, tmp_path):
+    """compact() folds both stores into one base partition: same
+    committed corpus, fewer files, and the next trigger still dedups
+    correctly against the compacted signature store (epoch=-1 passes
+    the replay-exclusion filter)."""
+    from sarkac_spark.streaming.incremental_dedup import IncrementalDedupPipeline
+
+    store = tmp_path / "store"
+    pipe = IncrementalDedupPipeline(spark, str(store), minhash=MH)
+    batches = _batches()
+    pipe.process_batch(spark.createDataFrame(batches[0], SCHEMA), 0)
+    pipe.process_batch(spark.createDataFrame(batches[1], SCHEMA), 1)
+
+    def n_files(p):
+        return sum(1 for f in p.rglob("*.parquet"))
+
+    before_files = n_files(store) + n_files(tmp_path / "store_sigs")
+    before_docs = {r.doc_id for r in pipe.committed().collect()}
+
+    n = pipe.compact()  # stream stopped: everything on disk is committed
+    assert n == len(before_docs)
+    after_files = n_files(store) + n_files(tmp_path / "store_sigs")
+    assert after_files < before_files
+    assert {r.doc_id for r in pipe.committed().collect()} == before_docs
+
+    # dedup continues against the compacted base: near-dup of committed
+    # 2 still dropped, novel doc committed
+    pipe.process_batch(spark.createDataFrame(batches[2], SCHEMA), 2)
+    assert {r.doc_id for r in pipe.committed().collect()} == {1, 2, 4, 6}
+    # and a replay of that post-compact epoch stays idempotent
+    pipe.process_batch(spark.createDataFrame(batches[2], SCHEMA), 2)
+    assert {r.doc_id for r in pipe.committed().collect()} == {1, 2, 4, 6}

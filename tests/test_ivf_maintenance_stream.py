@@ -161,3 +161,33 @@ def test_streaming_run_matches_hand_applied_batches(spark, tmp_path):
         for r in ivf_bucket_stats(corpus, c1).select("bucket", "n_vecs").collect()
     }
     assert occ == full  # the occupancy invariant holds through streaming
+
+
+def test_compact_preserves_state_and_index_serves(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.process_batch(spark.createDataFrame(_balanced_rows(4), SCHEMA), 0)
+    drift = spark.createDataFrame(_drift_rows(), SCHEMA)
+    pipe.process_batch(drift, 1)  # refit happened: versions 0 and 1 on disk
+    assert pipe.refits == 1
+
+    cents_before, v_before = pipe.centroids()
+    occ_before = sorted(pipe.occupancy(v_before).collect())
+    n = pipe.compact()
+    assert n == 16 + len(_drift_rows())
+
+    cents_after, v_after = pipe.centroids()
+    assert v_after == v_before
+    assert sorted(map(str, cents_after.collect())) == sorted(
+        map(str, cents_before.collect())
+    )
+    assert sorted(pipe.occupancy(v_after).collect()) == occ_before
+    # superseded version gone from disk
+    import os
+
+    assert os.listdir(str(tmp_path / "ivf_store" / "centroids")) == [
+        f"version={v_after}"
+    ]
+    # ingest continues on the compacted store without double counting
+    pipe.process_batch(spark.createDataFrame(_balanced_rows(2, id0=9000), SCHEMA), 2)
+    total = sum(r.n_vecs for r in pipe.occupancy(v_after).collect())
+    assert total == n + 8
