@@ -1078,14 +1078,29 @@ def dedup_signatures(
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_sh_set: int | None = None,
 ) -> DataFrame:
     """The per-doc DEDUP SIGNATURE relation — everything ingest-time
     dedup ever needs from a committed document, with the text left
     behind: (id, text_hash, band_keys array<string>, sh_set
-    array<long>). Persist THIS alongside (or instead of re-reading) the
-    text store and per-trigger corpus cost becomes signature-sized: at
-    100 TB of text the signature relation is a few hundred GB of hashes,
-    and re-shingling the corpus per ingest — O(corpus text) — disappears.
+    array<long>).
+
+    What persisting this buys, honestly sized: the per-trigger CPU that
+    disappears is the re-shingle/re-hash/re-minhash of the corpus —
+    O(corpus text) work every trigger. Scan bytes are columnar: the
+    banded candidate leg reads only (id, band_keys) — k hashes per doc,
+    a tiny fraction of store bytes — while the ``sh_set`` column (the
+    exact-jaccard verify side) is the same ORDER as the text itself
+    (one 8-byte hash per distinct shingle ≈ per word), read only by the
+    verify leg's join.
+
+    ``max_sh_set`` is the 100 TB knob for that column: keep only the
+    ``max_sh_set`` SMALLEST shingle hashes per doc (a bottom-k sketch —
+    deterministic, order-free, oracle-replayable as sort+slice). The
+    intersection-over-union then ESTIMATES jaccard (exact whenever a
+    doc has <= max_sh_set shingles; concentrates as k grows — the
+    classic bottom-k estimator's behavior). None (default) keeps the
+    exact sets, matching the text-side batch operators bit-for-bit.
 
     Docs shorter than ``shingle_n`` words have no shingles, hence empty
     ``band_keys``/``sh_set`` (they can never near-dup-pair, exactly as
@@ -1093,8 +1108,11 @@ def dedup_signatures(
     ``text_hash`` still covers them for exact dedup.
     """
     hashed = _hashed_shingles(df, id_col, text_col, shingle_n)
+    sh_agg = F.collect_set("h")
+    if max_sh_set is not None:
+        sh_agg = F.slice(F.array_sort(sh_agg), 1, int(max_sh_set))
     doc = hashed.groupBy(id_col).agg(
-        *_minhash_aggs(k), F.collect_set("h").alias("sh_set")
+        *_minhash_aggs(k), sh_agg.alias("sh_set")
     )
     empty_str = F.array().cast("array<string>")
     empty_long = F.array().cast("array<long>")

@@ -139,6 +139,10 @@ class IncrementalDedupPipeline:
             k=int(mh.get("k", 16)),
             bands=int(mh.get("bands", 4)),
             shingle_n=int(mh.get("shingle_n", 3)),
+            # the 100 TB sh_set knob (bottom-k sketch; None = exact sets)
+            # — see dedup_signatures. Must stay constant for a store's
+            # lifetime: capped and uncapped sets don't compare.
+            max_sh_set=mh.get("max_sh_set"),
         )
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:

@@ -220,3 +220,31 @@ def test_compact_folds_epochs_and_dedup_continues(spark, tmp_path):
     # and a replay of that post-compact epoch stays idempotent
     pipe.process_batch(spark.createDataFrame(batches[2], SCHEMA), 2)
     assert {r.doc_id for r in pipe.committed().collect()} == {1, 2, 4, 6}
+
+
+def test_bottom_k_sh_set_sketch_still_catches_near_dups(spark, tmp_path):
+    """max_sh_set (the 100 TB sh_set knob): with the verify side capped
+    to a bottom-k sketch, the planted near-dup is still dropped and the
+    novel docs still survive — and signatures are strictly smaller."""
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.operators.dedup import dedup_signatures
+    from sarkac_spark.streaming.incremental_dedup import IncrementalDedupPipeline
+
+    mh = dict(MH, max_sh_set=6)
+    pipe = IncrementalDedupPipeline(spark, str(tmp_path / "store"), minhash=mh)
+    for i, rows in enumerate(_batches()):
+        pipe.process_batch(spark.createDataFrame(rows, SCHEMA), i)
+    # same verdicts as the exact-set run (near-dup 5 dropped, 3 exact-dropped)
+    assert {r.doc_id for r in pipe.committed().collect()} == {1, 2, 4, 6}
+
+    # the sketch really bounds the column
+    docs = spark.createDataFrame(_batches()[0], SCHEMA)
+    capped = dedup_signatures(docs, "doc_id", "text", max_sh_set=6)
+    exact = dedup_signatures(docs, "doc_id", "text")
+    for c, e in zip(
+        sorted(capped.collect(), key=lambda r: r.doc_id),
+        sorted(exact.collect(), key=lambda r: r.doc_id),
+    ):
+        assert len(c.sh_set) == min(6, len(e.sh_set))
+        assert set(c.sh_set) == set(sorted(e.sh_set)[:len(c.sh_set)])
