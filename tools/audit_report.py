@@ -6,10 +6,13 @@ pairs?), per-source unigram KL drift (which sources diverge from the
 corpus mixture?), embedding health (norm/NaN/zero-vector hygiene),
 the classifier-vs-gopher confusion matrix (does the distilled quality
 gate still track its teacher?), the Zipf fit (is the term
-distribution still natural-corpus shaped?), and PQ recall (are the
-4-bit quantized codes still trustworthy for retrieval?).
+distribution still natural-corpus shaped?), PQ recall (are the
+4-bit quantized codes still trustworthy for retrieval?), the IVF
+refit decision (is the bucketed index's occupancy healthy, or is a
+centroid re-fit due?), and PQ distortion (is the codebooks' k-means
+cost trending up — the codebook-refit signal?).
 
-All seven are existing registry queries (each independently verified by
+All nine are existing registry queries (each independently verified by
 the DuckDB oracle gate); this tool just runs them at one scale factor
 and emits ONE JSON object so the result can be diffed, stored next to
 the snapshot, or gated on in CI.
@@ -39,6 +42,8 @@ AUDITS = [
     "classifier_confusion",
     "zipf_fit",
     "pq_recall",
+    "ivf_refit_decision",
+    "pq_distortion",
 ]
 
 
