@@ -69,6 +69,69 @@ def q_dedup_exact(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_dedup_signatures(spark, sf_dir):
+    """The materialized dedup-signature relation itself, as an
+    oracle-checked witness (round-7: the store
+    IncrementalDedupPipeline persists per epoch and dedups against
+    instead of re-reading corpus text): one row per (doc, LSH band key)
+    with the exact-dedup fingerprint and the shingle-set size. Docs
+    shorter than the shingle width keep a NULL band key - present for
+    exact dedup, invisible to banding, exactly the operator contract."""
+    from sarkac_spark.operators.dedup import dedup_signatures
+
+    sig = dedup_signatures(
+        _docs(spark, sf_dir), "doc_id", "text", k=MINHASH_K,
+        bands=MINHASH_BANDS,
+    )
+    return sig.select(
+        "doc_id",
+        "text_hash",
+        F.explode_outer("band_keys").alias("band_key"),
+        F.size("sh_set").cast("long").alias("n_shingles"),
+    )
+
+
+def _dedup_signatures_sql() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    mh_aggs = ",\n    ".join(
+        f"min(({_LCG_A[i] % MINHASH_P} * h + {_LCG_B[i] % MINHASH_P}) % {MINHASH_P})"
+        f" AS mh_{i}"
+        for i in range(MINHASH_K)
+    )
+    band_exprs = ",\n      ".join(
+        "'{b}|' || {cols}".format(
+            b=b,
+            cols=" || '|' || ".join(
+                f"mh_{b * rows + r}::varchar" for r in range(rows)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::bigint % {MINHASH_P} AS h
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id, {mh_aggs}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, UNNEST([
+      {band_exprs}
+  ]) AS band_key FROM sigs
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1)
+SELECT d.doc_id, md5(d.text) AS text_hash, b.band_key,
+       coalesce(sz.n_sh, 0) AS n_shingles
+FROM documents d
+LEFT JOIN bands b ON b.doc_id = d.doc_id
+LEFT JOIN sizes sz ON sz.doc_id = d.doc_id
+"""
+
+
 def q_dedup_minhash(spark, sf_dir):
     return dedup_minhash(
         _docs(spark, sf_dir),
@@ -2239,6 +2302,7 @@ QUERIES = {
     "embedding_health": q_embedding_health,
     "curation_pipeline": q_curation_pipeline,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_signatures": q_dedup_signatures,
     "minhash_hot_bands": q_minhash_hot_bands,
     "dedup_clusters": q_dedup_clusters,
     "cluster_split": q_cluster_split,
@@ -3667,6 +3731,7 @@ FROM embeddings GROUP BY label
 """,
     "curation_pipeline": _curation_pipeline_sql(),
     "dedup_minhash": _minhash_sql(),
+    "dedup_signatures": _dedup_signatures_sql(),
     "minhash_hot_bands": _minhash_hot_bands_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "cluster_split": _cluster_split_sql(),
