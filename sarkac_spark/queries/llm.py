@@ -370,7 +370,13 @@ def q_text_ivfpq(spark, sf_dir):
     from sarkac_spark.operators.pq import TEXT_PQ_CODEBOOKS, ivfpq_topk
     from sarkac_spark.operators.text import hash_embed
 
-    emb = hash_embed(_docs(spark, sf_dir), "doc_id", "text", dim=EMB_DIM)
+    # lazy checkpoint: ivfpq_topk derives corpus buckets, PQ codes and
+    # queries from the SAME relation, and the centroid dim filters it
+    # too — without a barrier each leg re-runs the full hash_embed
+    # (explode + two shuffles). One materialization serves all four.
+    emb = hash_embed(
+        _docs(spark, sf_dir), "doc_id", "text", dim=EMB_DIM
+    ).localCheckpoint(eager=False)
     centroids = emb.filter(F.col("doc_id") < N_CENTROIDS).select(
         F.col("doc_id").alias("centroid_id"), "embedding"
     )
