@@ -392,7 +392,70 @@ def q_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series_correlation(load_table(spark, sf_dir, "events"))
 
 
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar-aggregate subquery (lineitems
+    below a fraction of THEIR part's average quantity), decorrelated the
+    scale-correct way — one grouped per-part average joined back (the
+    rewrite every optimizer wants: the naive correlated form re-scans
+    lineitem per part). Brand dim filter broadcasts; the per-part avg
+    relation is |parts|-sized, also broadcastable at any SF where parts
+    fit (Catalyst/AQE picks it up)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    )
+    per_part_avg = li.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("__aq")
+    )
+    small = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .join(per_part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("__aq"))
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small_lineitems"),
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+    )
+
+
+def q_top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate-of-aggregate equality — the supplier(s)
+    whose windowed revenue EQUALS the maximum revenue (ties all
+    returned, unlike rank-based top-k). The max is a 1-row relation
+    broadcast against the |suppliers|-sized revenue agg: no global sort,
+    no second scan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(sup.select("s_suppkey", "s_name")),
+              rev["l_suppkey"] == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "total_revenue",
+        )
+    )
+
+
 QUERIES = {
+    "top_supplier_by_revenue": q_top_supplier_by_revenue,
+    "small_qty_revenue": q_small_qty_revenue,
     "pricing_summary": q_pricing_summary,
     "series_correlation": q_series_correlation,
     "rolling_hourly_stats": q_rolling_hourly_stats,
@@ -418,6 +481,28 @@ QUERIES = {
 }
 
 ORACLE = {
+    "top_supplier_by_revenue": """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-07-01'
+  GROUP BY 1
+)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+    "small_qty_revenue": """
+WITH pa AS (SELECT l_partkey, avg(l_quantity) AS aq FROM lineitem GROUP BY 1)
+SELECT count(*) AS n_small_lineitems,
+       round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#13'
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE l.l_quantity < 0.5 * pa.aq
+""",
     "order_priority_counts": """
 SELECT o_orderpriority, count(*) AS n_orders
 FROM orders o

@@ -145,3 +145,55 @@ def test_bpe_merges_artifact_provenance(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     assert train_bpe(docs, n_merges=32) == BPE_MERGES
+
+
+# --- property: the replace chain IS greedy BPE for a != b merges ---
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _tokens = st.sampled_from(["a", "b", "c", "ab", "bc", "abc"])
+
+    @st.composite
+    def _merge_tables(draw):
+        """Merge tables whose pairs never self-merge (a != b) — the
+        regime where the 2-pass chain is PROVEN equal to greedy; the
+        a == b divergence window is pinned separately below."""
+        n = draw(st.integers(min_value=1, max_value=5))
+        merges = []
+        for _ in range(n):
+            a = draw(_tokens)
+            b = draw(_tokens.filter(lambda t, _a=a: t != _a))
+            merges.append((a, b))
+        return merges
+
+    @given(
+        word=st.text(alphabet="abc", min_size=1, max_size=16),
+        merges=_merge_tables(),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_chain_equals_greedy_for_unequal_pair_merges(word, merges):
+        assert _chain_count(word, merges) == _encode_word(word, merges, "</w>")
+
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
+
+
+def test_chain_divergence_window_is_exactly_self_merge_runs():
+    """The one documented divergence: a run of >=3 self-merging tokens
+    places the leftover single mid-run instead of at the end. Counts
+    still match per merge; only DOWNSTREAM merges can differ — shown
+    here, so the docstring's claim stays honest."""
+    merges = [("a", "a"), ("aa", "a")]
+    # 5 a's: greedy -> [aa, aa, a] -> merge (aa,a) at (1,2)? no: pairs
+    # (aa,aa),(aa,a) -> [aa, aaa] = 2 tokens + </w>
+    assert _encode_word("aaaaa", merges, "</w>") == 3
+    # chain -> [aa, a, aa] -> (aa,a) merges at (0,1) -> [aaa, aa] = 2 + </w>
+    assert _chain_count("aaaaa", merges) == 3  # same count here...
+    # ...but a table can tell them apart:
+    merges2 = [("a", "a"), ("a", "aa")]
+    g = _encode_word("aaaaa", merges2, "</w>")
+    c = _chain_count("aaaaa", merges2)
+    # greedy: [aa, aa, a] has no (a, aa) pair -> 4 incl sentinel;
+    # chain: [aa, a, aa] merges (a, aa) -> 3 — the divergence, pinned
+    assert (g, c) == (4, 3)
