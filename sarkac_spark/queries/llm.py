@@ -2256,6 +2256,55 @@ SELECT '3_domain_cap', (SELECT count(*) FROM q5)
 """
 
 
+def q_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility audit: per-language BPE tokens-per-word under
+    the shipped merge table - THE tokenizer-health number for a
+    multilingual corpus (fertility creep on a language means the merge
+    table no longer fits it; pairs with zipf_fit / bpe_merges in the
+    audit family). Integer-exact: emits token and word SUMS, plus a
+    micro-unit ratio computed from the integers, so both engines round
+    the same division once."""
+    from sarkac_spark.operators.bpe import bpe_apply
+    from sarkac_spark.operators.text import token_count
+
+    d = _docs(spark, sf_dir)
+    per_doc = bpe_apply(d, "doc_id", "text").join(
+        d.select("doc_id", "lang", token_count("text").alias("__w")), "doc_id"
+    )
+    # integer `div`, never `/`: long/long in Spark routes through a
+    # DOUBLE, and a ratio landing near an integer can truncate one off
+    # from DuckDB's exact integer floor - the cross-engine tie class
+    # the verify skill warns about, avoided by staying integral
+    return per_doc.groupBy("lang").agg(
+        F.sum("bpe_tokens").cast("long").alias("total_tokens"),
+        F.sum("__w").cast("long").alias("total_words"),
+        F.expr(
+            "(sum(bpe_tokens) * 1000000L) div sum(__w)"
+        ).cast("long").alias("fertility_micro"),
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    from sarkac_spark.operators.bpe import bpe_apply_sql
+
+    inner = bpe_apply_sql().strip()
+    return f"""
+WITH tok AS ({inner}),
+words AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w
+  FROM documents
+)
+SELECT w.lang,
+       CAST(sum(t.bpe_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(w.w) AS BIGINT) AS total_words,
+       CAST((sum(t.bpe_tokens) * 1000000) // sum(w.w) AS BIGINT)
+         AS fertility_micro
+FROM tok t JOIN words w USING (doc_id)
+GROUP BY 1
+"""
+
+
 def q_bpe_apply(spark, sf_dir):
     """Per-doc token counts under the SHIPPED literal merge table
     (operators/bpe.py::BPE_MERGES, trained once on the sf0.01 corpus —
@@ -2273,6 +2322,7 @@ def q_bpe_apply(spark, sf_dir):
 QUERIES = {
     "bloom_vocab": q_bloom_vocab,
     "bpe_apply": q_bpe_apply,
+    "bpe_fertility": q_bpe_fertility,
     "curation_funnel": q_curation_funnel,
     "quality_classifier": q_quality_classifier,
     "classifier_confusion": q_classifier_confusion,
@@ -3704,6 +3754,7 @@ ORACLE = {
     "delta_curation": _delta_curation_sql(),
     "bpe_merges": _bpe_merges_sql(),
     "bpe_apply": bpe_apply_sql(),
+    "bpe_fertility": _bpe_fertility_sql(),
     "curation_funnel": _curation_funnel_sql(),
     "zipf_fit": _zipf_fit_sql(),
     "dedup_exact": """
