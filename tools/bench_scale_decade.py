@@ -56,12 +56,14 @@ CLASSES = {
         # single-scan / broadcast-dim shapes
         "pq_recall", "pq_rerank", "bpe_apply", "text_ivfpq",
         "ivf_refit_decision",
+        "dedup_signatures", "bpe_fertility",
     ],
     "nlogn": [
         "dedup_minhash", "incremental_minhash", "ngram_jaccard",
         "dedup_simhash", "span_dedup", "winnow_pairs",
         "dedup_canonical", "dedup_clusters", "decontamination",
         "contamination_spans", "cluster_split",
+        "curation_funnel",  # its dedup stage is the banded minhash
     ],
     "allpairs": ["embedding_neardup", "semantic_dedup"],
 }
