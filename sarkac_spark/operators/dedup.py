@@ -166,7 +166,14 @@ def _hashed_shingles(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int
 ) -> DataFrame:
     sh = shingles(df, id_col, text_col, n=shingle_n)
-    return sh.select(F.col(id_col), (_h60(F.col("shingle")) % MINHASH_P).alias("h"))
+    # h (mod P) feeds the minhash LCGs, which need values < P; h60 is
+    # the full 60-bit hash carried in sh_set for jaccard verification —
+    # mod-P sets would suffer within-doc birthday collisions (~s^2/2^32)
+    # on large docs, visibly shrinking counts at corpus scale.
+    h60 = _h60(F.col("shingle"))
+    return sh.select(
+        F.col(id_col), (h60 % MINHASH_P).alias("h"), h60.alias("h60")
+    )
 
 
 def minhash_signatures(
@@ -283,7 +290,7 @@ def dedup_minhash(
     see MINHASH_MAX_BAND_DF; hot bands audit via ``minhash_hot_bands``."""
     hashed = _hashed_shingles(df, id_col, text_col, shingle_n)
     doc = hashed.groupBy(id_col).agg(
-        *_minhash_aggs(k), F.collect_set("h").alias("__sh_set")
+        *_minhash_aggs(k), F.collect_set("h60").alias("__sh_set")
     )
     cands = minhash_lsh_candidates(
         doc.select(id_col, *[f"mh_{i}" for i in range(k)]),
@@ -1026,7 +1033,7 @@ def dedup_minhash_incremental(
     flags = df.select(F.col(id_col), F.col(new_col).alias("__new"))
     doc = (
         hashed.groupBy(id_col)
-        .agg(*_minhash_aggs(k), F.collect_set("h").alias("__sh_set"))
+        .agg(*_minhash_aggs(k), F.collect_set("h60").alias("__sh_set"))
         .join(flags, id_col)
     )
     band_keys = _band_keys_expr(k, bands)
@@ -1096,11 +1103,15 @@ def dedup_signatures(
 
     ``max_sh_set`` is the 100 TB knob for that column: keep only the
     ``max_sh_set`` SMALLEST shingle hashes per doc (a bottom-k sketch —
-    deterministic, order-free, oracle-replayable as sort+slice). The
-    intersection-over-union then ESTIMATES jaccard (exact whenever a
-    doc has <= max_sh_set shingles; concentrates as k grows — the
-    classic bottom-k estimator's behavior). None (default) keeps the
-    exact sets, matching the text-side batch operators bit-for-bit.
+    deterministic, order-free, oracle-replayable as sort+slice).
+    Consumers must then verify with the union-bottom-k estimator
+    (``incremental_minhash_drop_ids_sigs(max_sh_set=...)``): membership
+    -in-both over the k smallest of A∪B, which is exact whenever
+    |A∪B| <= k and unbiased otherwise — NOT naive
+    intersection-over-union of the truncated sets, which clips the two
+    tails independently and is biased for docs above the cap. None
+    (default) keeps the exact sets, matching the text-side batch
+    operators bit-for-bit.
 
     Docs shorter than ``shingle_n`` words have no shingles, hence empty
     ``band_keys``/``sh_set`` (they can never near-dup-pair, exactly as
@@ -1108,7 +1119,7 @@ def dedup_signatures(
     ``text_hash`` still covers them for exact dedup.
     """
     hashed = _hashed_shingles(df, id_col, text_col, shingle_n)
-    sh_agg = F.collect_set("h")
+    sh_agg = F.collect_set("h60")
     if max_sh_set is not None:
         sh_agg = F.slice(F.array_sort(sh_agg), 1, int(max_sh_set))
     doc = hashed.groupBy(id_col).agg(
@@ -1136,6 +1147,7 @@ def incremental_minhash_drop_ids_sigs(
     id_col: str,
     threshold: float = 0.5,
     max_band_df: int | None = MINHASH_MAX_BAND_DF,
+    max_sh_set: int | None = None,
 ) -> DataFrame:
     """``incremental_minhash_drop_ids`` over MATERIALIZED signature
     relations (``dedup_signatures`` shape) — the per-trigger scan is the
@@ -1144,6 +1156,17 @@ def incremental_minhash_drop_ids_sigs(
     union-wide band-df cap, same corpus×batch-only candidate join, same
     rounded-jaccard verify against ``sh_set``, same corpus-never-loses /
     lower-batch-id-wins drop rule. Same id-disjointness PRECONDITION.
+
+    ``max_sh_set`` MUST match the value the signatures were built with.
+    When set, ``sh_set`` columns are bottom-k truncations, and the
+    verify step switches to the standard union-bottom-k estimator:
+    membership-in-both over the k smallest of A∪B. That statistic is
+    computable EXACTLY from the two truncated sets — any element among
+    the k smallest of the union ranks ≤ k in whichever source set holds
+    it, so it survived that side's truncation — unlike the naive
+    ``|A∩B| / (|A|+|B|-|A∩B|)`` over truncated sets, which intersects
+    two independently clipped tails and is biased for docs larger than
+    the cap. With ``None`` (exact sets) the exact formula is used.
 
     ``corpus_sigs=None`` (empty corpus) dedups the batch against itself
     only. One-column output (``id_col``), distinct: batch ids to drop.
@@ -1179,23 +1202,29 @@ def incremental_minhash_drop_ids_sigs(
     sets_b = combined.select(
         F.col(id_col).alias("id_b"), F.col("sh_set").alias("__set_b")
     )
-    inter = F.size(F.array_intersect(F.col("__set_a"), F.col("__set_b")))
+    if max_sh_set is None:
+        inter = F.size(F.array_intersect(F.col("__set_a"), F.col("__set_b")))
+        jac = F.round(
+            inter
+            / (F.size(F.col("__set_a")) + F.size(F.col("__set_b")) - inter),
+            6,
+        )
+    else:
+        # union-bottom-k: k smallest of A∪B (exactly recoverable from
+        # the truncated inputs — see docstring), jaccard ≈ fraction of
+        # those present in BOTH sets. Empty union (two no-shingle docs)
+        # can't band-pair, so size(u) > 0 on every candidate row.
+        u = F.slice(
+            F.array_sort(F.array_union(F.col("__set_a"), F.col("__set_b"))),
+            1,
+            int(max_sh_set),
+        )
+        both = F.array_intersect(F.col("__set_a"), F.col("__set_b"))
+        jac = F.round(F.size(F.array_intersect(u, both)) / F.size(u), 6)
     pairs = (
         cands.join(sets_a, "id_a")
         .join(sets_b, "id_b")
-        .withColumn("__n_common", inter)
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("__n_common")
-                / (
-                    F.size(F.col("__set_a"))
-                    + F.size(F.col("__set_b"))
-                    - F.col("__n_common")
-                ),
-                6,
-            ),
-        )
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b")
     )

@@ -453,7 +453,112 @@ def q_top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery — for every part (of one
+    type) the supplier(s) offering the minimum cost, restricted to one
+    region via the supplier→nation→region dim chain. (This schema has
+    no partsupp table, so lineitem prices stand in for supply cost; the
+    plan shape is Q2's.) Decorrelated the scale-correct way: ONE
+    grouped per-(part, supplier) cost relation, ONE per-part min joined
+    back on (partkey, cost) equality — never a per-part re-scan. The
+    dim chain (supplier⋈nation⋈region) broadcasts; the min-cost
+    relation is |parts|-sized and joins the costs agg with AQE free to
+    broadcast it. Ties (several suppliers at the min) all return, as in
+    Q2. Costs are integer cents end-to-end — no float-rounding hash
+    risk."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    costs = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .join(F.broadcast(eur), li["l_suppkey"] == F.col("s_suppkey"))
+        .select(
+            "l_partkey", "l_suppkey", "s_name", "n_name",
+            cents.alias("__cents"),
+        )
+        .groupBy("l_partkey", "l_suppkey", "s_name", "n_name")
+        .agg(F.min("__cents").alias("cost_cents"))
+    )
+    mn = costs.groupBy("l_partkey").agg(F.min("cost_cents").alias("__mn"))
+    return (
+        costs.join(mn, "l_partkey")
+        .filter(F.col("cost_cents") == F.col("__mn"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            "cost_cents",
+        )
+    )
+
+
+def q_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers who, inside
+    one ship-date year, shipped MORE than half of a part's total
+    shipped quantity (the availqty-vs-half-of-shipped predicate of Q20,
+    re-expressed without partsupp: a supplier dominating a part's flow
+    is the 'excess stock holder'). Decorrelated: ONE per-(part,
+    supplier) quantity agg, ONE per-part total derived FROM it (agg of
+    the agg — never a second lineitem scan), the dominance filter, then
+    a per-supplier rollup joined to the broadcast supplier⋈nation dim.
+    Quantities are integer centi-units; the dominance test is
+    2*q > total in pure longs."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    qcents = F.round(F.col("l_quantity") * 100).cast("long")
+    ps = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .select("l_partkey", "l_suppkey", qcents.alias("__q"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("__q").alias("q_cents"))
+    )
+    tot = ps.groupBy("l_partkey").agg(F.sum("q_cents").alias("__t"))
+    dom = ps.join(tot, "l_partkey").filter(
+        F.col("q_cents") * 2 > F.col("__t")
+    )
+    sdim = sup.join(
+        F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
+    ).select("s_suppkey", "s_name", "n_name")
+    return (
+        dom.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_dominated_parts"),
+            F.sum("q_cents").alias("dom_qty_cents"),
+        )
+        .join(F.broadcast(sdim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            "n_dominated_parts",
+            "dom_qty_cents",
+        )
+    )
+
+
 QUERIES = {
+    "min_cost_supplier": q_min_cost_supplier,
+    "excess_shipments": q_excess_shipments,
     "top_supplier_by_revenue": q_top_supplier_by_revenue,
     "small_qty_revenue": q_small_qty_revenue,
     "pricing_summary": q_pricing_summary,
@@ -481,6 +586,51 @@ QUERIES = {
 }
 
 ORACLE = {
+    "min_cost_supplier": """
+WITH eur AS (
+  SELECT s.s_suppkey, s.s_name, n.n_name
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+),
+costs AS (
+  SELECT l.l_partkey, l.l_suppkey, e.s_name, e.n_name,
+         min(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cost_cents
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'LARGE'
+  JOIN eur e ON e.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2, 3, 4
+),
+mn AS (SELECT l_partkey, min(cost_cents) AS mnc FROM costs GROUP BY 1)
+SELECT c.l_partkey AS p_partkey, CAST(c.l_suppkey AS BIGINT) AS s_suppkey,
+       c.s_name, c.n_name, c.cost_cents
+FROM costs c JOIN mn ON mn.l_partkey = c.l_partkey
+WHERE c.cost_cents = mn.mnc
+""",
+    "excess_shipments": """
+WITH ps AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS q_cents
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+tot AS (SELECT l_partkey, sum(q_cents) AS t FROM ps GROUP BY 1),
+dom AS (
+  SELECT ps.l_suppkey, ps.q_cents
+  FROM ps JOIN tot ON tot.l_partkey = ps.l_partkey
+  WHERE ps.q_cents * 2 > tot.t
+)
+SELECT CAST(d.l_suppkey AS BIGINT) AS s_suppkey, s.s_name, n.n_name,
+       CAST(count(*) AS BIGINT) AS n_dominated_parts,
+       CAST(sum(d.q_cents) AS BIGINT) AS dom_qty_cents
+FROM dom d
+JOIN supplier s ON s.s_suppkey = d.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY 1, 2, 3
+""",
     "top_supplier_by_revenue": """
 WITH rev AS (
   SELECT l_suppkey,

@@ -52,6 +52,7 @@ from sarkac_spark.operators.dedup import (
     incremental_exact_dedup,
     incremental_minhash_drop_ids_sigs,
 )
+from sarkac_spark.streaming.storeutil import atomic_swap, raise_if_half_swapped
 
 # AnalysisException error classes that mean "nothing committed yet" —
 # the ONLY quiet path. Anything else (corrupt footer, permissions,
@@ -114,6 +115,9 @@ class IncrementalDedupPipeline:
             sigs = self.spark.read.parquet(self.sig_dir)
         except AnalysisException as e:
             if _is_empty_store_error(e):
+                # not quite quiet: a missing store with a .old remnant
+                # means a compact() swap crashed mid-flight — fail loud.
+                raise_if_half_swapped(self.sig_dir)
                 return None
             raise
         return sigs.filter(F.col("epoch") != exclude_epoch).drop("epoch")
@@ -164,6 +168,9 @@ class IncrementalDedupPipeline:
                 self.id_col,
                 threshold=float(mh.get("threshold", 0.5)),
                 max_band_df=mh.get("max_band_df", MINHASH_MAX_BAND_DF),
+                # must match the signature build above: truncated sets
+                # switch the verify step to the union-bottom-k estimator
+                max_sh_set=mh.get("max_sh_set"),
             )
             kept = kept.join(drop, self.id_col, "left_anti")
         # per-epoch overwrite: a replayed epoch rewrites its own
@@ -194,8 +201,6 @@ class IncrementalDedupPipeline:
         collides with a checkpoint epoch id, and the replay-safety
         ``epoch != current`` filter never excludes it.
         """
-        import shutil
-
         n_docs = 0
         for store in (self.store_dir, self.sig_dir):
             df = self._read_or_none_any(store)
@@ -206,8 +211,9 @@ class IncrementalDedupPipeline:
             data.write.mode("overwrite").parquet(os.path.join(tmp, "epoch=-1"))
             if store == self.store_dir:
                 n_docs = self.spark.read.parquet(tmp).count()
-            shutil.rmtree(store)
-            shutil.move(tmp, store)
+            # crash-safe swap: never a window where the store is absent
+            # without a loud .old marker (storeutil.atomic_swap).
+            atomic_swap(tmp, store)
         return n_docs
 
     def _read_or_none_any(self, path: str) -> DataFrame | None:
@@ -215,6 +221,7 @@ class IncrementalDedupPipeline:
             return self.spark.read.parquet(path)
         except AnalysisException as e:
             if _is_empty_store_error(e):
+                raise_if_half_swapped(path)
                 return None
             raise
 

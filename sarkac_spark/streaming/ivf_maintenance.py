@@ -61,6 +61,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sarkac_spark.operators.similarity import assign_buckets, refit_ivf_centroids
+from sarkac_spark.streaming.storeutil import atomic_swap, raise_if_half_swapped
 
 
 class IvfMaintenancePipeline:
@@ -100,6 +101,7 @@ class IvfMaintenancePipeline:
         except AnalysisException as e:
             msg = str(e)
             if "Path does not exist" in msg or "Unable to infer schema" in msg:
+                raise_if_half_swapped(path)
                 return None
             raise
 
@@ -140,9 +142,13 @@ class IvfMaintenancePipeline:
         total = sum(r.n_vecs for r in rows)
         if total < self.min_total_for_refit:
             return False, total
-        max_share = max((r.n_vecs / total for r in rows), default=0.0)
+        # round-6 on BOTH share and threshold, exactly as the batch twin
+        # ivf_refit_decision does (share via ivf_bucket_stats' round-6,
+        # threshold via round(skew_factor*uniform, 6)) — otherwise the
+        # two gates can disagree on boundary occupancy distributions.
+        max_share = round(max((r.n_vecs / total for r in rows), default=0.0), 6)
         needs = (
-            max_share > self.skew_factor / self.n_buckets
+            max_share > round(self.skew_factor / self.n_buckets, 6)
             or len(rows) < self.n_buckets
         )
         return needs, total
@@ -218,17 +224,14 @@ class IvfMaintenancePipeline:
                 "overwrite"
             ).parquet(os.path.join(tmp, "epoch=-1"))
             n = self.spark.read.parquet(tmp).count()
-            shutil.rmtree(self._path("vecs"))
-            shutil.move(tmp, self._path("vecs"))
+            atomic_swap(tmp, self._path("vecs"))
         # occupancy: current version only, summed into the base partition
         occ = self.occupancy(version)
         tmp = self._path("occupancy").rstrip("/") + ".compact"
         occ.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(tmp, f"version={version}", "epoch=-1")
         )
-        if os.path.exists(self._path("occupancy")):
-            shutil.rmtree(self._path("occupancy"))
-        shutil.move(tmp, self._path("occupancy"))
+        atomic_swap(tmp, self._path("occupancy"))
         # centroids: drop superseded versions
         cents_dir = self._path("centroids")
         for d in os.listdir(cents_dir):

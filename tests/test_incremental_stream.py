@@ -248,3 +248,65 @@ def test_bottom_k_sh_set_sketch_still_catches_near_dups(spark, tmp_path):
     ):
         assert len(c.sh_set) == min(6, len(e.sh_set))
         assert set(c.sh_set) == set(sorted(e.sh_set)[:len(c.sh_set)])
+
+
+def test_union_bottom_k_estimator_exact_semantics(spark):
+    """The capped verify step is the UNION-bottom-k estimator
+    (membership-in-both over the k smallest of A∪B) — computable
+    exactly from the two truncated sets — not naive intersection-over-
+    union of the truncations, which is biased for docs above the cap.
+    Pins a pair where the two formulas give verdicts on OPPOSITE sides
+    of the threshold and asserts the operator follows the estimator."""
+    import hashlib
+
+    from sarkac_spark.operators.dedup import incremental_minhash_drop_ids_sigs
+
+    def h(i: int) -> int:  # uniform-ish 60-bit values, like real sh_set
+        return int(hashlib.md5(f"item-{i}".encode()).hexdigest()[:15], 16)
+
+    # |A|=30, |B|=30, |A∩B|=20, |A∪B|=40 -> true jaccard 0.5
+    a_full = sorted(h(i) for i in range(0, 30))
+    b_full = sorted(h(i) for i in range(10, 40))
+    k = 16
+    a_k, b_k = a_full[:k], b_full[:k]
+
+    union_k = sorted(set(a_full) | set(b_full))[:k]
+    both = set(a_full) & set(b_full)
+    est = round(sum(1 for x in union_k if x in both) / k, 6)
+    naive_inter = len(set(a_k) & set(b_k))
+    naive = round(naive_inter / (len(a_k) + len(b_k) - naive_inter), 6)
+    assert est != naive  # the formulas genuinely disagree on this pair
+    thr = (min(est, naive) + max(est, naive)) / 2
+
+    sig_schema = (
+        "doc_id long, text_hash string, band_keys array<string>, "
+        "sh_set array<long>"
+    )
+    corpus = spark.createDataFrame([(1, "ha", ["band"], a_k)], sig_schema)
+    batch = spark.createDataFrame([(2, "hb", ["band"], b_k)], sig_schema)
+    drops = {
+        r.doc_id
+        for r in incremental_minhash_drop_ids_sigs(
+            corpus, batch, "doc_id", threshold=thr,
+            max_band_df=None, max_sh_set=k,
+        ).collect()
+    }
+    assert drops == ({2} if est >= thr else set())
+
+    # exactness below the cap: |A∪B| <= k reproduces the exact verdict
+    small_a, small_b = a_full[:6], a_full[:6][:4] + b_full[:2]
+    exact_j = round(
+        len(set(small_a) & set(small_b))
+        / len(set(small_a) | set(small_b)), 6,
+    )
+    corpus = spark.createDataFrame([(1, "ha", ["band"], small_a)], sig_schema)
+    batch = spark.createDataFrame([(2, "hb", ["band"], small_b)], sig_schema)
+    for thr2, want in ((exact_j, {2}), (exact_j + 1e-6, set())):
+        got = {
+            r.doc_id
+            for r in incremental_minhash_drop_ids_sigs(
+                corpus, batch, "doc_id", threshold=thr2,
+                max_band_df=None, max_sh_set=k,
+            ).collect()
+        }
+        assert got == want
