@@ -212,3 +212,136 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("sample_ms"),
     )
+
+
+# --- perceptual-hash image dedup ---------------------------------------------
+
+# dHash grid: GRID_ROWS x (GRID_COLS+1) block means, GRID_ROWS*GRID_COLS
+# adjacent-pair comparisons = 64 bits, carried as DHASH_BANDS x 16-bit
+# band values (never as one 64-bit integer: bit 63 two's-complement and
+# BIGINT shift-overflow semantics differ across engines; band arrays
+# are also exactly what LSH banding wants). Constants are engine
+# contract, mirrored in the DuckDB oracle (queries/llm.py).
+GRID_ROWS = 8
+GRID_COLS = 8  # comparisons per row; the mean grid is GRID_ROWS x 9
+DHASH_BANDS = 4
+DHASH_BAND_BITS = (GRID_ROWS * GRID_COLS) // DHASH_BANDS  # 16
+
+
+def dhash_bands_from_pixels(pixels: np.ndarray) -> list[int]:
+    """The dHash kernel, shared by every path that hashes an image:
+    (h, w) or (h, w, ch) integer array -> DHASH_BANDS 16-bit band
+    values.
+
+    Steps, all integer-exact so an arithmetic oracle can replay them:
+    channels collapse by SUM (monotone in the mean — no division
+    rounding); the image block-averages onto a GRID_ROWS x
+    (GRID_COLS+1) grid with bin index ``i * bins // n`` (any size, no
+    interpolation); each bit compares horizontally adjacent block means
+    via cross-multiplied SUMS (left_sum * right_count <
+    right_sum * left_count — again no division). Block averaging makes
+    the hash invariant to integer upscaling and (absent clipping) to
+    constant brightness shifts: both preserve every mean comparison.
+    """
+    px = pixels.astype(np.int64)
+    if px.ndim == 3:
+        px = px.sum(axis=2)
+    h, w = px.shape
+    rows = np.arange(h) * GRID_ROWS // h
+    cols = np.arange(w) * (GRID_COLS + 1) // w
+    # per-block pixel sums and counts via two bincount folds
+    sums = np.zeros((GRID_ROWS, GRID_COLS + 1), dtype=np.int64)
+    cnts = np.zeros((GRID_ROWS, GRID_COLS + 1), dtype=np.int64)
+    np.add.at(sums, (rows[:, None], cols[None, :]), px)
+    np.add.at(cnts, (rows[:, None], cols[None, :]), 1)
+    left_s, right_s = sums[:, :-1], sums[:, 1:]
+    left_n, right_n = cnts[:, :-1], cnts[:, 1:]
+    bits = (left_s * right_n < right_s * left_n).astype(np.int64).ravel()
+    bands = []
+    for b in range(DHASH_BANDS):
+        chunk = bits[b * DHASH_BAND_BITS : (b + 1) * DHASH_BAND_BITS]
+        bands.append(int((chunk << np.arange(DHASH_BAND_BITS)).sum()))
+    return bands
+
+
+def image_dhash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-image perceptual hash over the REAL decode path: PNM payload
+    -> pixels (``decode_pnm``) -> ``dhash_bands_from_pixels``. Arrow
+    ``mapInPandas`` like ``extract_features`` — the decode is the
+    Python-side cost and it is batch-vectorized; everything downstream
+    (banding, hamming) is JVM integer code. Output: (id,
+    dhash_bands array<int>). Non-PNM payloads refuse loudly, the
+    ``default_decoder`` contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                pixels, _, _ = decode_pnm(bytes(payload))
+                out.append(dhash_bands_from_pixels(pixels))
+            yield pd.DataFrame({id_col: pdf[id_col], "dhash_bands": out})
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} long, dhash_bands array<int>"
+    )
+
+
+def dedup_phash(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """Image near-dup pairs from dHash band values: LSH banding on the
+    DHASH_BANDS exact 16-bit chunks (pigeonhole: hamming <=
+    DHASH_BANDS-1 GUARANTEES a shared band; beyond that recall decays
+    like any banded LSH), candidates Hamming-verified JVM-side
+    (zip_with XOR + bit_count over the band arrays — the full 64-bit
+    distance, never a float). ``max_band_df`` is the hot-band fanout
+    cap (the ``MINHASH_MAX_BAND_DF`` semantics — flat/black images all
+    hash alike and would otherwise pair quadratically).
+
+    Input: ``image_dhash`` output (or anything with ``dhash_bands``).
+    Output: (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming.
+    Scale shape: one explode (DHASH_BANDS rows/image), df-capped
+    equi-join on the band key, verify only on candidates — the
+    ``dedup_simhash`` plan over a mapInPandas-derived relation.
+    """
+    from sarkac_spark.operators.dedup import _df_cap
+
+    banded = hashes.select(
+        F.col(id_col),
+        F.posexplode("dhash_bands").alias("band_idx", "band_val"),
+    ).select(
+        F.col(id_col),
+        F.concat_ws("|", F.col("band_idx"), F.col("band_val")).alias("band_key"),
+    )
+    banded = _df_cap(banded, "band_key", max_band_df)
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, "band_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = hashes.select(F.col(id_col).alias("id_a"), F.col("dhash_bands").alias("__ba"))
+    hb = hashes.select(F.col(id_col).alias("id_b"), F.col("dhash_bands").alias("__bb"))
+    hamming = F.aggregate(
+        F.zip_with("__ba", "__bb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

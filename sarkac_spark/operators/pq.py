@@ -707,3 +707,91 @@ def pq_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dist", "rank")
     )
+
+
+def ivfpq_store(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PERSISTENT inverted-list IVF-PQ index relation: (bucket, id,
+    m, code) — each vector's coarse bucket plus its m PQ codes, i.e.
+    exactly what ``ivfpq_topk`` derives on the fly, materialized once.
+    Write it partitioned by ``bucket`` and the query side
+    (``ivfpq_query_store``) scans only the probed partitions.
+
+    This is the 100 TB operating shape: the registered ``ivfpq_topk``
+    query re-derives the index per run (which keeps it oracle-checkable
+    and self-contained), but a production index is BUILT once — or
+    incrementally, by ``streaming/ivf_maintenance.py`` — and queried
+    many times; build cost (one corpus scan x |centroids| argmax +
+    m x k assignment) amortizes across every query. With the standard
+    nlist ~ sqrt(n) sizing, per-query probed work grows ~sqrt(n)
+    instead of linearly (measured: tools/bench_scale_decade.py
+    --scaled-nlist, BASELINE.md §d)."""
+    from sarkac_spark.operators.similarity import assign_buckets
+
+    corpus_b = assign_buckets(df, centroids, id_col, vec_col, n_best=1).select(
+        F.col(id_col), F.col("bucket")
+    )
+    codes = pq_assign_long(df, codebooks, id_col, vec_col)
+    return corpus_b.join(codes, id_col).select("bucket", id_col, "m", "code")
+
+
+def ivfpq_query_store(
+    store: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 2,
+    prune_partitions: bool = True,
+) -> DataFrame:
+    """ADC top-k over a MATERIALIZED ``ivfpq_store`` relation — the
+    query path that never touches a raw corpus vector OR rebuilds the
+    index. Same output contract as ``ivfpq_topk``: (query_id,
+    neighbor_id, adist_micro, rank), k per query; result-identical to
+    ``ivfpq_topk`` on the same corpus/queries/centroids (pinned in
+    tests/test_pq.py).
+
+    ``prune_partitions`` collects the probed bucket ids to the driver —
+    nprobe x |queries| values, tens of rows, bounded by contract (the
+    ``ivf_refit_decision`` 1-row-collect precedent) — and applies them
+    as an ``isin`` literal filter, so a bucket-partitioned parquet
+    store PRUNES to the probed partitions at the scan: bytes read are
+    ~nprobe/nlist of the index, the whole point of IVF at 100 TB."""
+    from sarkac_spark.operators.similarity import assign_buckets
+
+    probes = assign_buckets(
+        queries, centroids, id_col, vec_col, n_best=nprobe
+    ).select(F.col(id_col).alias("query_id"), "bucket")
+    if prune_partitions:
+        probed = [r.bucket for r in probes.select("bucket").distinct().collect()]
+        store = store.filter(F.col("bucket").isin(probed))
+    cand = (
+        store.join(F.broadcast(probes), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, "m", "code")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    tab = _adc_tables(q, codebooks)
+    adist = cand.join(F.broadcast(tab), ["query_id", "m", "code"]).groupBy(
+        "query_id", id_col
+    ).agg(
+        F.sum(F.round(F.col("d") * 1_000_000).cast("long")).alias("adist_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist_micro"), F.col(id_col))
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "adist_micro", "rank"
+        )
+    )

@@ -17,6 +17,7 @@ from sarkac_spark.queries.llm_text import *  # noqa: F401,F403
 from sarkac_spark.queries.llm_curation import *  # noqa: F401,F403
 
 QUERIES = {
+    "dedup_phash": q_dedup_phash,
     "bloom_vocab": q_bloom_vocab,
     "bpe_apply": q_bpe_apply,
     "bpe_fertility": q_bpe_fertility,
@@ -104,6 +105,7 @@ QUERIES = {
 
 
 ORACLE = {
+    "dedup_phash": _dedup_phash_sql(),
     "quality_classifier": _quality_classifier_sql(),
     "classifier_confusion": _classifier_confusion_sql(),
     "classifier_calibration": _classifier_calibration_sql(),

@@ -44,6 +44,15 @@ __all__ = [
     "_decontamination_sql",
     "_semantic_dedup_sql",
     "_contamination_spans_sql",
+    "q_dedup_phash",
+    "_dedup_phash_sql",
+    "_synth_pnm_media",
+    "PHASH_W",
+    "PHASH_H",
+    "PHASH_MOD",
+    "PHASH_NOISE",
+    "PHASH_BRIGHT",
+    "PHASH_MAX_HAMMING",
 ]
 
 def q_dedup_exact(spark, sf_dir):
@@ -934,4 +943,160 @@ SELECT eval_id, train_id,
 FROM isl
 GROUP BY 1, 2
 HAVING max(run) >= {SPAN_MIN_RUN}
+"""
+
+
+# --- perceptual-hash image dedup (the multimodal dedup member) ---------------
+
+# Deterministic synthetic PNM corpus derived from doc_id by pure integer
+# arithmetic, so the DuckDB oracle can recompute the PIXELS (it cannot
+# decode bytes) while Spark runs the REAL path: synthesize P5 payload ->
+# decode_pnm -> dhash_bands_from_pixels -> banded pairs. The hash gate
+# therefore covers the entire decode+hash implementation bit-for-bit.
+# Every ODD doc is its EVEN neighbor's planted near-dup: same gradient
+# scene (A = doc_id // 2), but 2x pixel-replicated (resize), +50
+# brightness, and a moved noise pixel — exactly the invariances dHash
+# must deliver. Brightness and integer upscaling cancel in the
+# cross-multiplied block-mean comparisons (operators/multimodal.py), so
+# the oracle only ever computes the BASE 24x27 image with noise.
+PHASH_W, PHASH_H = 27, 24  # divisible by the 9x8 dHash grid
+PHASH_MOD = 151
+PHASH_NOISE = 40
+PHASH_BRIGHT = 50
+PHASH_MAX_HAMMING = 6
+
+
+def _synth_pnm_media(docs):
+    """doc ids -> (media_id, payload) with the deterministic image
+    formula above; numpy in mapInPandas, Arrow-batched."""
+    import numpy as np
+    import pandas as pd
+
+    n_px = PHASH_W * PHASH_H
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                a = doc_id // 2
+                # scene texture = avalanche-hashed pixels keyed by
+                # (scene, pixel index): multiply-xorshift rounds, pure
+                # integer ops both engines replay. Anything with
+                # residual linear structure (plain LCG, gradients)
+                # makes distinct scenes hash-NEAR and incidental pairs
+                # grow superlinearly with the corpus — simulated: this
+                # mix gives 0 incidental pairs at 20k docs with 100%
+                # planted recall.
+                i = np.arange(n_px, dtype=np.int64)
+                h = a * n_px + i + 1
+                h = (h * 2654435761) % 2147483648
+                h = np.bitwise_xor(h, h // 65536)
+                h = (h * 1103515245) % 2147483648
+                h = np.bitwise_xor(h, h // 2048)
+                flat = (h % PHASH_MOD).copy()
+                flat[(doc_id * 31) % n_px] += PHASH_NOISE
+                img = flat.reshape(PHASH_H, PHASH_W)
+                if doc_id % 2:
+                    img = img + PHASH_BRIGHT
+                    img = np.kron(img, np.ones((2, 2), dtype=np.int64))
+                h, w = img.shape
+                payload = b"P5\n%d %d\n255\n" % (w, h) + img.astype(
+                    "uint8"
+                ).tobytes()
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+def q_dedup_phash(spark, sf_dir):
+    """Image near-dup pairs via dHash + LSH banding — the multimodal
+    member of the dedup family. Synthesizes a deterministic PNM corpus
+    from doc ids (planted resized/brightness-shifted near-dup per even/
+    odd pair), hashes through the REAL decode path
+    (``image_dhash``: Arrow mapInPandas), then bands and
+    Hamming-verifies JVM-side (``dedup_phash``, band-df-capped)."""
+    from sarkac_spark.operators.multimodal import dedup_phash, image_dhash
+
+    media = _synth_pnm_media(_docs(spark, sf_dir))
+    hashes = image_dhash(media)
+    return dedup_phash(
+        hashes,
+        max_hamming=PHASH_MAX_HAMMING,
+        max_band_df=MINHASH_MAX_BAND_DF,
+    ).select(
+        F.col("id_a"), F.col("id_b"), F.col("hamming")
+    )
+
+
+def _dedup_phash_sql() -> str:
+    """The arithmetic mirror: recompute the synthetic pixels from
+    doc_id (base image only — brightness and 2x replication provably
+    cancel in the sum-comparisons), block sums on the 8x9 grid, the 64
+    comparison bits packed into 4 x 16-bit bands, then the same
+    df-capped band join + XOR bit-count verify."""
+    n_px = PHASH_W * PHASH_H
+    return f"""
+WITH g AS (
+  SELECT doc_id, doc_id // 2 AS a,
+         (doc_id * 31) % {n_px} AS np
+  FROM documents
+),
+h1 AS (
+  SELECT doc_id, np, i,
+         ((a * {n_px} + i + 1) * 2654435761) % 2147483648 AS h
+  FROM g, (SELECT unnest(range({n_px})) AS i)
+),
+h2 AS (SELECT doc_id, np, i, (xor(h, h // 65536) * 1103515245) % 2147483648 AS h FROM h1),
+px AS (
+  SELECT doc_id,
+         (i // {PHASH_W}) // {PHASH_H // 8} AS gr,
+         (i % {PHASH_W}) // {PHASH_W // 9} AS gc,
+         xor(h, h // 2048) % {PHASH_MOD}
+           + CASE WHEN i = np THEN {PHASH_NOISE} ELSE 0 END AS v
+  FROM h2
+),
+cell AS (SELECT doc_id, gr, gc, sum(v) AS s FROM px GROUP BY 1, 2, 3),
+bits AS (
+  SELECT l.doc_id, l.gr * 8 + l.gc AS k,
+         CASE WHEN l.s < rr.s THEN 1 ELSE 0 END AS bit
+  FROM cell l
+  JOIN cell rr ON rr.doc_id = l.doc_id AND rr.gr = l.gr AND rr.gc = l.gc + 1
+  WHERE l.gc < 8
+),
+bands0 AS (
+  SELECT doc_id,
+         (k // 16)::varchar || '|' ||
+           CAST(sum(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT)::varchar
+           AS band_key,
+         k // 16 AS band_idx,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT) AS band_val
+  FROM bits GROUP BY doc_id, k // 16
+),
+bands AS (
+  SELECT doc_id, band_key, band_idx, band_val FROM (
+    SELECT doc_id, band_key, band_idx, band_val,
+           count(*) OVER (PARTITION BY band_key) AS bdf
+    FROM bands0
+  ) WHERE bdf <= {MINHASH_MAX_BAND_DF}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT c.id_a, c.id_b,
+         CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN bands0 x ON x.doc_id = c.id_a
+  JOIN bands0 y ON y.doc_id = c.id_b AND y.band_idx = x.band_idx
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {PHASH_MAX_HAMMING}
 """

@@ -149,8 +149,15 @@ class IncrementalDedupPipeline:
             max_sh_set=mh.get("max_sh_set"),
         )
 
-    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        fresh = batch.select(self.id_col, self.text_col)
+    def dedup_batch(self, fresh: DataFrame, epoch_id: int) -> DataFrame:
+        """Dedup VERDICTS for one batch against the committed signature
+        store — no store writes. Extra columns on ``fresh`` (beyond
+        id/text) ride through untouched, so composed pipelines
+        (``StreamingCuratorPipeline``) can quota on them afterwards.
+        Split from ``process_batch`` so a composer can insert stages
+        between the verdict and the commit; callers that drop further
+        rows MUST commit the final survivor set via ``commit_batch`` so
+        the stores only ever describe committed rows."""
         corpus_sigs = self._read_sigs(exclude_epoch=epoch_id)
         seen = (
             corpus_sigs.select("text_hash")
@@ -173,10 +180,16 @@ class IncrementalDedupPipeline:
                 max_sh_set=mh.get("max_sh_set"),
             )
             kept = kept.join(drop, self.id_col, "left_anti")
-        # per-epoch overwrite: a replayed epoch rewrites its own
-        # partition — the store stays exactly-once (see module docstring).
-        # Signatures are derived from the SAME `kept` (one dedup verdict,
-        # two projections), so the stores cannot disagree.
+        return kept
+
+    def commit_batch(self, kept: DataFrame, epoch_id: int) -> DataFrame:
+        """Commit one batch's survivors to the text + signature stores.
+
+        Per-epoch overwrite: a replayed epoch rewrites its own
+        partition — the store stays exactly-once (see module docstring).
+        Signatures are derived from the SAME ``kept`` (one dedup
+        verdict, two projections), so the stores cannot disagree.
+        Returns the materialized survivors."""
         kept = kept.localCheckpoint(eager=True)
         kept.write.mode("overwrite").parquet(
             os.path.join(self.store_dir, f"epoch={epoch_id}")
@@ -184,6 +197,11 @@ class IncrementalDedupPipeline:
         self._batch_sigs(kept).write.mode("overwrite").parquet(
             os.path.join(self.sig_dir, f"epoch={epoch_id}")
         )
+        return kept
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        fresh = batch.select(self.id_col, self.text_col)
+        self.commit_batch(self.dedup_batch(fresh, epoch_id), epoch_id)
 
     def compact(self, target_partitions: int = 1) -> int:
         """Fold every committed epoch partition of BOTH stores into one

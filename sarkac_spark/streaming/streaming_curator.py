@@ -1,0 +1,258 @@
+"""StreamingCuratorPipeline — ingest-time curation end-to-end: the
+foreachBatch twin of ``Curator.apply()`` that curates documents AS THEY
+ARRIVE instead of in one offline pass. Composes the proven streaming
+members of each Curator stage, in the batch Curator's stage order:
+
+1. **quality** — the REAL ``Curator._quality_stage`` closure (gopher /
+   min_score / classifier gates), stateless, so batch and stream
+   verdicts are the same code path by construction.
+2. **dedup** — ``IncrementalDedupPipeline.dedup_batch``: exact +
+   optional MinHash near-dup against the committed SIGNATURE store
+   (per-trigger cost independent of corpus text size).
+3. **domain_cap** — a stateful per-source quota on a RUNNING count:
+   a domain that has already committed ``cap`` documents admits no
+   more. This is the one semantic that MUST differ from the batch
+   ``domain_cap`` (keep the cap BEST by quality): a stream cannot
+   revoke documents it already committed, so admission is arrival-
+   order — within a batch, ordered by ascending id (deterministic on
+   replay). Batch and stream survivor sets coincide exactly when
+   arrival order matches the batch ranking order (see the stream≡batch
+   test, which pins this with a constant quality column).
+
+Per-epoch FUNNEL counters (epoch, stage, n_docs) are written alongside
+the corpus, with the same stage names as ``Curator.report()`` /
+``curation_funnel`` ("input", "quality", "dedup", "domain_cap") — the
+summed stream funnel equals the batch report when the survivor sets
+match.
+
+Exactly-once under at-least-once replay: every store (text, signatures,
+quota, funnel) follows the per-epoch-overwrite discipline, and every
+read that feeds a VERDICT excludes the current epoch's partition — a
+replayed batch recomputes identical verdicts and rewrites its own
+partitions instead of double-counting (the
+``IncrementalDedupPipeline`` / ``IvfMaintenancePipeline`` store
+contract). Same PRECONDITION: document ids are unique across the
+stream.
+
+100 TB shape, per trigger: the quality gates are map-only; dedup scans
+signature-sized corpus data (band-df-capped); the quota reads the
+committed per-(epoch, domain) admission counts — one small row per
+domain per epoch between compactions, NOT per document — and the
+within-batch rank window is batch-sized, partitioned by domain. Four
+driver actions per trigger (the funnel counts), each over a batch-sized
+or smaller relation that is already materialized by the commit
+checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from sarkac_spark.streaming.incremental_dedup import (
+    IncrementalDedupPipeline,
+    _is_empty_store_error,
+)
+from sarkac_spark.streaming.storeutil import atomic_swap, raise_if_half_swapped
+
+_ALLOWED_STAGES = {"quality", "dedup", "domain_cap"}
+
+
+class StreamingCuratorPipeline:
+    """``config`` takes the ``Curator`` config shape, restricted to the
+    stages with a streaming member: ``quality`` (any Curator quality
+    cfg), ``dedup`` (``{"minhash": {...}}`` adds near-dup dropping;
+    exact dedup ALWAYS runs — a streaming corpus store without exact
+    dedup would commit byte-identical replays as new rows), and
+    ``domain_cap`` (``{"domain_col": ..., "cap": N}``). Offline-only
+    stages (decontaminate/winnow/sample/mixture/chunk/pack) raise: they
+    either need a second full relation per trigger or reshape the
+    output schema — run them as a batch pass over ``committed()``.
+
+    Stores under ``store_dir`` (all plain partitioned parquet,
+    epoch=N partitions): the committed corpus (full input schema), its
+    dedup signatures (``store_dir + "_sigs"``), per-(epoch, domain)
+    admission counts (``+ "_quota"``), and the per-epoch funnel
+    (``+ "_funnel"``).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        config: dict,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        unknown = set(config) - _ALLOWED_STAGES
+        if unknown:
+            raise ValueError(
+                f"no streaming member for curation stage(s) {sorted(unknown)}; "
+                "run them as a batch pass over committed()"
+            )
+        self.spark = spark
+        self.store_dir = store_dir
+        self.quota_dir = store_dir.rstrip("/") + "_quota"
+        self.funnel_dir = store_dir.rstrip("/") + "_funnel"
+        self.config = config
+        self.id_col = id_col
+        self.text_col = text_col
+        dedup_cfg = config.get("dedup") or {}
+        self._dedup = IncrementalDedupPipeline(
+            spark,
+            store_dir,
+            id_col=id_col,
+            text_col=text_col,
+            minhash=dedup_cfg.get("minhash"),
+        )
+        if "quality" in config:
+            # drive the REAL batch stage builder (the curation_funnel
+            # precedent): stream and batch quality verdicts are one
+            # code path, not a reimplementation.
+            from sarkac_spark.curator import Curator
+
+            self._quality_fn = Curator(
+                spark, {"quality": config["quality"]}, id_col, text_col
+            )._quality_stage(config["quality"])
+        else:
+            self._quality_fn = None
+
+    # --- stores -------------------------------------------------------------
+
+    def _read_or_none(self, path: str) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(path)
+        except AnalysisException as e:
+            if _is_empty_store_error(e):
+                raise_if_half_swapped(path)
+                return None
+            raise
+
+    def committed(self) -> DataFrame:
+        """The curated corpus so far (full input schema)."""
+        return self.spark.read.parquet(self.store_dir).drop("epoch")
+
+    def funnel(self) -> DataFrame:
+        """(epoch, stage, n_docs) — per-trigger curation funnel, stage
+        names matching ``Curator.report()``."""
+        return self.spark.read.parquet(self.funnel_dir)
+
+    def _prior_quota(self, exclude_epoch: int) -> DataFrame | None:
+        """Committed per-domain admission totals, excluding the current
+        epoch's partition (replay safety — the quota twin of
+        ``_read_sigs``)."""
+        q = self._read_or_none(self.quota_dir)
+        if q is None:
+            return None
+        domain_col = self.config["domain_cap"].get("domain_col", "source")
+        return (
+            q.filter(F.col("epoch") != exclude_epoch)
+            .groupBy(domain_col)
+            .agg(F.sum("n_admitted").alias("__prior"))
+        )
+
+    def _quota(self, kept: DataFrame, epoch_id: int) -> DataFrame:
+        cfg = self.config["domain_cap"]
+        domain_col = cfg.get("domain_col", "source")
+        cap = int(cfg["cap"])
+        prior = self._prior_quota(exclude_epoch=epoch_id)
+        # arrival-order admission: rank within the batch by ascending id
+        # (deterministic on replay), admit while prior + rank <= cap.
+        # The window is batch-sized and partitioned by domain.
+        w = Window.partitionBy(domain_col).orderBy(F.col(self.id_col).asc())
+        ranked = kept.withColumn("__rn", F.row_number().over(w))
+        if prior is not None:
+            ranked = ranked.join(prior, domain_col, "left")
+        else:
+            ranked = ranked.withColumn("__prior", F.lit(None).cast("long"))
+        return (
+            ranked.filter(
+                F.col("__rn") + F.coalesce(F.col("__prior"), F.lit(0)) <= cap
+            )
+            .drop("__rn", "__prior")
+        )
+
+    # --- the trigger --------------------------------------------------------
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        counts: list[tuple[str, int]] = [("input", batch.count())]
+        d = batch
+        if self._quality_fn is not None:
+            # batch-sized eager checkpoint: the stage is evaluated once
+            # for both its funnel count and the next stage's input
+            d = self._quality_fn(d).localCheckpoint(eager=True)
+            counts.append(("quality", d.count()))
+        if "dedup" in self.config:
+            d = self._dedup.dedup_batch(d, epoch_id).localCheckpoint(eager=True)
+            counts.append(("dedup", d.count()))
+        if "domain_cap" in self.config:
+            d = self._quota(d, epoch_id)
+        # commit_batch materializes the final survivors and writes the
+        # text + signature stores (per-epoch overwrite)
+        admitted = self._dedup.commit_batch(d, epoch_id)
+        if "domain_cap" in self.config:
+            counts.append(("domain_cap", admitted.count()))
+            domain_col = self.config["domain_cap"].get("domain_col", "source")
+            admitted.groupBy(domain_col).agg(
+                F.count(F.lit(1)).alias("n_admitted")
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.quota_dir, f"epoch={epoch_id}")
+            )
+        self.spark.createDataFrame(
+            counts, "stage string, n_docs long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.funnel_dir, f"epoch={epoch_id}")
+        )
+
+    # --- lifecycle ----------------------------------------------------------
+
+    def start(
+        self,
+        doc_stream: DataFrame,
+        checkpoint_dir: str,
+        trigger_seconds: int | None = None,
+    ):
+        writer = doc_stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if trigger_seconds is None:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start()
+
+    def compact(self, target_partitions: int = 1) -> int:
+        """Fold every committed epoch of all four stores into one base
+        partition each (``epoch=-1``; the ``IncrementalDedupPipeline``
+        contract — run while the stream is STOPPED). Quota rows fold to
+        one summed row per domain; funnel rows fold to one summed row
+        per stage. Swaps are crash-safe (``storeutil.atomic_swap``).
+        Returns the compacted doc count."""
+        n_docs = self._dedup.compact(target_partitions)
+        q = self._read_or_none(self.quota_dir)
+        if q is not None:
+            domain_col = self.config["domain_cap"].get("domain_col", "source")
+            folded = (
+                q.drop("epoch")
+                .groupBy(domain_col)
+                .agg(F.sum("n_admitted").alias("n_admitted"))
+                .coalesce(1)
+            )
+            tmp = self.quota_dir + ".compact"
+            folded.write.mode("overwrite").parquet(os.path.join(tmp, "epoch=-1"))
+            atomic_swap(tmp, self.quota_dir)
+        f = self._read_or_none(self.funnel_dir)
+        if f is not None:
+            folded = (
+                f.drop("epoch")
+                .groupBy("stage")
+                .agg(F.sum("n_docs").alias("n_docs"))
+                .coalesce(1)
+            )
+            tmp = self.funnel_dir + ".compact"
+            folded.write.mode("overwrite").parquet(os.path.join(tmp, "epoch=-1"))
+            atomic_swap(tmp, self.funnel_dir)
+        return n_docs

@@ -1974,3 +1974,87 @@ def test_quality_gate_raises_on_feature_column_collision(spark):
         raise AssertionError("expected ValueError on n_words collision")
     except ValueError as e:
         assert "n_words" in str(e)
+
+
+def test_dhash_invariances_and_planted_dups(spark):
+    """The dHash kernel is exactly invariant to integer upscaling and
+    non-clipping brightness shifts, and the banded pair operator
+    catches planted resized/brightness-shifted dups while distinct
+    images survive."""
+    import numpy as np
+
+    from sarkac_spark.operators.multimodal import (
+        dedup_phash,
+        dhash_bands_from_pixels,
+        image_dhash,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 160, size=(24, 27), dtype=np.int64)
+    up2 = np.kron(base, np.ones((2, 2), dtype=np.int64))       # 2x resize
+    bright = base + 50                                          # brightness
+    both = np.kron(base + 30, np.ones((3, 3), dtype=np.int64))  # 3x + shift
+    assert (
+        dhash_bands_from_pixels(base)
+        == dhash_bands_from_pixels(up2)
+        == dhash_bands_from_pixels(bright)
+        == dhash_bands_from_pixels(both)
+    )
+    # a structurally different image hashes far away
+    other = rng.integers(0, 160, size=(24, 27), dtype=np.int64)
+    hb, ho = dhash_bands_from_pixels(base), dhash_bands_from_pixels(other)
+    ham = sum(bin(a ^ b).count("1") for a, b in zip(hb, ho))
+    assert ham > 12
+
+    # a lightly corrupted variant lands within a small hamming ball
+    noisy = base.copy()
+    noisy[5, 7] += 90
+    hn = dhash_bands_from_pixels(noisy)
+    ham_n = sum(bin(a ^ b).count("1") for a, b in zip(hb, hn))
+    assert ham_n <= 4
+
+    # end-to-end over the REAL PNM decode path (P5 and P6)
+    def p5(img):
+        h, w = img.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
+
+    def p6(img):
+        h, w = img.shape
+        rgb = np.repeat(img[:, :, None], 3, axis=2)
+        return b"P6\n%d %d\n255\n" % (w, h) + rgb.astype("uint8").tobytes()
+
+    media = spark.createDataFrame(
+        [
+            (1, p5(base)),
+            (2, p5(up2)),            # planted resize dup of 1
+            (3, p6(bright)),         # planted brightness dup of 1, RGB
+            (4, p5(noisy)),          # near-dup within the hamming ball
+            (5, p5(other)),          # distinct — must survive
+        ],
+        "media_id long, payload binary",
+    )
+    pairs = dedup_phash(image_dhash(media), max_hamming=6, max_band_df=None)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(1, 2), (1, 3), (2, 3), (1, 4)} <= got
+    assert not any(5 in p for p in got)
+
+
+def test_dedup_phash_band_df_cap_bounds_hot_bands(spark):
+    """Flat (constant) images all share every band — the df cap must
+    exclude those bands from candidacy, the MINHASH_MAX_BAND_DF
+    semantics for images."""
+    import numpy as np
+
+    from sarkac_spark.operators.multimodal import dedup_phash, image_dhash
+
+    def p5(img):
+        h, w = img.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
+
+    flat = [(i, p5(np.full((24, 27), 100, dtype=np.int64))) for i in range(20)]
+    media = spark.createDataFrame(flat, "media_id long, payload binary")
+    hashes = image_dhash(media)
+    uncapped = dedup_phash(hashes, max_hamming=6, max_band_df=None).count()
+    capped = dedup_phash(hashes, max_hamming=6, max_band_df=10).count()
+    assert uncapped == 20 * 19 // 2  # every pair, quadratic
+    assert capped == 0  # every band hot -> excluded from candidacy

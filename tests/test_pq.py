@@ -267,3 +267,48 @@ def test_pq_distortion_is_the_refit_trend_signal(spark, sf_dir):
     assert sum(r.total_sqdist_micro for r in fit) < 0.7 * sum(
         r.total_sqdist_micro for r in degen
     )
+
+
+def test_ivfpq_store_query_equals_on_the_fly(spark, sf_dir, tmp_path):
+    """ivfpq_query_store over a materialized (and bucket-partitioned)
+    ivfpq_store == ivfpq_topk re-deriving the index in one plan — same
+    rows, bit for bit. Partition pruning on the probed buckets must not
+    change results (with or without the literal isin filter)."""
+    from sarkac_spark.operators.pq import (
+        PQ_CODEBOOKS,
+        ivfpq_query_store,
+        ivfpq_store,
+        ivfpq_topk,
+    )
+    from sarkac_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    expected = sorted(
+        map(tuple, ivfpq_topk(e, PQ_CODEBOOKS, centroids, n_queries=10,
+                              k=3, nprobe=2).collect())
+    )
+
+    path = str(tmp_path / "ivfpq_store")
+    ivfpq_store(e, PQ_CODEBOOKS, centroids).write.partitionBy(
+        "bucket"
+    ).parquet(path)
+    store = spark.read.parquet(path)
+    queries = e.filter(F.col("vec_id") < 10)
+    for prune in (True, False):
+        got = sorted(
+            map(tuple, ivfpq_query_store(
+                store, queries, centroids, PQ_CODEBOOKS,
+                k=3, nprobe=2, prune_partitions=prune,
+            ).collect())
+        )
+        assert got == expected
+
+    # the pruned plan actually prunes: scan only the probed partitions
+    probed_plan = ivfpq_query_store(
+        store, queries, centroids, PQ_CODEBOOKS, k=3, nprobe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "bucket IN" in probed_plan or "isin" in probed_plan.lower() or \
+        "PartitionFilters: [" in probed_plan

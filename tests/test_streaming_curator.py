@@ -1,0 +1,211 @@
+"""StreamingCuratorPipeline: ingest-time curation (quality gate →
+signature-store incremental dedup → stateful per-source quota) equals
+the batch Curator on the same corpus, survives kill-resume, never
+double-counts on replay, and emits Curator.report()-named funnel rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SCHEMA = "doc_id long, text string, source string"
+MH = {"k": 16, "bands": 4, "threshold": 0.5, "max_band_df": None}
+CONFIG = {
+    "quality": {"gopher": True},
+    "dedup": {"exact": True, "minhash": MH},
+    "domain_cap": {"domain_col": "source", "cap": 2},
+}
+
+GOOD_A = "the quick brown fox and the lazy dog ran over twelve quiet hills"
+GOOD_B = "spark shuffles the data between stages and it regroups all the rows by key"
+GOOD_B_NEAR = "spark shuffles the data between stages and it regroups all the rows by keys"
+GOOD_C = "a genuinely novel document about the storage formats and their encodings"
+GOOD_D = "broadcast joins avoid the shuffle when one side fits in the executor memory"
+GOOD_E = "partition pruning skips the files whose min max range excludes the predicate"
+GOOD_E_NEAR = "partition pruning skips the files whose min max range excludes the predicates"
+GOOD_F = "watermarks bound the state kept for late data in a windowed streaming aggregation"
+GOOD_G = "columnar formats let the scan read only the columns a projection actually needs"
+
+
+def _epochs():
+    # quality drops 3, 11 (under 10 words); exact dedup drops 5 (dup of
+    # 1); minhash drops 6 (near-dup of 2) and 12 (near-dup of 8); the
+    # web quota (cap 2, held by 1 and 2) drops 7 and 9. No near-dup
+    # CHAINS: one-shot and incremental dedup agree on chain-free
+    # corpora (an A~B, B~C, A!~C chain is the documented divergence:
+    # the batch pass drops both B and C, the stream keeps C because its
+    # only near-dup B was never committed).
+    return [
+        [
+            (1, GOOD_A, "web"),
+            (2, GOOD_B, "web"),
+            (3, "too short here", "web"),
+            (4, GOOD_C, "blog"),
+        ],
+        [
+            (5, GOOD_A, "blog"),
+            (6, GOOD_B_NEAR, "web"),
+            (7, GOOD_D, "web"),
+            (8, GOOD_E, "blog"),
+        ],
+        [
+            (9, GOOD_F, "web"),
+            (10, GOOD_G, "news"),
+            (11, "digits 1 2 3", "news"),
+            (12, GOOD_E_NEAR, "news"),
+        ],
+    ]
+
+
+EXPECTED = {1, 2, 4, 8, 10}
+
+
+def _pipe(spark, tmp_path, config=CONFIG):
+    from sarkac_spark.streaming.streaming_curator import StreamingCuratorPipeline
+
+    return StreamingCuratorPipeline(spark, str(tmp_path / "store"), config)
+
+
+def test_stream_equals_batch_curator(spark, tmp_path):
+    """The composed stream == Curator.apply() on the same corpus: same
+    survivor set, and the summed per-epoch funnel equals the batch
+    report stage-for-stage (same stage names)."""
+    from sarkac_spark.curator import Curator
+
+    pipe = _pipe(spark, tmp_path)
+    for i, rows in enumerate(_epochs()):
+        pipe.process_batch(spark.createDataFrame(rows, SCHEMA), i)
+    got = {r.doc_id for r in pipe.committed().collect()}
+    assert got == EXPECTED
+
+    # batch twin: same config, with the arrival-order ranking made
+    # explicit (quality_col = -doc_id: domain_cap keeps the LOWEST ids
+    # per domain, which is the stream's admission order)
+    all_rows = [r for rows in _epochs() for r in rows]
+    batch = spark.createDataFrame(all_rows, SCHEMA).withColumn(
+        "neg_id", -F.col("doc_id")
+    )
+    cur = Curator(
+        spark,
+        {
+            "quality": CONFIG["quality"],
+            "dedup": CONFIG["dedup"],
+            "domain_cap": {"domain_col": "source", "cap": 2,
+                           "quality_col": "neg_id"},
+        },
+    )
+    batch_ids = {r.doc_id for r in cur.apply(batch).select("doc_id").collect()}
+    assert batch_ids == EXPECTED
+
+    report = cur.report(batch)
+    stream_funnel = {
+        r.stage: r.n
+        for r in pipe.funnel()
+        .groupBy("stage")
+        .agg(F.sum("n_docs").alias("n"))
+        .collect()
+    }
+    assert stream_funnel == report  # same stage names, same totals
+    assert report == {"input": 12, "quality": 10, "dedup": 7, "domain_cap": 5}
+
+
+def test_quota_is_stateful_across_epochs_and_replay_safe(spark, tmp_path):
+    """The web domain fills its cap in epoch 0+1; later web docs are
+    dropped by the RUNNING count. Replaying an epoch (at-least-once
+    delivery) changes nothing: verdicts recompute identically and the
+    per-epoch partitions are overwritten, not appended."""
+    pipe = _pipe(spark, tmp_path)
+    epochs = _epochs()
+    for i, rows in enumerate(epochs):
+        pipe.process_batch(spark.createDataFrame(rows, SCHEMA), i)
+    before = {r.doc_id for r in pipe.committed().collect()}
+    funnel_before = sorted(map(tuple, pipe.funnel().collect()))
+
+    # replay the LAST epoch (the only one foreachBatch can replay)
+    pipe.process_batch(spark.createDataFrame(epochs[2], SCHEMA), 2)
+    assert {r.doc_id for r in pipe.committed().collect()} == before
+    assert sorted(map(tuple, pipe.funnel().collect())) == funnel_before
+
+    # a later web doc is still quota-dropped; a new domain admits
+    pipe.process_batch(
+        spark.createDataFrame(
+            [(13, GOOD_D + " entirely new words appended", "web"),
+             (14, GOOD_F + " with some freshly appended words", "wiki")],
+            SCHEMA,
+        ),
+        3,
+    )
+    got = {r.doc_id for r in pipe.committed().collect()}
+    assert got == before | {14}
+
+
+def test_streaming_curator_kill_resume(spark, tmp_path):
+    """Checkpointed stream: crash after the first ingest, land more
+    files, resume — the final corpus equals the uninterrupted run."""
+    pipe = _pipe(spark, tmp_path)
+    src = tmp_path / "src"
+    epochs = _epochs()
+    spark.createDataFrame(epochs[0], SCHEMA).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = pipe.start(stream, str(tmp_path / "ckpt"))
+        q.awaitTermination(180)
+
+    run()
+    assert {r.doc_id for r in pipe.committed().collect()} == {1, 2, 4}
+
+    for i, rows in enumerate(epochs[1:], start=1):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    run()
+    assert {r.doc_id for r in pipe.committed().collect()} == EXPECTED
+
+
+def test_compact_preserves_quota_and_funnel(spark, tmp_path):
+    """compact() folds all four stores; the quota keeps binding and the
+    funnel totals survive the fold."""
+    pipe = _pipe(spark, tmp_path)
+    for i, rows in enumerate(_epochs()):
+        pipe.process_batch(spark.createDataFrame(rows, SCHEMA), i)
+    totals_before = {
+        r.stage: r.n
+        for r in pipe.funnel().groupBy("stage").agg(F.sum("n_docs").alias("n")).collect()
+    }
+    n = pipe.compact()
+    assert n == len(EXPECTED)
+    assert {r.doc_id for r in pipe.committed().collect()} == EXPECTED
+    totals_after = {
+        r.stage: r.n
+        for r in pipe.funnel().groupBy("stage").agg(F.sum("n_docs").alias("n")).collect()
+    }
+    assert totals_after == totals_before
+
+    # post-compact: quota still remembers web is full, dedup still
+    # remembers committed texts
+    pipe.process_batch(
+        spark.createDataFrame(
+            [(20, GOOD_A, "news"),  # exact dup of committed 1
+             (21, GOOD_G + " plus a few more added words here", "web")],  # quota
+            SCHEMA,
+        ),
+        5,
+    )
+    assert {r.doc_id for r in pipe.committed().collect()} == EXPECTED
+
+
+def test_offline_only_stages_raise(spark, tmp_path):
+    from sarkac_spark.streaming.streaming_curator import StreamingCuratorPipeline
+
+    with pytest.raises(ValueError, match="no streaming member"):
+        StreamingCuratorPipeline(
+            spark, str(tmp_path / "s"), {"quality": {"gopher": True},
+                                         "chunk": {"chunk_words": 40}}
+        )

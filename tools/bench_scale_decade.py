@@ -64,6 +64,7 @@ CLASSES = {
         "dedup_canonical", "dedup_clusters", "decontamination",
         "contamination_spans", "cluster_split",
         "curation_funnel",  # its dedup stage is the banded minhash
+        "dedup_phash",  # r8: banded image near-dup (planted pair per 2 docs)
     ],
     "allpairs": ["embedding_neardup", "semantic_dedup"],
 }
@@ -87,6 +88,66 @@ def _run(q, spark, sf_dir, runs: int = 2) -> tuple[float, int]:
         rows = q(spark, sf_dir).count()
         best = min(best, time.monotonic() - t0)
     return best, rows
+
+
+def _scaled_nlist_arm(spark, sf_dir: str, runs: int) -> dict:
+    """The nlist ~ sqrt(n) IVF-PQ decade arm (VERDICT r7 #2): the
+    registered ivfpq_topk runs with a FIXED 8-centroid IVF and
+    nprobe=2, so its probed fraction is constant and ADC work grows
+    linearly with the corpus (measured 31x wall at 100x). Real IVF
+    sizes nlist ~ sqrt(n) with nprobe fixed, making probed work grow
+    ~sqrt(n) — but that only pays off against a PREBUILT index (the
+    production shape: built once / incrementally by ivf_maintenance,
+    queried many times). This arm measures both legs separately:
+
+    - build: ivfpq_store (assignment is one corpus scan x nlist argmax,
+      so build work is ~n*sqrt(n) — REPORTED, not bounded; it amortizes
+      across queries and is incremental in production).
+    - query: ivfpq_query_store over the bucket-partitioned store with
+      partition pruning — the leg that must stay sublinear.
+
+    Centroids are the fit-free first-nlist vectors (the N_CENTROIDS
+    convention); queries are vec_id < 10, as in the registered query.
+    """
+    import math
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.operators.pq import (
+        PQ_CODEBOOKS,
+        ivfpq_query_store,
+        ivfpq_store,
+    )
+    from sarkac_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    nlist = max(8, math.isqrt(n))
+    cents = e.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    path = os.path.join(sf_dir, "ivfpq_store_sqrtn")
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = time.monotonic()
+    ivfpq_store(e, PQ_CODEBOOKS, cents).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+    build_wall = time.monotonic() - t0
+    store = spark.read.parquet(path)
+    queries = e.filter(F.col("vec_id") < 10)
+    best, rows = float("inf"), 0
+    for _ in range(runs):
+        t0 = time.monotonic()
+        rows = ivfpq_query_store(
+            store, queries, cents, PQ_CODEBOOKS, k=3, nprobe=2
+        ).count()
+        best = min(best, time.monotonic() - t0)
+    return {
+        "n_vecs": n, "nlist": nlist,
+        "build_wall": round(build_wall, 3),
+        "query_wall": round(best, 3), "query_rows": rows,
+    }
 
 
 def main() -> int:
@@ -120,6 +181,33 @@ def main() -> int:
     queries = entry.queries()
 
     results, failures = {}, []
+    if "--scaled-nlist" in args:
+        a1 = _scaled_nlist_arm(spark, d1, runs)
+        aN = _scaled_nlist_arm(spark, d10, runs)
+        qratio = round(aN["query_wall"] / max(a1["query_wall"], 1e-9), 2)
+        bratio = round(aN["build_wall"] / max(a1["build_wall"], 1e-9), 2)
+        # the query leg is the bounded one: with nlist ~ sqrt(n) and a
+        # pruned store scan it must stay FAR below linear at any decade
+        # (VERDICT r7 #2 gate: < 15x at 100x)
+        ok = qratio <= 15.0
+        results["ivfpq_query_sqrtn"] = {
+            "class": "sqrtn", "wall_x1": a1["query_wall"],
+            f"wall_x{mult}": aN["query_wall"], "wall_ratio": qratio,
+            "rows_x1": a1["query_rows"], f"rows_x{mult}": aN["query_rows"],
+            "rows_ratio": round(aN["query_rows"] / max(a1["query_rows"], 1), 2),
+            "nlist_x1": a1["nlist"], f"nlist_x{mult}": aN["nlist"], "ok": ok,
+        }
+        if not ok:
+            failures.append("ivfpq_query_sqrtn")
+        results["ivfpq_build_sqrtn"] = {
+            "class": "build", "wall_x1": a1["build_wall"],
+            f"wall_x{mult}": aN["build_wall"], "wall_ratio": bratio,
+            "rows_x1": a1["n_vecs"], f"rows_x{mult}": aN["n_vecs"],
+            "rows_ratio": round(aN["n_vecs"] / max(a1["n_vecs"], 1), 2),
+            "nlist_x1": a1["nlist"], f"nlist_x{mult}": aN["nlist"],
+        }
+        for n in ("ivfpq_query_sqrtn", "ivfpq_build_sqrtn"):
+            print(f"{n}: {results[n]}", file=sys.stderr)
     for cls, names in CLASSES.items():
         for name in names:
             if only is not None and name not in only:

@@ -127,14 +127,73 @@ def gen_embeddings(n_vecs: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
-def generate(out_dir: str, multiplier: float, seed: int = 42) -> dict:
+BASE_EVENTS = 100_000
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+EVENT_BASE_VALUE = {"click": 10.0, "error": 50.0, "purchase": 120.0,
+                    "signup": 5.0, "view": 2.0}
+
+
+def gen_events(
+    n_events: int, rng: np.random.Generator, skew: float | None = None
+) -> pa.Table:
+    """Driver-shaped events table (event_id, ts µs over 30 days,
+    user_id, event_type, value, props). ``skew`` is the hot-key knob
+    (VERDICT r7 #5): None gives the driver's uniform 5-type split;
+    0.9 routes 90% of rows to ONE event_type ('view') — the "one
+    topic/series is 90% of the stream" shape that breaks a grouped agg
+    whose partial aggregation doesn't hold (a full shuffle on the
+    skewed key funnels 90% of rows through one reducer)."""
+    if skew is None:
+        p = np.full(len(EVENT_TYPES), 1.0 / len(EVENT_TYPES))
+    else:
+        rest = (1.0 - skew) / (len(EVENT_TYPES) - 1)
+        p = np.array([rest, rest, rest, rest, skew])  # 'view' is hot
+    types = rng.choice(EVENT_TYPES, size=n_events, p=p)
+    base = np.vectorize(EVENT_BASE_VALUE.get)(types)
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = t0 + rng.integers(0, span_us, size=n_events).astype("timedelta64[us]")
+    n_users = max(10, int(1500 * max(1.0, n_events / BASE_EVENTS) ** 0.5))
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n_events), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(
+                rng.integers(0, n_users, size=n_events), pa.int64()
+            ),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(
+                np.round(base + rng.normal(0, 3.0, size=n_events), 2),
+                pa.float64(),
+            ),
+            "props": pa.array(
+                [f'{{"region": "r{int(u) % 7}"}}'
+                 for u in rng.integers(0, 7, size=n_events)],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def generate(
+    out_dir: str,
+    multiplier: float,
+    seed: int = 42,
+    event_skew: float | None = None,
+) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     n_docs = int(BASE_DOCS * multiplier)
     n_embs = int(BASE_EMBS * multiplier)
+    n_events = int(BASE_EVENTS * multiplier)
     rng = np.random.default_rng(seed)
     pq.write_table(gen_documents(n_docs, rng), os.path.join(out_dir, "documents.parquet"))
     pq.write_table(gen_embeddings(n_embs, rng), os.path.join(out_dir, "embeddings.parquet"))
-    meta = {"multiplier": multiplier, "seed": seed, "n_docs": n_docs, "n_embs": n_embs}
+    pq.write_table(
+        gen_events(n_events, rng, skew=event_skew),
+        os.path.join(out_dir, "events.parquet"),
+    )
+    meta = {"multiplier": multiplier, "seed": seed, "n_docs": n_docs,
+            "n_embs": n_embs, "n_events": n_events, "event_skew": event_skew}
     with open(os.path.join(out_dir, "META.json"), "w") as f:
         json.dump(meta, f)
     return meta
