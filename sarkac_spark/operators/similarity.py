@@ -1043,3 +1043,65 @@ def hard_negatives(
         )
     )
     return scored.withColumn("rank", w.cast("long")).filter(F.col("rank") <= k)
+
+
+def ivf_distortion_trend(
+    corpus: DataFrame,
+    centroids_versioned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    version_col: str = "version",
+) -> DataFrame:
+    """Index distortion per CENTROID VERSION — the longitudinal twin of
+    ``ivf_refit_decision``: the gate says "the index is unbalanced
+    NOW"; this trend says "when did it start rotting". For every
+    version in ``centroids_versioned`` (the ``ivf_maintenance``
+    centroids store shape: version, centroid_id, vec), every corpus
+    vector scores against its best centroid UNDER THAT VERSION, and the
+    per-version total cosine gap (1 - best cosine, exact integer
+    micro-units — the ``pq_distortion`` discipline: sums, never means)
+    is the kmeans-objective health of that index generation on the
+    CURRENT corpus. A drifted corpus shows old versions' totals rising
+    and the post-refit version's total dropping (pinned in
+    tests/test_ivf_maintenance_stream.py).
+
+    Output: (version, n_vecs, total_gap_micro). Plan: one corpus scan
+    × broadcast (versions × centroids) dim, grouped max per
+    (version, vector) — map-side combinable, unlike a per-id window —
+    then a versions-sized rollup. Zero-norm vectors coalesce to
+    cosine -1.0 (the worst real score), mirrored in the oracle.
+    """
+    c = centroids_versioned.select(
+        F.col(version_col).cast("long").alias("version"),
+        _as_double(vec_col).alias("cent_vec"),
+    ).withColumn("cent_norm", norm(F.col("cent_vec")))
+    scored = (
+        corpus.select(F.col(id_col), _as_double(vec_col).alias("vec"))
+        .withColumn("vec_norm", norm(F.col("vec")))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "version",
+            id_col,
+            F.coalesce(
+                F.round(
+                    cosine_with_norms(
+                        F.col("vec"),
+                        F.col("cent_vec"),
+                        F.col("vec_norm"),
+                        F.col("cent_norm"),
+                    ),
+                    6,
+                ),
+                F.lit(-1.0),
+            ).alias("sim"),
+        )
+    )
+    per_vec = scored.groupBy("version", id_col).agg(
+        F.max("sim").alias("best_sim")
+    )
+    return per_vec.groupBy("version").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(
+            F.round((F.lit(1.0) - F.col("best_sim")) * 1_000_000).cast("long")
+        ).alias("total_gap_micro"),
+    )

@@ -18,6 +18,7 @@ from sarkac_spark.queries.llm_curation import *  # noqa: F401,F403
 
 QUERIES = {
     "dedup_phash": q_dedup_phash,
+    "ivf_drift_trend": q_ivf_drift_trend,
     "bloom_vocab": q_bloom_vocab,
     "bpe_apply": q_bpe_apply,
     "bpe_fertility": q_bpe_fertility,
@@ -106,6 +107,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_phash": _dedup_phash_sql(),
+    "ivf_drift_trend": _ivf_drift_trend_sql(),
     "quality_classifier": _quality_classifier_sql(),
     "classifier_confusion": _classifier_confusion_sql(),
     "classifier_calibration": _classifier_calibration_sql(),

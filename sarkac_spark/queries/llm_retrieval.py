@@ -16,6 +16,8 @@ __all__ = [
     "_ivf_bucket_stats_sql",
     "q_pq_distortion",
     "_pq_distortion_sql",
+    "q_ivf_drift_trend",
+    "_ivf_drift_trend_sql",
     "q_ivf_refit_decision",
     "_ivf_refit_decision_sql",
     "q_text_ivfpq",
@@ -878,4 +880,43 @@ SELECT query_id, neighbor_id, dist, rank FROM (
     PARTITION BY query_id ORDER BY dist, neighbor_id
   ) AS rank FROM rescored
 ) WHERE rank <= {TOPK}
+"""
+
+
+def q_ivf_drift_trend(spark, sf_dir):
+    """Per-version IVF distortion trend (the 'when did the index start
+    rotting' audit): three fit-free centroid generations (vec_id
+    windows [0,8), [8,16), [16,24) — the N_CENTROIDS convention, one
+    relation per version) scored against the whole corpus, one
+    kmeans-objective total per version. Longitudinal twin of
+    ivf_refit_decision; streaming twin reads the real maintenance
+    store (IvfMaintenancePipeline.distortion_trend)."""
+    from sarkac_spark.operators.similarity import ivf_distortion_trend
+
+    e = _embs(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < 3 * N_CENTROIDS).select(
+        (F.col("vec_id") / N_CENTROIDS).cast("long").alias("version"),
+        (F.col("vec_id") % N_CENTROIDS).alias("centroid_id"),
+        "embedding",
+    )
+    return ivf_distortion_trend(e, cents)
+
+
+def _ivf_drift_trend_sql() -> str:
+    cos = _COS.format(a="e.v", b="c.v")
+    return f"""
+WITH ed AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+  SELECT vec_id // {N_CENTROIDS} AS version, v
+  FROM ed WHERE vec_id < {3 * N_CENTROIDS}
+),
+s AS (
+  SELECT c.version, e.vec_id, coalesce({cos}, -1.0) AS sim
+  FROM ed e, c
+),
+pv AS (SELECT version, vec_id, max(sim) AS best FROM s GROUP BY 1, 2)
+SELECT version, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CAST(round((1 - best) * 1000000) AS BIGINT)) AS BIGINT)
+         AS total_gap_micro
+FROM pv GROUP BY version
 """

@@ -134,6 +134,30 @@ class IvfMaintenancePipeline:
             .agg(F.sum("n_vecs").cast("long").alias("n_vecs"))
         )
 
+    def distortion_trend(self) -> DataFrame:
+        """Per-VERSION index distortion over the CURRENT stored corpus
+        (``ivf_distortion_trend`` against every centroid generation in
+        the store): the longitudinal rot audit that complements the
+        instantaneous ``gate()``. A healthy refit shows the newest
+        version's ``total_gap_micro`` strictly below its
+        predecessors' — pinned in tests/test_ivf_maintenance_stream.py.
+        Output: (version, n_vecs, total_gap_micro); cost is one vecs
+        scan × a versions-×-buckets broadcast dim."""
+        from sarkac_spark.operators.similarity import ivf_distortion_trend
+
+        cents = self._read_or_none(self._path("centroids"))
+        if cents is None:
+            cents, _ = self.centroids()  # bootstraps version 0
+            cents = cents.withColumn("version", F.lit(0))
+        vecs = self._read_or_none(self._path("vecs"))
+        if vecs is None:
+            return self.spark.createDataFrame(
+                [], "version long, n_vecs long, total_gap_micro long"
+            )
+        return ivf_distortion_trend(
+            vecs.drop("epoch"), cents, id_col=self.id_col, vec_col=self.vec_col
+        )
+
     def gate(self, version: int) -> tuple[bool, int]:
         """`ivf_refit_decision`'s rule over the incremental occupancy
         relation: hottest bucket above skew_factor x uniform share, or

@@ -191,3 +191,30 @@ def test_compact_preserves_state_and_index_serves(spark, tmp_path):
     pipe.process_batch(spark.createDataFrame(_balanced_rows(2, id0=9000), SCHEMA), 2)
     total = sum(r.n_vecs for r in pipe.occupancy(v_after).collect())
     assert total == n + 8
+
+
+def test_distortion_trend_shows_rot_and_recovery(spark, tmp_path):
+    """The longitudinal rot audit (ivf_distortion_trend over the real
+    maintenance store): after drift fires the gate and the index
+    refits, the NEW version's kmeans-objective total on the stored
+    corpus is strictly below the stale version's — 'when did the index
+    start rotting' answered from the store alone."""
+    pipe = _pipe(spark, tmp_path)
+    pipe.process_batch(spark.createDataFrame(_balanced_rows(4), SCHEMA), 0)
+    pipe.process_batch(spark.createDataFrame(_drift_rows(), SCHEMA), 1)
+    _, version = pipe.centroids()
+    assert version == 1
+
+    trend = {
+        r.version: r.total_gap_micro
+        for r in pipe.distortion_trend().collect()
+    }
+    assert set(trend) == {0, 1}
+    assert trend[1] < trend[0]  # the refit generation fits the corpus better
+
+    # the trend is replay-stable: reading it twice gives the same rows
+    again = {
+        r.version: r.total_gap_micro
+        for r in pipe.distortion_trend().collect()
+    }
+    assert again == trend
