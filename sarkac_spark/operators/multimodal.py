@@ -345,3 +345,87 @@ def dedup_phash(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --- audio fingerprint dedup --------------------------------------------------
+
+# Audio analog of dHash: the decoded waveform bins onto AFP_FRAMES+1
+# equal frames, per-frame ENERGY (sum of squared samples) replaces the
+# block mean, and the 64 consecutive-frame comparisons pack into the
+# same DHASH_BANDS x 16-bit band layout — so `dedup_phash` (banding +
+# Hamming verify) pairs audio fingerprints unchanged. Sign-of-delta
+# energies are invariant to global gain (energies scale by gain^2,
+# comparisons survive any monotone scaling) and to integer resampling
+# (sample duplication scales every equal-size frame alike).
+AFP_FRAMES = GRID_ROWS * GRID_COLS  # 64 comparisons over 65 frames
+
+
+def afp_bands_from_samples(samples: np.ndarray) -> list[int]:
+    """Waveform -> DHASH_BANDS 16-bit audio-fingerprint band values.
+
+    Exactness note (what makes an arithmetic oracle possible): for
+    int16 PCM decoded by ``decode_wav`` (sample/32768), per-frame
+    energies are sums of squares of dyadic rationals — exactly
+    representable in doubles up to 2^53 — so energy comparisons equal
+    the INTEGER comparisons on the raw sample squares whenever frames
+    are equal-sized. Uneven frames compare via cross-multiplied counts.
+    """
+    s = np.asarray(samples, dtype=np.float64)
+    n = len(s)
+    bins = AFP_FRAMES + 1
+    idx = np.arange(n) * bins // max(n, 1)
+    sums = np.zeros(bins, dtype=np.float64)
+    cnts = np.zeros(bins, dtype=np.int64)
+    np.add.at(sums, idx, s * s)
+    np.add.at(cnts, idx, 1)
+    bits = (
+        sums[:-1] * cnts[1:] < sums[1:] * cnts[:-1]
+    ).astype(np.int64)
+    bands = []
+    for b in range(DHASH_BANDS):
+        chunk = bits[b * DHASH_BAND_BITS : (b + 1) * DHASH_BAND_BITS]
+        bands.append(int((chunk << np.arange(DHASH_BAND_BITS)).sum()))
+    return bands
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-clip audio fingerprint over the REAL decode path: PCM WAV ->
+    samples (``decode_wav``) -> ``afp_bands_from_samples``. Arrow
+    ``mapInPandas`` like ``image_dhash``; output (id, dhash_bands
+    array<int>) — feed straight into ``dedup_phash`` for banded
+    near-dup pairing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                samples, _ = decode_wav(bytes(payload))
+                out.append(afp_bands_from_samples(samples))
+            yield pd.DataFrame({id_col: pdf[id_col], "dhash_bands": out})
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} long, dhash_bands array<int>"
+    )
+
+
+def wav_bytes(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal valid 16-bit mono PCM WAV container around ``samples``
+    (int16 range) — the synthesis counterpart of ``decode_wav``, used
+    by tests and the deterministic oracle corpora."""
+    data = np.asarray(samples).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )

@@ -19,6 +19,7 @@ from sarkac_spark.queries.llm_curation import *  # noqa: F401,F403
 QUERIES = {
     "dedup_phash": q_dedup_phash,
     "ivf_drift_trend": q_ivf_drift_trend,
+    "dedup_audio": q_dedup_audio,
     "bloom_vocab": q_bloom_vocab,
     "bpe_apply": q_bpe_apply,
     "bpe_fertility": q_bpe_fertility,
@@ -108,6 +109,7 @@ QUERIES = {
 ORACLE = {
     "dedup_phash": _dedup_phash_sql(),
     "ivf_drift_trend": _ivf_drift_trend_sql(),
+    "dedup_audio": _dedup_audio_sql(),
     "quality_classifier": _quality_classifier_sql(),
     "classifier_confusion": _classifier_confusion_sql(),
     "classifier_calibration": _classifier_calibration_sql(),

@@ -53,6 +53,13 @@ __all__ = [
     "PHASH_NOISE",
     "PHASH_BRIGHT",
     "PHASH_MAX_HAMMING",
+    "q_dedup_audio",
+    "_dedup_audio_sql",
+    "_synth_wav_media",
+    "AFP_N_SAMPLES",
+    "AFP_AMP",
+    "AFP_NOISE",
+    "AFP_MAX_HAMMING",
 ]
 
 def q_dedup_exact(spark, sf_dir):
@@ -1099,4 +1106,134 @@ ham AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {PHASH_MAX_HAMMING}
+"""
+
+
+# --- audio near-dup (the second multimodal dedup member) ----------------------
+
+# Same deterministic-corpus trick as dedup_phash, over PCM WAV: sample
+# values avalanche-hash from (scene, sample index); each ODD doc is its
+# EVEN neighbor at DOUBLE volume, 2x sample-duplicated (resample), with
+# a moved noise sample — the invariances the energy fingerprint must
+# deliver (energies scale by gain^2 and comparisons survive it; equal-
+# size frames absorb duplication). The oracle recomputes INTEGER frame
+# energies (sums of squared int16 samples — decode_wav's /32768 scaling
+# is an exact power-of-two, so double comparisons equal the integer
+# ones by construction).
+AFP_N_SAMPLES = 1300  # 65 frames x 20 samples (divisible -> equal frames)
+AFP_AMP = 8190        # base amplitude; x2 volume stays inside int16
+AFP_NOISE = 4000
+AFP_MAX_HAMMING = 6
+
+
+def _synth_wav_media(docs):
+    import numpy as np
+    import pandas as pd
+
+    from sarkac_spark.operators.multimodal import wav_bytes
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                a = doc_id // 2
+                i = np.arange(AFP_N_SAMPLES, dtype=np.int64)
+                h = a * AFP_N_SAMPLES + i + 1
+                h = (h * 2654435761) % 2147483648
+                h = np.bitwise_xor(h, h // 65536)
+                h = (h * 1103515245) % 2147483648
+                h = np.bitwise_xor(h, h // 2048)
+                s = (h % (2 * AFP_AMP + 1)) - AFP_AMP
+                s = s.copy()
+                s[(doc_id * 31) % AFP_N_SAMPLES] = AFP_NOISE
+                if doc_id % 2:
+                    s = np.repeat(s * 2, 2)
+                payloads.append(wav_bytes(s))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+def q_dedup_audio(spark, sf_dir):
+    """Audio near-dup pairs via frame-energy fingerprints + the SAME
+    banded LSH pairing as images (``dedup_phash`` over
+    ``audio_fingerprint`` output) — the audio member of the multimodal
+    dedup family, through the REAL WAV decode path (Arrow
+    mapInPandas)."""
+    from sarkac_spark.operators.multimodal import audio_fingerprint, dedup_phash
+
+    media = _synth_wav_media(_docs(spark, sf_dir))
+    return dedup_phash(
+        audio_fingerprint(media),
+        max_hamming=AFP_MAX_HAMMING,
+        max_band_df=MINHASH_MAX_BAND_DF,
+    ).select("id_a", "id_b", "hamming")
+
+
+def _dedup_audio_sql() -> str:
+    """Arithmetic mirror: integer frame energies from the synthetic
+    sample formula (base waveform only — volume x2 and duplication
+    provably cancel in equal-frame comparisons), consecutive-frame
+    bits, 4 x 16-bit bands, df-capped band join + XOR Hamming."""
+    frame = AFP_N_SAMPLES // 65
+    return f"""
+WITH g AS (
+  SELECT doc_id, doc_id // 2 AS a, (doc_id * 31) % {AFP_N_SAMPLES} AS np
+  FROM documents
+),
+h1 AS (
+  SELECT doc_id, np, i,
+         ((a * {AFP_N_SAMPLES} + i + 1) * 2654435761) % 2147483648 AS h
+  FROM g, (SELECT unnest(range({AFP_N_SAMPLES})) AS i)
+),
+h2 AS (SELECT doc_id, np, i,
+              (xor(h, h // 65536) * 1103515245) % 2147483648 AS h FROM h1),
+sv AS (
+  SELECT doc_id, i // {frame} AS f,
+         CASE WHEN i = np THEN {AFP_NOISE}
+              ELSE xor(h, h // 2048) % {2 * AFP_AMP + 1} - {AFP_AMP} END AS s
+  FROM h2
+),
+fe AS (SELECT doc_id, f, sum(s * s) AS e FROM sv GROUP BY 1, 2),
+bits AS (
+  SELECT l.doc_id, l.f AS k,
+         CASE WHEN l.e < rr.e THEN 1 ELSE 0 END AS bit
+  FROM fe l JOIN fe rr ON rr.doc_id = l.doc_id AND rr.f = l.f + 1
+  WHERE l.f < 64
+),
+bands0 AS (
+  SELECT doc_id,
+         (k // 16)::varchar || '|' ||
+           CAST(sum(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT)::varchar
+           AS band_key,
+         k // 16 AS band_idx,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT) AS band_val
+  FROM bits GROUP BY doc_id, k // 16
+),
+bands AS (
+  SELECT doc_id, band_key, band_idx, band_val FROM (
+    SELECT doc_id, band_key, band_idx, band_val,
+           count(*) OVER (PARTITION BY band_key) AS bdf
+    FROM bands0
+  ) WHERE bdf <= {MINHASH_MAX_BAND_DF}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT c.id_a, c.id_b,
+         CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN bands0 x ON x.doc_id = c.id_a
+  JOIN bands0 y ON y.doc_id = c.id_b AND y.band_idx = x.band_idx
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {AFP_MAX_HAMMING}
 """

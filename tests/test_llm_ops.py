@@ -2058,3 +2058,46 @@ def test_dedup_phash_band_df_cap_bounds_hot_bands(spark):
     capped = dedup_phash(hashes, max_hamming=6, max_band_df=10).count()
     assert uncapped == 20 * 19 // 2  # every pair, quadratic
     assert capped == 0  # every band hot -> excluded from candidacy
+
+
+def test_audio_fingerprint_invariances_and_planted_dups(spark):
+    """Frame-energy audio fingerprints are exactly invariant to global
+    gain and integer resampling; the banded pair operator (shared with
+    images) catches planted volume/resample dups while distinct clips
+    survive."""
+    import numpy as np
+
+    from sarkac_spark.operators.multimodal import (
+        afp_bands_from_samples,
+        audio_fingerprint,
+        dedup_phash,
+        wav_bytes,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(-8190, 8191, size=1300).astype(np.int64)
+    louder = base * 2                       # gain: energies x4
+    resampled = np.repeat(base, 2)          # 2x duplication
+    both = np.repeat(base * 3, 3)
+    f = lambda s: afp_bands_from_samples(s.astype(np.float64) / 32768.0)
+    assert f(base) == f(louder) == f(resampled) == f(both)
+
+    other = rng.integers(-8190, 8191, size=1300).astype(np.int64)
+    ham = sum(bin(a ^ b).count("1") for a, b in zip(f(base), f(other)))
+    assert ham > 12
+
+    media = spark.createDataFrame(
+        [
+            (1, wav_bytes(base)),
+            (2, wav_bytes(louder)),      # planted volume dup
+            (3, wav_bytes(resampled)),   # planted resample dup
+            (4, wav_bytes(other)),       # distinct — must survive
+        ],
+        "media_id long, payload binary",
+    )
+    pairs = dedup_phash(
+        audio_fingerprint(media), max_hamming=6, max_band_df=None
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= got
+    assert not any(4 in p for p in got)

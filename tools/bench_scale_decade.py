@@ -65,6 +65,7 @@ CLASSES = {
         "contamination_spans", "cluster_split",
         "curation_funnel",  # its dedup stage is the banded minhash
         "dedup_phash",  # r8: banded image near-dup (planted pair per 2 docs)
+        "dedup_audio",  # r8: banded audio near-dup, same pairing machinery
     ],
     "allpairs": ["embedding_neardup", "semantic_dedup"],
 }
