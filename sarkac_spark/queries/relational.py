@@ -556,7 +556,91 @@ def q_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT-EXISTS correlated pair — suppliers
+    who were the ONLY supplier with a returned lineitem in a
+    multi-supplier order (Q21's 'kept the order waiting' predicate,
+    re-keyed on l_returnflag since this schema has no receipt/commit
+    dates). Decorrelated the scale-correct way: ONE grouped pass per
+    (order, supplier) with a returned-flag max, ONE per-order rollup
+    (suppliers, suppliers-with-returns) derived FROM it — the
+    EXISTS/NOT-EXISTS pair becomes two columns of the same aggregate,
+    never a re-scan per subquery. Supplier dim broadcasts at the end.
+    Output: per-supplier count of blocked orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("__ret")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_sup"),
+        F.sum("__ret").alias("__n_ret_sup"),
+    )
+    blocked = (
+        per_os.filter(F.col("__ret") == 1)
+        .join(per_o, "l_orderkey")
+        .filter((F.col("__n_sup") >= 2) & (F.col("__n_ret_sup") == 1))
+    )
+    return (
+        blocked.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(
+            F.broadcast(sup.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "numwait",
+        )
+    )
+
+
+def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-average subquery + NOT EXISTS —
+    customers with an account balance above the average POSITIVE
+    balance who placed no RECENT orders (none since 2000-06-01 — the
+    lapsed-but-funded segment Q22 targets), rolled up per nation.
+    Decorrelated: the global average is a 1-row broadcast; the NOT
+    EXISTS is one left-anti join against the distinct recent-order
+    custkeys (the filter pushes into the orders scan). Balances are
+    integer cents end-to-end."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp_ntz")
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    c = cust.select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nationkey"),
+        cents.alias("bal_cents"),
+    )
+    # avg positive balance as exact integer micro-cents: sum*1e4 div n
+    # (integral div on longs — no float mean, the quality_score lesson)
+    avg_pos = (
+        c.filter(F.col("bal_cents") > 0)
+        .agg(
+            F.expr("(sum(bal_cents) * 10000L) div count(1)").alias("__avg_tc")
+        )
+    )
+    idle = c.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_anti",
+    )
+    return (
+        idle.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("bal_cents") * 10000 > F.col("__avg_tc"))
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").alias("totacctbal_cents"),
+        )
+    )
+
+
 QUERIES = {
+    "blocking_suppliers": q_blocking_suppliers,
+    "rich_idle_customers": q_rich_idle_customers,
     "min_cost_supplier": q_min_cost_supplier,
     "excess_shipments": q_excess_shipments,
     "top_supplier_by_revenue": q_top_supplier_by_revenue,
@@ -586,6 +670,42 @@ QUERIES = {
 }
 
 ORACLE = {
+    "blocking_suppliers": """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+  FROM lineitem GROUP BY 1, 2
+),
+per_o AS (
+  SELECT l_orderkey, count(*) AS n_sup, sum(ret) AS n_ret_sup
+  FROM per_os GROUP BY 1
+)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+       count(*) AS numwait
+FROM per_os p
+JOIN per_o o ON o.l_orderkey = p.l_orderkey
+JOIN supplier s ON s.s_suppkey = p.l_suppkey
+WHERE p.ret = 1 AND o.n_sup >= 2 AND o.n_ret_sup = 1
+GROUP BY 1, 2
+""",
+    "rich_idle_customers": """
+WITH c AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+avg_pos AS (
+  SELECT (sum(bal_cents) * 10000) // count(*) AS avg_tc
+  FROM c WHERE bal_cents > 0
+)
+SELECT nationkey, count(*) AS numcust,
+       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+FROM c, avg_pos
+WHERE bal_cents * 10000 > avg_tc
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY nationkey
+""",
     "min_cost_supplier": """
 WITH eur AS (
   SELECT s.s_suppkey, s.s_name, n.n_name
