@@ -429,3 +429,50 @@ def wav_bytes(samples: np.ndarray, rate: int = 8000) -> bytes:
         + struct.pack("<I", len(data))
         + data
     )
+
+
+def video_fingerprint(
+    frames: DataFrame,
+    id_col: str = "media_id",
+    frame_col: str = "frame_idx",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video near-dup signature from SAMPLED FRAMES: each frame (a PNM
+    payload, e.g. produced by the ``frame_sample_plan`` + injected
+    grabber pipeline) hashes through the image dHash path, and the
+    per-frame band values concatenate in frame order into one
+    ``dhash_bands`` array per video (n_frames x DHASH_BANDS ints).
+    ``dedup_phash`` pairs the result unchanged — its banding
+    (posexplode keeps the position as the band index, so frame 0's
+    bands never collide with frame 2's) and zip_with XOR Hamming are
+    agnostic to array length; ``max_hamming`` then bounds the TOTAL
+    bit distance across all sampled frames.
+
+    Input: one row per (video, sampled frame); output: (id,
+    dhash_bands). Scale shape: the frame relation is the scan unit
+    (decode cost ∝ sampled frames, not video bytes), the per-video
+    rollup is one grouped aggregation with frame-ordered assembly."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                pixels, _, _ = decode_pnm(bytes(payload))
+                out.append(dhash_bands_from_pixels(pixels))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    frame_col: pdf[frame_col],
+                    "frame_bands": out,
+                }
+            )
+
+    per_frame = frames.select(id_col, frame_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} long, {frame_col} int, frame_bands array<int>"
+    )
+    return per_frame.groupBy(id_col).agg(
+        F.flatten(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(frame_col), F.col("frame_bands")))
+            ).getField("frame_bands")
+        ).alias("dhash_bands")
+    )

@@ -20,6 +20,7 @@ QUERIES = {
     "dedup_phash": q_dedup_phash,
     "ivf_drift_trend": q_ivf_drift_trend,
     "dedup_audio": q_dedup_audio,
+    "dedup_video": q_dedup_video,
     "bloom_vocab": q_bloom_vocab,
     "bpe_apply": q_bpe_apply,
     "bpe_fertility": q_bpe_fertility,
@@ -110,6 +111,7 @@ ORACLE = {
     "dedup_phash": _dedup_phash_sql(),
     "ivf_drift_trend": _ivf_drift_trend_sql(),
     "dedup_audio": _dedup_audio_sql(),
+    "dedup_video": _dedup_video_sql(),
     "quality_classifier": _quality_classifier_sql(),
     "classifier_confusion": _classifier_confusion_sql(),
     "classifier_calibration": _classifier_calibration_sql(),

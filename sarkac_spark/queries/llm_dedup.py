@@ -60,6 +60,10 @@ __all__ = [
     "AFP_AMP",
     "AFP_NOISE",
     "AFP_MAX_HAMMING",
+    "q_dedup_video",
+    "_dedup_video_sql",
+    "_synth_video_frames",
+    "VID_FRAMES",
 ]
 
 def q_dedup_exact(spark, sf_dir):
@@ -1236,4 +1240,142 @@ ham AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {AFP_MAX_HAMMING}
+"""
+
+
+# --- video near-dup (the third multimodal dedup member) ----------------------
+
+# Same deterministic-corpus contract, one dimension up: each doc is a
+# "video" of VID_FRAMES sampled PNM frames whose pixels avalanche-hash
+# from (scene, frame, pixel index); each ODD doc is its EVEN neighbor
+# with every frame brightness-shifted, 2x upscaled, and its noise pixel
+# moved. The fingerprint concatenates per-frame dHash bands in frame
+# order, so the oracle's band_idx space is frame-major by construction.
+VID_FRAMES = 3
+
+
+def _synth_video_frames(docs):
+    import numpy as np
+    import pandas as pd
+
+    n_px = PHASH_W * PHASH_H
+
+    def run(batches):
+        for pdf in batches:
+            mids, fidxs, payloads = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                a = doc_id // 2
+                for fr in range(VID_FRAMES):
+                    i = np.arange(n_px, dtype=np.int64)
+                    h = (a * VID_FRAMES + fr) * n_px + i + 1
+                    h = (h * 2654435761) % 2147483648
+                    h = np.bitwise_xor(h, h // 65536)
+                    h = (h * 1103515245) % 2147483648
+                    h = np.bitwise_xor(h, h // 2048)
+                    flat = (h % PHASH_MOD).copy()
+                    flat[(doc_id * 31 + fr * 97) % n_px] += PHASH_NOISE
+                    img = flat.reshape(PHASH_H, PHASH_W)
+                    if doc_id % 2:
+                        img = img + PHASH_BRIGHT
+                        img = np.kron(img, np.ones((2, 2), dtype=np.int64))
+                    hgt, wid = img.shape
+                    payloads.append(
+                        b"P5\n%d %d\n255\n" % (wid, hgt)
+                        + img.astype("uint8").tobytes()
+                    )
+                    mids.append(doc_id)
+                    fidxs.append(fr)
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_idx": fidxs, "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="media_id long, frame_idx int, payload binary"
+    )
+
+
+def q_dedup_video(spark, sf_dir):
+    """Video near-dup pairs: frame-sampled dHash sequences through the
+    REAL per-frame PNM decode (Arrow mapInPandas), concatenated in
+    frame order, paired by the SAME banded machinery as images/audio
+    (``dedup_phash`` — band indexes are frame-major, so Hamming bounds
+    the total bit distance across all sampled frames)."""
+    from sarkac_spark.operators.multimodal import dedup_phash, video_fingerprint
+
+    frames = _synth_video_frames(_docs(spark, sf_dir))
+    return dedup_phash(
+        video_fingerprint(frames),
+        max_hamming=PHASH_MAX_HAMMING * VID_FRAMES,
+        max_band_df=MINHASH_MAX_BAND_DF,
+    ).select("id_a", "id_b", "hamming")
+
+
+def _dedup_video_sql() -> str:
+    """Arithmetic mirror: the dedup_phash pixel/grid/bit CTEs with a
+    frame dimension; band_idx = frame * DHASH_BANDS + chunk (the
+    frame-major concatenation order)."""
+    n_px = PHASH_W * PHASH_H
+    return f"""
+WITH g AS (
+  SELECT doc_id, doc_id // 2 AS a FROM documents
+),
+fr AS (SELECT unnest(range({VID_FRAMES})) AS fr),
+h1 AS (
+  SELECT doc_id, fr,
+         (doc_id * 31 + fr * 97) % {n_px} AS np, i,
+         (((a * {VID_FRAMES} + fr) * {n_px} + i + 1) * 2654435761)
+           % 2147483648 AS h
+  FROM g, fr, (SELECT unnest(range({n_px})) AS i)
+),
+h2 AS (SELECT doc_id, fr, np, i,
+              (xor(h, h // 65536) * 1103515245) % 2147483648 AS h FROM h1),
+px AS (
+  SELECT doc_id, fr,
+         (i // {PHASH_W}) // {PHASH_H // 8} AS gr,
+         (i % {PHASH_W}) // {PHASH_W // 9} AS gc,
+         xor(h, h // 2048) % {PHASH_MOD}
+           + CASE WHEN i = np THEN {PHASH_NOISE} ELSE 0 END AS v
+  FROM h2
+),
+cell AS (SELECT doc_id, fr, gr, gc, sum(v) AS s FROM px GROUP BY 1, 2, 3, 4),
+bits AS (
+  SELECT l.doc_id, l.fr, l.gr * 8 + l.gc AS k,
+         CASE WHEN l.s < rr.s THEN 1 ELSE 0 END AS bit
+  FROM cell l
+  JOIN cell rr ON rr.doc_id = l.doc_id AND rr.fr = l.fr
+              AND rr.gr = l.gr AND rr.gc = l.gc + 1
+  WHERE l.gc < 8
+),
+bands0 AS (
+  SELECT doc_id,
+         (fr * 4 + k // 16)::varchar || '|' ||
+           CAST(sum(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT)::varchar
+           AS band_key,
+         fr * 4 + k // 16 AS band_idx,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT) AS band_val
+  FROM bits GROUP BY doc_id, fr, k // 16
+),
+bands AS (
+  SELECT doc_id, band_key, band_idx, band_val FROM (
+    SELECT doc_id, band_key, band_idx, band_val,
+           count(*) OVER (PARTITION BY band_key) AS bdf
+    FROM bands0
+  ) WHERE bdf <= {MINHASH_MAX_BAND_DF}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT c.id_a, c.id_b,
+         CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN bands0 x ON x.doc_id = c.id_a
+  JOIN bands0 y ON y.doc_id = c.id_b AND y.band_idx = x.band_idx
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, hamming FROM ham
+WHERE hamming <= {PHASH_MAX_HAMMING} * {VID_FRAMES}
 """

@@ -2101,3 +2101,45 @@ def test_audio_fingerprint_invariances_and_planted_dups(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert {(1, 2), (1, 3), (2, 3)} <= got
     assert not any(4 in p for p in got)
+
+
+def test_video_fingerprint_planted_dups(spark):
+    """Frame-sequence fingerprints: a video whose every frame is a
+    brightness/resize variant of another's pairs within the hamming
+    budget; reordered or different-scene frames do not."""
+    import numpy as np
+
+    from sarkac_spark.operators.multimodal import dedup_phash, video_fingerprint
+
+    rng = np.random.default_rng(5)
+
+    def p5(img):
+        h, w = img.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
+
+    frames_a = [rng.integers(0, 160, size=(24, 27), dtype=np.int64)
+                for _ in range(3)]
+    rows = []
+    for f, img in enumerate(frames_a):
+        rows.append((1, f, p5(img)))                              # original
+        rows.append((2, f, p5(np.kron(img + 40, np.ones((2, 2),
+                                                        dtype=np.int64)))))
+    # 3: same frames in a DIFFERENT order — frame-major banding must
+    # not pair it band-for-band (band_idx carries the frame position)
+    for f, img in enumerate(reversed(frames_a)):
+        rows.append((3, f, p5(img)))
+    # 4: unrelated scenes
+    for f in range(3):
+        rows.append((4, f, p5(rng.integers(0, 160, size=(24, 27),
+                                           dtype=np.int64))))
+    frames = spark.createDataFrame(rows, "media_id long, frame_idx int, payload binary")
+    pairs = dedup_phash(
+        video_fingerprint(frames), max_hamming=6, max_band_df=None
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any(4 in p for p in got)
+    # the reversed video shares frame HASHES but at shifted positions;
+    # it may band-collide only if some frame repeats — with 3 distinct
+    # random frames it must not pair with 1 under the tight budget
+    assert (1, 3) not in got

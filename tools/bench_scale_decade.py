@@ -66,6 +66,7 @@ CLASSES = {
         "curation_funnel",  # its dedup stage is the banded minhash
         "dedup_phash",  # r8: banded image near-dup (planted pair per 2 docs)
         "dedup_audio",  # r8: banded audio near-dup, same pairing machinery
+        "dedup_video",  # r8: frame-sequence near-dup, frame-major bands
     ],
     "allpairs": ["embedding_neardup", "semantic_dedup"],
 }
