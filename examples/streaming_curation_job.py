@@ -1,0 +1,103 @@
+"""Ingest-time curation example — the StreamingCuratorPipeline
+lifecycle: a document stream is curated AS IT ARRIVES (quality gates →
+signature-store incremental dedup → per-source quota), with the
+per-epoch funnel the operator actually watches, a kill-resume in the
+middle, and the small-files compaction a long-running ingest needs.
+
+This is the streaming twin of examples/batch_curation_job.py: same
+Curator config semantics, same funnel stage names, but the corpus is
+curated per micro-batch against materialized state instead of in one
+offline pass.
+
+Run: python examples/streaming_curation_job.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from sarkac_spark.session import get_spark
+from sarkac_spark.sources.tables import load_table
+from sarkac_spark.streaming.streaming_curator import StreamingCuratorPipeline
+
+CONFIG = {
+    "quality": {"gopher": True},
+    "dedup": {"exact": True,
+              "minhash": {"k": 16, "bands": 4, "threshold": 0.5}},
+    "domain_cap": {"domain_col": "source", "cap": 5},
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("streaming_curation_job")
+    work = Path(tempfile.mkdtemp(prefix="stream_curation_"))
+    src, store, ckpt = work / "src", work / "store", work / "ckpt"
+
+    # land the corpus as three ingest files (a crawler's drops)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    n = docs.count()
+    for i, bound in enumerate([(0, n // 3), (n // 3, 2 * n // 3),
+                               (2 * n // 3, n)]):
+        docs.filter(
+            (F.col("doc_id") >= bound[0]) & (F.col("doc_id") < bound[1])
+        ).coalesce(1).write.parquet(str(src / f"drop{i}"))
+
+    pipe = StreamingCuratorPipeline(spark, str(store), CONFIG)
+    schema = "doc_id long, text string, source string"
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        pipe.start(stream, str(ckpt)).awaitTermination(240)
+
+    # first run "crashes" after the drops land; the restart resumes
+    # from the checkpoint and processes nothing twice
+    run()
+    mid = pipe.committed().count()
+    run()  # no new files: a clean no-op restart
+    committed = pipe.committed().count()
+    print(f"committed after ingest: {committed} (mid-run: {mid}) of {n}")
+
+    funnel = {
+        r.stage: r.n
+        for r in pipe.funnel().groupBy("stage")
+        .agg(F.sum("n_docs").alias("n")).collect()
+    }
+    print("funnel:", {k: funnel[k] for k in
+                      ["input", "quality", "dedup", "domain_cap"]})
+    assert funnel["input"] == n
+    assert funnel["input"] >= funnel["quality"] >= funnel["dedup"]
+    assert funnel["domain_cap"] == committed
+
+    # per-source quota held: no source exceeds the cap
+    by_src = pipe.committed().groupBy("source").count()
+    worst = by_src.agg(F.max("count")).collect()[0][0]
+    assert worst <= CONFIG["domain_cap"]["cap"], worst
+
+    # maintenance: fold thousands-of-tiny-files state into base partitions
+    n_compacted = pipe.compact()
+    assert n_compacted == committed
+    assert pipe.committed().count() == committed
+
+    print(f"OK: {committed} docs curated at ingest; "
+          f"max per-source {worst} <= cap {CONFIG['domain_cap']['cap']}; "
+          f"compacted store intact")
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -41,3 +41,20 @@ def test_batch_curation_job_smoke():
     assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
     assert "2 corrupt" in out.stdout
     assert "OK: batch curation job complete" in out.stdout
+
+
+def test_streaming_curation_job_smoke():
+    """The ingest-time curation lifecycle doc (round 8): stream drops
+    through StreamingCuratorPipeline with a restart, funnel audit,
+    quota check, and store compaction."""
+    out = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "streaming_curation_job.py")],
+        capture_output=True,
+        text=True,
+        timeout=400,
+        cwd=REPO,
+        check=False,
+    )
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    assert "OK: " in out.stdout
+    assert "funnel:" in out.stdout
