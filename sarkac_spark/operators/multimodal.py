@@ -257,11 +257,22 @@ def dhash_bands_from_pixels(pixels: np.ndarray) -> list[int]:
     left_s, right_s = sums[:, :-1], sums[:, 1:]
     left_n, right_n = cnts[:, :-1], cnts[:, 1:]
     bits = (left_s * right_n < right_s * left_n).astype(np.int64).ravel()
-    bands = []
-    for b in range(DHASH_BANDS):
-        chunk = bits[b * DHASH_BAND_BITS : (b + 1) * DHASH_BAND_BITS]
-        bands.append(int((chunk << np.arange(DHASH_BAND_BITS)).sum()))
-    return bands
+    return pack_band_values(bits)
+
+
+def pack_band_values(bits: np.ndarray) -> list[int]:
+    """64 comparison bits -> DHASH_BANDS 16-bit band values, the one
+    packing shared by the image and audio kernels (bit k lands in band
+    k // 16 at weight 2^(k % 16) — mirrored in the oracle SQL)."""
+    return [
+        int(
+            (
+                bits[b * DHASH_BAND_BITS : (b + 1) * DHASH_BAND_BITS]
+                << np.arange(DHASH_BAND_BITS)
+            ).sum()
+        )
+        for b in range(DHASH_BANDS)
+    ]
 
 
 def image_dhash(
@@ -333,8 +344,18 @@ def dedup_phash(
     )
     ha = hashes.select(F.col(id_col).alias("id_a"), F.col("dhash_bands").alias("__ba"))
     hb = hashes.select(F.col(id_col).alias("id_b"), F.col("dhash_bands").alias("__bb"))
+    # length-mismatched arrays (e.g. videos with different sampled-frame
+    # counts): zip_with pads the shorter side with NULL — a missing band
+    # counts as maximally distant (all 16 bits), NOT as a null that
+    # would silently drop the pair at the <= filter.
     hamming = F.aggregate(
-        F.zip_with("__ba", "__bb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.zip_with(
+            "__ba",
+            "__bb",
+            lambda x, y: F.coalesce(
+                F.bit_count(x.bitwiseXOR(y)), F.lit(DHASH_BAND_BITS)
+            ),
+        ),
         F.lit(0),
         lambda acc, x: acc + x,
     )
@@ -381,11 +402,7 @@ def afp_bands_from_samples(samples: np.ndarray) -> list[int]:
     bits = (
         sums[:-1] * cnts[1:] < sums[1:] * cnts[:-1]
     ).astype(np.int64)
-    bands = []
-    for b in range(DHASH_BANDS):
-        chunk = bits[b * DHASH_BAND_BITS : (b + 1) * DHASH_BAND_BITS]
-        bands.append(int((chunk << np.arange(DHASH_BAND_BITS)).sum()))
-    return bands
+    return pack_band_values(bits)
 
 
 def audio_fingerprint(

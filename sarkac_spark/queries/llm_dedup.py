@@ -957,137 +957,72 @@ HAVING max(run) >= {SPAN_MIN_RUN}
 """
 
 
-# --- perceptual-hash image dedup (the multimodal dedup member) ---------------
+# --- multimodal dedup members (image / audio / video) -------------------------
+#
+# Shared deterministic-corpus contract: payloads (PNM pixels, WAV
+# samples, video frames) derive from doc_id by PURE INTEGER arithmetic
+# through one avalanche hash, so the DuckDB oracle recomputes the raw
+# values (it cannot decode bytes) while Spark runs the REAL decode path
+# (Arrow mapInPandas) — the hash gate covers the entire decode+hash
+# implementation bit-for-bit. Each ODD doc is its EVEN neighbor (scene
+# a = doc_id // 2) under the invariances the fingerprint must deliver
+# (brightness/volume x integer upscaling/resampling, one moved noise
+# element). The mixing MUST be an avalanche (multiply-xorshift) —
+# anything with residual linear structure makes distinct scenes
+# hash-NEAR and incidental pairs grow superlinearly with the corpus
+# (simulated: this mix gives 0 incidental pairs at 20k docs with 100%
+# planted recall).
 
-# Deterministic synthetic PNM corpus derived from doc_id by pure integer
-# arithmetic, so the DuckDB oracle can recompute the PIXELS (it cannot
-# decode bytes) while Spark runs the REAL path: synthesize P5 payload ->
-# decode_pnm -> dhash_bands_from_pixels -> banded pairs. The hash gate
-# therefore covers the entire decode+hash implementation bit-for-bit.
-# Every ODD doc is its EVEN neighbor's planted near-dup: same gradient
-# scene (A = doc_id // 2), but 2x pixel-replicated (resize), +50
-# brightness, and a moved noise pixel — exactly the invariances dHash
-# must deliver. Brightness and integer upscaling cancel in the
-# cross-multiplied block-mean comparisons (operators/multimodal.py), so
-# the oracle only ever computes the BASE 24x27 image with noise.
 PHASH_W, PHASH_H = 27, 24  # divisible by the 9x8 dHash grid
 PHASH_MOD = 151
 PHASH_NOISE = 40
 PHASH_BRIGHT = 50
 PHASH_MAX_HAMMING = 6
+AFP_N_SAMPLES = 1300  # 65 frames x 20 samples (divisible -> equal frames)
+AFP_AMP = 8190        # base amplitude; x2 volume stays inside int16
+AFP_NOISE = 4000
+AFP_MAX_HAMMING = 6
+VID_FRAMES = 3
 
 
-def _synth_pnm_media(docs):
-    """doc ids -> (media_id, payload) with the deterministic image
-    formula above; numpy in mapInPandas, Arrow-batched."""
+def _avalanche_np(key):
+    """The shared multiply-xorshift mix, numpy side (int64 keys >= 0;
+    every operand stays under 2^62). Mirrored textually by
+    ``_avalanche_cte``."""
     import numpy as np
-    import pandas as pd
 
-    n_px = PHASH_W * PHASH_H
-
-    def run(batches):
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                a = doc_id // 2
-                # scene texture = avalanche-hashed pixels keyed by
-                # (scene, pixel index): multiply-xorshift rounds, pure
-                # integer ops both engines replay. Anything with
-                # residual linear structure (plain LCG, gradients)
-                # makes distinct scenes hash-NEAR and incidental pairs
-                # grow superlinearly with the corpus — simulated: this
-                # mix gives 0 incidental pairs at 20k docs with 100%
-                # planted recall.
-                i = np.arange(n_px, dtype=np.int64)
-                h = a * n_px + i + 1
-                h = (h * 2654435761) % 2147483648
-                h = np.bitwise_xor(h, h // 65536)
-                h = (h * 1103515245) % 2147483648
-                h = np.bitwise_xor(h, h // 2048)
-                flat = (h % PHASH_MOD).copy()
-                flat[(doc_id * 31) % n_px] += PHASH_NOISE
-                img = flat.reshape(PHASH_H, PHASH_W)
-                if doc_id % 2:
-                    img = img + PHASH_BRIGHT
-                    img = np.kron(img, np.ones((2, 2), dtype=np.int64))
-                h, w = img.shape
-                payload = b"P5\n%d %d\n255\n" % (w, h) + img.astype(
-                    "uint8"
-                ).tobytes()
-                payloads.append(payload)
-            yield pd.DataFrame(
-                {"media_id": pdf["doc_id"], "payload": payloads}
-            )
-
-    return docs.select("doc_id").mapInPandas(
-        run, schema="media_id long, payload binary"
-    )
+    h = (key * 2654435761) % 2147483648
+    h = np.bitwise_xor(h, h // 65536)
+    h = (h * 1103515245) % 2147483648
+    return np.bitwise_xor(h, h // 2048)
 
 
-def q_dedup_phash(spark, sf_dir):
-    """Image near-dup pairs via dHash + LSH banding — the multimodal
-    member of the dedup family. Synthesizes a deterministic PNM corpus
-    from doc ids (planted resized/brightness-shifted near-dup per even/
-    odd pair), hashes through the REAL decode path
-    (``image_dhash``: Arrow mapInPandas), then bands and
-    Hamming-verifies JVM-side (``dedup_phash``, band-df-capped)."""
-    from sarkac_spark.operators.multimodal import dedup_phash, image_dhash
-
-    media = _synth_pnm_media(_docs(spark, sf_dir))
-    hashes = image_dhash(media)
-    return dedup_phash(
-        hashes,
-        max_hamming=PHASH_MAX_HAMMING,
-        max_band_df=MINHASH_MAX_BAND_DF,
-    ).select(
-        F.col("id_a"), F.col("id_b"), F.col("hamming")
-    )
-
-
-def _dedup_phash_sql() -> str:
-    """The arithmetic mirror: recompute the synthetic pixels from
-    doc_id (base image only — brightness and 2x replication provably
-    cancel in the sum-comparisons), block sums on the 8x9 grid, the 64
-    comparison bits packed into 4 x 16-bit bands, then the same
-    df-capped band join + XOR bit-count verify."""
-    n_px = PHASH_W * PHASH_H
-    return f"""
-WITH g AS (
-  SELECT doc_id, doc_id // 2 AS a,
-         (doc_id * 31) % {n_px} AS np
-  FROM documents
+def _avalanche_cte(key_expr: str, carry: str, src: str) -> str:
+    """h1/h2 CTEs ending with column ``h``; the final mixed value is
+    ``xor(h, h // 2048)`` at the caller's use site. One source of truth
+    for the oracle side of ``_avalanche_np``."""
+    return f"""h1 AS (
+  SELECT {carry}, (({key_expr}) * 2654435761) % 2147483648 AS h
+  FROM {src}
 ),
-h1 AS (
-  SELECT doc_id, np, i,
-         ((a * {n_px} + i + 1) * 2654435761) % 2147483648 AS h
-  FROM g, (SELECT unnest(range({n_px})) AS i)
-),
-h2 AS (SELECT doc_id, np, i, (xor(h, h // 65536) * 1103515245) % 2147483648 AS h FROM h1),
-px AS (
+h2 AS (SELECT {carry}, (xor(h, h // 65536) * 1103515245) % 2147483648 AS h
+       FROM h1)"""
+
+
+def _banded_hamming_sql(band_idx: str, band_group: str, max_hamming) -> str:
+    """The shared oracle TAIL over a ``bits`` CTE of (doc_id, [dims,]
+    k, bit): 16-bit band packing (band index expression per modality —
+    frame-major for video), the df-capped band join, and the XOR
+    bit-count Hamming verify. Mirrors operators/multimodal.py
+    ``pack_band_values`` + ``dedup_phash`` exactly."""
+    return f"""bands0 AS (
   SELECT doc_id,
-         (i // {PHASH_W}) // {PHASH_H // 8} AS gr,
-         (i % {PHASH_W}) // {PHASH_W // 9} AS gc,
-         xor(h, h // 2048) % {PHASH_MOD}
-           + CASE WHEN i = np THEN {PHASH_NOISE} ELSE 0 END AS v
-  FROM h2
-),
-cell AS (SELECT doc_id, gr, gc, sum(v) AS s FROM px GROUP BY 1, 2, 3),
-bits AS (
-  SELECT l.doc_id, l.gr * 8 + l.gc AS k,
-         CASE WHEN l.s < rr.s THEN 1 ELSE 0 END AS bit
-  FROM cell l
-  JOIN cell rr ON rr.doc_id = l.doc_id AND rr.gr = l.gr AND rr.gc = l.gc + 1
-  WHERE l.gc < 8
-),
-bands0 AS (
-  SELECT doc_id,
-         (k // 16)::varchar || '|' ||
+         ({band_idx})::varchar || '|' ||
            CAST(sum(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT)::varchar
            AS band_key,
-         k // 16 AS band_idx,
+         {band_idx} AS band_idx,
          CAST(sum(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT) AS band_val
-  FROM bits GROUP BY doc_id, k // 16
+  FROM bits GROUP BY {band_group}
 ),
 bands AS (
   SELECT doc_id, band_key, band_idx, band_val FROM (
@@ -1109,28 +1044,99 @@ ham AS (
   JOIN bands0 y ON y.doc_id = c.id_b AND y.band_idx = x.band_idx
   GROUP BY 1, 2
 )
-SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {PHASH_MAX_HAMMING}
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {max_hamming}"""
+
+
+def _synth_pnm_media(docs):
+    """doc ids -> (media_id, payload): P5 images whose pixels avalanche-
+    hash from (scene, pixel index); odd docs +PHASH_BRIGHT and 2x
+    pixel-replicated, noise pixel moved."""
+    import numpy as np
+    import pandas as pd
+
+    n_px = PHASH_W * PHASH_H
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                a = doc_id // 2
+                i = np.arange(n_px, dtype=np.int64)
+                flat = (_avalanche_np(a * n_px + i + 1) % PHASH_MOD).copy()
+                flat[(doc_id * 31) % n_px] += PHASH_NOISE
+                img = flat.reshape(PHASH_H, PHASH_W)
+                if doc_id % 2:
+                    img = np.kron(
+                        img + PHASH_BRIGHT, np.ones((2, 2), dtype=np.int64)
+                    )
+                h, w = img.shape
+                payloads.append(
+                    b"P5\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+def q_dedup_phash(spark, sf_dir):
+    """Image near-dup pairs via dHash + LSH banding — the image member
+    of the multimodal dedup family. Synthesizes a deterministic PNM
+    corpus from doc ids (planted resized/brightness-shifted near-dup
+    per even/odd pair), hashes through the REAL decode path
+    (``image_dhash``: Arrow mapInPandas), then bands and
+    Hamming-verifies JVM-side (``dedup_phash``, band-df-capped)."""
+    from sarkac_spark.operators.multimodal import dedup_phash, image_dhash
+
+    media = _synth_pnm_media(_docs(spark, sf_dir))
+    return dedup_phash(
+        image_dhash(media),
+        max_hamming=PHASH_MAX_HAMMING,
+        max_band_df=MINHASH_MAX_BAND_DF,
+    ).select("id_a", "id_b", "hamming")
+
+
+def _dedup_phash_sql() -> str:
+    """Arithmetic mirror: recompute the synthetic pixels from doc_id
+    (base image only — brightness and 2x replication provably cancel in
+    the sum-comparisons), block sums on the 8x9 grid, then the shared
+    banding/Hamming tail."""
+    n_px = PHASH_W * PHASH_H
+    return f"""
+WITH g AS (
+  SELECT doc_id, doc_id // 2 AS a, (doc_id * 31) % {n_px} AS np
+  FROM documents
+),
+{_avalanche_cte(f"a * {n_px} + i + 1", "doc_id, np, i",
+                f"g, (SELECT unnest(range({n_px})) AS i)")},
+px AS (
+  SELECT doc_id,
+         (i // {PHASH_W}) // {PHASH_H // 8} AS gr,
+         (i % {PHASH_W}) // {PHASH_W // 9} AS gc,
+         xor(h, h // 2048) % {PHASH_MOD}
+           + CASE WHEN i = np THEN {PHASH_NOISE} ELSE 0 END AS v
+  FROM h2
+),
+cell AS (SELECT doc_id, gr, gc, sum(v) AS s FROM px GROUP BY 1, 2, 3),
+bits AS (
+  SELECT l.doc_id, l.gr * 8 + l.gc AS k,
+         CASE WHEN l.s < rr.s THEN 1 ELSE 0 END AS bit
+  FROM cell l
+  JOIN cell rr ON rr.doc_id = l.doc_id AND rr.gr = l.gr AND rr.gc = l.gc + 1
+  WHERE l.gc < 8
+),
+{_banded_hamming_sql("k // 16", "doc_id, k // 16", PHASH_MAX_HAMMING)}
 """
 
 
-# --- audio near-dup (the second multimodal dedup member) ----------------------
-
-# Same deterministic-corpus trick as dedup_phash, over PCM WAV: sample
-# values avalanche-hash from (scene, sample index); each ODD doc is its
-# EVEN neighbor at DOUBLE volume, 2x sample-duplicated (resample), with
-# a moved noise sample — the invariances the energy fingerprint must
-# deliver (energies scale by gain^2 and comparisons survive it; equal-
-# size frames absorb duplication). The oracle recomputes INTEGER frame
-# energies (sums of squared int16 samples — decode_wav's /32768 scaling
-# is an exact power-of-two, so double comparisons equal the integer
-# ones by construction).
-AFP_N_SAMPLES = 1300  # 65 frames x 20 samples (divisible -> equal frames)
-AFP_AMP = 8190        # base amplitude; x2 volume stays inside int16
-AFP_NOISE = 4000
-AFP_MAX_HAMMING = 6
-
-
 def _synth_wav_media(docs):
+    """doc ids -> (media_id, payload): 16-bit PCM WAVs whose samples
+    avalanche-hash from (scene, sample index); odd docs at DOUBLE
+    volume, 2x sample-duplicated, noise sample moved."""
     import numpy as np
     import pandas as pd
 
@@ -1143,13 +1149,11 @@ def _synth_wav_media(docs):
                 doc_id = int(doc_id)
                 a = doc_id // 2
                 i = np.arange(AFP_N_SAMPLES, dtype=np.int64)
-                h = a * AFP_N_SAMPLES + i + 1
-                h = (h * 2654435761) % 2147483648
-                h = np.bitwise_xor(h, h // 65536)
-                h = (h * 1103515245) % 2147483648
-                h = np.bitwise_xor(h, h // 2048)
-                s = (h % (2 * AFP_AMP + 1)) - AFP_AMP
-                s = s.copy()
+                s = (
+                    _avalanche_np(a * AFP_N_SAMPLES + i + 1)
+                    % (2 * AFP_AMP + 1)
+                    - AFP_AMP
+                ).copy()
                 s[(doc_id * 31) % AFP_N_SAMPLES] = AFP_NOISE
                 if doc_id % 2:
                     s = np.repeat(s * 2, 2)
@@ -1180,23 +1184,19 @@ def q_dedup_audio(spark, sf_dir):
 
 
 def _dedup_audio_sql() -> str:
-    """Arithmetic mirror: integer frame energies from the synthetic
+    """Arithmetic mirror: INTEGER frame energies from the synthetic
     sample formula (base waveform only — volume x2 and duplication
-    provably cancel in equal-frame comparisons), consecutive-frame
-    bits, 4 x 16-bit bands, df-capped band join + XOR Hamming."""
+    provably cancel in equal-frame comparisons; decode_wav's /32768 is
+    an exact power-of-two scale, so double comparisons equal the
+    integer ones), then the shared banding/Hamming tail."""
     frame = AFP_N_SAMPLES // 65
     return f"""
 WITH g AS (
   SELECT doc_id, doc_id // 2 AS a, (doc_id * 31) % {AFP_N_SAMPLES} AS np
   FROM documents
 ),
-h1 AS (
-  SELECT doc_id, np, i,
-         ((a * {AFP_N_SAMPLES} + i + 1) * 2654435761) % 2147483648 AS h
-  FROM g, (SELECT unnest(range({AFP_N_SAMPLES})) AS i)
-),
-h2 AS (SELECT doc_id, np, i,
-              (xor(h, h // 65536) * 1103515245) % 2147483648 AS h FROM h1),
+{_avalanche_cte(f"a * {AFP_N_SAMPLES} + i + 1", "doc_id, np, i",
+                f"g, (SELECT unnest(range({AFP_N_SAMPLES})) AS i)")},
 sv AS (
   SELECT doc_id, i // {frame} AS f,
          CASE WHEN i = np THEN {AFP_NOISE}
@@ -1210,51 +1210,15 @@ bits AS (
   FROM fe l JOIN fe rr ON rr.doc_id = l.doc_id AND rr.f = l.f + 1
   WHERE l.f < 64
 ),
-bands0 AS (
-  SELECT doc_id,
-         (k // 16)::varchar || '|' ||
-           CAST(sum(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT)::varchar
-           AS band_key,
-         k // 16 AS band_idx,
-         CAST(sum(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT) AS band_val
-  FROM bits GROUP BY doc_id, k // 16
-),
-bands AS (
-  SELECT doc_id, band_key, band_idx, band_val FROM (
-    SELECT doc_id, band_key, band_idx, band_val,
-           count(*) OVER (PARTITION BY band_key) AS bdf
-    FROM bands0
-  ) WHERE bdf <= {MINHASH_MAX_BAND_DF}
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
-ham AS (
-  SELECT c.id_a, c.id_b,
-         CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT) AS hamming
-  FROM cand c
-  JOIN bands0 x ON x.doc_id = c.id_a
-  JOIN bands0 y ON y.doc_id = c.id_b AND y.band_idx = x.band_idx
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {AFP_MAX_HAMMING}
+{_banded_hamming_sql("k // 16", "doc_id, k // 16", AFP_MAX_HAMMING)}
 """
 
 
-# --- video near-dup (the third multimodal dedup member) ----------------------
-
-# Same deterministic-corpus contract, one dimension up: each doc is a
-# "video" of VID_FRAMES sampled PNM frames whose pixels avalanche-hash
-# from (scene, frame, pixel index); each ODD doc is its EVEN neighbor
-# with every frame brightness-shifted, 2x upscaled, and its noise pixel
-# moved. The fingerprint concatenates per-frame dHash bands in frame
-# order, so the oracle's band_idx space is frame-major by construction.
-VID_FRAMES = 3
-
-
 def _synth_video_frames(docs):
+    """doc ids -> (media_id, frame_idx, payload): VID_FRAMES P5 frames
+    per doc, pixels avalanche-hashed from (scene, frame, pixel index);
+    odd docs brightness-shifted + 2x upscaled per frame, per-frame
+    noise pixel moved."""
     import numpy as np
     import pandas as pd
 
@@ -1268,17 +1232,16 @@ def _synth_video_frames(docs):
                 a = doc_id // 2
                 for fr in range(VID_FRAMES):
                     i = np.arange(n_px, dtype=np.int64)
-                    h = (a * VID_FRAMES + fr) * n_px + i + 1
-                    h = (h * 2654435761) % 2147483648
-                    h = np.bitwise_xor(h, h // 65536)
-                    h = (h * 1103515245) % 2147483648
-                    h = np.bitwise_xor(h, h // 2048)
-                    flat = (h % PHASH_MOD).copy()
+                    flat = (
+                        _avalanche_np((a * VID_FRAMES + fr) * n_px + i + 1)
+                        % PHASH_MOD
+                    ).copy()
                     flat[(doc_id * 31 + fr * 97) % n_px] += PHASH_NOISE
                     img = flat.reshape(PHASH_H, PHASH_W)
                     if doc_id % 2:
-                        img = img + PHASH_BRIGHT
-                        img = np.kron(img, np.ones((2, 2), dtype=np.int64))
+                        img = np.kron(
+                            img + PHASH_BRIGHT, np.ones((2, 2), dtype=np.int64)
+                        )
                     hgt, wid = img.shape
                     payloads.append(
                         b"P5\n%d %d\n255\n" % (wid, hgt)
@@ -1313,23 +1276,17 @@ def q_dedup_video(spark, sf_dir):
 
 def _dedup_video_sql() -> str:
     """Arithmetic mirror: the dedup_phash pixel/grid/bit CTEs with a
-    frame dimension; band_idx = frame * DHASH_BANDS + chunk (the
-    frame-major concatenation order)."""
+    frame dimension; band_idx = frame * 4 + chunk (the frame-major
+    concatenation order), then the shared banding/Hamming tail."""
     n_px = PHASH_W * PHASH_H
     return f"""
 WITH g AS (
   SELECT doc_id, doc_id // 2 AS a FROM documents
 ),
 fr AS (SELECT unnest(range({VID_FRAMES})) AS fr),
-h1 AS (
-  SELECT doc_id, fr,
-         (doc_id * 31 + fr * 97) % {n_px} AS np, i,
-         (((a * {VID_FRAMES} + fr) * {n_px} + i + 1) * 2654435761)
-           % 2147483648 AS h
-  FROM g, fr, (SELECT unnest(range({n_px})) AS i)
-),
-h2 AS (SELECT doc_id, fr, np, i,
-              (xor(h, h // 65536) * 1103515245) % 2147483648 AS h FROM h1),
+{_avalanche_cte(f"(a * {VID_FRAMES} + fr) * {n_px} + i + 1",
+                f"doc_id, fr, (doc_id * 31 + fr * 97) % {n_px} AS np, i",
+                f"g, fr, (SELECT unnest(range({n_px})) AS i)")},
 px AS (
   SELECT doc_id, fr,
          (i // {PHASH_W}) // {PHASH_H // 8} AS gr,
@@ -1347,35 +1304,6 @@ bits AS (
               AND rr.gr = l.gr AND rr.gc = l.gc + 1
   WHERE l.gc < 8
 ),
-bands0 AS (
-  SELECT doc_id,
-         (fr * 4 + k // 16)::varchar || '|' ||
-           CAST(sum(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT)::varchar
-           AS band_key,
-         fr * 4 + k // 16 AS band_idx,
-         CAST(sum(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT) AS band_val
-  FROM bits GROUP BY doc_id, fr, k // 16
-),
-bands AS (
-  SELECT doc_id, band_key, band_idx, band_val FROM (
-    SELECT doc_id, band_key, band_idx, band_val,
-           count(*) OVER (PARTITION BY band_key) AS bdf
-    FROM bands0
-  ) WHERE bdf <= {MINHASH_MAX_BAND_DF}
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
-ham AS (
-  SELECT c.id_a, c.id_b,
-         CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT) AS hamming
-  FROM cand c
-  JOIN bands0 x ON x.doc_id = c.id_a
-  JOIN bands0 y ON y.doc_id = c.id_b AND y.band_idx = x.band_idx
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b, hamming FROM ham
-WHERE hamming <= {PHASH_MAX_HAMMING} * {VID_FRAMES}
+{_banded_hamming_sql("fr * 4 + k // 16", "doc_id, fr, k // 16",
+                     f"{PHASH_MAX_HAMMING} * {VID_FRAMES}")}
 """

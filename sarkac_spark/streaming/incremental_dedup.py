@@ -61,6 +61,15 @@ from sarkac_spark.streaming.storeutil import atomic_swap, raise_if_half_swapped
 # permanent (a later retry replays only its own epoch).
 _EMPTY_STORE_CLASSES = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
 
+# Signature-store FORMAT version, recorded as a `_FORMAT` marker file
+# (underscore prefix: invisible to Spark's parquet reader, like
+# _SUCCESS) and checked on every read. Version 2 = sh_set carries
+# 60-bit shingle hashes; version 1 stores (mod-P values) are silently
+# incompatible — array_intersect over the disjoint value domains is
+# empty, so every near-dup would be ADMITTED with zero diagnostics.
+# The marker turns that permanent-damage scenario into a loud error.
+SIG_STORE_FORMAT = 2
+
 
 def _is_empty_store_error(e: AnalysisException) -> bool:
     cls = e.getCondition() if hasattr(e, "getCondition") else None
@@ -120,7 +129,37 @@ class IncrementalDedupPipeline:
                 raise_if_half_swapped(self.sig_dir)
                 return None
             raise
+        self._check_sig_format()
         return sigs.filter(F.col("epoch") != exclude_epoch).drop("epoch")
+
+    def _check_sig_format(self) -> None:
+        """A readable store without a matching `_FORMAT` marker is a
+        legacy or foreign store whose sh_set values would compare as
+        disjoint — refuse it instead of admitting every near-dup."""
+        marker = os.path.join(self.sig_dir, "_FORMAT")
+        try:
+            with open(marker) as f:
+                found = f.read().strip()
+        except FileNotFoundError:
+            found = None
+        if found is None and not os.path.isdir(self.sig_dir):
+            # Spark read the store but the local FS can't see it: the
+            # store lives on HDFS/S3 etc., where this driver-local
+            # marker (like compact()'s shutil swaps) doesn't apply.
+            return
+        if found != str(SIG_STORE_FORMAT):
+            raise RuntimeError(
+                f"signature store {self.sig_dir!r} has format "
+                f"{found!r}, this engine writes format {SIG_STORE_FORMAT} "
+                "(sh_set = 60-bit shingle hashes); rebuild the store by "
+                "re-running dedup_signatures over committed() text"
+            )
+
+    def _write_sig_format(self) -> None:
+        if not os.path.isdir(self.sig_dir):
+            return  # remote FS: see _check_sig_format
+        with open(os.path.join(self.sig_dir, "_FORMAT"), "w") as f:
+            f.write(str(SIG_STORE_FORMAT))
 
     def committed(self) -> DataFrame:
         """The deduped corpus so far (id, text) — what a training job
@@ -197,6 +236,7 @@ class IncrementalDedupPipeline:
         self._batch_sigs(kept).write.mode("overwrite").parquet(
             os.path.join(self.sig_dir, f"epoch={epoch_id}")
         )
+        self._write_sig_format()
         return kept
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
@@ -232,6 +272,9 @@ class IncrementalDedupPipeline:
             # crash-safe swap: never a window where the store is absent
             # without a loud .old marker (storeutil.atomic_swap).
             atomic_swap(tmp, store)
+        # the swap replaced the sig dir wholesale — restore its marker
+        if os.path.exists(self.sig_dir):
+            self._write_sig_format()
         return n_docs
 
     def _read_or_none_any(self, path: str) -> DataFrame | None:

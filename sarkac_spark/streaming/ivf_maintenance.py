@@ -167,10 +167,17 @@ class IvfMaintenancePipeline:
         if total < self.min_total_for_refit:
             return False, total
         # round-6 on BOTH share and threshold, exactly as the batch twin
-        # ivf_refit_decision does (share via ivf_bucket_stats' round-6,
-        # threshold via round(skew_factor*uniform, 6)) — otherwise the
-        # two gates can disagree on boundary occupancy distributions.
-        max_share = round(max((r.n_vecs / total for r in rows), default=0.0), 6)
+        # ivf_refit_decision does: the share via Spark F.round semantics
+        # (HALF_UP on the double's shortest decimal repr — Python's
+        # round() is half-EVEN and can disagree exactly at the 6-decimal
+        # boundary), the threshold via the same Python round() the batch
+        # plan bakes into its literal.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        raw = max((r.n_vecs / total for r in rows), default=0.0)
+        max_share = float(
+            Decimal(repr(raw)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
         needs = (
             max_share > round(self.skew_factor / self.n_buckets, 6)
             or len(rows) < self.n_buckets

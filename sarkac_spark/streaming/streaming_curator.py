@@ -65,8 +65,10 @@ class StreamingCuratorPipeline:
     """``config`` takes the ``Curator`` config shape, restricted to the
     stages with a streaming member: ``quality`` (any Curator quality
     cfg), ``dedup`` (``{"minhash": {...}}`` adds near-dup dropping;
-    exact dedup ALWAYS runs — a streaming corpus store without exact
-    dedup would commit byte-identical replays as new rows), and
+    exact dedup ALWAYS runs — even with no ``dedup`` key — because a
+    streaming corpus store without exact dedup would commit
+    byte-identical replays as new rows; the funnel therefore always
+    carries a ``dedup`` row), and
     ``domain_cap`` (``{"domain_col": ..., "cap": N}``). Offline-only
     stages (decontaminate/winnow/sample/mixture/chunk/pack) raise: they
     either need a second full relation per trigger or reshape the
@@ -165,7 +167,14 @@ class StreamingCuratorPipeline:
         w = Window.partitionBy(domain_col).orderBy(F.col(self.id_col).asc())
         ranked = kept.withColumn("__rn", F.row_number().over(w))
         if prior is not None:
-            ranked = ranked.join(prior, domain_col, "left")
+            # NULL-SAFE join: null domains are one domain to the window
+            # AND to the quota store, so the running count must match
+            # them too — a null-unsafe key would hand null-domain docs
+            # a fresh cap every batch.
+            prior = prior.withColumnRenamed(domain_col, "__dom")
+            ranked = ranked.join(
+                prior, F.col(domain_col).eqNullSafe(F.col("__dom")), "left"
+            ).drop("__dom")
         else:
             ranked = ranked.withColumn("__prior", F.lit(None).cast("long"))
         return (
@@ -185,9 +194,11 @@ class StreamingCuratorPipeline:
             # for both its funnel count and the next stage's input
             d = self._quality_fn(d).localCheckpoint(eager=True)
             counts.append(("quality", d.count()))
-        if "dedup" in self.config:
-            d = self._dedup.dedup_batch(d, epoch_id).localCheckpoint(eager=True)
-            counts.append(("dedup", d.count()))
+        # dedup ALWAYS runs (exact at minimum; minhash when configured):
+        # a streaming corpus store without exact dedup would commit
+        # byte-identical replays as new rows — the class contract.
+        d = self._dedup.dedup_batch(d, epoch_id).localCheckpoint(eager=True)
+        counts.append(("dedup", d.count()))
         if "domain_cap" in self.config:
             d = self._quota(d, epoch_id)
         # commit_batch materializes the final survivors and writes the

@@ -310,3 +310,26 @@ def test_union_bottom_k_estimator_exact_semantics(spark):
             ).collect()
         }
         assert got == want
+
+
+def test_legacy_sig_store_fails_loudly(spark, tmp_path):
+    """A readable signature store WITHOUT the format marker (legacy
+    mod-P store, or one written by a foreign tool) must raise instead
+    of comparing disjoint hash domains and admitting every near-dup."""
+    import os
+
+    from sarkac_spark.streaming.incremental_dedup import IncrementalDedupPipeline
+
+    pipe = IncrementalDedupPipeline(
+        spark, str(tmp_path / "store"), minhash=MH
+    )
+    pipe.process_batch(spark.createDataFrame(_batches()[0], SCHEMA), 0)
+    # marker written on commit; removing it simulates a legacy store
+    os.remove(os.path.join(pipe.sig_dir, "_FORMAT"))
+    with pytest.raises(RuntimeError, match="format"):
+        pipe.process_batch(spark.createDataFrame(_batches()[1], SCHEMA), 1)
+    # wrong version is equally loud
+    with open(os.path.join(pipe.sig_dir, "_FORMAT"), "w") as f:
+        f.write("1")
+    with pytest.raises(RuntimeError, match="format"):
+        pipe.process_batch(spark.createDataFrame(_batches()[1], SCHEMA), 1)

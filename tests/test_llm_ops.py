@@ -2143,3 +2143,21 @@ def test_video_fingerprint_planted_dups(spark):
     # it may band-collide only if some frame repeats — with 3 distinct
     # random frames it must not pair with 1 under the tight budget
     assert (1, 3) not in got
+
+    # length-mismatched fingerprints are SCORED, never null-dropped: a
+    # truncated copy (frames 0,1 of video 1) band-matches on its shared
+    # frames and each missing band counts 16 bits of distance
+    frames2 = frames.union(
+        spark.createDataFrame(
+            [(5, f, p5(img)) for f, img in enumerate(frames_a[:2])],
+            "media_id long, frame_idx int, payload binary",
+        )
+    )
+    wide = dedup_phash(
+        video_fingerprint(frames2), max_hamming=70, max_band_df=None
+    ).collect()
+    trunc = {(r.id_a, r.id_b): r.hamming for r in wide}
+    assert trunc[(1, 5)] == 4 * 16  # one missing frame = 4 all-bit bands
+    tight = dedup_phash(video_fingerprint(frames2), max_hamming=6,
+                        max_band_df=None)
+    assert (1, 5) not in {(r.id_a, r.id_b) for r in tight.collect()}

@@ -306,9 +306,15 @@ def test_ivfpq_store_query_equals_on_the_fly(spark, sf_dir, tmp_path):
         )
         assert got == expected
 
-    # the pruned plan actually prunes: scan only the probed partitions
+    # the pruned plan actually prunes: the store scan must carry a
+    # NON-EMPTY PartitionFilters clause referencing the bucket column
+    # ("PartitionFilters: []" would mean the isin literal was lost and
+    # the whole index is scanned)
+    import re
+
     probed_plan = ivfpq_query_store(
         store, queries, centroids, PQ_CODEBOOKS, k=3, nprobe=2
     )._jdf.queryExecution().executedPlan().toString()
-    assert "bucket IN" in probed_plan or "isin" in probed_plan.lower() or \
-        "PartitionFilters: [" in probed_plan
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket", probed_plan), (
+        probed_plan[:4000]
+    )

@@ -209,3 +209,45 @@ def test_offline_only_stages_raise(spark, tmp_path):
             spark, str(tmp_path / "s"), {"quality": {"gopher": True},
                                          "chunk": {"chunk_words": 40}}
         )
+
+
+def test_exact_dedup_always_runs_without_dedup_config(spark, tmp_path):
+    """The class contract: even with no 'dedup' key, byte-identical
+    replays of committed text are never committed twice."""
+    pipe = _pipe(spark, tmp_path, config={"quality": {"gopher": True}})
+    pipe.process_batch(
+        spark.createDataFrame([(1, GOOD_A, "web")], SCHEMA), 0
+    )
+    pipe.process_batch(
+        spark.createDataFrame([(2, GOOD_A, "blog"),          # exact dup of 1
+                               (3, GOOD_G, "blog")], SCHEMA), 1
+    )
+    assert {r.doc_id for r in pipe.committed().collect()} == {1, 3}
+    stages = {r.stage for r in pipe.funnel().collect()}
+    assert "dedup" in stages  # the always-on stage shows in the funnel
+
+
+def test_null_domain_quota_accumulates(spark, tmp_path):
+    """NULL sources are ONE domain to the running quota: the cap binds
+    across epochs, not per batch (a null-unsafe join would reset it)."""
+    pipe = _pipe(
+        spark, tmp_path,
+        config={"domain_cap": {"domain_col": "source", "cap": 2}},
+    )
+    texts = [GOOD_A, GOOD_B, GOOD_C, GOOD_D, GOOD_E]
+    pipe.process_batch(
+        spark.createDataFrame(
+            [(1, texts[0], None), (2, texts[1], None)], SCHEMA
+        ),
+        0,
+    )
+    pipe.process_batch(
+        spark.createDataFrame(
+            [(3, texts[2], None), (4, texts[3], "web"),
+             (5, texts[4], None)], SCHEMA
+        ),
+        1,
+    )
+    got = {r.doc_id for r in pipe.committed().collect()}
+    # null domain filled its cap in epoch 0; 3 and 5 must be dropped
+    assert got == {1, 2, 4}
