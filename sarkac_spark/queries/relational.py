@@ -638,7 +638,199 @@ def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter + fact-fact join + global
+    top-10. The segment filter broadcasts customer keys into orders;
+    unshipped-revenue rolls up per order; the top-10 is orderBy+limit,
+    which Spark executes as TakeOrderedAndProject — every partition
+    keeps a 10-row heap and only the heads travel to the driver, never
+    a global sort. Ties are impossible at the boundary because the
+    sort key ends with the unique orderkey. Revenue is integer cents."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                orders["o_custkey"] == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue_cents",
+        )
+        .orderBy(F.desc("revenue_cents"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share inside a region, per
+    order year — the CASE-sum ratio over a snowflake join (lineitem ⋈
+    orders ⋈ customer→nation→region on the demand side, supplier→nation
+    on the supply side; part filters the fact). Every dim chain
+    broadcasts; the fact is scanned once and the share is two
+    conditional sums of the SAME grouped aggregate, emitted as exact
+    parts-per-million via integral div (no float ratio)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    eur_cust = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
+        .select("c_custkey")
+    )
+    sup_nat = sup.join(
+        F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        sup["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    eur_orders = orders.join(
+        F.broadcast(eur_cust), orders["o_custkey"] == F.col("c_custkey")
+    ).select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    vol = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .join(eur_orders, li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(sup_nat), li["l_suppkey"] == F.col("s_suppkey"))
+        .select("o_year", "supp_nation", cents.alias("__c"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("__c")
+                       ).otherwise(F.lit(0))
+            ).alias("__nat"),
+            F.sum("__c").alias("total_cents"),
+        )
+    )
+    return vol.select(
+        "o_year",
+        F.expr("(__nat * 1000000L) div total_cents").alias("mkt_share_ppm"),
+        "total_cents",
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a GLOBAL scalar — parts whose
+    revenue exceeds 1.5x the mean per-part revenue (a fraction-of-total
+    threshold keyed to the part count, so the gate stays non-vacuous at
+    every SF — TPC-H itself scales Q11's fraction by 1/SF for the same
+    reason). The scalar is an aggregate OF the per-part aggregate
+    (never a second fact scan), broadcast as a 1-row relation; the
+    comparison is exact long arithmetic (rev * n * 2 > total * 3)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_part = li.select("l_partkey", cents.alias("__c")).groupBy(
+        "l_partkey"
+    ).agg(F.sum("__c").alias("revenue_cents"))
+    total = per_part.agg(
+        F.sum("revenue_cents").alias("__t"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("revenue_cents") * F.col("__n") * 2 > F.col("__t") * 3
+        )
+        .select(F.col("l_partkey").alias("p_partkey"), "revenue_cents")
+    )
+
+
+def q_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact equi-join + CASE-split counts — for
+    each returnflag (this schema's stand-in for shipmode), how many
+    LATE lineitems (shipped ≥ 90 days after the order date) belong to
+    high- vs low-priority orders. The join is the canonical
+    co-partitioned orderkey join: at 100 TB both sides bucket on
+    orderkey and the shuffle disappears; here AQE picks the strategy.
+    The priority split is two conditional sums of one aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).filter(
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.sum(hi.cast("long")).alias("high_line_count"),
+            F.sum((~hi).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions spanning both join sides —
+    revenue from three (brand, size-range, quantity-range) channels.
+    The scale trap: the raw disjunction references both tables, so a
+    naive plan joins EVERYTHING and filters after. The per-side
+    supersets (brand ∈ {...} ∧ size ≤ 15 on part; quantity ≤ 30 on
+    lineitem) are therefore stated explicitly so they reach the parquet
+    scans as PushedFilters — the rewrite Catalyst's CNF pushdown aims
+    for, made deterministic. One row out: line count + revenue cents."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#6", "Brand#9")
+        & (F.col("p_size") >= 1) & (F.col("p_size") <= 15)
+    )
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    channel = (
+        ((brand == "Brand#1") & (size <= 5) & (qty >= 1) & (qty <= 11))
+        | ((brand == "Brand#6") & (size <= 10) & (qty >= 10) & (qty <= 20))
+        | ((brand == "Brand#9") & (size <= 15) & (qty >= 20) & (qty <= 30))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .filter(channel)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+
+
 QUERIES = {
+    "shipping_priority": q_shipping_priority,
+    "nation_market_share": q_nation_market_share,
+    "important_parts": q_important_parts,
+    "late_priority_lines": q_late_priority_lines,
+    "disjunctive_revenue": q_disjunctive_revenue,
     "blocking_suppliers": q_blocking_suppliers,
     "rich_idle_customers": q_rich_idle_customers,
     "min_cost_supplier": q_min_cost_supplier,
@@ -670,6 +862,86 @@ QUERIES = {
 }
 
 ORACLE = {
+    "shipping_priority": """
+SELECT l.l_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, l.l_orderkey
+LIMIT 10
+""",
+    "nation_market_share": """
+WITH eur_cust AS (
+  SELECT c.c_custkey
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+),
+vol AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         sum(CASE WHEN sn.n_name = 'NATION_3'
+                  THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 100) AS BIGINT)
+                  ELSE 0 END) AS nat_cents,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT)) AS total_cents
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN eur_cust ec ON ec.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  GROUP BY 1
+)
+SELECT o_year,
+       CAST((nat_cents * 1000000) // total_cents AS BIGINT) AS mkt_share_ppm,
+       CAST(total_cents AS BIGINT) AS total_cents
+FROM vol
+""",
+    "important_parts": """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS revenue_cents
+  FROM lineitem GROUP BY 1
+),
+total AS (SELECT sum(revenue_cents) AS t, count(*) AS n FROM per_part)
+SELECT l_partkey AS p_partkey, CAST(revenue_cents AS BIGINT) AS revenue_cents
+FROM per_part, total
+WHERE revenue_cents * n * 2 > t * 3
+""",
+    "late_priority_lines": """
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+""",
+    "disjunctive_revenue": """
+SELECT count(*) AS n_lines,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#6' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
     "blocking_suppliers": """
 WITH per_os AS (
   SELECT l_orderkey, l_suppkey,

@@ -1,0 +1,123 @@
+"""StreamingSessionPipeline: native session_window gap-merge equals the
+batch sessionize operator, open sessions merge across triggers, and the
+checkpointed state survives a kill-resume."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+SCHEMA = "user_id long, ts timestamp"
+T0 = datetime(2001, 1, 1, 12, 0, 0)
+GAP = 60  # seconds
+SENTINEL = 999
+
+
+def _t(seconds: float) -> datetime:
+    return T0 + timedelta(seconds=seconds)
+
+
+# b1's user-1 row lands 50s after b0's last (inside the gap): the OPEN
+# session must merge across the trigger boundary in state. The two
+# sentinel batches advance the watermark past every real event and then
+# run one more trigger so the post-watermark flush executes (watermark
+# updates at END of a trigger; emission happens in the NEXT one).
+def _batches():
+    return [
+        [(1, _t(0)), (1, _t(30)), (2, _t(0))],
+        [(1, _t(80)), (2, _t(300))],
+        [(1, _t(500))],
+        [(SENTINEL, _t(100_000))],
+        [(SENTINEL, _t(100_001))],
+    ]
+
+
+def _write(spark, src, batches):
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"b{i:02d}")
+        )
+
+
+def _real_events(spark):
+    rows = [r for b in _batches() for r in b if r[0] != SENTINEL]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _batch_expected(spark):
+    from sarkac_spark.operators.sessions import session_stats
+
+    return {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events,
+         r.duration_us)
+        for r in session_stats(
+            _real_events(spark), ["user_id"], "ts", GAP
+        ).collect()
+    }
+
+
+def _got(pipe):
+    return {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events,
+         r.duration_us)
+        for r in pipe.sessions().filter(
+            F.col("user_id") != SENTINEL
+        ).collect()
+    }
+
+
+def _stream(spark, src):
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+
+
+def test_stream_sessions_equal_batch(spark, tmp_path):
+    from sarkac_spark.streaming.sessions import StreamingSessionPipeline
+
+    src = tmp_path / "src"
+    _write(spark, src, _batches())
+    pipe = StreamingSessionPipeline(
+        spark, str(tmp_path / "store"), ["user_id"], "ts", GAP
+    )
+    q = pipe.start(_stream(spark, src), str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    got = _got(pipe)
+    want = _batch_expected(spark)
+    assert got == want
+    # the cross-trigger merge really happened: user 1's first session
+    # spans b0 AND b1 (3 events, 80s duration)
+    assert any(
+        u == 1 and n == 3 and dur == 80_000_000
+        for (u, _s, _e, n, dur) in got
+    )
+
+
+def test_stream_sessions_kill_resume(spark, tmp_path):
+    from sarkac_spark.streaming.sessions import StreamingSessionPipeline
+
+    src = tmp_path / "src"
+    batches = _batches()
+    _write(spark, src, batches[:2])  # user 1's session still OPEN here
+    pipe = StreamingSessionPipeline(
+        spark, str(tmp_path / "store"), ["user_id"], "ts", GAP
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = pipe.start(_stream(spark, src), ckpt)
+    q.awaitTermination(300)
+
+    # "crash", land the rest, resume from the checkpointed state store:
+    # the open session's partial state (2 users mid-session) must
+    # survive the restart for the totals to match batch
+    for i, rows in enumerate(batches[2:], start=2):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"b{i:02d}")
+        )
+    q = pipe.start(_stream(spark, src), ckpt)
+    q.awaitTermination(300)
+
+    assert _got(pipe) == _batch_expected(spark)
