@@ -438,3 +438,56 @@ def test_round6_query_plan_shapes(spark, sf_dir):
     assert shuffle_count(cs) <= 6
     plan = _plan(cs)
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_aqe_splits_skewed_shuffle_join(spark):
+    """The named join scale-killer: a shuffled join where one key holds
+    ~90% of the rows pins a single reducer at any cluster size. The
+    engine's answer is AQE skew-join (on by default in get_spark);
+    pinned here by the FINAL adaptive plan carrying a skew=true join
+    leg once runtime stats see the oversized partition. Thresholds are
+    lowered to make local-test data register as skewed — production
+    defaults only split real multi-hundred-MB partitions."""
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    try:
+        # incompressible payload: shuffle blocks are lz4-compressed, so
+        # a constant pad would deflate below the skew threshold
+        pad = F.sha2(F.col("id").cast("string"), 256)
+        hot = spark.range(20_000).select(
+            F.lit(0).cast("long").alias("k"), pad.alias("payload")
+        )
+        cold = spark.range(300).select(
+            (1 + F.col("id") % 3).alias("k"), pad.alias("payload")
+        )
+        left = hot.unionByName(cold)
+        right = spark.range(4).select(
+            F.col("id").alias("k"), F.lit("dim").alias("attr")
+        )
+        # broadcast disabled above, so this is a shuffle join with
+        # ENSURE_REQUIREMENTS exchanges on BOTH sides — a user
+        # .repartition(n, k) here would be REPARTITION_BY_NUM, which
+        # AQE must preserve and therefore refuses to skew-split
+        j = left.join(right, "k")
+        # execute THIS dataset (count() would plan a separate query and
+        # leave j's own AdaptiveSparkPlan unfinalized)
+        assert len(j.collect()) == 20_000 + 300
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

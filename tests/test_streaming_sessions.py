@@ -97,6 +97,42 @@ def test_stream_sessions_equal_batch(spark, tmp_path):
     )
 
 
+def test_late_event_after_finalization_dropped(spark, tmp_path):
+    """W4 twin semantics: once a session has been finalized (watermark
+    passed it, append row emitted, state evicted) a later event for it
+    is DROPPED — never resurrected as a duplicate/bogus session, which
+    is what append-mode exactly-once requires. (Empirically pinned
+    nuance: Spark's late-row filter lags the displayed watermark by
+    one micro-batch, so an event late by only one batch may still
+    merge into live state — the harmless direction. The guarantee
+    tested here is the one that matters: finalized = immutable.)"""
+    from sarkac_spark.streaming.sessions import StreamingSessionPipeline
+
+    src = tmp_path / "src"
+    batches = [
+        [(1, _t(0))],
+        [(2, _t(10_000))],    # advances the watermark far past user 1
+        [(2, _t(10_001))],    # extra trigger: user 1's session finalizes
+        [(1, _t(5))],         # late: its session already emitted
+        [(SENTINEL, _t(100_000))],
+        [(SENTINEL, _t(100_001))],
+    ]
+    _write(spark, src, batches)
+    pipe = StreamingSessionPipeline(
+        spark, str(tmp_path / "store"), ["user_id"], "ts", GAP
+    )
+    q = pipe.start(_stream(spark, src), str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    user1 = [
+        (r.n_events, r.duration_us)
+        for r in pipe.sessions().filter(F.col("user_id") == 1).collect()
+    ]
+    # exactly the on-time event; the late one appears nowhere — no
+    # second row, no widened duration
+    assert user1 == [(1, 0)]
+
+
 def test_stream_sessions_kill_resume(spark, tmp_path):
     from sarkac_spark.streaming.sessions import StreamingSessionPipeline
 
