@@ -446,6 +446,75 @@ def bloom_might_contain(
     )
 
 
+def bloom_gated_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 262144,
+    k_hashes: int = 4,
+    how: str = "inner",
+) -> DataFrame:
+    """Inner/semi join where the FACT side is pre-gated by a Bloom
+    filter of the dim's keyset BEFORE any join machinery touches it —
+    the runtime-filter pattern (a hand-rolled twin of Spark's internal
+    ``InjectRuntimeFilter``, whose ``might_contain`` expression is not
+    exposed to the public API).
+
+    Why this matters at 100 TB: when the dim relation (with payload
+    columns) is too big to broadcast, a plain join SHUFFLES THE WHOLE
+    FACT. Its keyset bloom is ``m_bits/8`` bytes regardless of dim
+    width or row count, so it still broadcasts — and every fact row
+    failing the gate ("definitely not in dim") is dropped map-side,
+    before the exchange. No false negatives, so the result EQUALS the
+    plain join exactly (the oracle); false positives (expected
+    ~(1-e^(-kn/m))^k) just ride through to the real join.
+
+    Shape: bloom positions -> m/64 bitset words (``pos div 64``,
+    bit_or) -> ONE map row broadcast via the 1-row crossJoin class;
+    the per-row gate is k ``element_at`` + shift/AND expressions, all
+    inside whole-stage codegen. NULL fact keys fail the gate — exactly
+    the rows an equi-join drops anyway.
+    """
+    bloom = bloom_build(dim.select(dim_key), dim_key, m_bits, k_hashes)
+    words = bloom.groupBy(
+        F.expr("pos div 64").alias("__w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+        ).alias("__bits")
+    )
+    bitset = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__w", "__bits"))
+        ).alias("__bloom")
+    )
+    # positions materialized as columns first (shift amounts must be
+    # column exprs -> SQL shiftleft/shiftright, and no CSE across
+    # repeated inline position trees)
+    staged = fact.crossJoin(F.broadcast(bitset))
+    pos_cols = [f"__p{i}" for i in range(k_hashes)]
+    for i, pc in enumerate(pos_cols):
+        staged = staged.withColumn(pc, _bloom_pos(F.col(fact_key), i, m_bits))
+    gate = F.lit(True)
+    for pc in pos_cols:
+        # absent word -> NULL -> comparison NULL -> row dropped, which
+        # is exactly "definitely not in dim"
+        gate = gate & (
+            F.expr(
+                f"shiftright(element_at(__bloom, {pc} div 64),"
+                f" CAST({pc} % 64 AS INT)) & 1"
+            )
+            == 1
+        )
+    gated = staged.filter(gate).drop("__bloom", *pos_cols)
+    if how == "semi":
+        return gated.join(
+            dim.select(F.col(dim_key).alias(fact_key)), fact_key, "left_semi"
+        )
+    return gated.join(dim, gated[fact_key] == dim[dim_key], how)
+
+
 # --- HLL set algebra ----------------------------------------------------------
 
 

@@ -825,7 +825,36 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_gated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: revenue per brand for one part type, with
+    the fact side pre-gated by a Bloom of the dim's keyset BEFORE the
+    join (``operators/sketch.py::bloom_gated_join``) — the pattern that
+    keeps a 100 TB fact from shuffling rows that cannot match when the
+    dim is too wide to broadcast. No false negatives, so the result —
+    and the DuckDB oracle — is exactly the plain join."""
+    from sarkac_spark.operators.sketch import bloom_gated_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "LARGE"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = bloom_gated_join(
+        li.select("l_partkey", cents.alias("__c")),
+        part.select("p_partkey", "p_brand"),
+        "l_partkey",
+        "p_partkey",
+    )
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("__c").alias("revenue_cents"),
+    )
+
+
 QUERIES = {
+    "bloom_gated_revenue": q_bloom_gated_revenue,
     "shipping_priority": q_shipping_priority,
     "nation_market_share": q_nation_market_share,
     "important_parts": q_important_parts,
@@ -862,6 +891,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bloom_gated_revenue": """
+SELECT p.p_brand,
+       count(*) AS n_lines,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'LARGE'
+GROUP BY 1
+""",
     "shipping_priority": """
 SELECT l.l_orderkey,
        strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,

