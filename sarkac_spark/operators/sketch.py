@@ -475,7 +475,50 @@ def bloom_gated_join(
     the per-row gate is k ``element_at`` + shift/AND expressions, all
     inside whole-stage codegen. NULL fact keys fail the gate — exactly
     the rows an equi-join drops anyway.
+
+    Guard rails (both protect the equals-the-plain-join contract):
+    only ``inner``/``semi`` are accepted — an outer join must emit the
+    very rows the gate exists to drop; and the key DATA TYPES must
+    match exactly, because the bloom hashes each side's own string
+    rendering (DOUBLE ``5.0`` vs BIGINT ``5`` would hash apart and
+    false-negative every match).
     """
+    if how not in ("inner", "semi"):
+        raise ValueError(
+            f"bloom_gated_join supports how='inner'/'semi', got {how!r}: "
+            "an outer join must emit the fact rows the gate drops"
+        )
+    ft = fact.schema[fact_key].dataType
+    dt = dim.schema[dim_key].dataType
+    if ft != dt:
+        raise ValueError(
+            f"bloom_gated_join key types must match exactly (fact "
+            f"{fact_key}: {ft.simpleString()}, dim {dim_key}: "
+            f"{dt.simpleString()}): the bloom hashes each side's own "
+            "string rendering, so 5.0 and 5 would never match — cast "
+            "one side first"
+        )
+    gated = _bloom_gate(fact, dim, fact_key, dim_key, m_bits, k_hashes)
+    if how == "semi":
+        return gated.join(
+            dim.select(F.col(dim_key).alias(fact_key)), fact_key, "left_semi"
+        )
+    return gated.join(dim, gated[fact_key] == dim[dim_key], "inner")
+
+
+def _bloom_gate(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int,
+    k_hashes: int,
+) -> DataFrame:
+    """The map-side gate alone: fact rows whose key MIGHT be in dim's
+    keyset (matches + bloom false positives). Exposed separately so the
+    thinning property — rows dropped before any exchange — is directly
+    measurable (and tested) without the downstream exact join masking
+    a broken gate."""
     bloom = bloom_build(dim.select(dim_key), dim_key, m_bits, k_hashes)
     words = bloom.groupBy(
         F.expr("pos div 64").alias("__w")
@@ -507,12 +550,7 @@ def bloom_gated_join(
             )
             == 1
         )
-    gated = staged.filter(gate).drop("__bloom", *pos_cols)
-    if how == "semi":
-        return gated.join(
-            dim.select(F.col(dim_key).alias(fact_key)), fact_key, "left_semi"
-        )
-    return gated.join(dim, gated[fact_key] == dim[dim_key], how)
+    return staged.filter(gate).drop("__bloom", *pos_cols)
 
 
 # --- HLL set algebra ----------------------------------------------------------

@@ -1,5 +1,6 @@
 from sarkac_spark.plans.audit import (
     executed_plan,
+    final_plan,
     has_broadcast_hash_join,
     pushed_filters,
     read_schemas,
@@ -8,6 +9,7 @@ from sarkac_spark.plans.audit import (
 
 __all__ = [
     "executed_plan",
+    "final_plan",
     "has_broadcast_hash_join",
     "pushed_filters",
     "read_schemas",

@@ -726,9 +726,17 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__c").alias("total_cents"),
         )
     )
+    # widen through DECIMAL(38,0) before the ppm multiply: a long
+    # multiply overflows (ANSI: ARITHMETIC_OVERFLOW) once one
+    # year/nation slice exceeds ~9.2e12 cents — inside the 100 TB
+    # target. DuckDB's side is HUGEINT by construction, so both
+    # engines floor-divide exactly.
     return vol.select(
         "o_year",
-        F.expr("(__nat * 1000000L) div total_cents").alias("mkt_share_ppm"),
+        F.expr(
+            "CAST((CAST(__nat AS DECIMAL(38,0)) * 1000000)"
+            " DIV total_cents AS BIGINT)"
+        ).alias("mkt_share_ppm"),
         "total_cents",
     )
 
@@ -777,7 +785,11 @@ def q_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(
         F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
     )
-    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # coalesce: a NULL priority must count as LOW exactly like the
+    # oracle's CASE ... ELSE 1 (bare isin would skip it in BOTH sums)
+    hi = F.coalesce(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(False)
+    )
     return (
         joined.groupBy("l_returnflag")
         .agg(

@@ -122,8 +122,7 @@ class StreamingSessionPipeline:
         return writer.start()
 
     def sessions(self) -> DataFrame:
-        """All finalized sessions so far (the epoch column dropped —
-        it is store plumbing, not session identity)."""
-        return self.spark.read.parquet(
-            os.path.join(self.store_dir, "*")
-        ).drop("epoch")
+        """All finalized sessions so far (the partition-discovered
+        epoch column dropped — it is store plumbing, not session
+        identity)."""
+        return self.spark.read.parquet(self.store_dir).drop("epoch")

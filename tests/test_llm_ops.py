@@ -1777,14 +1777,24 @@ def test_bloom_gated_join_equals_plain_join(spark):
         map(tuple, want_semi.collect())
     )
 
-    # the gate actually thins the fact map-side: count rows surviving
-    # the bloom filter (before the real join) — with 450/500 keys
-    # unmatched and a right-sized bloom, survivors ~ matched + tiny fp
-    bloom_only = bloom_gated_join(
-        fact, dim, "k", "dk", how="semi"
-    )  # semi result == true matches; fp rows died at the exact join
-    n_match = bloom_only.count()
-    assert n_match == want_semi.count() == 200  # 50 keys x 4 rows each
+    # the GATE ALONE really thins the fact map-side (the downstream
+    # exact join would mask a broken all-pass gate): with 450/500 keys
+    # unmatched, survivors = 200 true matches + a tiny fp tail
+    from sarkac_spark.operators.sketch import _bloom_gate
+
+    n_gate = _bloom_gate(fact, dim, "k", "dk", 262144, 4).count()
+    n_match = want_semi.count()
+    assert n_match == 200  # 50 keys x 4 rows each
+    assert n_match <= n_gate <= n_match + 8  # thinned, tiny fp budget
+
+    # guard rails: outer joins and mismatched key types are refused
+    # loudly (both would silently break result == plain join)
+    with pytest.raises(ValueError, match="inner"):
+        bloom_gated_join(fact, dim, "k", "dk", how="left")
+    with pytest.raises(ValueError, match="types"):
+        bloom_gated_join(
+            fact.withColumn("k", F.col("k").cast("double")), dim, "k", "dk"
+        )
 
 
 def test_hll_overlap_inclusion_exclusion(spark):

@@ -15,6 +15,7 @@ from sarkac_spark.operators.similarity import cosine_topk
 from sarkac_spark.operators.stats import trailing_window_stats
 from sarkac_spark.plans import (
     executed_plan as _plan,
+    final_plan,
     has_broadcast_hash_join,
     pushed_filters,
     read_schemas,
@@ -482,10 +483,9 @@ def test_aqe_splits_skewed_shuffle_join(spark):
         # .repartition(n, k) here would be REPARTITION_BY_NUM, which
         # AQE must preserve and therefore refuses to skew-split
         j = left.join(right, "k")
-        # execute THIS dataset (count() would plan a separate query and
-        # leave j's own AdaptiveSparkPlan unfinalized)
-        assert len(j.collect()) == 20_000 + 300
-        plan = j._jdf.queryExecution().executedPlan().toString()
+        # final_plan collects THIS dataset (a count() would plan a
+        # separate query and leave j's AdaptiveSparkPlan unfinalized)
+        plan = final_plan(j)
         assert "isFinalPlan=true" in plan
         assert "skew=true" in plan, plan[:3000]
     finally:
