@@ -518,8 +518,28 @@ def _bloom_gate(
     keyset (matches + bloom false positives). Exposed separately so the
     thinning property — rows dropped before any exchange — is directly
     measurable (and tested) without the downstream exact join masking
-    a broken gate."""
-    bloom = bloom_build(dim.select(dim_key), dim_key, m_bits, k_hashes)
+    a broken gate.
+
+    Hash choice: the sketch family's md5 positions exist for DuckDB
+    oracle parity, but THIS operator's oracle is the plain join (the
+    bloom is invisible to results) — so the gate uses JVM-native
+    seeded xxhash64, ~an order of magnitude cheaper per probe on the
+    fact hot path. Both sides must use the same positions, hence the
+    local build instead of bloom_build."""
+
+    def _fast_pos(c, i):
+        return F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits)).cast("long")
+
+    bloom = (
+        dim.select(dim_key)
+        .filter(F.col(dim_key).isNotNull())
+        .select(
+            F.explode(
+                F.array(*[_fast_pos(F.col(dim_key), i) for i in range(k_hashes)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
     words = bloom.groupBy(
         F.expr("pos div 64").alias("__w")
     ).agg(
@@ -538,7 +558,7 @@ def _bloom_gate(
     staged = fact.crossJoin(F.broadcast(bitset))
     pos_cols = [f"__p{i}" for i in range(k_hashes)]
     for i, pc in enumerate(pos_cols):
-        staged = staged.withColumn(pc, _bloom_pos(F.col(fact_key), i, m_bits))
+        staged = staged.withColumn(pc, _fast_pos(F.col(fact_key), i))
     gate = F.lit(True)
     for pc in pos_cols:
         # absent word -> NULL -> comparison NULL -> row dropped, which
