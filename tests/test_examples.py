@@ -58,3 +58,21 @@ def test_streaming_curation_job_smoke():
     assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
     assert "OK: " in out.stdout
     assert "funnel:" in out.stdout
+
+
+def test_analytics_job_smoke():
+    """The analytics lifecycle doc (late round 8): bloom-gated join ==
+    plain join, distributed top-10, batch sessionize, and the
+    streaming session_window twin with a verified cross-trigger
+    merge."""
+    out = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "analytics_job.py")],
+        capture_output=True,
+        text=True,
+        timeout=400,
+        cwd=REPO,
+        check=False,
+    )
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    assert "OK: bloom-gated join == plain join" in out.stdout
+    assert "cross-trigger merge verified" in out.stdout
