@@ -408,3 +408,102 @@ def minhash_table_pairs(
         .filter(F.col("jaccard_sim") >= float(threshold))
         .select("id_a", "id_b", "jaccard_sim")
     )
+
+
+# --- deterministic Lloyd fit (the oracle-able iterative fit) ------------------
+
+
+def lloyd_kmeans_1d(
+    df: DataFrame,
+    value_col: str,
+    k: int = 4,
+    n_iter: int = 4,
+) -> DataFrame:
+    """1-D k-means fit with FULLY deterministic, engine-independent
+    semantics — the iterative-training member of the registry that a
+    SQL oracle can verify value-by-value (the MLlib fits stay in the
+    pytest-only ``fit_queries()`` surface: k-means|| init and Scala RNG
+    hash functions are implementation-specific, so no oracle can
+    recompute them).
+
+    Semantics (mirrored 1:1 by the unrolled-CTE oracle):
+
+    - init: centers = exact percentiles (2i+1)/2k of ``value_col``
+      (linear interpolation — Spark ``percentile`` == DuckDB
+      ``quantile_cont``), rounded to 6.
+    - ``n_iter`` Lloyd steps: assign each row to the nearest center
+      (ties -> lowest cluster id), then center_i = round(mean, 6) of
+      its rows; an empty cluster keeps its old center. Rounding the
+      centers each step is what makes the fit reproducible across
+      engines: both sides feed IDENTICAL center values into the next
+      assignment, so float summation-order drift never compounds.
+    - output: one row per cluster under the FINAL centers —
+      (cluster, center, n_pts, max_dist).
+
+    100 TB shape: each iteration is one scan + one k-row aggregate
+    (classic distributed Lloyd — the per-iteration collect is k rows,
+    never data); the percentile init is one exact-percentile aggregate
+    (swap for approx_percentile at extreme scale; kept exact here for
+    the oracle gate). k and n_iter are constants, so the whole fit is
+    k*n_iter bounded driver-side state.
+    """
+    spark = df.sparkSession
+    quantiles = [(2 * i + 1) / (2 * k) for i in range(k)]
+    qcsv = ", ".join(f"{q}D" for q in quantiles)
+    init = df.select(
+        F.expr(f"percentile({value_col}, array({qcsv}))").alias("qs")
+    ).first()["qs"]
+    centers = [round(float(c), 6) for c in init]
+
+    def assign(frame: DataFrame, cents: list[float]) -> DataFrame:
+        best = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(F.col(value_col) - F.lit(c)).alias("dist"),
+                        F.lit(i).alias("cluster"),
+                    )
+                    for i, c in enumerate(cents)
+                ]
+            )
+        )[0]
+        return frame.withColumn("cluster", best["cluster"]).withColumn(
+            "dist", best["dist"]
+        )
+
+    for _ in range(n_iter):
+        means = {
+            r["cluster"]: r["m"]
+            for r in assign(df, centers)
+            .groupBy("cluster")
+            .agg(F.avg(value_col).alias("m"))
+            .collect()
+        }
+        centers = [
+            round(float(means[i]), 6) if means.get(i) is not None else centers[i]
+            for i in range(k)
+        ]
+
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "cluster int, center double"
+    )
+    final = (
+        assign(df, centers)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.round(F.max("dist"), 6).alias("max_dist"),
+        )
+    )
+    # k-row left side keeps empty clusters (n_pts = 0); the k-row agg
+    # side broadcasts (BuildRight — the only legal build side of a left
+    # outer join)
+    return (
+        cents.join(F.broadcast(final), "cluster", "left")
+        .select(
+            "cluster",
+            "center",
+            F.coalesce(F.col("n_pts"), F.lit(0)).cast("long").alias("n_pts"),
+            F.coalesce(F.col("max_dist"), F.lit(0.0)).alias("max_dist"),
+        )
+    )

@@ -155,31 +155,37 @@ def extract_features(
 ) -> DataFrame:
     """Binary -> feature vectors via mapInPandas (Arrow batches).
 
-    ``batch_rows`` caps rows per Arrow batch via
-    ``spark.sql.execution.arrow.maxRecordsPerBatch`` at the session level;
-    here it's a repartition hint shape so large payloads don't blow a
-    single python worker.
+    ``batch_rows`` bounds how many payloads are decoded and accumulated
+    per yielded output frame: each incoming Arrow batch is processed in
+    slices of at most ``batch_rows`` rows, so the Python worker's
+    working set is ~batch_rows * payload size regardless of how large a
+    batch Arrow delivers. (Incoming batch size itself is governed by
+    the session-wide ``spark.sql.execution.arrow.maxRecordsPerBatch`` —
+    set it too for payloads in the tens of MB.)
     """
+    step = max(1, int(batch_rows))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            feats, n_bytes, prefixes = [], [], []
-            for payload, kind in zip(pdf["payload"], pdf["kind"]):
-                raw = bytes(payload) if payload is not None else b""
-                n_bytes.append(len(raw))
-                prefixes.append(hashlib.sha256(raw).hexdigest()[:16])
-                feats.append(decoder(raw, kind))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": n_bytes,
-                    "sha_prefix": prefixes,
-                    "feature": feats,
-                }
-            )
+            for lo in range(0, len(pdf), step):
+                chunk = pdf.iloc[lo : lo + step]
+                feats, n_bytes, prefixes = [], [], []
+                for payload, kind in zip(chunk["payload"], chunk["kind"]):
+                    raw = bytes(payload) if payload is not None else b""
+                    n_bytes.append(len(raw))
+                    prefixes.append(hashlib.sha256(raw).hexdigest()[:16])
+                    feats.append(decoder(raw, kind))
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"],
+                        "kind": chunk["kind"],
+                        "n_bytes": n_bytes,
+                        "sha_prefix": prefixes,
+                        "feature": feats,
+                    }
+                )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 

@@ -559,7 +559,12 @@ def _bloom_gate(
     pos_cols = [f"__p{i}" for i in range(k_hashes)]
     for i, pc in enumerate(pos_cols):
         staged = staged.withColumn(pc, _fast_pos(F.col(fact_key), i))
-    gate = F.lit(True)
+    # NULL keys must fail the gate explicitly: xxhash64 SKIPS null
+    # inputs, so every NULL-keyed row would otherwise hash to the k
+    # fixed positions of the seed literal alone and pass whenever those
+    # bits happen to be set in a dense bloom. Equi-join semantics drop
+    # NULL keys, so the gate does too.
+    gate = F.col(fact_key).isNotNull()
     for pc in pos_cols:
         # absent word -> NULL -> comparison NULL -> row dropped, which
         # is exactly "definitely not in dim"

@@ -130,3 +130,23 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracle_sql() -> dict[str, str]:
     return _merged("ORACLE")
+
+
+def fit_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Pytest-only iterative-fit surface: real MLlib training runs plus
+    the BPE merge-training loop — genuinely non-SQL-expressible, so they
+    are deliberately NOT driver-registered (a driver sample of a
+    no-oracle entry records ``err: no_oracle``; the registry must stay
+    100% oracle-backed). Each fit's scoring stage IS registered with a
+    full value-hash oracle (kmeans_scoring / lsh_scoring /
+    minhash_scoring / bpe_apply), and the registered iterative-fit
+    coverage is ``lloyd_kmeans``. Smoke-checked (runs, rows, stable
+    schema) in tests/test_utilities.py."""
+    out: dict = {}
+    for m in _MODULES:
+        part = getattr(m, "FIT_QUERIES", {})
+        overlap = out.keys() & part.keys()
+        if overlap:
+            raise ValueError(f"duplicate fit query names: {overlap}")
+        out.update(part)
+    return out

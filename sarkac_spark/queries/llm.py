@@ -29,7 +29,6 @@ QUERIES = {
     "classifier_confusion": q_classifier_confusion,
     "contamination_spans": q_contamination_spans,
     "mixture_realize": q_mixture_realize,
-    "bpe_tokenize": q_bpe_tokenize,
     "classifier_calibration": q_classifier_calibration,
     "pq_assign": q_pq_assign,
     "pq_topk": q_pq_topk,
@@ -485,4 +484,12 @@ SELECT c.lang, c.n_tokens,
              / c.n_tokens, 6) AS epochs
 FROM c LEFT JOIN w USING (lang), t
 """,
+}
+
+# Pytest-only iterative-fit surface (see sarkac_spark.queries.fit_queries):
+# the BPE merge-training loop is a driver-side vocab-capped iteration with
+# no SQL-expressible oracle; its apply/fertility/merge stages ARE
+# registered with oracles (bpe_apply / bpe_fertility / bpe_merges).
+FIT_QUERIES = {
+    "bpe_tokenize": q_bpe_tokenize,
 }

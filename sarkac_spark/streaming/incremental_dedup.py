@@ -264,17 +264,28 @@ class IncrementalDedupPipeline:
             df = self._read_or_none_any(store)
             if df is None:
                 continue
+            if store == self.sig_dir:
+                # refuse to fold (and thereby re-stamp) a legacy or
+                # foreign-format signature store: compacting one would
+                # bless mod-P sh_set values as format 2 and silently
+                # re-enable the admit-every-near-dup failure the marker
+                # exists to prevent.
+                self._check_sig_format()
             data = df.drop("epoch").coalesce(max(1, int(target_partitions)))
             tmp = store.rstrip("/") + ".compact"
             data.write.mode("overwrite").parquet(os.path.join(tmp, "epoch=-1"))
             if store == self.store_dir:
                 n_docs = self.spark.read.parquet(tmp).count()
+            elif os.path.isdir(tmp):
+                # stamp the marker INTO the tmp dir so the swap below is
+                # atomic including the marker — a crash after the swap
+                # can no longer leave a healthy store that the next read
+                # rejects as unmarked.
+                with open(os.path.join(tmp, "_FORMAT"), "w") as f:
+                    f.write(str(SIG_STORE_FORMAT))
             # crash-safe swap: never a window where the store is absent
             # without a loud .old marker (storeutil.atomic_swap).
             atomic_swap(tmp, store)
-        # the swap replaced the sig dir wholesale — restore its marker
-        if os.path.exists(self.sig_dir):
-            self._write_sig_format()
         return n_docs
 
     def _read_or_none_any(self, path: str) -> DataFrame | None:

@@ -13,11 +13,13 @@ members of each Curator stage, in the batch Curator's stage order:
    a domain that has already committed ``cap`` documents admits no
    more. This is the one semantic that MUST differ from the batch
    ``domain_cap`` (keep the cap BEST by quality): a stream cannot
-   revoke documents it already committed, so admission is arrival-
-   order — within a batch, ordered by ascending id (deterministic on
-   replay). Batch and stream survivor sets coincide exactly when
-   arrival order matches the batch ranking order (see the stream≡batch
-   test, which pins this with a constant quality column).
+   revoke documents it already committed. WITHIN a batch, admission
+   follows the batch ranking — best ``quality_col`` first, ties to
+   ascending id (replay-deterministic) — so batch and stream survivor
+   sets coincide exactly whenever a domain's contenders arrive in one
+   trigger; the residual divergence is cross-epoch arrivals only.
+   Without a ``quality_col``, admission is pure arrival order
+   (ascending id).
 
 Per-epoch FUNNEL counters (epoch, stage, n_docs) are written alongside
 the corpus, with the same stage names as ``Curator.report()`` /
@@ -161,10 +163,20 @@ class StreamingCuratorPipeline:
         domain_col = cfg.get("domain_col", "source")
         cap = int(cfg["cap"])
         prior = self._prior_quota(exclude_epoch=epoch_id)
-        # arrival-order admission: rank within the batch by ascending id
-        # (deterministic on replay), admit while prior + rank <= cap.
-        # The window is batch-sized and partitioned by domain.
-        w = Window.partitionBy(domain_col).orderBy(F.col(self.id_col).asc())
+        # Admission order: WITHIN a batch, best-quality first when a
+        # quality_col is configured (the batch ``domain_cap`` ranking,
+        # ties to ascending id so replay stays deterministic) — batch
+        # and stream survivor sets then coincide exactly whenever a
+        # domain's contenders arrive in one trigger, and the documented
+        # divergence shrinks to cross-epoch arrivals (a stream cannot
+        # revoke documents it already committed). Without a quality_col,
+        # admission is pure arrival order (ascending id). Admit while
+        # prior + rank <= cap; the window is batch-sized, partitioned by
+        # domain.
+        order = [F.col(self.id_col).asc()]
+        if cfg.get("quality_col") is not None:
+            order.insert(0, F.col(cfg["quality_col"]).desc())
+        w = Window.partitionBy(domain_col).orderBy(*order)
         ranked = kept.withColumn("__rn", F.row_number().over(w))
         if prior is not None:
             # NULL-SAFE join: null domains are one domain to the window
@@ -245,10 +257,14 @@ class StreamingCuratorPipeline:
         n_docs = self._dedup.compact(target_partitions)
         q = self._read_or_none(self.quota_dir)
         if q is not None:
-            domain_col = self.config["domain_cap"].get("domain_col", "source")
+            # fold by the store's OWN domain column (everything that
+            # isn't the count or the epoch partition) — a quota store
+            # left over from an earlier configuration must compact
+            # cleanly even if domain_cap was since removed from config.
+            fold_cols = [c for c in q.columns if c not in ("n_admitted", "epoch")]
             folded = (
                 q.drop("epoch")
-                .groupBy(domain_col)
+                .groupBy(*fold_cols)
                 .agg(F.sum("n_admitted").alias("n_admitted"))
                 .coalesce(1)
             )

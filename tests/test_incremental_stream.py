@@ -333,3 +333,37 @@ def test_legacy_sig_store_fails_loudly(spark, tmp_path):
         f.write("1")
     with pytest.raises(RuntimeError, match="format"):
         pipe.process_batch(spark.createDataFrame(_batches()[1], SCHEMA), 1)
+
+
+def test_compact_refuses_legacy_store_and_stamps_marker_atomically(spark, tmp_path):
+    """compact() must never bless a legacy/unmarked signature store as
+    format 2 (folding one would silently re-enable admit-every-near-dup),
+    and a successful compact's swap must be atomic INCLUDING the marker
+    (stamped into the tmp dir before the swap, so no crash window leaves
+    a healthy-but-unmarked store)."""
+    import os
+
+    from sarkac_spark.streaming.incremental_dedup import IncrementalDedupPipeline
+
+    pipe = IncrementalDedupPipeline(spark, str(tmp_path / "store"), minhash=MH)
+    pipe.process_batch(spark.createDataFrame(_batches()[0], SCHEMA), 0)
+
+    # legacy store (no marker): compact refuses instead of re-stamping
+    os.remove(os.path.join(pipe.sig_dir, "_FORMAT"))
+    with pytest.raises(RuntimeError, match="format"):
+        pipe.compact()
+    # refused loudly AND left the store un-blessed
+    assert not os.path.exists(os.path.join(pipe.sig_dir, "_FORMAT"))
+
+    # restore the marker; compact succeeds and the swapped-in store
+    # carries the marker (written into tmp pre-swap, not re-stamped after)
+    with open(os.path.join(pipe.sig_dir, "_FORMAT"), "w") as f:
+        f.write("2")
+    n = pipe.compact()
+    assert n == len({r.doc_id for r in pipe.committed().collect()})
+    with open(os.path.join(pipe.sig_dir, "_FORMAT")) as f:
+        assert f.read().strip() == "2"
+    # and the compacted store still dedups (format intact end-to-end)
+    pipe.process_batch(spark.createDataFrame(_batches()[0], SCHEMA), 7)
+    ids = [r.doc_id for r in pipe.committed().collect()]
+    assert len(ids) == len(set(ids))

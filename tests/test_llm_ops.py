@@ -1787,6 +1787,19 @@ def test_bloom_gated_join_equals_plain_join(spark):
     assert n_match == 200  # 50 keys x 4 rows each
     assert n_match <= n_gate <= n_match + 8  # thinned, tiny fp budget
 
+    # NULL fact keys fail the gate ITSELF (equi-join semantics): Spark's
+    # xxhash64 skips NULL inputs, so without the explicit isNotNull
+    # conjunct every NULL row would hash to the seed literal's k fixed
+    # positions and could pass a dense bloom. Use a tiny saturated bloom
+    # (m=64) so those positions are certainly set — the strongest case.
+    null_fact = fact.unionByName(
+        spark.range(5).select(
+            F.lit(None).cast("long").alias("k"), F.col("id").alias("v")
+        )
+    )
+    gated_nulls = _bloom_gate(null_fact, dim, "k", "dk", 64, 2)
+    assert gated_nulls.filter(F.col("k").isNull()).count() == 0
+
     # guard rails: outer joins and mismatched key types are refused
     # loudly (both would silently break result == plain join)
     with pytest.raises(ValueError, match="inner"):

@@ -251,3 +251,73 @@ def test_null_domain_quota_accumulates(spark, tmp_path):
     got = {r.doc_id for r in pipe.committed().collect()}
     # null domain filled its cap in epoch 0; 3 and 5 must be dropped
     assert got == {1, 2, 4}
+
+
+def test_within_batch_quota_is_quality_ordered(spark, tmp_path):
+    """With a quality_col configured, within-batch admission keeps the
+    BEST documents per domain (the batch domain_cap ranking, ties to
+    ascending id) — not the lowest ids — so stream == batch whenever a
+    domain's contenders share a trigger. Cross-epoch the running count
+    still binds (a stream cannot revoke committed docs)."""
+    from sarkac_spark.curator import Curator
+
+    schema = "doc_id long, text string, source string, q long"
+    rows = [
+        (1, GOOD_A, "web", 10),
+        (2, GOOD_B, "web", 40),   # best
+        (3, GOOD_C, "web", 30),   # second best
+        (4, GOOD_D, "blog", 5),
+    ]
+    config = {"domain_cap": {"domain_col": "source", "cap": 2,
+                             "quality_col": "q"}}
+    pipe = _pipe(spark, tmp_path, config=config)
+    pipe.process_batch(spark.createDataFrame(rows, schema), 0)
+    got = {r.doc_id for r in pipe.committed().collect()}
+    assert got == {2, 3, 4}  # quality-ranked, NOT arrival-order {1, 2, 4}
+
+    # equals the batch Curator on the single-trigger corpus
+    cur = Curator(spark, config)
+    batch_ids = {
+        r.doc_id
+        for r in cur.apply(spark.createDataFrame(rows, schema))
+        .select("doc_id").collect()
+    }
+    assert batch_ids == got
+
+    # cross-epoch: a later higher-quality web doc is still quota-dropped
+    # (running count, arrival wins across triggers — the documented
+    # residual divergence from batch)
+    pipe.process_batch(
+        spark.createDataFrame([(5, GOOD_E, "web", 99)], schema), 1
+    )
+    assert {r.doc_id for r in pipe.committed().collect()} == got
+
+    # replay determinism: same batch, same epoch -> same survivors
+    pipe.process_batch(spark.createDataFrame(rows, schema), 0)
+    assert {r.doc_id for r in pipe.committed().collect()} == got
+
+
+def test_compact_with_domain_cap_removed_from_config(spark, tmp_path):
+    """A quota store left by an earlier configuration must compact
+    cleanly (fold by the store's own domain column) even after
+    domain_cap was dropped from the config."""
+    from sarkac_spark.streaming.streaming_curator import StreamingCuratorPipeline
+
+    pipe = _pipe(
+        spark, tmp_path,
+        config={"domain_cap": {"domain_col": "source", "cap": 2}},
+    )
+    pipe.process_batch(
+        spark.createDataFrame(
+            [(1, GOOD_A, "web"), (2, GOOD_B, "web")], SCHEMA
+        ),
+        0,
+    )
+    # same stores, new config without domain_cap
+    pipe2 = StreamingCuratorPipeline(
+        spark, str(tmp_path / "store"), config={"quality": {"gopher": True}}
+    )
+    n = pipe2.compact()  # must not KeyError on the stale quota store
+    assert n == 2
+    quota = spark.read.parquet(str(tmp_path / "store_quota"))
+    assert [(r.source, r.n_admitted) for r in quota.collect()] == [("web", 2)]

@@ -177,10 +177,14 @@ def main() -> int:
     generate(d10, mult)
 
     import __spark_entry__ as entry
+    from sarkac_spark.queries import fit_queries
     from sarkac_spark.session import get_spark
 
     spark = get_spark("bench_scale_decade")
-    queries = entry.queries()
+    # fit_queries: bpe_tokenize lives on the pytest-only fit surface but
+    # keeps its decade row here (wall-vs-corpus is measurable without an
+    # oracle)
+    queries = {**fit_queries(), **entry.queries()}
 
     results, failures = {}, []
     if "--scaled-nlist" in args:
