@@ -1,10 +1,13 @@
-"""General relational queries over the TPC-H-style star schema.
+"""General relational queries over the events/documents tables —
+sessionization, range joins, pivot/rollup/cube, time-series windows,
+funnels, and skew diagnostics. The TPC-H-shape star-schema queries live
+in ``relational_tpch.py`` (round-9 size split); this module
+star-imports them and owns the MERGED driver-facing QUERIES/ORACLE
+dicts, so ``sarkac_spark.queries`` sees one unchanged registry surface.
 
 The reference has no joins/sorts/window functions (SURVEY §2.6) — these
 exist to show the rebuild is a complete analytics engine on the same
-tables, with the plan shapes that matter at 100 TB: partial aggregation
-before the shuffle (q1), broadcast dimension joins (region_revenue), and
-rank-based top-k without a global sort (top_customers).
+tables, with the plan shapes that matter at 100 TB.
 
 Float policy: monetary sums rounded to 2 (absolute summation-order error
 ~1e-5 at sf0.1 — far from the 0.005 boundary), averages to 4.
@@ -15,75 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from sarkac_spark.functions.ranking import rank_topk
+from sarkac_spark.queries.relational_tpch import *  # noqa: F401,F403
+from sarkac_spark.queries import relational_tpch as _tpch
 from sarkac_spark.sources.tables import load_table
-
-
-def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan-heavy grouped aggregation; Catalyst gives
-    map-side partial aggregation, so the shuffle carries |groups| rows."""
-    li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 customers by order revenue. orderBy().limit() compiles to
-    TakeOrderedAndProject — per-partition top-k merged on the driver —
-    instead of a global unpartitioned rank window (which would move the
-    whole per-customer relation to ONE partition; Spark even warns).
-    Rank is assigned afterwards on the 5 surviving rows."""
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-    top5 = per_cust.orderBy(F.col("total_spent").desc(), F.col("o_custkey")).limit(5)
-    ranked = rank_topk(top5, "total_spent", "o_custkey")
-    return ranked.join(
-        F.broadcast(customer.select("c_custkey", "c_name", "c_mktsegment")),
-        ranked.o_custkey == F.col("c_custkey"),
-    ).select("rank", "c_custkey", "c_name", "c_mktsegment", "total_spent", "n_orders")
-
-
-def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact ⋈ broadcast dimension chain: orders ⋈ customer ⋈ nation ⋈
-    region, revenue per region — dims broadcast, one fact shuffle for the
-    final group-by only."""
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    dims = (
-        customer.join(
-            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
-        )
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .select("c_custkey", "r_name")
-    )
-    return (
-        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
-        .groupBy(F.col("r_name").alias("region"))
-        .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-    )
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,7 +32,6 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(
         ev, ["user_id"], "ts", gap_seconds=1800, order_tiebreak=["event_id"]
     )
-
 
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment: events joined into [-30m, +90m] windows
@@ -117,7 +53,6 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_in_window")
     )
 
-
 def q_doc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (lang, source): subtotal and grand-total rows with the
     standard NULL group markers — matching DuckDB's GROUP BY ROLLUP."""
@@ -126,7 +61,6 @@ def q_doc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
-
 
 def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily counts pivoted to one column per event type (fixed pivot
@@ -143,7 +77,6 @@ def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, types)
     )
 
-
 def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel over events: users reaching view -> click ->
     purchase with each step strictly after the previous one."""
@@ -157,7 +90,6 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         steps=("view", "click", "purchase"),
         id_tiebreak="event_id",
     )
-
 
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regularize the event stream: per-type hourly buckets, empty
@@ -176,7 +108,6 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_seconds=3600,
         agg_expr=F.sum(cents).cast("long"),
     )
-
 
 def q_rolling_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 3-hour moving average over the hourly per-type series —
@@ -212,7 +143,6 @@ def q_rolling_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_hours_in_frame"),
     )
 
-
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of event values (bin = floor(value/25)) —
     map-side binning then a |bins|-row shuffle; the building block for
@@ -226,7 +156,6 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 6).alias("bin_max"),
     )
 
-
 def q_doc_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (lang, source): all four grouping-set combinations in
     one pass (Expand + single aggregation — not four scans). Integer
@@ -236,7 +165,6 @@ def q_doc_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
-
 
 def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k (top-3 longest docs per language): rank window
@@ -252,128 +180,6 @@ def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.col("rk").cast("long"))
     )
 
-
-def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: fact ⋈ broadcast(part) + conditional aggregation
-    → one row. The part side is a pure broadcast (no fact shuffle at
-    all: map-side join, partial agg, single-row final)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
-    return (
-        li.join(F.broadcast(part.select("p_partkey", "p_type")),
-                li.l_partkey == F.col("p_partkey"))
-        .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(disc_price), 4).alias("promo_pct"),
-            F.round(F.sum(disc_price), 2).alias("total_revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
-        )
-    )
-
-
-def q_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue per supplier nation: lineitem ⋈ broadcast(supplier ⋈
-    nation). The dimension chain collapses driver-side into one small
-    broadcast; the only shuffle is the |nations|-row group-by."""
-    li = load_table(spark, sf_dir, "lineitem")
-    supplier = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    dims = supplier.join(
-        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
-    ).select("s_suppkey", "n_name")
-    return (
-        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
-        .groupBy(F.col("n_name").alias("supplier_nation"))
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-            .alias("revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
-        )
-    )
-
-
-def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-join coverage (EXISTS): customers with at least one
-    big-ticket order — LEFT SEMI emits each probe row at most once and
-    moves no payload columns from the build side."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    big = o.filter(F.col("o_totalprice") > BIG_ORDER_CUTOFF).select("o_custkey")
-    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
-        "c_custkey", "c_name", "c_mktsegment"
-    )
-
-
-BIG_ORDER_CUTOFF = 300_000  # ~top order-price decile in the synthetic data
-
-
-def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join coverage (TPC-H Q22 flavor): customers with no
-    big-ticket order. LEFT ANTI shuffles both sides on the key and
-    emits only the probe side — no fact columns move; the price filter
-    is pushed below the join (build side shrinks before the shuffle)."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    big = o.filter(F.col("o_totalprice") > BIG_ORDER_CUTOFF).select("o_custkey")
-    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
-        "c_custkey", "c_name", "c_mktsegment"
-    )
-
-
-def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: EXISTS over the fact table — orders with at
-    least one returned lineitem, counted by priority. The semi-join
-    dedups build-side matches before the count and the returnflag
-    filter is pushed to the lineitem scan, so the join moves only the
-    surviving 8-byte keys."""
-    o = load_table(spark, sf_dir, "orders")
-    ret = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey")
-    )
-    return (
-        o.join(ret, o.o_orderkey == ret.l_orderkey, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-    )
-
-
-def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13 shape: outer-join count distribution — how many
-    customers placed exactly N orders, INCLUDING the zero bucket (the
-    left outer join keeps orderless customers; count(o_orderkey) skips
-    their null). Two aggregations: per-customer count (shuffle on
-    custkey), then the tiny distribution rollup."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
-    )
-    return per_cust.groupBy("n_orders").agg(
-        F.count(F.lit(1)).alias("n_customers")
-    )
-
-
-def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape: distinct-aggregate after a key join — supplier
-    variety per (brand, type), computed from lineitem since the
-    fixture ships no partsupp. count(DISTINCT) expands to a two-phase
-    aggregate (partial distinct per partition, then merge) — no
-    driver-side set."""
-    p = load_table(spark, sf_dir, "part")
-    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    return (
-        l.join(p.select("p_partkey", "p_brand", "p_type"),
-               l.l_partkey == p.p_partkey)
-        .groupBy("p_brand", "p_type")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-    )
-
-
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key diagnosis on the lineitem->orders join key: the report
     run before committing a 100 TB shuffle to a key (skew >> 1 on head
@@ -381,7 +187,6 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sarkac_spark.operators.profiling import skew_report
 
     return skew_report(load_table(spark, sf_dir, "lineitem"), ["l_orderkey"])
-
 
 def q_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation between the per-type hourly series —
@@ -392,729 +197,49 @@ def q_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series_correlation(load_table(spark, sf_dir, "events"))
 
 
-def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: correlated scalar-aggregate subquery (lineitems
-    below a fraction of THEIR part's average quantity), decorrelated the
-    scale-correct way — one grouped per-part average joined back (the
-    rewrite every optimizer wants: the naive correlated form re-scans
-    lineitem per part). Brand dim filter broadcasts; the per-part avg
-    relation is |parts|-sized, also broadcastable at any SF where parts
-    fit (Catalyst/AQE picks it up)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_brand") == "Brand#13"
-    )
-    per_part_avg = li.groupBy("l_partkey").agg(
-        F.avg("l_quantity").alias("__aq")
-    )
-    small = (
-        li.join(F.broadcast(part.select("p_partkey")),
-                li["l_partkey"] == F.col("p_partkey"))
-        .join(per_part_avg, "l_partkey")
-        .filter(F.col("l_quantity") < 0.5 * F.col("__aq"))
-    )
-    return small.agg(
-        F.count(F.lit(1)).alias("n_small_lineitems"),
-        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
-    )
-
-
-def q_top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: aggregate-of-aggregate equality — the supplier(s)
-    whose windowed revenue EQUALS the maximum revenue (ties all
-    returned, unlike rank-based top-k). The max is a 1-row relation
-    broadcast against the |suppliers|-sized revenue agg: no global sort,
-    no second scan of lineitem."""
-    li = load_table(spark, sf_dir, "lineitem")
-    sup = load_table(spark, sf_dir, "supplier")
-    rev = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
-        )
-        .groupBy("l_suppkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue")
-        )
-    )
-    mx = rev.agg(F.max("total_revenue").alias("__mx"))
-    return (
-        rev.crossJoin(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("__mx"))
-        .join(F.broadcast(sup.select("s_suppkey", "s_name")),
-              rev["l_suppkey"] == F.col("s_suppkey"))
-        .select(
-            F.col("s_suppkey").cast("long").alias("s_suppkey"),
-            "s_name",
-            "total_revenue",
-        )
-    )
-
-
-def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape: correlated MIN subquery — for every part (of one
-    type) the supplier(s) offering the minimum cost, restricted to one
-    region via the supplier→nation→region dim chain. (This schema has
-    no partsupp table, so lineitem prices stand in for supply cost; the
-    plan shape is Q2's.) Decorrelated the scale-correct way: ONE
-    grouped per-(part, supplier) cost relation, ONE per-part min joined
-    back on (partkey, cost) equality — never a per-part re-scan. The
-    dim chain (supplier⋈nation⋈region) broadcasts; the min-cost
-    relation is |parts|-sized and joins the costs agg with AQE free to
-    broadcast it. Ties (several suppliers at the min) all return, as in
-    Q2. Costs are integer cents end-to-end — no float-rounding hash
-    risk."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
-    sup = load_table(spark, sf_dir, "supplier")
-    nat = load_table(spark, sf_dir, "nation")
-    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    eur = (
-        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
-        .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
-        .select("s_suppkey", "s_name", "n_name")
-    )
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    costs = (
-        li.join(
-            F.broadcast(part.select("p_partkey")),
-            li["l_partkey"] == F.col("p_partkey"),
-        )
-        .join(F.broadcast(eur), li["l_suppkey"] == F.col("s_suppkey"))
-        .select(
-            "l_partkey", "l_suppkey", "s_name", "n_name",
-            cents.alias("__cents"),
-        )
-        .groupBy("l_partkey", "l_suppkey", "s_name", "n_name")
-        .agg(F.min("__cents").alias("cost_cents"))
-    )
-    mn = costs.groupBy("l_partkey").agg(F.min("cost_cents").alias("__mn"))
-    return (
-        costs.join(mn, "l_partkey")
-        .filter(F.col("cost_cents") == F.col("__mn"))
-        .select(
-            F.col("l_partkey").alias("p_partkey"),
-            F.col("l_suppkey").cast("long").alias("s_suppkey"),
-            "s_name",
-            "n_name",
-            "cost_cents",
-        )
-    )
-
-
-def q_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape: nested semi-join chain — suppliers who, inside
-    one ship-date year, shipped MORE than half of a part's total
-    shipped quantity (the availqty-vs-half-of-shipped predicate of Q20,
-    re-expressed without partsupp: a supplier dominating a part's flow
-    is the 'excess stock holder'). Decorrelated: ONE per-(part,
-    supplier) quantity agg, ONE per-part total derived FROM it (agg of
-    the agg — never a second lineitem scan), the dominance filter, then
-    a per-supplier rollup joined to the broadcast supplier⋈nation dim.
-    Quantities are integer centi-units; the dominance test is
-    2*q > total in pure longs."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
-    )
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
-    sup = load_table(spark, sf_dir, "supplier")
-    nat = load_table(spark, sf_dir, "nation")
-    qcents = F.round(F.col("l_quantity") * 100).cast("long")
-    ps = (
-        li.join(
-            F.broadcast(part.select("p_partkey")),
-            li["l_partkey"] == F.col("p_partkey"),
-        )
-        .select("l_partkey", "l_suppkey", qcents.alias("__q"))
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum("__q").alias("q_cents"))
-    )
-    tot = ps.groupBy("l_partkey").agg(F.sum("q_cents").alias("__t"))
-    dom = ps.join(tot, "l_partkey").filter(
-        F.col("q_cents") * 2 > F.col("__t")
-    )
-    sdim = sup.join(
-        F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
-    ).select("s_suppkey", "s_name", "n_name")
-    return (
-        dom.groupBy("l_suppkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_dominated_parts"),
-            F.sum("q_cents").alias("dom_qty_cents"),
-        )
-        .join(F.broadcast(sdim), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select(
-            F.col("s_suppkey").cast("long").alias("s_suppkey"),
-            "s_name",
-            "n_name",
-            "n_dominated_parts",
-            "dom_qty_cents",
-        )
-    )
-
-
-def q_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape: EXISTS + NOT-EXISTS correlated pair — suppliers
-    who were the ONLY supplier with a returned lineitem in a
-    multi-supplier order (Q21's 'kept the order waiting' predicate,
-    re-keyed on l_returnflag since this schema has no receipt/commit
-    dates). Decorrelated the scale-correct way: ONE grouped pass per
-    (order, supplier) with a returned-flag max, ONE per-order rollup
-    (suppliers, suppliers-with-returns) derived FROM it — the
-    EXISTS/NOT-EXISTS pair becomes two columns of the same aggregate,
-    never a re-scan per subquery. Supplier dim broadcasts at the end.
-    Output: per-supplier count of blocked orders."""
-    li = load_table(spark, sf_dir, "lineitem")
-    sup = load_table(spark, sf_dir, "supplier")
-    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max((F.col("l_returnflag") == "R").cast("int")).alias("__ret")
-    )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("__n_sup"),
-        F.sum("__ret").alias("__n_ret_sup"),
-    )
-    blocked = (
-        per_os.filter(F.col("__ret") == 1)
-        .join(per_o, "l_orderkey")
-        .filter((F.col("__n_sup") >= 2) & (F.col("__n_ret_sup") == 1))
-    )
-    return (
-        blocked.groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(
-            F.broadcast(sup.select("s_suppkey", "s_name")),
-            F.col("l_suppkey") == F.col("s_suppkey"),
-        )
-        .select(
-            F.col("s_suppkey").cast("long").alias("s_suppkey"),
-            "s_name",
-            "numwait",
-        )
-    )
-
-
-def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: scalar-average subquery + NOT EXISTS —
-    customers with an account balance above the average POSITIVE
-    balance who placed no RECENT orders (none since 2000-06-01 — the
-    lapsed-but-funded segment Q22 targets), rolled up per nation.
-    Decorrelated: the global average is a 1-row broadcast; the NOT
-    EXISTS is one left-anti join against the distinct recent-order
-    custkeys (the filter pushes into the orders scan). Balances are
-    integer cents end-to-end."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp_ntz")
-    )
-    cents = F.round(F.col("c_acctbal") * 100).cast("long")
-    c = cust.select(
-        "c_custkey", F.col("c_nationkey").cast("long").alias("nationkey"),
-        cents.alias("bal_cents"),
-    )
-    # avg positive balance as exact integer micro-cents: sum*1e4 div n
-    # (integral div on longs — no float mean, the quality_score lesson)
-    avg_pos = (
-        c.filter(F.col("bal_cents") > 0)
-        .agg(
-            F.expr("(sum(bal_cents) * 10000L) div count(1)").alias("__avg_tc")
-        )
-    )
-    idle = c.join(
-        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
-        "c_custkey",
-        "left_anti",
-    )
-    return (
-        idle.crossJoin(F.broadcast(avg_pos))
-        .filter(F.col("bal_cents") * 10000 > F.col("__avg_tc"))
-        .groupBy("nationkey")
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            F.sum("bal_cents").alias("totacctbal_cents"),
-        )
-    )
-
-
-def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter + fact-fact join + global
-    top-10. The segment filter broadcasts customer keys into orders;
-    unshipped-revenue rolls up per order; the top-10 is orderBy+limit,
-    which Spark executes as TakeOrderedAndProject — every partition
-    keeps a 10-row heap and only the heads travel to the driver, never
-    a global sort. Ties are impossible at the boundary because the
-    sort key ends with the unique orderkey. Revenue is integer cents."""
-    cust = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
-    )
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
-    )
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
-    return (
-        li.join(
-            orders.join(
-                F.broadcast(cust.select("c_custkey")),
-                orders["o_custkey"] == F.col("c_custkey"),
-            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
-            li["l_orderkey"] == F.col("o_orderkey"),
-        )
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(cents).alias("revenue_cents"))
-        .select(
-            "l_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "o_orderpriority",
-            "revenue_cents",
-        )
-        .orderBy(F.desc("revenue_cents"), "l_orderkey")
-        .limit(10)
-    )
-
-
-def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 shape: one nation's market share inside a region, per
-    order year — the CASE-sum ratio over a snowflake join (lineitem ⋈
-    orders ⋈ customer→nation→region on the demand side, supplier→nation
-    on the supply side; part filters the fact). Every dim chain
-    broadcasts; the fact is scanned once and the share is two
-    conditional sums of the SAME grouped aggregate, emitted as exact
-    parts-per-million via integral div (no float ratio)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_type") == "STANDARD"
-    )
-    sup = load_table(spark, sf_dir, "supplier")
-    nat = load_table(spark, sf_dir, "nation")
-    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    eur_cust = (
-        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
-        .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
-        .select("c_custkey")
-    )
-    sup_nat = sup.join(
-        F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
-        sup["s_nationkey"] == F.col("n_nationkey"),
-    ).select("s_suppkey", "supp_nation")
-    eur_orders = orders.join(
-        F.broadcast(eur_cust), orders["o_custkey"] == F.col("c_custkey")
-    ).select("o_orderkey", F.year("o_orderdate").alias("o_year"))
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
-    vol = (
-        li.join(F.broadcast(part.select("p_partkey")),
-                li["l_partkey"] == F.col("p_partkey"))
-        .join(eur_orders, li["l_orderkey"] == F.col("o_orderkey"))
-        .join(F.broadcast(sup_nat), li["l_suppkey"] == F.col("s_suppkey"))
-        .select("o_year", "supp_nation", cents.alias("__c"))
-        .groupBy("o_year")
-        .agg(
-            F.sum(
-                F.when(F.col("supp_nation") == "NATION_3", F.col("__c")
-                       ).otherwise(F.lit(0))
-            ).alias("__nat"),
-            F.sum("__c").alias("total_cents"),
-        )
-    )
-    # widen through DECIMAL(38,0) before the ppm multiply: a long
-    # multiply overflows (ANSI: ARITHMETIC_OVERFLOW) once one
-    # year/nation slice exceeds ~9.2e12 cents — inside the 100 TB
-    # target. DuckDB's side is HUGEINT by construction, so both
-    # engines floor-divide exactly.
-    return vol.select(
-        "o_year",
-        F.expr(
-            "CAST((CAST(__nat AS DECIMAL(38,0)) * 1000000)"
-            " DIV total_cents AS BIGINT)"
-        ).alias("mkt_share_ppm"),
-        "total_cents",
-    )
-
-
-def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: HAVING against a GLOBAL scalar — parts whose
-    revenue exceeds 1.5x the mean per-part revenue (a fraction-of-total
-    threshold keyed to the part count, so the gate stays non-vacuous at
-    every SF — TPC-H itself scales Q11's fraction by 1/SF for the same
-    reason). The scalar is an aggregate OF the per-part aggregate
-    (never a second fact scan), broadcast as a 1-row relation; the
-    comparison is exact long arithmetic (rev * n * 2 > total * 3)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
-    per_part = li.select("l_partkey", cents.alias("__c")).groupBy(
-        "l_partkey"
-    ).agg(F.sum("__c").alias("revenue_cents"))
-    total = per_part.agg(
-        F.sum("revenue_cents").alias("__t"),
-        F.count(F.lit(1)).alias("__n"),
-    )
-    return (
-        per_part.crossJoin(F.broadcast(total))
-        .filter(
-            F.col("revenue_cents") * F.col("__n") * 2 > F.col("__t") * 3
-        )
-        .select(F.col("l_partkey").alias("p_partkey"), "revenue_cents")
-    )
-
-
-def q_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape: fact-fact equi-join + CASE-split counts — for
-    each returnflag (this schema's stand-in for shipmode), how many
-    LATE lineitems (shipped ≥ 90 days after the order date) belong to
-    high- vs low-priority orders. The join is the canonical
-    co-partitioned orderkey join: at 100 TB both sides bucket on
-    orderkey and the shuffle disappears; here AQE picks the strategy.
-    The priority split is two conditional sums of one aggregate."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    joined = li.join(
-        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
-        li["l_orderkey"] == F.col("o_orderkey"),
-    ).filter(
-        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    )
-    # coalesce: a NULL priority must count as LOW exactly like the
-    # oracle's CASE ... ELSE 1 (bare isin would skip it in BOTH sums)
-    hi = F.coalesce(
-        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(False)
-    )
-    return (
-        joined.groupBy("l_returnflag")
-        .agg(
-            F.sum(hi.cast("long")).alias("high_line_count"),
-            F.sum((~hi).cast("long")).alias("low_line_count"),
-        )
-    )
-
-
-def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19 shape: OR-of-conjunctions spanning both join sides —
-    revenue from three (brand, size-range, quantity-range) channels.
-    The scale trap: the raw disjunction references both tables, so a
-    naive plan joins EVERYTHING and filters after. The per-side
-    supersets (brand ∈ {...} ∧ size ≤ 15 on part; quantity ≤ 30 on
-    lineitem) are therefore stated explicitly so they reach the parquet
-    scans as PushedFilters — the rewrite Catalyst's CNF pushdown aims
-    for, made deterministic. One row out: line count + revenue cents."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
-    )
-    part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_brand").isin("Brand#1", "Brand#6", "Brand#9")
-        & (F.col("p_size") >= 1) & (F.col("p_size") <= 15)
-    )
-    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
-    channel = (
-        ((brand == "Brand#1") & (size <= 5) & (qty >= 1) & (qty <= 11))
-        | ((brand == "Brand#6") & (size <= 10) & (qty >= 10) & (qty <= 20))
-        | ((brand == "Brand#9") & (size <= 15) & (qty >= 20) & (qty <= 30))
-    )
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
-    return (
-        li.join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
-            li["l_partkey"] == F.col("p_partkey"),
-        )
-        .filter(channel)
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum(cents).alias("revenue_cents"),
-        )
-    )
-
-
-def q_bloom_gated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Runtime-filter join: revenue per brand for one part type, with
-    the fact side pre-gated by a Bloom of the dim's keyset BEFORE the
-    join (``operators/sketch.py::bloom_gated_join``) — the pattern that
-    keeps a 100 TB fact from shuffling rows that cannot match when the
-    dim is too wide to broadcast. No false negatives, so the result —
-    and the DuckDB oracle — is exactly the plain join."""
-    from sarkac_spark.operators.sketch import bloom_gated_join
-
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_type") == "LARGE"
-    )
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
-    j = bloom_gated_join(
-        li.select("l_partkey", cents.alias("__c")),
-        part.select("p_partkey", "p_brand"),
-        "l_partkey",
-        "p_partkey",
-    )
-    return j.groupBy("p_brand").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum("__c").alias("revenue_cents"),
-    )
-
-
+# Merged registry: original key order preserved (sweep-order tiebreak).
 QUERIES = {
-    "bloom_gated_revenue": q_bloom_gated_revenue,
-    "shipping_priority": q_shipping_priority,
-    "nation_market_share": q_nation_market_share,
-    "important_parts": q_important_parts,
-    "late_priority_lines": q_late_priority_lines,
-    "disjunctive_revenue": q_disjunctive_revenue,
-    "blocking_suppliers": q_blocking_suppliers,
-    "rich_idle_customers": q_rich_idle_customers,
-    "min_cost_supplier": q_min_cost_supplier,
-    "excess_shipments": q_excess_shipments,
-    "top_supplier_by_revenue": q_top_supplier_by_revenue,
-    "small_qty_revenue": q_small_qty_revenue,
-    "pricing_summary": q_pricing_summary,
+    "two_nation_volume": _tpch.QUERIES["two_nation_volume"],
+    "nation_profit": _tpch.QUERIES["nation_profit"],
+    "returned_item_customers": _tpch.QUERIES["returned_item_customers"],
+    "bloom_gated_revenue": _tpch.QUERIES["bloom_gated_revenue"],
+    "shipping_priority": _tpch.QUERIES["shipping_priority"],
+    "nation_market_share": _tpch.QUERIES["nation_market_share"],
+    "important_parts": _tpch.QUERIES["important_parts"],
+    "late_priority_lines": _tpch.QUERIES["late_priority_lines"],
+    "disjunctive_revenue": _tpch.QUERIES["disjunctive_revenue"],
+    "blocking_suppliers": _tpch.QUERIES["blocking_suppliers"],
+    "rich_idle_customers": _tpch.QUERIES["rich_idle_customers"],
+    "min_cost_supplier": _tpch.QUERIES["min_cost_supplier"],
+    "excess_shipments": _tpch.QUERIES["excess_shipments"],
+    "top_supplier_by_revenue": _tpch.QUERIES["top_supplier_by_revenue"],
+    "small_qty_revenue": _tpch.QUERIES["small_qty_revenue"],
+    "pricing_summary": _tpch.QUERIES["pricing_summary"],
     "series_correlation": q_series_correlation,
     "rolling_hourly_stats": q_rolling_hourly_stats,
     "value_histogram": q_value_histogram,
     "doc_cube": q_doc_cube,
     "top_docs_per_lang": q_top_docs_per_lang,
-    "promo_revenue": q_promo_revenue,
-    "supplier_nation_revenue": q_supplier_nation_revenue,
-    "big_order_customers": q_big_order_customers,
+    "promo_revenue": _tpch.QUERIES["promo_revenue"],
+    "supplier_nation_revenue": _tpch.QUERIES["supplier_nation_revenue"],
+    "big_order_customers": _tpch.QUERIES["big_order_customers"],
     "skew_report": q_skew_report,
     "conversion_funnel": q_conversion_funnel,
-    "customers_without_orders": q_customers_without_orders,
-    "top_customers": q_top_customers,
-    "region_revenue": q_region_revenue,
+    "customers_without_orders": _tpch.QUERIES["customers_without_orders"],
+    "top_customers": _tpch.QUERIES["top_customers"],
+    "region_revenue": _tpch.QUERIES["region_revenue"],
     "sessionize": q_sessionize,
     "range_join": q_range_join,
     "doc_rollup": q_doc_rollup,
     "event_pivot": q_event_pivot,
     "gap_fill": q_gap_fill,
-    "order_priority_counts": q_order_priority_counts,
-    "customer_order_distribution": q_customer_order_distribution,
-    "part_supplier_variety": q_part_supplier_variety,
+    "order_priority_counts": _tpch.QUERIES["order_priority_counts"],
+    "customer_order_distribution": _tpch.QUERIES["customer_order_distribution"],
+    "part_supplier_variety": _tpch.QUERIES["part_supplier_variety"],
 }
 
 ORACLE = {
-    "bloom_gated_revenue": """
-SELECT p.p_brand,
-       count(*) AS n_lines,
-       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
-                     AS BIGINT)) AS BIGINT) AS revenue_cents
-FROM lineitem l
-JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'LARGE'
-GROUP BY 1
-""",
-    "shipping_priority": """
-SELECT l.l_orderkey,
-       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
-       o.o_orderpriority,
-       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
-                     AS BIGINT)) AS BIGINT) AS revenue_cents
-FROM lineitem l
-JOIN orders o ON o.o_orderkey = l.l_orderkey
-JOIN customer c ON c.c_custkey = o.o_custkey
-WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < TIMESTAMP '1998-01-01'
-  AND l.l_shipdate > TIMESTAMP '1998-01-01'
-GROUP BY 1, 2, 3
-ORDER BY revenue_cents DESC, l.l_orderkey
-LIMIT 10
-""",
-    "nation_market_share": """
-WITH eur_cust AS (
-  SELECT c.c_custkey
-  FROM customer c
-  JOIN nation n ON n.n_nationkey = c.c_nationkey
-  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
-),
-vol AS (
-  SELECT year(o.o_orderdate) AS o_year,
-         sum(CASE WHEN sn.n_name = 'NATION_3'
-                  THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
-                                  * 100) AS BIGINT)
-                  ELSE 0 END) AS nat_cents,
-         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
-                  AS BIGINT)) AS total_cents
-  FROM lineitem l
-  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
-  JOIN orders o ON o.o_orderkey = l.l_orderkey
-  JOIN eur_cust ec ON ec.c_custkey = o.o_custkey
-  JOIN supplier s ON s.s_suppkey = l.l_suppkey
-  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
-  GROUP BY 1
-)
-SELECT o_year,
-       CAST((nat_cents * 1000000) // total_cents AS BIGINT) AS mkt_share_ppm,
-       CAST(total_cents AS BIGINT) AS total_cents
-FROM vol
-""",
-    "important_parts": """
-WITH per_part AS (
-  SELECT l_partkey,
-         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                  AS BIGINT)) AS revenue_cents
-  FROM lineitem GROUP BY 1
-),
-total AS (SELECT sum(revenue_cents) AS t, count(*) AS n FROM per_part)
-SELECT l_partkey AS p_partkey, CAST(revenue_cents AS BIGINT) AS revenue_cents
-FROM per_part, total
-WHERE revenue_cents * n * 2 > t * 3
-""",
-    "late_priority_lines": """
-SELECT l.l_returnflag,
-       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-FROM lineitem l
-JOIN orders o ON o.o_orderkey = l.l_orderkey
-WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
-GROUP BY 1
-""",
-    "disjunctive_revenue": """
-SELECT count(*) AS n_lines,
-       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
-                     AS BIGINT)) AS BIGINT) AS revenue_cents
-FROM lineitem l
-JOIN part p ON p.p_partkey = l.l_partkey
-WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
-       AND l.l_quantity BETWEEN 1 AND 11)
-   OR (p.p_brand = 'Brand#6' AND p.p_size BETWEEN 1 AND 10
-       AND l.l_quantity BETWEEN 10 AND 20)
-   OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 1 AND 15
-       AND l.l_quantity BETWEEN 20 AND 30)
-""",
-    "blocking_suppliers": """
-WITH per_os AS (
-  SELECT l_orderkey, l_suppkey,
-         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
-  FROM lineitem GROUP BY 1, 2
-),
-per_o AS (
-  SELECT l_orderkey, count(*) AS n_sup, sum(ret) AS n_ret_sup
-  FROM per_os GROUP BY 1
-)
-SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
-       count(*) AS numwait
-FROM per_os p
-JOIN per_o o ON o.l_orderkey = p.l_orderkey
-JOIN supplier s ON s.s_suppkey = p.l_suppkey
-WHERE p.ret = 1 AND o.n_sup >= 2 AND o.n_ret_sup = 1
-GROUP BY 1, 2
-""",
-    "rich_idle_customers": """
-WITH c AS (
-  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
-         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
-  FROM customer
-),
-avg_pos AS (
-  SELECT (sum(bal_cents) * 10000) // count(*) AS avg_tc
-  FROM c WHERE bal_cents > 0
-)
-SELECT nationkey, count(*) AS numcust,
-       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
-FROM c, avg_pos
-WHERE bal_cents * 10000 > avg_tc
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
-                  AND o.o_orderdate >= TIMESTAMP '2000-06-01')
-GROUP BY nationkey
-""",
-    "min_cost_supplier": """
-WITH eur AS (
-  SELECT s.s_suppkey, s.s_name, n.n_name
-  FROM supplier s
-  JOIN nation n ON n.n_nationkey = s.s_nationkey
-  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
-),
-costs AS (
-  SELECT l.l_partkey, l.l_suppkey, e.s_name, e.n_name,
-         min(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cost_cents
-  FROM lineitem l
-  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'LARGE'
-  JOIN eur e ON e.s_suppkey = l.l_suppkey
-  GROUP BY 1, 2, 3, 4
-),
-mn AS (SELECT l_partkey, min(cost_cents) AS mnc FROM costs GROUP BY 1)
-SELECT c.l_partkey AS p_partkey, CAST(c.l_suppkey AS BIGINT) AS s_suppkey,
-       c.s_name, c.n_name, c.cost_cents
-FROM costs c JOIN mn ON mn.l_partkey = c.l_partkey
-WHERE c.cost_cents = mn.mnc
-""",
-    "excess_shipments": """
-WITH ps AS (
-  SELECT l.l_partkey, l.l_suppkey,
-         sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS q_cents
-  FROM lineitem l
-  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
-  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l.l_shipdate < TIMESTAMP '1997-01-01'
-  GROUP BY 1, 2
-),
-tot AS (SELECT l_partkey, sum(q_cents) AS t FROM ps GROUP BY 1),
-dom AS (
-  SELECT ps.l_suppkey, ps.q_cents
-  FROM ps JOIN tot ON tot.l_partkey = ps.l_partkey
-  WHERE ps.q_cents * 2 > tot.t
-)
-SELECT CAST(d.l_suppkey AS BIGINT) AS s_suppkey, s.s_name, n.n_name,
-       CAST(count(*) AS BIGINT) AS n_dominated_parts,
-       CAST(sum(d.q_cents) AS BIGINT) AS dom_qty_cents
-FROM dom d
-JOIN supplier s ON s.s_suppkey = d.l_suppkey
-JOIN nation n ON n.n_nationkey = s.s_nationkey
-GROUP BY 1, 2, 3
-""",
-    "top_supplier_by_revenue": """
-WITH rev AS (
-  SELECT l_suppkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l_shipdate < TIMESTAMP '1996-07-01'
-  GROUP BY 1
-)
-SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, r.total_revenue
-FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
-WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
-""",
-    "small_qty_revenue": """
-WITH pa AS (SELECT l_partkey, avg(l_quantity) AS aq FROM lineitem GROUP BY 1)
-SELECT count(*) AS n_small_lineitems,
-       round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
-FROM lineitem l
-JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#13'
-JOIN pa ON pa.l_partkey = l.l_partkey
-WHERE l.l_quantity < 0.5 * pa.aq
-""",
-    "order_priority_counts": """
-SELECT o_orderpriority, count(*) AS n_orders
-FROM orders o
-WHERE EXISTS (SELECT 1 FROM lineitem l
-              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
-GROUP BY o_orderpriority
-""",
-    "customer_order_distribution": """
-WITH per_cust AS (
-  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
-  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-  GROUP BY c.c_custkey
-)
-SELECT n_orders, count(*) AS n_customers FROM per_cust GROUP BY n_orders
-""",
-    "part_supplier_variety": """
-SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
-FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-GROUP BY p_brand, p_type
-""",
+    **_tpch.ORACLE,
     "series_correlation": """
 WITH hourly AS (
   SELECT event_type AS s,
@@ -1176,39 +301,19 @@ SELECT lang, doc_id, n_chars, rk FROM (
   FROM documents
 ) WHERE rk <= 3
 """,
-    "promo_revenue": """
-SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                              THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0.0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue,
-       count(*) AS n_lineitems
-FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-""",
-    "supplier_nation_revenue": """
-SELECT n.n_name AS supplier_nation,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-       count(*) AS n_lineitems
-FROM lineitem l
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-JOIN nation n ON s.s_nationkey = n.n_nationkey
-GROUP BY 1
-""",
-    "big_order_customers": """
-SELECT c_custkey, c_name, c_mktsegment
-FROM customer c
-WHERE EXISTS (
-  SELECT 1 FROM orders o
-  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
-)
-""",
-    "customers_without_orders": """
-SELECT c_custkey, c_name, c_mktsegment
-FROM customer c
-WHERE NOT EXISTS (
-  SELECT 1 FROM orders o
-  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
-)
+    "skew_report": """
+WITH c AS (
+  SELECT l_orderkey::VARCHAR AS key_value, count(*) AS n_rows
+  FROM lineitem GROUP BY 1
+),
+s AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM c)
+SELECT key_value, n_rows, frac, skew, rank FROM (
+  SELECT c.key_value, c.n_rows,
+         round(c.n_rows / s.total, 6) AS frac,
+         round(c.n_rows * s.n_keys / s.total, 6) AS skew,
+         row_number() OVER (ORDER BY c.n_rows DESC, c.key_value) AS rank
+  FROM c, s
+) WHERE rank <= 10
 """,
     "conversion_funnel": """
 WITH st AS (
@@ -1231,58 +336,6 @@ s2 AS (
 SELECT count(f0)::BIGINT AS n_view, count(f1)::BIGINT AS n_click,
        count(f2)::BIGINT AS n_purchase
 FROM (SELECT u, min(v0) AS f0, min(v1) AS f1, min(v2) AS f2 FROM s2 GROUP BY u)
-""",
-    "skew_report": """
-WITH c AS (
-  SELECT l_orderkey::VARCHAR AS key_value, count(*) AS n_rows
-  FROM lineitem GROUP BY 1
-),
-s AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM c)
-SELECT key_value, n_rows, frac, skew, rank FROM (
-  SELECT c.key_value, c.n_rows,
-         round(c.n_rows / s.total, 6) AS frac,
-         round(c.n_rows * s.n_keys / s.total, 6) AS skew,
-         row_number() OVER (ORDER BY c.n_rows DESC, c.key_value) AS rank
-  FROM c, s
-) WHERE rank <= 10
-""",
-    "pricing_summary": """
-SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
-       count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
-""",
-    "top_customers": """
-WITH per_cust AS (
-  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent,
-         count(*) AS n_orders
-  FROM orders GROUP BY o_custkey
-),
-ranked AS (
-  SELECT *, row_number() OVER (ORDER BY total_spent DESC, o_custkey) AS rank
-  FROM per_cust
-)
-SELECT r.rank, c.c_custkey, c.c_name, c.c_mktsegment, r.total_spent, r.n_orders
-FROM ranked r JOIN customer c ON r.o_custkey = c.c_custkey
-WHERE r.rank <= 5
-""",
-    "region_revenue": """
-SELECT r.r_name AS region,
-       round(sum(o.o_totalprice), 2) AS revenue,
-       count(*) AS n_orders
-FROM orders o
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-GROUP BY r.r_name
 """,
     "sessionize": """
 WITH s AS (
@@ -1326,6 +379,15 @@ GROUP BY 1, 2
 SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
 FROM documents GROUP BY ROLLUP (lang, source)
 """,
+    "event_pivot": """
+SELECT epoch_us(ts) - epoch_us(ts) % (BIGINT '86400' * 1000000) AS day_us,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY 1
+""",
     "gap_fill": """
 WITH obs AS (
   SELECT event_type,
@@ -1355,14 +417,5 @@ SELECT event_type, bucket_us, n_obs,
        ) AS v_fill,
        filled
 FROM j
-""",
-    "event_pivot": """
-SELECT epoch_us(ts) - epoch_us(ts) % (BIGINT '86400' * 1000000) AS day_us,
-       count(*) FILTER (event_type = 'click') AS click,
-       count(*) FILTER (event_type = 'error') AS error,
-       count(*) FILTER (event_type = 'purchase') AS purchase,
-       count(*) FILTER (event_type = 'signup') AS signup,
-       count(*) FILTER (event_type = 'view') AS view
-FROM events GROUP BY 1
 """,
 }

@@ -491,3 +491,30 @@ def test_aqe_splits_skewed_shuffle_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_round9_tpch_plan_shapes(spark, sf_dir):
+    """Q7/Q9/Q10 analogues: the per-side nation supersets broadcast both
+    Q7 dim chains, Q9 is a single-shuffle all-broadcast star, and Q10's
+    top-20 compiles to TakeOrderedAndProject with the returnflag filter
+    pushed into the lineitem scan."""
+    from sarkac_spark.queries.relational_tpch import (
+        q_nation_profit,
+        q_returned_item_customers,
+        q_two_nation_volume,
+    )
+
+    tnv = q_two_nation_volume(spark, sf_dir)
+    assert has_broadcast_hash_join(tnv)
+    # fact-fact orderkey join + final groupBy; never more
+    assert shuffle_count(tnv) <= 3
+
+    npf = q_nation_profit(spark, sf_dir)
+    assert has_broadcast_hash_join(npf)
+    assert shuffle_count(npf) == 1  # only the (nation, year) agg
+    assert any("p_name" in f for f in pushed_filters(npf)), pushed_filters(npf)
+
+    ric = q_returned_item_customers(spark, sf_dir)
+    plan = _plan(ric)
+    assert "TakeOrderedAndProject" in plan
+    assert any("l_returnflag" in f for f in pushed_filters(ric)), pushed_filters(ric)
