@@ -976,18 +976,31 @@ def incremental_exact_dedup(
     kept so far — the output of ``dedup_exact`` is exactly this shape).
 
     Keeps a new row iff (a) its digest is unseen in the corpus
-    (anti-join — at scale a broadcast or bucketed join on the digest)
     AND (b) it is the first occurrence within the batch itself
     (min-id per digest). The kept rows' (text_hash, id) is the delta to
     append to the fingerprint store for the next ingest.
+
+    Join shape (the per-trigger 100 TB term): a direct
+    ``batch ANTI corpus`` must build on the CORPUS side — too big to
+    broadcast, so it SHUFFLES the whole fingerprint store every
+    trigger. Instead the membership test runs corpus-side first:
+    ``hits = corpus SEMI batch-digests`` (batch side broadcasts in the
+    streaming regime — the store is scanned map-side, one pruned
+    column, zero store shuffle) and the batch then anti-joins the
+    batch-sized ``hits``. In the backfill regime (batch comparable to
+    the store) AQE falls back to shuffle joins — same cost class as
+    the direct form. Result-identical: hits = seen ∩ batch, and
+    dropping batch rows whose digest is in (seen ∩ batch) == dropping
+    those whose digest is in seen.
 
     Output: new_df columns + text_hash, batch-first + corpus-unseen
     rows only.
     """
     hashed = new_df.withColumn("text_hash", F.md5(F.col(text_col)))
-    unseen = hashed.join(
-        seen_hashes.select("text_hash"), "text_hash", "left_anti"
+    hits = seen_hashes.select("text_hash").join(
+        hashed.select("text_hash").distinct(), "text_hash", "left_semi"
     )
+    unseen = hashed.join(hits, "text_hash", "left_anti")
     first = Window.partitionBy("text_hash").orderBy(F.col(id_col))
     return (
         unseen.withColumn("__rn", F.row_number().over(first))
@@ -1170,21 +1183,42 @@ def incremental_minhash_drop_ids_sigs(
 
     ``corpus_sigs=None`` (empty corpus) dedups the batch against itself
     only. One-column output (``id_col``), distinct: batch ids to drop.
+
+    Per-trigger 100 TB shape (the BENCH_STREAM_DECADE measurement):
+    the corpus participates through (a) its banded relation REDUCED to
+    the bands the batch actually touches — a map-side semi-join against
+    the batch's band-key set (broadcast in the streaming regime), so
+    the band-df cap and the candidate join aggregate/shuffle only
+    O(batch x band-df) rows, never the 4N-row corpus banded relation —
+    and (b) a column-pruned (id, sh_set) scan feeding the verify join,
+    which AQE broadcasts the (batch-sized) candidate side of. The df
+    cap is result-identical under the reduction: for any band the batch
+    carries, EVERY corpus row of that band is in the reduced relation
+    (same df); bands the batch lacks produce no candidates in either
+    formulation. New/old flags come from batch-id membership (ids are
+    disjoint by precondition), not an O(corpus) flag join.
     """
     cols = [F.col(id_col), "band_keys", "sh_set"]
-    combined = (
-        batch_sigs.select(*cols).withColumn("__new", F.lit(True))
-        if corpus_sigs is None
-        else corpus_sigs.select(*cols)
-        .withColumn("__new", F.lit(False))
-        .unionByName(batch_sigs.select(*cols).withColumn("__new", F.lit(True)))
-    )
-    banded = _cap_band_df(
-        combined.select(
-            F.col(id_col), F.col("__new"), F.explode("band_keys").alias("band_key")
-        ),
-        max_band_df,
-    )
+    new_banded = batch_sigs.select(
+        F.col(id_col), F.explode("band_keys").alias("band_key")
+    ).withColumn("__new", F.lit(True))
+    if corpus_sigs is None:
+        combined = batch_sigs.select(*cols).withColumn("__new", F.lit(True))
+        banded_raw = new_banded
+    else:
+        combined = (
+            corpus_sigs.select(*cols)
+            .withColumn("__new", F.lit(False))
+            .unionByName(batch_sigs.select(*cols).withColumn("__new", F.lit(True)))
+        )
+        corpus_banded = corpus_sigs.select(
+            F.col(id_col), F.explode("band_keys").alias("band_key")
+        ).withColumn("__new", F.lit(False))
+        touched = corpus_banded.join(
+            new_banded.select("band_key").distinct(), "band_key", "left_semi"
+        )
+        banded_raw = touched.unionByName(new_banded)
+    banded = _cap_band_df(banded_raw, max_band_df)
     corpus_side = banded.alias("a")
     new_side = banded.filter(F.col("__new")).alias("b")
     cands = (
@@ -1228,13 +1262,20 @@ def incremental_minhash_drop_ids_sigs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b")
     )
-    flags = combined.select(F.col(id_col).alias("__fid"), F.col("__new").alias("__nf"))
-    sided = pairs.join(
-        flags.withColumnRenamed("__fid", "id_a").withColumnRenamed("__nf", "__new_a"),
-        "id_a",
-    ).join(
-        flags.withColumnRenamed("__fid", "id_b").withColumnRenamed("__nf", "__new_b"),
-        "id_b",
+    # new/old flags by BATCH-id membership (ids disjoint by
+    # precondition) — left joins against the batch-sized id relation,
+    # never an O(corpus) flag join
+    batch_a = batch_sigs.select(
+        F.col(id_col).alias("id_a"), F.lit(True).alias("__new_a")
+    )
+    batch_b = batch_sigs.select(
+        F.col(id_col).alias("id_b"), F.lit(True).alias("__new_b")
+    )
+    sided = (
+        pairs.join(batch_a, "id_a", "left")
+        .join(batch_b, "id_b", "left")
+        .withColumn("__new_a", F.coalesce(F.col("__new_a"), F.lit(False)))
+        .withColumn("__new_b", F.coalesce(F.col("__new_b"), F.lit(False)))
     )
     return (
         sided.select(

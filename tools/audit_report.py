@@ -20,6 +20,12 @@ the snapshot, or gated on in CI.
 Usage: python tools/audit_report.py [sf_dir] [out.json]
   sf_dir defaults to /root/testdata/sf0.001; prints compact JSON to
   stdout and, when given, writes it to out.json too.
+
+``--scale`` renders the full 100 TB scale-evidence table instead —
+the decade/skew/thinning/stream numbers BASELINE.md §d assembles by
+hand, read from the committed BENCH_SCALE_* / BENCH_SKEW /
+BENCH_STREAM_DECADE records (no Spark session; one command, one
+markdown table + verdict line).
 """
 
 from __future__ import annotations
@@ -46,6 +52,115 @@ AUDITS = [
     "pq_distortion",
 ]
 
+# the committed scale-evidence records, in BASELINE.md §d order:
+# (file, decade label). Every file shares the bench_scale_decade
+# schema {multiplier, results: {query: {class, wall_x1, wall_xN,
+# wall_ratio, rows_ratio, ok}}, failures}; BENCH_SKEW and
+# BENCH_STREAM_DECADE have their own shapes rendered below.
+SCALE_RECORDS = [
+    ("BENCH_SCALE.json", "10x"),
+    ("BENCH_SCALE_NEW.json", "10x"),
+    ("BENCH_SCALE_R6B.json", "10x"),
+    ("BENCH_SCALE_100x.json", "100x"),
+    ("BENCH_SCALE_NEW_100x.json", "100x"),
+    ("BENCH_SCALE_R7_100x.json", "100x"),
+    ("BENCH_SCALE_R7B_100x.json", "100x"),
+    ("BENCH_SCALE_SQRTN_100x.json", "100x"),
+    ("BENCH_SCALE_MM_100x.json", "100x"),
+    ("BENCH_BLOOM_DECADE.json", "100x"),
+]
+
+
+def render_scale(repo: Path) -> tuple[str, bool]:
+    """Render the one-command 100 TB evidence table: every decade /
+    skew / thinning / stream-store-growth record BASELINE.md §d
+    assembles by hand, read straight from the committed JSONs. Returns
+    (markdown, all_ok)."""
+    lines: list[str] = ["# 100 TB scale evidence (committed records)", ""]
+    ok_all = True
+
+    lines += [
+        "## Batch decades (wall ratio at Nx data vs class bound)",
+        "",
+        "| query | class | decade | wall 1x (s) | wall Nx (s) | wall ratio | rows ratio | ok |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for fname, decade in SCALE_RECORDS:
+        p = repo / fname
+        if not p.exists():
+            continue
+        rec = json.loads(p.read_text())
+        mult = rec.get("multiplier", int(decade.rstrip("x")))
+        wall_hi = f"wall_x{mult}"
+        for q, r in rec.get("results", {}).items():
+            ok = r.get("ok", True)
+            ok_all &= bool(ok)
+            lines.append(
+                f"| {q} | {r.get('class', '?')} | {mult}x "
+                f"| {r.get('wall_x1', '—')} | {r.get(wall_hi, '—')} "
+                f"| {r.get('wall_ratio', '—')}x | {r.get('rows_ratio', '—')}x "
+                f"| {'ok' if ok else 'VIOLATION'} |"
+            )
+        for f in rec.get("failures", []):
+            ok_all = False
+            lines.append(f"| {f} | — | {mult}x | — | — | — | — | FAILED |")
+
+    skew = repo / "BENCH_SKEW.json"
+    if skew.exists():
+        rec = json.loads(skew.read_text())
+        lines += [
+            "",
+            f"## Skewed-key decade (hot key = {rec.get('skew', '?')} of rows)",
+            "",
+            "| query | skew ratio 1x | skew ratio 10x | skewed decade | ok |",
+            "|---|---|---|---|---|",
+        ]
+        for q, r in rec.get("results", {}).items():
+            ok = r.get("ok", True)
+            ok_all &= bool(ok)
+            lines.append(
+                f"| {q} | {r.get('skew_ratio_x1', '—')}x "
+                f"| {r.get('skew_ratio_x10', '—')}x "
+                f"| {r.get('skewed_decade_ratio', '—')}x "
+                f"| {'ok' if ok else 'VIOLATION'} |"
+            )
+
+    stream = repo / "BENCH_STREAM_DECADE.json"
+    if stream.exists():
+        rec = json.loads(stream.read_text())
+        lines += [
+            "",
+            "## Composed streaming pipelines: per-trigger wall vs committed-store size",
+            "",
+            "| arm | store axis | per-trigger median (s) | trigger walls (s) |",
+            "|---|---|---|---|",
+        ]
+        for p_ in rec.get("points", []):
+            axis = (
+                f"seed x{p_['mult']} ({p_.get('n_committed_seed', '?')} docs)"
+                if p_["arm"] == "curator"
+                else f"{p_['n_keys']} open sessions"
+            )
+            lines.append(
+                f"| {p_['arm']} | {axis} | {p_['per_trigger_median']} "
+                f"| {p_['trigger_walls']} |"
+            )
+        v = rec.get("verdict", {})
+        for k, ratio in v.items():
+            bound_ok = ratio <= 2.0
+            ok_all &= bound_ok
+            lines.append("")
+            lines.append(
+                f"- **{k} = {ratio}x** across the store decade "
+                f"({'ok: per-trigger cost is O(batch), not O(store)' if bound_ok else 'VIOLATION: O(store) term present'})"
+            )
+
+    lines += [
+        "",
+        f"**Verdict: {'0 violations — every committed scale record holds its bound' if ok_all else 'VIOLATIONS PRESENT — see rows above'}.**",
+    ]
+    return "\n".join(lines), ok_all
+
 
 def run_audits(spark, sf_dir: str, audits: list[str] | None = None) -> dict:
     """Run the audit queries and return the report dict: per-audit rows
@@ -68,6 +183,11 @@ def run_audits(spark, sf_dir: str, audits: list[str] | None = None) -> dict:
 
 
 def main() -> int:
+    if "--scale" in sys.argv:
+        md, ok = render_scale(Path(__file__).resolve().parent.parent)
+        print(md)
+        return 0 if ok else 1
+
     from sarkac_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
