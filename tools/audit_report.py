@@ -67,7 +67,6 @@ SCALE_RECORDS = [
     ("BENCH_SCALE_R7B_100x.json", "100x"),
     ("BENCH_SCALE_SQRTN_100x.json", "100x"),
     ("BENCH_SCALE_MM_100x.json", "100x"),
-    ("BENCH_BLOOM_DECADE.json", "100x"),
 ]
 
 
@@ -124,6 +123,27 @@ def render_scale(repo: Path) -> tuple[str, bool]:
                 f"| {r.get('skewed_decade_ratio', '—')}x "
                 f"| {'ok' if ok else 'VIOLATION'} |"
             )
+
+    bloom = repo / "BENCH_BLOOM_DECADE.json"
+    if bloom.exists():
+        rec = json.loads(bloom.read_text())
+        lines += [
+            "",
+            "## Runtime-filter join (bloom gate): fact decade + skew",
+            "",
+            "| arm | mult | fact rows | thinned | false pos | gate (s) | gated join (s) | plain join (s) |",
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        for p_ in rec.get("points", []):
+            lines.append(
+                f"| {p_['arm']} | {p_['mult']}x | {p_['n_fact']} "
+                f"| {p_['thinned_pct']}% | {p_['false_positives']} "
+                f"| {p_['gate_wall']} | {p_['gated_join_wall']} "
+                f"| {p_['plain_join_wall']} |"
+            )
+        for f in rec.get("failures", []):
+            ok_all = False
+            lines.append(f"| {f} | — | — | — | — | — | — | FAILED |")
 
     stream = repo / "BENCH_STREAM_DECADE.json"
     if stream.exists():

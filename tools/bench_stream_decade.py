@@ -93,12 +93,15 @@ def _trigger_batch(
     return rows
 
 
-def curator_point(spark, work: Path, mult: int, batch: int, triggers: int) -> dict:
+def curator_point(
+    spark, work: Path, mult: int, batch: int, triggers: int,
+    base_seed: int = BASE_SEED,
+) -> dict:
     from pyspark.sql import functions as F
 
     from sarkac_spark.streaming.streaming_curator import StreamingCuratorPipeline
 
-    n_seed = BASE_SEED * mult
+    n_seed = base_seed * mult
     store = work / f"curator_x{mult}" / "store"
     shutil.rmtree(store.parent, ignore_errors=True)
     store.parent.mkdir(parents=True)
@@ -280,6 +283,7 @@ def main() -> int:
         return cast(args[args.index(name) + 1]) if name in args else default
 
     mult = opt("--mult", 100)
+    base_seed = opt("--base", BASE_SEED)
     base_batch = opt("--batch", 500)
     triggers = opt("--triggers", 4)
     arm = opt("--arm", "all", str)
@@ -295,7 +299,7 @@ def main() -> int:
     results = []
     if arm in ("curator", "all"):
         for m in mults:
-            r = curator_point(spark, work, m, base_batch, triggers)
+            r = curator_point(spark, work, m, base_batch, triggers, base_seed)
             print(json.dumps(r))
             results.append(r)
     if arm in ("session", "all"):
