@@ -1091,6 +1091,77 @@ def dedup_minhash_incremental(
     )
 
 
+def row_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_sh_set: int | None = None,
+) -> DataFrame:
+    """``dedup_signatures`` computed PER ROW — higher-order functions
+    only, no groupBy — so it is legal on an unaggregated STREAM (the
+    stateless front half of ``streaming/stateful_ingest_dedup``; a groupBy on
+    a stream would be a stateful aggregation, not a projection).
+
+    Value-identical to ``dedup_signatures`` by construction (pinned by
+    ``test_row_signatures_match_dedup_signatures``): same shingle
+    grammar, same ``_h60`` md5-prefix hash, same LCG minhash family,
+    same band-key format — the per-shingle groupBy aggregation is just
+    replaced by ``transform``/``array_min`` over the row's own shingle
+    array. ``sh_set`` comes out SORTED (the batch ``collect_set`` is
+    unordered; every consumer treats it as a set).
+
+    Scale shape: ~k integer passes over each doc's shingle array, all
+    inside whole-stage codegen; the words and shingle arrays are
+    materialized in their own projections first (the ``shingles()``
+    CSE-boundary lesson — an expression referenced inside a lambda is
+    re-evaluated per element).
+    """
+    w = F.col("__w")
+    staged = df.withColumn("__w", words_col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - shingle_n),
+        lambda i: F.array_join(F.slice(w, i + 1, shingle_n), " "),
+    )
+    staged = staged.withColumn(
+        "__sh",
+        F.when(F.size(w) >= shingle_n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    staged = staged.withColumn(
+        "__h60", F.array_distinct(F.transform(F.col("__sh"), _h60))
+    ).withColumn(
+        "__hmod", F.transform(F.col("__h60"), lambda x: x % MINHASH_P)
+    )
+    def _mh(i: int) -> F.Column:
+        # a closure factory, NOT `lambda x, i=i`: pyspark passes a
+        # second (index) Column to any 2-parameter HOF lambda
+        a, b = _LCG_A[i] % MINHASH_P, _LCG_B[i] % MINHASH_P
+        return F.array_min(
+            F.transform(
+                F.col("__hmod"), lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P
+            )
+        )
+
+    mh_cols = {f"mh_{i}": _mh(i) for i in range(k)}
+    staged = staged.withColumns(mh_cols)
+    sh_set = F.array_sort(F.col("__h60"))
+    if max_sh_set is not None:
+        sh_set = F.slice(sh_set, 1, int(max_sh_set))
+    empty_str = F.array().cast("array<string>")
+    return staged.select(
+        *[F.col(c) for c in df.columns],
+        F.md5(F.col(text_col)).alias("text_hash"),
+        F.when(F.col("mh_0").isNull(), empty_str)
+        .otherwise(_band_keys_expr(k, bands))
+        .alias("band_keys"),
+        sh_set.alias("sh_set"),
+    )
+
+
 def dedup_signatures(
     df: DataFrame,
     id_col: str,

@@ -199,43 +199,22 @@ def q_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Merged registry: original key order preserved (sweep-order tiebreak).
 QUERIES = {
-    "two_nation_volume": _tpch.QUERIES["two_nation_volume"],
-    "nation_profit": _tpch.QUERIES["nation_profit"],
-    "returned_item_customers": _tpch.QUERIES["returned_item_customers"],
-    "bloom_gated_revenue": _tpch.QUERIES["bloom_gated_revenue"],
-    "shipping_priority": _tpch.QUERIES["shipping_priority"],
-    "nation_market_share": _tpch.QUERIES["nation_market_share"],
-    "important_parts": _tpch.QUERIES["important_parts"],
-    "late_priority_lines": _tpch.QUERIES["late_priority_lines"],
-    "disjunctive_revenue": _tpch.QUERIES["disjunctive_revenue"],
-    "blocking_suppliers": _tpch.QUERIES["blocking_suppliers"],
-    "rich_idle_customers": _tpch.QUERIES["rich_idle_customers"],
-    "min_cost_supplier": _tpch.QUERIES["min_cost_supplier"],
-    "excess_shipments": _tpch.QUERIES["excess_shipments"],
-    "top_supplier_by_revenue": _tpch.QUERIES["top_supplier_by_revenue"],
-    "small_qty_revenue": _tpch.QUERIES["small_qty_revenue"],
-    "pricing_summary": _tpch.QUERIES["pricing_summary"],
+    # the whole TPC-H shape family rides the spread (same as ORACLE
+    # below) — an itemized relay list silently dropped newly added
+    # shapes from the registry once (round 9, Q5/Q6/Q18)
+    **_tpch.QUERIES,
     "series_correlation": q_series_correlation,
     "rolling_hourly_stats": q_rolling_hourly_stats,
     "value_histogram": q_value_histogram,
     "doc_cube": q_doc_cube,
     "top_docs_per_lang": q_top_docs_per_lang,
-    "promo_revenue": _tpch.QUERIES["promo_revenue"],
-    "supplier_nation_revenue": _tpch.QUERIES["supplier_nation_revenue"],
-    "big_order_customers": _tpch.QUERIES["big_order_customers"],
     "skew_report": q_skew_report,
     "conversion_funnel": q_conversion_funnel,
-    "customers_without_orders": _tpch.QUERIES["customers_without_orders"],
-    "top_customers": _tpch.QUERIES["top_customers"],
-    "region_revenue": _tpch.QUERIES["region_revenue"],
     "sessionize": q_sessionize,
     "range_join": q_range_join,
     "doc_rollup": q_doc_rollup,
     "event_pivot": q_event_pivot,
     "gap_fill": q_gap_fill,
-    "order_priority_counts": _tpch.QUERIES["order_priority_counts"],
-    "customer_order_distribution": _tpch.QUERIES["customer_order_distribution"],
-    "part_supplier_variety": _tpch.QUERIES["part_supplier_variety"],
 }
 
 ORACLE = {

@@ -1,5 +1,5 @@
 """TPC-H-shape relational queries over the star schema — the
-canonical join/agg/top-k plan shapes (Q1-Q4, Q8, Q11-Q17, Q19-Q22
+canonical join/agg/top-k plan shapes (all 22: Q1-Q22
 analogues plus the bloom-gated runtime-filter join), split out of
 ``relational.py`` (round-9 size pass; the ``llm.py`` split precedent).
 ``relational.py`` star-imports this module and owns the merged
@@ -823,7 +823,127 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the local-supplier volume query — its signature
+    is the NON-join-key equality c_nationkey = s_nationkey, which ties
+    the two dimension arms of the star together. The supplier arm
+    (supplier ⋈ nation ⋈ region, region-filtered) collapses into one
+    broadcast BEFORE touching the fact, so the region filter prunes
+    lineitem rows map-side; orders carries the pushed year filter; the
+    customer join then only has to enforce the same-nation equality.
+    One fact shuffle per fact-fact join, |region nations| output rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(
+            cust.select("c_custkey", "c_nationkey"),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter aggregate — no join at all.
+    All three predicates (ship year, discount band, quantity cap) land
+    as PushedFilters on the parquet scan, ReadSchema carries only the
+    four referenced columns, and the whole plan is one map-side partial
+    agg + a single-row final: the minimal possible 100 TB query (I/O
+    bound by construction, zero shuffle rows)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    cents = F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+        "long"
+    )
+    return li.agg(
+        F.sum(cents).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a fact-wide group-by, joined back to
+    the order/customer attributes — the large-volume-customer query.
+    The quantity rollup is one lineitem shuffle on l_orderkey with full
+    partial aggregation; the HAVING filter shrinks it to a tiny key set
+    BEFORE any join, so both join-backs probe with the survivors (AQE
+    broadcasts them at any realistic threshold). The final top-100 is
+    TakeOrderedAndProject — per-partition heaps, no global sort; the
+    boundary is tie-free because the sort ends on the unique orderkey.
+    Quantities are integral by data contract, so the sum casts to long
+    losslessly (hash-stable vs the oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(
+            cust.select("c_custkey", "c_name"),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "totalprice_cents"
+            ),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
 QUERIES = {
+    "local_supplier_volume": q_local_supplier_volume,
+    "forecast_revenue": q_forecast_revenue,
+    "large_volume_customers": q_large_volume_customers,
     "two_nation_volume": q_two_nation_volume,
     "nation_profit": q_nation_profit,
     "returned_item_customers": q_returned_item_customers,
@@ -852,6 +972,48 @@ QUERIES = {
 }
 
 ORACLE = {
+    "local_supplier_volume": """
+SELECT n.n_name AS nation,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+                AND c.c_nationkey = s.s_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+""",
+    "forecast_revenue": """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    "large_volume_customers": """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING CAST(sum(l_quantity) AS BIGINT) > 150
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY b.total_qty DESC, o.o_orderkey
+LIMIT 100
+""",
     "two_nation_volume": """
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        year(l.l_shipdate) AS l_year,

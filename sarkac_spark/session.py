@@ -80,6 +80,15 @@ def get_spark(
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
         )
+        # per-batch commits upload only the CHANGELOG (touched keys);
+        # full snapshots happen asynchronously every N batches. Without
+        # this the per-trigger commit re-uploads state-sized SST files
+        # — an O(state) term per trigger that BENCH_STREAM_DECADE
+        # measured as 1.7x across a 100x key decade (flat with it).
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
@@ -107,8 +116,11 @@ def cluster_defaults(target_tb: float = 100.0) -> dict[str, str]:
         # anomaly/stats relations are far smaller than this; dimension
         # tables in the test schema too
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-        # RocksDB state store for streaming state (cooldown keyed state)
+        # RocksDB state store for streaming state (cooldown keyed state),
+        # changelog-checkpointed: per-batch commits ship touched keys
+        # only, snapshots are async (the O(batch)-per-trigger contract)
         "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
     }

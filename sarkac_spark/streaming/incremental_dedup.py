@@ -243,13 +243,22 @@ class IncrementalDedupPipeline:
         fresh = batch.select(self.id_col, self.text_col)
         self.commit_batch(self.dedup_batch(fresh, epoch_id), epoch_id)
 
-    def compact(self, target_partitions: int = 1) -> int:
+    def compact(self, target_partitions: int | None = None) -> int:
         """Fold every committed epoch partition of BOTH stores into one
-        base partition (``epoch=-1``) each — the small-files maintenance
+        base layer (``epoch=-1``) each — the small-files maintenance
         op for a long-running ingest: thousands of triggers mean
         thousands of tiny parquet files on the per-trigger signature
         read path, and at 100 TB the file-listing alone would dominate
         the trigger. Returns the compacted doc count.
+
+        ``target_partitions=None`` AUTO-SIZES the folded stores at
+        ~250k rows per file: the per-trigger signature scan reads the
+        compacted layer back, and folding a large store to one file
+        serializes that scan to a couple of parquet-split tasks however
+        many cores the cluster has (measured: the curator's 100x decade
+        point spent most of its per-trigger growth re-reading a
+        single-file 1.1 GB sig store). Pass an explicit int to override
+        either way.
 
         Contract: run while the stream is STOPPED (the
         ``SigmaStreamPipeline.compact_store`` precedent). foreachBatch
@@ -271,7 +280,11 @@ class IncrementalDedupPipeline:
                 # re-enable the admit-every-near-dup failure the marker
                 # exists to prevent.
                 self._check_sig_format()
-            data = df.drop("epoch").coalesce(max(1, int(target_partitions)))
+            if target_partitions is None:
+                parts = max(1, df.count() // 250_000)
+            else:
+                parts = max(1, int(target_partitions))
+            data = df.drop("epoch").repartition(parts)
             tmp = store.rstrip("/") + ".compact"
             data.write.mode("overwrite").parquet(os.path.join(tmp, "epoch=-1"))
             if store == self.store_dir:

@@ -63,6 +63,41 @@ from sarkac_spark.streaming.storeutil import atomic_swap, raise_if_half_swapped
 _ALLOWED_STAGES = {"quality", "dedup", "domain_cap"}
 
 
+def apply_domain_quota(
+    kept: DataFrame, prior: DataFrame | None, cfg: dict, id_col: str
+) -> DataFrame:
+    """The streaming domain-quota admission rule, shared by
+    ``StreamingCuratorPipeline`` and ``stateful_ingest_dedup`` (one
+    implementation so the two ingest engines cannot diverge).
+
+    WITHIN a batch, best-quality first when ``quality_col`` is
+    configured (ties to ascending id so replay stays deterministic),
+    else pure ascending-id arrival order; admit while
+    ``prior + rank <= cap``. ``prior`` is the per-domain running
+    admission count (one small row per domain; None = empty store).
+    The join is NULL-SAFE: null domains are one domain to the window
+    AND the quota store, so the running count must match them too — a
+    null-unsafe key would hand null-domain docs a fresh cap every
+    batch."""
+    domain_col = cfg.get("domain_col", "source")
+    cap = int(cfg["cap"])
+    order = [F.col(id_col).asc()]
+    if cfg.get("quality_col") is not None:
+        order.insert(0, F.col(cfg["quality_col"]).desc())
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    ranked = kept.withColumn("__rn", F.row_number().over(w))
+    if prior is not None:
+        prior = prior.withColumnRenamed(domain_col, "__dom")
+        ranked = ranked.join(
+            prior, F.col(domain_col).eqNullSafe(F.col("__dom")), "left"
+        ).drop("__dom")
+    else:
+        ranked = ranked.withColumn("__prior", F.lit(None).cast("long"))
+    return ranked.filter(
+        F.col("__rn") + F.coalesce(F.col("__prior"), F.lit(0)) <= cap
+    ).drop("__rn", "__prior")
+
+
 class StreamingCuratorPipeline:
     """``config`` takes the ``Curator`` config shape, restricted to the
     stages with a streaming member: ``quality`` (any Curator quality
@@ -159,41 +194,14 @@ class StreamingCuratorPipeline:
         )
 
     def _quota(self, kept: DataFrame, epoch_id: int) -> DataFrame:
-        cfg = self.config["domain_cap"]
-        domain_col = cfg.get("domain_col", "source")
-        cap = int(cfg["cap"])
-        prior = self._prior_quota(exclude_epoch=epoch_id)
-        # Admission order: WITHIN a batch, best-quality first when a
-        # quality_col is configured (the batch ``domain_cap`` ranking,
-        # ties to ascending id so replay stays deterministic) — batch
-        # and stream survivor sets then coincide exactly whenever a
-        # domain's contenders arrive in one trigger, and the documented
-        # divergence shrinks to cross-epoch arrivals (a stream cannot
-        # revoke documents it already committed). Without a quality_col,
-        # admission is pure arrival order (ascending id). Admit while
-        # prior + rank <= cap; the window is batch-sized, partitioned by
-        # domain.
-        order = [F.col(self.id_col).asc()]
-        if cfg.get("quality_col") is not None:
-            order.insert(0, F.col(cfg["quality_col"]).desc())
-        w = Window.partitionBy(domain_col).orderBy(*order)
-        ranked = kept.withColumn("__rn", F.row_number().over(w))
-        if prior is not None:
-            # NULL-SAFE join: null domains are one domain to the window
-            # AND to the quota store, so the running count must match
-            # them too — a null-unsafe key would hand null-domain docs
-            # a fresh cap every batch.
-            prior = prior.withColumnRenamed(domain_col, "__dom")
-            ranked = ranked.join(
-                prior, F.col(domain_col).eqNullSafe(F.col("__dom")), "left"
-            ).drop("__dom")
-        else:
-            ranked = ranked.withColumn("__prior", F.lit(None).cast("long"))
-        return (
-            ranked.filter(
-                F.col("__rn") + F.coalesce(F.col("__prior"), F.lit(0)) <= cap
-            )
-            .drop("__rn", "__prior")
+        # the shared admission rule (see apply_domain_quota): within-
+        # batch quality-then-id ranking against the committed running
+        # counts, replay-safe because the prior read excludes this epoch
+        return apply_domain_quota(
+            kept,
+            self._prior_quota(exclude_epoch=epoch_id),
+            self.config["domain_cap"],
+            self.id_col,
         )
 
     # --- the trigger --------------------------------------------------------
@@ -247,7 +255,7 @@ class StreamingCuratorPipeline:
             writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
         return writer.start()
 
-    def compact(self, target_partitions: int = 1) -> int:
+    def compact(self, target_partitions: int | None = None) -> int:
         """Fold every committed epoch of all four stores into one base
         partition each (``epoch=-1``; the ``IncrementalDedupPipeline``
         contract — run while the stream is STOPPED). Quota rows fold to

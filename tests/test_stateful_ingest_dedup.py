@@ -1,0 +1,240 @@
+"""StatefulDedupPipeline: the keyed-state (O(batch)/trigger) ingest
+dedup engine — row-local signatures match the batch signer bit-for-bit,
+the engine matches the parquet arm on chain-free corpora, the seen-vs-
+committed chain divergence is pinned as the documented contract, state
+survives kill-resume, and the quota stage shares the curator's
+admission rule."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SCHEMA = "doc_id long, text string, source string"
+MH = {"k": 16, "bands": 8, "threshold": 0.5}
+
+_W = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform "
+    "victor whiskey xray yankee zulu"
+).split()
+
+
+def _txt(lo: int, hi: int) -> str:
+    return " ".join(_W[lo:hi])
+
+
+# the deterministic near-dup chain (fixed hash constants => fixed
+# verdicts): J(A,B)=0.54, J(B,C)=0.54, J(A,C)=0.25 — all with band
+# collisions under k=16/bands=8, so A~B and B~C pair while A-C is
+# killed by the Jaccard verify
+CHAIN_A = _txt(0, 12)
+CHAIN_B = _txt(3, 15)
+CHAIN_C = _txt(6, 18)
+
+GOOD_1 = "the quick brown fox and the lazy dog ran over twelve quiet hills"
+GOOD_2 = "spark shuffles the data between stages and it regroups all the rows by key"
+GOOD_2_NEAR = (
+    "spark shuffles the data between stages and it regroups all the rows by keys"
+)
+GOOD_3 = "broadcast joins avoid the shuffle when one side fits in the executor memory"
+GOOD_4 = "partition pruning skips the files whose min max range excludes the predicate"
+
+
+def _write_epochs(spark, src, epochs):
+    src.mkdir(parents=True, exist_ok=True)
+    for i, rows in enumerate(epochs):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i:03d}"))
+
+
+def _run(spark, tmp_path, epochs, tag="s", **pipe_kw):
+    from sarkac_spark.streaming.stateful_ingest_dedup import StatefulDedupPipeline
+
+    src = tmp_path / f"src_{tag}"
+    _write_epochs(spark, src, epochs)
+    pipe = StatefulDedupPipeline(spark, str(tmp_path / f"store_{tag}"), **pipe_kw)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = pipe.start(stream, str(tmp_path / f"ckpt_{tag}"))
+    q.awaitTermination(300)
+    return pipe
+
+
+def test_row_signatures_match_dedup_signatures(spark):
+    """The stream-legal per-row signer == the batch groupBy signer on
+    every column, including the empty/short-doc guards and the
+    max_sh_set bottom-k cap."""
+    from sarkac_spark.operators.dedup import dedup_signatures, row_signatures
+
+    rows = [
+        (1, GOOD_1), (2, GOOD_2), (3, "too short"), (4, ""),
+        (5, GOOD_1), (6, "one two three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = dedup_signatures(df, "doc_id", "text").orderBy("doc_id").collect()
+    b = (
+        row_signatures(df, "doc_id", "text")
+        .select("doc_id", "text_hash", "band_keys", "sh_set")
+        .orderBy("doc_id")
+        .collect()
+    )
+    for ra, rb in zip(a, b):
+        assert ra.text_hash == rb.text_hash
+        assert ra.band_keys == rb.band_keys
+        assert sorted(ra.sh_set) == sorted(rb.sh_set)
+    a = dedup_signatures(df, "doc_id", "text", max_sh_set=4).orderBy("doc_id").collect()
+    b = row_signatures(df, "doc_id", "text", max_sh_set=4).orderBy("doc_id").collect()
+    for ra, rb in zip(a, b):
+        assert list(ra.sh_set) == list(rb.sh_set)
+
+
+def test_stateful_matches_parquet_arm_on_chain_free_corpus(spark, tmp_path):
+    """On a chain-free corpus (pairwise dups only) the keyed-state
+    engine commits EXACTLY the parquet arm's survivor set, across
+    epochs: exact dup (5~1), near dup (6~2), short docs kept."""
+    from sarkac_spark.streaming.incremental_dedup import IncrementalDedupPipeline
+
+    epochs = [
+        [(1, GOOD_1, "web"), (2, GOOD_2, "web"), (3, "too short here", "web")],
+        [(5, GOOD_1, "blog"), (6, GOOD_2_NEAR, "web"), (7, GOOD_3, "web")],
+        [(9, GOOD_4, "news"), (10, "too short here", "news")],
+    ]
+    pipe = _run(spark, tmp_path, epochs, tag="cf", minhash=dict(MH))
+    got = {r.doc_id for r in pipe.committed().collect()}
+
+    ref = IncrementalDedupPipeline(
+        spark, str(tmp_path / "ref_store"), minhash=dict(MH)
+    )
+    for i, rows in enumerate(epochs):
+        ref.process_batch(
+            spark.createDataFrame(rows, SCHEMA).select("doc_id", "text"), i
+        )
+    want = {r.doc_id for r in ref.committed().collect()}
+    assert got == want == {1, 2, 3, 7, 9}  # 10 is an exact dup of 3
+
+    funnel = {
+        r.stage: r.n
+        for r in pipe.funnel().groupBy("stage").agg(F.sum("n_docs").alias("n")).collect()
+    }
+    assert funnel == {"input": 8, "dedup": 5}
+
+
+def test_chain_divergence_is_the_documented_contract(spark, tmp_path):
+    """A committed, B dropped (~A), C ~B-but-not-~A: the parquet arm
+    keeps C (committed-corpus membership), the keyed-state engine drops
+    C (seen-corpus membership). Both behaviors pinned."""
+    from sarkac_spark.streaming.incremental_dedup import IncrementalDedupPipeline
+
+    epochs = [
+        [(1, CHAIN_A, "web")],
+        [(2, CHAIN_B, "web")],
+        [(3, CHAIN_C, "web")],
+    ]
+    pipe = _run(spark, tmp_path, epochs, tag="ch", minhash=dict(MH))
+    assert {r.doc_id for r in pipe.committed().collect()} == {1}
+
+    ref = IncrementalDedupPipeline(spark, str(tmp_path / "ref_ch"), minhash=dict(MH))
+    for i, rows in enumerate(epochs):
+        ref.process_batch(
+            spark.createDataFrame(rows, SCHEMA).select("doc_id", "text"), i
+        )
+    assert {r.doc_id for r in ref.committed().collect()} == {1, 3}
+
+
+def test_within_batch_rule_lower_id_mate_wins(spark, tmp_path):
+    """One batch holding an exact pair and a near pair: the lower id of
+    each pair survives — the incremental_minhash_drop_ids within-batch
+    rule, arrival-order-free."""
+    epochs = [[
+        (4, GOOD_2_NEAR, "web"), (2, GOOD_2, "web"),
+        (7, GOOD_1, "web"), (3, GOOD_1, "web"),
+    ]]
+    pipe = _run(spark, tmp_path, epochs, tag="wb", minhash=dict(MH))
+    assert {r.doc_id for r in pipe.committed().collect()} == {2, 3}
+
+
+def test_exact_only_mode_no_shingle_state(spark, tmp_path):
+    """minhash=None: exact digests only — near-dups pass, byte dups die
+    across epochs."""
+    epochs = [
+        [(1, GOOD_2, "web")],
+        [(2, GOOD_2, "web"), (3, GOOD_2_NEAR, "web")],
+    ]
+    pipe = _run(spark, tmp_path, epochs, tag="ex")
+    assert {r.doc_id for r in pipe.committed().collect()} == {1, 3}
+
+
+def test_kill_resume_no_double_commit(spark, tmp_path):
+    """Stop after the first file, restart on the same checkpoint: the
+    committed set equals the one-shot run (per-epoch overwrite + state
+    versioning = exactly-once verdicts)."""
+    from sarkac_spark.streaming.stateful_ingest_dedup import StatefulDedupPipeline
+
+    epochs = [
+        [(1, GOOD_1, "web"), (2, GOOD_2, "web")],
+        [(5, GOOD_1, "blog"), (6, GOOD_2_NEAR, "web"), (7, GOOD_3, "web")],
+    ]
+    src = tmp_path / "src_kr"
+    _write_epochs(spark, src, epochs[:1])
+    pipe = StatefulDedupPipeline(spark, str(tmp_path / "store_kr"), minhash=dict(MH))
+
+    def _stream():
+        return (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+
+    q = pipe.start(_stream(), str(tmp_path / "ckpt_kr"))
+    q.awaitTermination(300)
+    # second wave lands while the query is down
+    _write_epochs(spark, src, epochs)  # rewrites b000, adds b001
+    q = pipe.start(_stream(), str(tmp_path / "ckpt_kr"))
+    q.awaitTermination(300)
+    assert {r.doc_id for r in pipe.committed().collect()} == {1, 2, 7}
+
+
+def test_domain_cap_shared_quota(spark, tmp_path):
+    """The quota stage is apply_domain_quota (the curator's rule): web
+    fills its cap of 2 across epochs; compaction folds the running
+    counts without changing them."""
+    epochs = [
+        [(1, GOOD_1, "web"), (2, GOOD_2, "web")],
+        [(3, GOOD_3, "web"), (4, GOOD_4, "blog")],
+    ]
+    pipe = _run(
+        spark, tmp_path, epochs, tag="dc",
+        minhash=dict(MH),
+        domain_cap={"domain_col": "source", "cap": 2},
+    )
+    assert {r.doc_id for r in pipe.committed().collect()} == {1, 2, 4}
+    n = pipe.compact()
+    assert n == 3
+    q = spark.read.parquet(pipe.quota_dir)
+    counts = {r.source: r.n_admitted for r in q.collect()}
+    assert counts == {"web": 2, "blog": 1}
+
+
+def test_hot_band_stops_matching_and_growing(spark, tmp_path):
+    """A band at its all-time df cap stops matching (docs can still
+    pair via other bands) and stops growing — per-row work stays
+    bounded at cap."""
+    # max_band_df=1: after one doc is seen, every band is hot, so the
+    # SECOND exact copy of GOOD_1 is caught only by... nothing — even
+    # the exact xh| band obeys presence, which needs no growth. Near
+    # dups of GOOD_2 must pass (their bands are frozen at df=1 and
+    # matching is disabled).
+    epochs = [
+        [(1, GOOD_2, "web")],
+        [(2, GOOD_2_NEAR, "web"), (3, GOOD_2, "web")],
+    ]
+    mh = dict(MH, max_band_df=1)
+    pipe = _run(spark, tmp_path, epochs, tag="hb", minhash=mh)
+    # 3 is an exact dup (xh band presence match, cap-independent);
+    # 2 is a near dup but every shared band is hot => admitted
+    assert {r.doc_id for r in pipe.committed().collect()} == {1, 2}

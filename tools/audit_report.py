@@ -157,9 +157,9 @@ def render_scale(repo: Path) -> tuple[str, bool]:
         ]
         for p_ in rec.get("points", []):
             axis = (
-                f"seed x{p_['mult']} ({p_.get('n_committed_seed', '?')} docs)"
-                if p_["arm"] == "curator"
-                else f"{p_['n_keys']} open sessions"
+                f"{p_['n_keys']} open sessions"
+                if p_["arm"] == "session"
+                else f"seed x{p_['mult']} ({p_.get('n_committed_seed', '?')} docs)"
             )
             lines.append(
                 f"| {p_['arm']} | {axis} | {p_['per_trigger_median']} "

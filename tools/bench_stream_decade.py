@@ -106,7 +106,7 @@ def curator_point(
     shutil.rmtree(store.parent, ignore_errors=True)
     store.parent.mkdir(parents=True)
 
-    seed_path = work / f"seed_x{mult}.parquet"
+    seed_path = work / f"seed_{n_seed}.parquet"
     tbl = _seed_table(n_seed)
     pq.write_table(tbl, seed_path)
     # a sample of seed texts for dup construction + the matching vocab
@@ -164,6 +164,112 @@ def curator_point(
         "compact_wall": round(compact_wall, 2),
         "trigger_walls": walls,
         "per_trigger_median": round(float(np.median(walls)), 3),
+        "admitted_per_trigger": admitted,
+        "batch": batch,
+    }
+
+
+def stateful_point(
+    spark, work: Path, mult: int, batch: int, triggers: int,
+    base_seed: int = BASE_SEED,
+) -> dict:
+    """The keyed-state engine (StatefulDedupPipeline) at the same
+    store-growth decade points as curator_point: seed mult*BASE_SEED
+    docs through the stream (one untimed trigger — the band state is
+    the signature store, so seeding IS the state build), then TRIGGERS
+    identical timed triggers of the same 20/20/60 dup mix. Per-trigger
+    walls come from the query's own progress events. Same quality
+    (pass-through min_score) + quota(inf cap) composition as the
+    curator arm, so the two arms differ only in the dedup engine."""
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.curator import Curator
+    from sarkac_spark.streaming.stateful_ingest_dedup import StatefulDedupPipeline
+
+    n_seed = base_seed * mult
+    root = work / f"stateful_x{mult}"
+    shutil.rmtree(root, ignore_errors=True)
+    src = root / "src"
+    src.mkdir(parents=True)
+
+    seed_path = work / f"seed_{n_seed}.parquet"
+    if not seed_path.exists():
+        pq.write_table(_seed_table(n_seed), seed_path)
+    tbl = pq.read_table(seed_path)
+    seed_texts = tbl.column("text").to_pylist()[: min(5000, n_seed)]
+    vocab = _vocab_for(n_seed)
+
+    # seed file + trigger files, processed one per trigger in order
+    shutil.copy(seed_path, src / "b000.parquet")
+    for e in range(1, triggers + 1):
+        rows = _trigger_batch(seed_texts, n_seed, e, batch, vocab)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    "source": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            src / f"b{e:03d}.parquet",
+        )
+
+    # the deployment shape for millions of band keys: RocksDB state
+    # (off-heap, local disk, changelog checkpointing). The HDFS-backed
+    # default keeps every key on the JVM heap — it OOMs the x100 seed
+    # (2M docs -> ~8M band-key state entries) exactly as the
+    # session.get_spark docstring warns. Runtime SQL conf, read at
+    # query start.
+    from sarkac_spark.session import ROCKSDB_PROVIDER
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+    pipe = StatefulDedupPipeline(
+        spark,
+        str(root / "store"),
+        minhash=dict(MH),
+        domain_cap={"domain_col": "source", "cap": 10**9},
+    )
+    quality_fn = Curator(
+        spark, {"quality": {"min_score": 0.0}}, "doc_id", "text"
+    )._quality_stage({"min_score": 0.0})
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = pipe.start(quality_fn(stream), str(root / "ckpt"))
+    q.awaitTermination(3600)
+
+    def _as_dict(x):
+        if isinstance(x, str):
+            return json.loads(x)
+        if isinstance(x, dict):
+            return x
+        return json.loads(x.json)
+
+    progress = [_as_dict(x) for x in q.recentProgress]
+    prog = [
+        (p["batchId"], p["numInputRows"], p["durationMs"]["triggerExecution"])
+        for p in progress
+        if p["numInputRows"] > 0
+    ]
+    timed = [round(d / 1000.0, 3) for _, n, d in prog[1:]]
+    funnel = {(r.epoch, r.stage): r.n_docs for r in pipe.funnel().collect()}
+    admitted = [
+        int(funnel.get((e, "domain_cap"), -1)) for e in range(1, triggers + 1)
+    ]
+    return {
+        "arm": "stateful",
+        "mult": mult,
+        "n_seed": n_seed,
+        "n_committed_seed": int(funnel.get((0, "domain_cap"), -1)),
+        "seed_wall": round(prog[0][2] / 1000.0, 2) if prog else None,
+        "trigger_walls": timed,
+        "per_trigger_median": round(float(np.median(timed)), 3) if timed else None,
         "admitted_per_trigger": admitted,
         "batch": batch,
     }
@@ -302,6 +408,11 @@ def main() -> int:
             r = curator_point(spark, work, m, base_batch, triggers, base_seed)
             print(json.dumps(r))
             results.append(r)
+    if arm in ("stateful", "all"):
+        for m in mults:
+            r = stateful_point(spark, work, m, base_batch, triggers, base_seed)
+            print(json.dumps(r))
+            results.append(r)
     if arm in ("session", "all"):
         for k in [1_000 * m for m in mults]:
             r = session_point(spark, work, k, 2_000, max(3, triggers))
@@ -310,7 +421,7 @@ def main() -> int:
 
     # decade verdicts: per-trigger median ratio biggest/smallest point
     verdict = {}
-    for a in ("curator", "session"):
+    for a in ("curator", "stateful", "session"):
         pts = [r for r in results if r["arm"] == a and r["per_trigger_median"]]
         if len(pts) >= 2:
             ratio = round(
