@@ -95,6 +95,44 @@ def main() -> None:
     print(f"OK: {committed} docs curated at ingest; "
           f"max per-source {worst} <= cap {CONFIG['domain_cap']['cap']}; "
           f"compacted store intact")
+
+    # ---- act 2: the same ingest on the keyed-state engine ----------------
+    # StatefulDedupPipeline is the O(batch)-per-trigger arm (band-keyed
+    # state instead of a signature-store scan; BENCH_STREAM_DECADE
+    # measured it flat across a 100x store decade). Same quota rule
+    # (shared apply_domain_quota); quality applies upstream because it
+    # is stateless. Near-dup CHAINS may differ (seen-corpus contract),
+    # so the invariants checked are the operator ones, not set-equality.
+    from sarkac_spark.curator import Curator
+    from sarkac_spark.streaming.stateful_ingest_dedup import StatefulDedupPipeline
+
+    st_store, st_ckpt = work / "st_store", work / "st_ckpt"
+    quality_fn = Curator(
+        spark, {"quality": CONFIG["quality"]}, "doc_id", "text"
+    )._quality_stage(CONFIG["quality"])
+    st_pipe = StatefulDedupPipeline(
+        spark, str(st_store),
+        minhash=CONFIG["dedup"]["minhash"],
+        domain_cap=CONFIG["domain_cap"],
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    st_pipe.start(quality_fn(stream), str(st_ckpt)).awaitTermination(240)
+    st_committed = st_pipe.committed()
+    st_n = st_committed.count()
+    # no exact dups survive, per construction of the xh| bands
+    n_hashes = st_committed.select(F.md5("text")).distinct().count()
+    assert n_hashes == st_n, (n_hashes, st_n)
+    st_worst = (
+        st_committed.groupBy("source").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert st_worst <= CONFIG["domain_cap"]["cap"], st_worst
+    print(f"OK: keyed-state engine committed {st_n} "
+          f"(parquet arm {committed}); exact-dup-free, quota held")
+
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 
