@@ -220,6 +220,39 @@ def test_domain_cap_shared_quota(spark, tmp_path):
     assert counts == {"web": 2, "blog": 1}
 
 
+def test_runs_on_rocksdb_provider(spark, tmp_path):
+    """The deployment shape (BENCH_STREAM_DECADE's flat arm): the same
+    chain-free verdicts under the RocksDB state store + changelog
+    checkpointing. Provider is a runtime SQL conf read at query start,
+    so it can be flipped per-test and restored."""
+    from sarkac_spark.session import ROCKSDB_PROVIDER
+
+    saved = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+    try:
+        epochs = [
+            [(1, GOOD_1, "web"), (2, GOOD_2, "web")],
+            [(5, GOOD_1, "blog"), (6, GOOD_2_NEAR, "web"), (7, GOOD_3, "web")],
+        ]
+        pipe = _run(spark, tmp_path, epochs, tag="rdb", minhash=dict(MH))
+        assert {r.doc_id for r in pipe.committed().collect()} == {1, 2, 7}
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", saved
+            )
+
+
 def test_hot_band_stops_matching_and_growing(spark, tmp_path):
     """A band at its all-time df cap stops matching (docs can still
     pair via other bands) and stops growing — per-row work stays
