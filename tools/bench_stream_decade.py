@@ -394,6 +394,12 @@ def main() -> int:
     triggers = opt("--triggers", 4)
     arm = opt("--arm", "all", str)
     out_path = opt("--out", "BENCH_STREAM_DECADE.json", str)
+    sh_cap = opt("--sh-cap", None)
+    if sh_cap is not None:
+        # the parquet arm's sh_set knob (bottom-k sketch + union-bottom-k
+        # verify): bounds the verify column the curator re-scans per
+        # trigger — the measured residual slope of that arm
+        MH["max_sh_set"] = int(sh_cap)
 
     from sarkac_spark.session import get_spark
 
