@@ -187,6 +187,35 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Persist the FULL per-query record to a file: the driver's stdout
+    # tail keeps only the top-10 map (see below), which made
+    # round-over-round regression attribution below the top-10
+    # impossible from the committed artifacts (VERDICT r9). Default
+    # BENCH_LOCAL_full.json at the repo root; override with
+    # SPARK_GRAFT_BENCH_OUT (empty string disables).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        str(Path(__file__).resolve().parent / "BENCH_LOCAL_full.json"),
+    )
+    if out_path:
+        try:
+            with open(out_path, "w") as f:
+                json.dump(
+                    {
+                        "metric": "total_query_wall_seconds",
+                        "value": total,
+                        "unit": "sec",
+                        "sf": sf_val,
+                        "n_queries": len(timings),
+                        "queries": timings,
+                    },
+                    f,
+                    indent=1,
+                    sort_keys=True,
+                )
+                f.write("\n")
+        except OSError as e:
+            print(f"bench record write failed: {e}", file=sys.stderr)
     print(
         json.dumps(
             {

@@ -285,21 +285,31 @@ def image_dhash(
     media: DataFrame,
     id_col: str = "media_id",
     payload_col: str = "payload",
+    pixel_decoder: Callable[[bytes], np.ndarray] | None = None,
 ) -> DataFrame:
     """Per-image perceptual hash over the REAL decode path: PNM payload
     -> pixels (``decode_pnm``) -> ``dhash_bands_from_pixels``. Arrow
     ``mapInPandas`` like ``extract_features`` — the decode is the
     Python-side cost and it is batch-vectorized; everything downstream
     (banding, hamming) is JVM integer code. Output: (id,
-    dhash_bands array<int>). Non-PNM payloads refuse loudly, the
-    ``default_decoder`` contract."""
+    dhash_bands array<int>).
+
+    ``pixel_decoder`` is the codec injection point for COMPRESSED
+    formats (the ``default_decoder`` contract applied to the dedup
+    path): ``bytes -> (h, w) or (h, w, ch) integer ndarray``. Default
+    is the dependency-free binary-PNM decode; non-PNM payloads then
+    refuse loudly. An injected decoder composes unchanged with
+    ``dedup_phash`` because the hash kernel sees only pixels — pinned
+    end-to-end by ``test_injected_codec_composes_with_dedup_phash``
+    (zlib-wrapped PPM, no new dependency)."""
+    decode = pixel_decoder or (lambda raw: decode_pnm(raw)[0])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for payload in pdf[payload_col]:
-                pixels, _, _ = decode_pnm(bytes(payload))
-                out.append(dhash_bands_from_pixels(pixels))
+                pixels = decode(bytes(payload))
+                out.append(dhash_bands_from_pixels(np.asarray(pixels)))
             yield pd.DataFrame({id_col: pdf[id_col], "dhash_bands": out})
 
     return media.select(id_col, payload_col).mapInPandas(

@@ -197,7 +197,8 @@ def q_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series_correlation(load_table(spark, sf_dir, "events"))
 
 
-# Merged registry: original key order preserved (sweep-order tiebreak).
+# Merged registry: the TPC-H family (relational_tpch.QUERIES, in that
+# module's order) leads, then the local events/documents queries below.
 QUERIES = {
     # the whole TPC-H shape family rides the spread (same as ORACLE
     # below) — an itemized relay list silently dropped newly added

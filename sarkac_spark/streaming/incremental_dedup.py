@@ -281,7 +281,9 @@ class IncrementalDedupPipeline:
                 # exists to prevent.
                 self._check_sig_format()
             if target_partitions is None:
-                parts = max(1, df.count() // 250_000)
+                # ceil: ~250k rows/file is an UPPER bound (floor div
+                # yielded up to ~500k rows in the last pre-ceil file)
+                parts = max(1, -(-df.count() // 250_000))
             else:
                 parts = max(1, int(target_partitions))
             data = df.drop("epoch").repartition(parts)

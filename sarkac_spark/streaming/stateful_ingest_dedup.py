@@ -34,12 +34,22 @@ Semantics vs the parquet arm (both pinned by tests):
 - ACROSS triggers: this engine is SEEN-corpus (a new doc matching any
   previously OBSERVED doc — kept or dropped — is dropped), while the
   parquet arm is COMMITTED-corpus (dropped docs leave no trace). The
-  engines diverge only on near-dup CHAINS (A kept, B dropped as ~A, C
-  arrives ~B but not ~A: parquet keeps C, this engine drops C —
-  ``test_chain_divergence_is_the_documented_contract``). Seen-corpus
-  is the stricter and cheaper contract (state append needs no global
-  kept-verdict, which a per-key operator cannot see), and is what
-  Bloom-style production ingest dedup implements.
+  engines diverge exactly where observed != committed:
+  (a) near-dup CHAINS — A kept, B dropped as ~A, C arrives ~B but not
+  ~A: parquet keeps C, this engine drops C
+  (``test_chain_divergence_is_the_documented_contract``); and
+  (b) QUOTA-REJECTED docs — band state is appended inside the stateful
+  operator, upstream of the ``domain_cap`` stage, so a doc the quota
+  later rejects still counts as observed: a subsequent near-identical
+  doc (even from an under-cap domain) is dropped here but admitted by
+  the parquet arm, which commits signatures only for post-quota
+  survivors (``test_quota_rejected_docs_join_the_seen_corpus``).
+  Feeding the quota verdict back into the operator is not expressible
+  in one query (the per-band-key operator cannot see the global
+  per-domain rank), and running quota BEFORE dedup would change the
+  funnel semantics both engines share. Seen-corpus is the stricter and
+  cheaper contract (state append needs no global kept-verdict), and is
+  what Bloom-style production ingest dedup implements.
 - Hot bands: a band whose ALL-TIME df reaches ``max_band_df`` stops
   matching AND stops growing (the parquet arm caps on CURRENT-relation
   df). Both bound per-row work at cap; docs still pair via their other
@@ -89,16 +99,30 @@ def _band_verdicts(
     threshold: float,
     max_band_df: int | None,
     bottom_k: int | None,
+    ttl_seconds: int | None = None,
 ):
     """The per-band stateful function: verify each new doc against the
     band's seen members (state) and its lower-id batch mates, emit the
     payload row + ``__dropped``, append the batch to state (seen-corpus
     semantics; see module docstring). Exact bands (``xh|`` prefix)
-    match on presence — same text hash IS the same text."""
+    match on presence — same text hash IS the same text.
+
+    Hot-path shape: most groups are a single fresh doc on a band with
+    no state (the decade/seed profile), so the verify work is gated
+    behind the exact/hot/fresh checks and the member comparison is
+    vectorized numpy (one ``np.isin`` over the band's flattened prior
+    sets per doc, segment sums via cumsum — no per-pair Python set
+    ops). ``sh_set`` arrives sorted+distinct (``row_signatures``
+    contract) and state segments are stored the same way."""
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if ttl_seconds is not None and state.hasTimedOut:
+            # band idle past the TTL: evict — a later dup re-admits
+            # (the time-bounded dedup mode; see class docstring)
+            state.remove()
+            return
         exact = key[0].startswith(_EXACT_PREFIX)
         if state.exists:
             ids, lens, shs = state.get
@@ -108,9 +132,13 @@ def _band_verdicts(
 
         # band groups are df-capped small: concat so the lower-id-mate
         # rule sees the whole group, not one Arrow chunk at a time
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf = pdf.sort_values(id_col, kind="stable", ignore_index=True)
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
+        )
         n = len(pdf)
+        if n > 1:
+            pdf = pdf.sort_values(id_col, kind="stable", ignore_index=True)
         dropped = np.zeros(n, dtype=bool)
 
         hot = max_band_df is not None and len(ids) >= max_band_df
@@ -121,40 +149,47 @@ def _band_verdicts(
                 dropped[:] = True
             else:
                 dropped[1:] = True
-        elif not hot:
-            offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-            prior_sets = [
-                frozenset(shs[offs[j]:offs[j + 1]]) for j in range(len(ids))
+        elif not hot and (ids or n > 1):
+            prior_flat = np.asarray(shs, dtype=np.int64)
+            prior_sizes = np.asarray(lens, dtype=np.int64)
+            ends = np.cumsum(prior_sizes)
+            starts = ends - prior_sizes
+            batch_sets = [
+                np.asarray(x, dtype=np.int64) for x in pdf["sh_set"]
             ]
-            batch_sets = [frozenset(x) for x in pdf["sh_set"]]
             for r in range(n):
                 a = batch_sets[r]
-                if not a:
+                if a.size == 0:
                     continue
-                for b in prior_sets:
-                    if _jaccard(a, b, bottom_k) >= threshold:
-                        dropped[r] = True
-                        break
-                if dropped[r]:
+                if prior_flat.size and _any_match(
+                    a, prior_flat, prior_sizes, starts, ends,
+                    threshold, bottom_k,
+                ):
+                    dropped[r] = True
                     continue
                 for m in range(r):
-                    if _jaccard(a, batch_sets[m], bottom_k) >= threshold:
+                    if _jaccard_np(a, batch_sets[m], bottom_k) >= threshold:
                         dropped[r] = True
                         break
 
         # seen-corpus append, bounded at the df cap; an exact band only
         # ever needs its FIRST member (presence is the whole verdict),
         # so its state stays one entry however many replays land on it
+        id_arr = pdf[id_col].to_numpy()
+        sh_arr = None if exact else pdf["sh_set"].to_numpy()
         for r in range(n):
             if exact and ids:
                 break
             if max_band_df is not None and len(ids) >= max_band_df:
                 break
-            ids.append(int(pdf[id_col].iloc[r]))
-            s = [] if exact else sorted(pdf["sh_set"].iloc[r])
+            ids.append(int(id_arr[r]))
+            s = [] if exact else [int(x) for x in sh_arr[r]]
             lens.append(len(s))
-            shs.extend(int(x) for x in s)
+            shs.extend(s)
         state.update((ids, lens, shs))
+        if ttl_seconds is not None:
+            # sliding idle-TTL: every touch re-arms the clock
+            state.setTimeoutDuration(int(ttl_seconds) * 1000)
 
         out = pdf.drop(columns=["sh_set", "band_key"])
         out["__dropped"] = dropped
@@ -163,19 +198,123 @@ def _band_verdicts(
     return fn
 
 
-def _jaccard(a: frozenset, b: frozenset, bottom_k: int | None) -> float:
-    """Exact Jaccard, or the union-bottom-k estimator when the stored
-    sets are ``max_sh_set``-truncated (k smallest of A∪B, fraction in
-    both — the ``incremental_minhash_drop_ids_sigs(max_sh_set=...)``
-    estimator, exact whenever |A∪B| <= k and unbiased otherwise)."""
-    if not a or not b:
+def _seed_state(
+    id_col: str,
+    max_band_df: int | None,
+    ttl_seconds: int | None = None,
+):
+    """The bootstrap twin of ``_band_verdicts``: INSTALL state, verify
+    nothing, emit nothing. The corpus is taken as already-deduped
+    (``bootstrap_state`` precondition), so the only work per band is
+    the capped, id-ordered member append — the same membership a full
+    replay of the deduped corpus would have produced (replay sorts the
+    batch by id and appends the first ``max_band_df`` members; exact
+    ``xh|`` bands keep one member). Zero output rows keep the Arrow
+    return path empty; per-group cost is the function call + the state
+    update, which is the floor applyInPandasWithState allows."""
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_seconds is not None and state.hasTimedOut:
+            state.remove()
+            return
+        exact = key[0].startswith(_EXACT_PREFIX)
+        if state.exists:
+            ids, lens, shs = state.get
+            ids, lens, shs = list(ids), list(lens), list(shs)
+        else:
+            ids, lens, shs = [], [], []
+        cap = 1 if exact else max_band_df
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
+        )
+        if cap is None or len(ids) < cap:
+            id_arr = pdf[id_col].to_numpy()
+            sh_col = None if exact else pdf["sh_set"].to_numpy()
+            if len(id_arr) > 1:
+                order = np.argsort(id_arr, kind="stable")
+                id_arr = id_arr[order]
+                if sh_col is not None:
+                    sh_col = sh_col[order]
+            for r in range(len(id_arr)):
+                if cap is not None and len(ids) >= cap:
+                    break
+                ids.append(int(id_arr[r]))
+                s = [] if exact else [int(x) for x in sh_col[r]]
+                lens.append(len(s))
+                shs.extend(s)
+        state.update((ids, lens, shs))
+        if ttl_seconds is not None:
+            state.setTimeoutDuration(int(ttl_seconds) * 1000)
+        return
+        yield  # pragma: no cover — makes fn a generator, like the hot path
+
+    return fn
+
+
+def _round6(x):
+    """6-decimal HALF_UP rounding, matching the parquet arm's
+    ``F.round(jac, 6)`` (Spark rounds doubles HALF_UP; Python's builtin
+    ``round`` is banker's, which diverges on exact ties like 1/128).
+    Works elementwise on numpy arrays and on scalars."""
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _any_match(
+    a, prior_flat, prior_sizes, starts, ends, threshold, bottom_k
+) -> bool:
+    """True iff doc set ``a`` (sorted unique int64) crosses
+    ``threshold`` against ANY prior member. Exact mode computes every
+    member's intersection size in one vectorized pass: membership mask
+    over the flattened segments, per-segment sums via cumsum
+    differences (zero-length segments come out 0, matching the
+    empty-set-never-matches rule)."""
+    if bottom_k is not None:
+        for j in range(len(prior_sizes)):
+            b = prior_flat[starts[j]:ends[j]]
+            if _jaccard_np(a, b, bottom_k) >= threshold:
+                return True
+        return False
+    cum = np.concatenate([[0], np.cumsum(np.isin(prior_flat, a))])
+    inters = cum[ends] - cum[starts]
+    jac = inters / (a.size + prior_sizes - inters)
+    return bool(np.any(_round6(jac) >= threshold))
+
+
+def _jaccard_np(a, b, bottom_k: int | None) -> float:
+    """Rounded Jaccard over sorted unique int64 arrays: exact, or the
+    union-bottom-k estimator when the stored sets are ``max_sh_set``-
+    truncated (k smallest of A∪B, fraction in both — the
+    ``incremental_minhash_drop_ids_sigs(max_sh_set=...)`` estimator,
+    exact whenever |A∪B| <= k and unbiased otherwise). Rounded to 6
+    decimals (HALF_UP) so threshold verdicts are bit-identical to the
+    parquet arm's ``F.round(jac, 6) >= threshold``."""
+    if a.size == 0 or b.size == 0:
         return 0.0
+    inter = np.intersect1d(a, b, assume_unique=True)
     if bottom_k is None:
-        inter = len(a & b)
-        return inter / (len(a) + len(b) - inter)
-    union_bottom = sorted(a | b)[:bottom_k]
-    both = sum(1 for h in union_bottom if h in a and h in b)
-    return both / len(union_bottom)
+        return float(
+            _round6(inter.size / (a.size + b.size - inter.size))
+        )
+    union_size = a.size + b.size - inter.size
+    if union_size <= bottom_k:
+        return float(_round6(inter.size / union_size))
+    kth = np.union1d(a, b)[bottom_k - 1]
+    both = int(np.count_nonzero(inter <= kth))
+    return float(_round6(both / bottom_k))
+
+
+def _jaccard(a: frozenset, b: frozenset, bottom_k: int | None) -> float:
+    """Reference (set-based) twin of ``_jaccard_np`` — kept for tests
+    and as the readable statement of the estimator. Same 6-decimal
+    HALF_UP rounding."""
+    return _jaccard_np(
+        np.fromiter(a, dtype=np.int64) if a else np.array([], dtype=np.int64),
+        np.fromiter(b, dtype=np.int64) if b else np.array([], dtype=np.int64),
+        bottom_k,
+    )
 
 
 class StatefulDedupPipeline:
@@ -185,7 +324,28 @@ class StatefulDedupPipeline:
     (``{"domain_col", "cap", "quality_col"?}``) adds the shared quota
     stage. Stores: ``store_dir`` (committed corpus, epoch partitions),
     ``_quota`` / ``_funnel`` siblings — NO signature store: the band
-    state inside the streaming checkpoint replaces it."""
+    state inside the streaming checkpoint replaces it.
+
+    ``state_ttl_seconds`` switches corpus-level dedup (state grows with
+    the distinct-band count forever — correct for one-corpus ingest) to
+    TIME-BOUNDED dedup: a band idle longer than the TTL is evicted, so
+    a later duplicate of an expired doc is re-admitted. This is
+    ``dropDuplicatesWithinWatermark`` semantics at band granularity,
+    on PROCESSING time (idle-touch sliding TTL — every batch that
+    lands on a band re-arms its clock; an event-time variant would need
+    a watermark through the stateful op, which
+    ``applyInPandasWithState`` ties to EventTimeTimeout and a
+    watermarked column this payload does not carry). State size is then
+    bounded by the distinct bands seen per TTL window instead of
+    all-time (sizing table: ARCHITECTURE.md §state-sizing). The TTL
+    must be constant for a checkpoint's lifetime (it selects the
+    operator's timeout mode, which Spark pins at first start). With a
+    TTL armed the operator always reports another batch may be needed,
+    so an ``availableNow`` run never terminates (and the timer-only
+    batches keep resetting ``processAllAvailable``'s no-new-data latch)
+    — ``start()`` therefore requires a processing-time trigger in TTL
+    mode (a TTL'd dedup is a long-running ingest); batch-style drains
+    poll the committed store, then ``stop()``."""
 
     def __init__(
         self,
@@ -195,6 +355,7 @@ class StatefulDedupPipeline:
         text_col: str = "text",
         minhash: dict | None = None,
         domain_cap: dict | None = None,
+        state_ttl_seconds: int | None = None,
     ) -> None:
         self.spark = spark
         self.store_dir = store_dir
@@ -204,13 +365,13 @@ class StatefulDedupPipeline:
         self.text_col = text_col
         self.minhash = minhash
         self.domain_cap = domain_cap
+        self.state_ttl_seconds = state_ttl_seconds
 
     # --- the streaming DAG ---------------------------------------------------
 
-    def verdict_stream(self, doc_stream: DataFrame) -> DataFrame:
-        """doc rows -> per-band verdict rows (payload + ``__dropped``).
-        Stateless signature projection, band explode, then ONE
-        ``applyInPandasWithState`` keyed by band key."""
+    def _banded(self, doc_stream: DataFrame) -> DataFrame:
+        """Stateless front half: signature projection + band explode —
+        one row per (doc, band_key), payload columns riding along."""
         mh = self.minhash or {}
         if self.minhash is None:
             # exact-only: no shingle work at all — text_hash IS the
@@ -240,9 +401,23 @@ class StatefulDedupPipeline:
             if self.minhash is None
             else F.concat(exact_band, F.col("band_keys"))
         )
-        exploded = sigs.withColumn("band_key", F.explode(all_bands)).drop(
+        return sigs.withColumn("band_key", F.explode(all_bands)).drop(
             "text_hash", "band_keys"
         )
+
+    @property
+    def _timeout_conf(self):
+        return (
+            GroupStateTimeout.ProcessingTimeTimeout
+            if self.state_ttl_seconds is not None
+            else GroupStateTimeout.NoTimeout
+        )
+
+    def verdict_stream(self, doc_stream: DataFrame) -> DataFrame:
+        """doc rows -> per-band verdict rows (payload + ``__dropped``).
+        Stateless signature projection, band explode, then ONE
+        ``applyInPandasWithState`` keyed by band key."""
+        mh = self.minhash or {}
         out_schema = StructType(
             list(doc_stream.schema) + [StructField("__dropped", BooleanType())]
         )
@@ -251,14 +426,131 @@ class StatefulDedupPipeline:
             float(mh.get("threshold", 0.5)),
             mh.get("max_band_df", MINHASH_MAX_BAND_DF),
             mh.get("max_sh_set"),
+            ttl_seconds=self.state_ttl_seconds,
         )
-        return exploded.groupBy("band_key").applyInPandasWithState(
+        return self._banded(doc_stream).groupBy("band_key").applyInPandasWithState(
             fn,
             outputStructType=out_schema,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=self._timeout_conf,
         )
+
+    # --- bulk state bootstrap ------------------------------------------------
+
+    def bootstrap_state(
+        self,
+        corpus_df: DataFrame,
+        checkpoint_dir: str,
+        source_dir: str,
+    ) -> int:
+        """Onboard an EXISTING corpus onto the engine without replaying
+        it doc-by-doc through the verify path: install the corpus's
+        band membership into the streaming checkpoint's keyed state in
+        one seed trigger, and write the corpus/quota/funnel stores as a
+        batch base layer (``epoch=-1``, the ``compact()`` shape).
+
+        Mechanics — why a (fast) trigger and not offline state files: a
+        Structured Streaming checkpoint binds to its source, so state
+        must be created BY a query over the production source path for
+        the production query to adopt it. ``bootstrap_state`` therefore
+        writes ``corpus_df`` as the first committed file set under
+        ``source_dir`` and runs ONE ``availableNow`` query over
+        ``source_dir + "/*"`` with the SEED operator (``_seed_state``:
+        same band keys, same ``STATE_SCHEMA``, same df-cap/exact-band
+        membership a replay would install — but no verify work, no
+        payload columns through the shuffle, zero output rows). The
+        production stream then starts on the same checkpoint over the
+        same ``source_dir`` glob (projections upstream of a stateful
+        operator may change across restarts; the grouping key and state
+        schema — what Spark validates — are identical), sees the seed
+        files as already processed, and picks up new files
+        incrementally.
+
+        PRECONDITIONS: ``checkpoint_dir`` must not exist (bootstrap
+        creates it); ``source_dir`` must be empty or absent (files
+        already present would be swallowed unverified into the seed);
+        ``corpus_df`` must be internally deduped under this pipeline's
+        config (e.g. a batch ``Curator`` output or another pipeline's
+        ``committed()``) and carry unique ids — bootstrap installs
+        membership verbatim, it does not re-dedup; with ``domain_cap``
+        configured, every corpus doc counts against its domain's quota.
+        Returns the corpus row count.
+
+        Scale shape: the seed is the same O(corpus) band shuffle the
+        replay pays, minus the per-group verify/pandas/payload costs
+        that dominated it — measured at the 2M-doc decade point in
+        BASELINE.md §stream-decade. Set shuffle partitions BEFORE
+        bootstrapping (the first start pins the state partition
+        count).
+        """
+        if os.path.exists(checkpoint_dir):
+            raise ValueError(
+                f"bootstrap_state needs a FRESH checkpoint; {checkpoint_dir!r} "
+                "exists (an existing checkpoint already has band state — "
+                "bootstrapping over it would double-install members)"
+            )
+        if os.path.isdir(source_dir) and os.listdir(source_dir):
+            raise ValueError(
+                f"bootstrap_state needs an empty source_dir; {source_dir!r} "
+                "has entries (pre-existing files would enter band state "
+                "UNVERIFIED through the seed path)"
+            )
+        seed_path = os.path.join(source_dir, "b-bootstrap")
+        corpus_df.write.parquet(seed_path)
+        n_docs = self.spark.read.parquet(seed_path).count()
+
+        mh = self.minhash or {}
+        stream = self.spark.readStream.schema(corpus_df.schema).parquet(
+            os.path.join(source_dir, "*")
+        )
+        seeded = (
+            self._banded(stream)
+            .select(self.id_col, "sh_set", "band_key")
+            .groupBy("band_key")
+            .applyInPandasWithState(
+                _seed_state(
+                    self.id_col,
+                    mh.get("max_band_df", MINHASH_MAX_BAND_DF),
+                    ttl_seconds=self.state_ttl_seconds,
+                ),
+                outputStructType=f"{self.id_col} long",
+                stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=self._timeout_conf,
+            )
+        )
+        # noop sink still executes every group (state commits are a
+        # side effect of draining the partition iterators)
+        q = (
+            seeded.writeStream.format("noop")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        # batch base layer for the downstream stores (epoch=-1: the
+        # compact() shape — never collides with a checkpoint epoch, and
+        # the replay-safety `epoch != current` filter never excludes it)
+        corpus_df.write.mode("overwrite").parquet(
+            os.path.join(self.store_dir, "epoch=-1")
+        )
+        counts = [("input", n_docs), ("dedup", n_docs)]
+        if self.domain_cap is not None:
+            domain_col = self.domain_cap.get("domain_col", "source")
+            corpus_df.groupBy(domain_col).agg(
+                F.count(F.lit(1)).alias("n_admitted")
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.quota_dir, "epoch=-1")
+            )
+            counts.append(("domain_cap", n_docs))
+        self.spark.createDataFrame(
+            counts, "stage string, n_docs long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.funnel_dir, "epoch=-1")
+        )
+        return n_docs
 
     def commit_batch(self, verdicts: DataFrame, epoch_id: int) -> None:
         """foreachBatch half: fold per-band verdicts to per-doc (drop if
@@ -266,6 +558,11 @@ class StatefulDedupPipeline:
         quota / funnel stores per-epoch. Every relation here is
         batch-sized."""
         verdicts = verdicts.localCheckpoint(eager=True)
+        if not verdicts.take(1):
+            # timer-only batch (TTL mode runs one every trigger, data
+            # or not): nothing to commit — skipping keeps an idle
+            # stream from littering empty epoch partitions
+            return
         per_doc = (
             verdicts.groupBy(self.id_col)
             .agg(
@@ -309,6 +606,14 @@ class StatefulDedupPipeline:
         checkpoint_dir: str,
         trigger_seconds: int | None = None,
     ):
+        if self.state_ttl_seconds is not None and trigger_seconds is None:
+            raise ValueError(
+                "state_ttl_seconds needs a processing-time trigger "
+                "(trigger_seconds=0 for back-to-back batches): with "
+                "ProcessingTimeTimeout armed the operator always reports "
+                "another batch may be needed, so an availableNow run never "
+                "terminates — poll the committed store, then stop()"
+            )
         writer = (
             self.verdict_stream(doc_stream)
             .writeStream.foreachBatch(self.commit_batch)
@@ -363,7 +668,14 @@ class StatefulDedupPipeline:
         if docs is not None:
             folded = docs.drop("epoch")
             n_docs = folded.count()
-            parts = target_partitions or max(1, n_docs // 250_000)
+            # None => auto-size (~250k rows/file, ceil so the target is
+            # an upper bound); explicit ints are clamped, matching
+            # IncrementalDedupPipeline.compact (0 must not fall through
+            # to auto-sizing)
+            if target_partitions is None:
+                parts = max(1, -(-n_docs // 250_000))
+            else:
+                parts = max(1, int(target_partitions))
             tmp = self.store_dir.rstrip("/") + ".compact"
             folded.repartition(parts).write.mode("overwrite").parquet(
                 os.path.join(tmp, "epoch=-1")

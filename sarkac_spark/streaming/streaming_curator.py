@@ -116,6 +116,25 @@ class StreamingCuratorPipeline:
     dedup signatures (``store_dir + "_sigs"``), per-(epoch, domain)
     admission counts (``+ "_quota"``), and the per-epoch funnel
     (``+ "_funnel"``).
+
+    ``engine`` selects the dedup substrate (the sigma facade's
+    ``engine`` switch, applied to ingest curation):
+
+    - ``"parquet"`` (default) — ``IncrementalDedupPipeline``: committed-
+      corpus semantics, per-trigger column-pruned signature-store scan
+      (O(store) residual, 1.56x across the measured 100x decade), the
+      replay-auditable arm.
+    - ``"stateful"`` — ``StatefulDedupPipeline``: seen-corpus semantics,
+      keyed band state with point lookups (per-trigger wall FLAT, 0.83x
+      across the same decade and absolutely faster at every point —
+      BASELINE.md §stream-decade), the 100 TB deployment arm. Same
+      quality closures, same ``apply_domain_quota`` admission rule, so
+      the two engines can only diverge on the documented seen-vs-
+      committed contract (near-dup chains + quota-rejected docs). The
+      stateful engine owns its foreachBatch: drive it via ``start()``
+      (``process_batch`` raises), and its funnel has no pre-quality
+      row — its ``input`` stage counts post-quality docs (the parquet
+      arm's ``quality`` row).
     """
 
     def __init__(
@@ -125,12 +144,17 @@ class StreamingCuratorPipeline:
         config: dict,
         id_col: str = "doc_id",
         text_col: str = "text",
+        engine: str = "parquet",
     ) -> None:
         unknown = set(config) - _ALLOWED_STAGES
         if unknown:
             raise ValueError(
                 f"no streaming member for curation stage(s) {sorted(unknown)}; "
                 "run them as a batch pass over committed()"
+            )
+        if engine not in ("parquet", "stateful"):
+            raise ValueError(
+                f"unknown engine {engine!r}: expected 'parquet' or 'stateful'"
             )
         self.spark = spark
         self.store_dir = store_dir
@@ -139,14 +163,32 @@ class StreamingCuratorPipeline:
         self.config = config
         self.id_col = id_col
         self.text_col = text_col
+        self.engine = engine
         dedup_cfg = config.get("dedup") or {}
-        self._dedup = IncrementalDedupPipeline(
-            spark,
-            store_dir,
-            id_col=id_col,
-            text_col=text_col,
-            minhash=dedup_cfg.get("minhash"),
-        )
+        if engine == "stateful":
+            from sarkac_spark.streaming.stateful_ingest_dedup import (
+                StatefulDedupPipeline,
+            )
+
+            self._stateful = StatefulDedupPipeline(
+                spark,
+                store_dir,
+                id_col=id_col,
+                text_col=text_col,
+                minhash=dedup_cfg.get("minhash"),
+                domain_cap=config.get("domain_cap"),
+                state_ttl_seconds=dedup_cfg.get("state_ttl_seconds"),
+            )
+            self._dedup = None
+        else:
+            self._stateful = None
+            self._dedup = IncrementalDedupPipeline(
+                spark,
+                store_dir,
+                id_col=id_col,
+                text_col=text_col,
+                minhash=dedup_cfg.get("minhash"),
+            )
         if "quality" in config:
             # drive the REAL batch stage builder (the curation_funnel
             # precedent): stream and batch quality verdicts are one
@@ -207,6 +249,11 @@ class StreamingCuratorPipeline:
     # --- the trigger --------------------------------------------------------
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        if self.engine == "stateful":
+            raise RuntimeError(
+                "engine='stateful' owns its own stateful streaming query — "
+                "drive it with start(); there is no per-batch entry point"
+            )
         counts: list[tuple[str, int]] = [("input", batch.count())]
         d = batch
         if self._quality_fn is not None:
@@ -246,6 +293,15 @@ class StreamingCuratorPipeline:
         checkpoint_dir: str,
         trigger_seconds: int | None = None,
     ):
+        if self.engine == "stateful":
+            # quality gates are stateless closures — apply them to the
+            # stream before the stateful engine's DAG (its composition
+            # contract); dedup + quota live inside the engine
+            if self._quality_fn is not None:
+                doc_stream = self._quality_fn(doc_stream)
+            return self._stateful.start(
+                doc_stream, checkpoint_dir, trigger_seconds
+            )
         writer = doc_stream.writeStream.foreachBatch(self.process_batch).option(
             "checkpointLocation", checkpoint_dir
         )
@@ -255,6 +311,21 @@ class StreamingCuratorPipeline:
             writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
         return writer.start()
 
+    def bootstrap_state(
+        self, corpus_df: DataFrame, checkpoint_dir: str, source_dir: str
+    ) -> int:
+        """Bulk-onboard an existing (already-curated) corpus — stateful
+        engine only; see ``StatefulDedupPipeline.bootstrap_state``."""
+        if self.engine != "stateful":
+            raise RuntimeError(
+                "bootstrap_state is the keyed-state engine's bulk onboard; "
+                "the parquet engine seeds by committing the corpus as an "
+                "epoch (process_batch) — its signature store IS its state"
+            )
+        return self._stateful.bootstrap_state(
+            corpus_df, checkpoint_dir, source_dir
+        )
+
     def compact(self, target_partitions: int | None = None) -> int:
         """Fold every committed epoch of all four stores into one base
         partition each (``epoch=-1``; the ``IncrementalDedupPipeline``
@@ -262,6 +333,11 @@ class StreamingCuratorPipeline:
         one summed row per domain; funnel rows fold to one summed row
         per stage. Swaps are crash-safe (``storeutil.atomic_swap``).
         Returns the compacted doc count."""
+        if self.engine == "stateful":
+            # the stateful engine folds its own text/quota/funnel
+            # stores (band state needs no compaction — the checkpoint
+            # maintains it)
+            return self._stateful.compact(target_partitions)
         n_docs = self._dedup.compact(target_partitions)
         q = self._read_or_none(self.quota_dir)
         if q is not None:

@@ -2229,3 +2229,81 @@ def test_video_fingerprint_planted_dups(spark):
     tight = dedup_phash(video_fingerprint(frames2), max_hamming=6,
                         max_band_df=None)
     assert (1, 5) not in {(r.id_a, r.id_b) for r in tight.collect()}
+
+
+def test_injected_codec_composes_with_dedup_phash(spark):
+    """The codec-injection contract, exercised with a real (pure-
+    Python) compressed format: ZPPM = b"ZPPM" + zlib(binary PPM). The
+    injected pixel decoder drives image_dhash -> dedup_phash end-to-end
+    (planted dups found, distinct images survive), band values are
+    bit-identical to the uncompressed path (the kernel sees only
+    pixels), the same decoder slots into extract_features' decoder=
+    seam, and the default path still refuses the compressed payload
+    loudly."""
+    import zlib
+
+    import numpy as np
+
+    from sarkac_spark.operators.multimodal import (
+        dedup_phash,
+        extract_features,
+        image_dhash,
+    )
+
+    def p5(img):
+        h, w = img.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
+
+    def zppm(img):
+        return b"ZPPM" + zlib.compress(p5(img))
+
+    def zppm_pixels(raw: bytes) -> np.ndarray:
+        from sarkac_spark.operators.multimodal import decode_pnm
+
+        assert raw[:4] == b"ZPPM", "not a ZPPM payload"
+        return decode_pnm(zlib.decompress(raw[4:]))[0]
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 160, size=(24, 27), dtype=np.int64)
+    up2 = np.kron(base, np.ones((2, 2), dtype=np.int64))
+    other = rng.integers(0, 160, size=(24, 27), dtype=np.int64)
+    media = spark.createDataFrame(
+        [(1, zppm(base)), (2, zppm(up2)), (3, zppm(other))],
+        "media_id long, payload binary",
+    )
+
+    # default path refuses the compressed payload loudly
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with _pytest.raises((PythonException, Py4JJavaError)):
+        image_dhash(media).collect()
+
+    # injected decoder: end-to-end dedup finds the planted resize dup
+    hashes = image_dhash(media, pixel_decoder=zppm_pixels)
+    pairs = dedup_phash(hashes, max_hamming=6, max_band_df=None)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+    # bit-identical to the uncompressed path — the kernel sees pixels
+    plain = spark.createDataFrame(
+        [(1, p5(base)), (2, p5(up2)), (3, p5(other))],
+        "media_id long, payload binary",
+    )
+    a = {r.media_id: r.dhash_bands for r in hashes.collect()}
+    b = {r.media_id: r.dhash_bands for r in image_dhash(plain).collect()}
+    assert a == b
+
+    # the same codec slots into extract_features' decoder= seam
+    def zppm_features(raw: bytes, kind: str) -> list[float]:
+        px = zppm_pixels(raw).astype(np.float64)
+        return [float(px.shape[1]), float(px.shape[0]), round(float(px.mean()), 6)]
+
+    feats = extract_features(
+        media.withColumn("kind", F.lit("image")), decoder=zppm_features
+    )
+    rows = {r.media_id: r.feature for r in feats.collect()}
+    assert rows[1][:2] == [27.0, 24.0]
+    assert rows[2][:2] == [54.0, 48.0]

@@ -220,6 +220,40 @@ def test_domain_cap_shared_quota(spark, tmp_path):
     assert counts == {"web": 2, "blog": 1}
 
 
+def test_quota_rejected_docs_join_the_seen_corpus(spark, tmp_path):
+    """Band state is appended inside the stateful operator, upstream of
+    the quota stage, so a quota-REJECTED doc still joins the seen
+    corpus: a later near-identical doc from an UNDER-cap domain is
+    dropped by this engine but admitted by the parquet arm (which
+    commits signatures only for post-quota survivors). Both behaviors
+    pinned — this is the documented seen-vs-committed divergence, not a
+    defect (see module docstring)."""
+    from sarkac_spark.streaming.streaming_curator import StreamingCuratorPipeline
+
+    cap = {"domain_col": "source", "cap": 1}
+    epochs = [
+        [(1, GOOD_1, "web")],                # admitted, fills web's cap
+        [(2, GOOD_2, "web")],                # dedup-pass, quota-REJECTED
+        [(3, GOOD_2_NEAR, "blog")],          # ~GOOD_2, blog is under cap
+    ]
+    pipe = _run(
+        spark, tmp_path, epochs, tag="qp",
+        minhash=dict(MH), domain_cap=dict(cap),
+    )
+    # seen-corpus: 3 matches OBSERVED (but never committed) doc 2
+    assert {r.doc_id for r in pipe.committed().collect()} == {1}
+
+    ref = StreamingCuratorPipeline(
+        spark,
+        str(tmp_path / "ref_qp"),
+        {"dedup": {"minhash": dict(MH)}, "domain_cap": dict(cap)},
+    )
+    for i, rows in enumerate(epochs):
+        ref.process_batch(spark.createDataFrame(rows, SCHEMA), i)
+    # committed-corpus: 2 left no signature, so 3 is admitted
+    assert {r.doc_id for r in ref.committed().collect()} == {1, 3}
+
+
 def test_runs_on_rocksdb_provider(spark, tmp_path):
     """The deployment shape (BENCH_STREAM_DECADE's flat arm): the same
     chain-free verdicts under the RocksDB state store + changelog
@@ -227,16 +261,17 @@ def test_runs_on_rocksdb_provider(spark, tmp_path):
     so it can be flipped per-test and restored."""
     from sarkac_spark.session import ROCKSDB_PROVIDER
 
+    _CLOG = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    )
     saved = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
+    saved_clog = spark.conf.get(_CLOG, None)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
     )
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true",
-    )
+    spark.conf.set(_CLOG, "true")
     try:
         epochs = [
             [(1, GOOD_1, "web"), (2, GOOD_2, "web")],
@@ -251,6 +286,145 @@ def test_runs_on_rocksdb_provider(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", saved
             )
+        # restore the changelog conf too: leaking =true into the shared
+        # session is inert under the HDFS provider but still a silent
+        # cross-test conf change
+        if saved_clog is None:
+            spark.conf.unset(_CLOG)
+        else:
+            spark.conf.set(_CLOG, saved_clog)
+
+
+def test_bootstrap_state_matches_trigger_replay(spark, tmp_path):
+    """bootstrap_state installs the same band membership a trigger
+    replay of the (deduped) corpus would: after onboarding, streamed
+    triggers produce identical committed sets and funnel verdicts on
+    both pipelines — exact dups and near dups of BOOTSTRAPPED docs are
+    dropped, fresh docs admitted."""
+    from sarkac_spark.streaming.stateful_ingest_dedup import StatefulDedupPipeline
+
+    corpus = [(1, GOOD_1, "web"), (2, GOOD_2, "web"), (3, GOOD_3, "blog")]
+    fresh = [
+        [(4, GOOD_2, "news"), (5, GOOD_2_NEAR, "blog"), (6, GOOD_4, "web")],
+        # 7 dups a bootstrapped doc, 8 dups a POST-bootstrap admit (6),
+        # 9 is fresh — exercises state appended before AND after onboard
+        [(7, GOOD_1, "web"), (8, GOOD_4, "web"), (9, CHAIN_A, "web")],
+    ]
+    # arm A: replay-seeded (corpus is epoch 0)
+    ref = _run(spark, tmp_path, [corpus] + fresh, tag="ra", minhash=dict(MH))
+    want = {r.doc_id for r in ref.committed().collect()}
+
+    # arm B: bootstrap, then stream only the fresh batches
+    src = tmp_path / "src_bs"
+    pipe = StatefulDedupPipeline(
+        spark, str(tmp_path / "store_bs"), minhash=dict(MH)
+    )
+    n = pipe.bootstrap_state(
+        spark.createDataFrame(corpus, SCHEMA),
+        str(tmp_path / "ckpt_bs"),
+        str(src),
+    )
+    assert n == 3
+    assert {r.doc_id for r in pipe.committed().collect()} == {1, 2, 3}
+    for i, rows in enumerate(fresh):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"b{i:03d}")
+        )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = pipe.start(stream, str(tmp_path / "ckpt_bs"))
+    q.awaitTermination(300)
+    got = {r.doc_id for r in pipe.committed().collect()}
+    assert got == want == {1, 2, 3, 6, 9}
+
+    # per-trigger funnel verdicts identical for the fresh batches
+    per_epoch = {
+        (r.stage, r.n_docs)
+        for r in pipe.funnel().filter(F.col("epoch") >= 0).collect()
+    }
+    ref_fresh = {
+        (r.stage, r.n_docs)
+        for r in ref.funnel().filter(F.col("epoch") >= 1).collect()
+    }
+    assert per_epoch == ref_fresh
+
+    # guardrails: existing checkpoint / non-empty source refuse loudly
+    with pytest.raises(ValueError, match="FRESH checkpoint"):
+        pipe.bootstrap_state(
+            spark.createDataFrame(corpus, SCHEMA),
+            str(tmp_path / "ckpt_bs"),
+            str(tmp_path / "src_other"),
+        )
+    with pytest.raises(ValueError, match="empty source_dir"):
+        pipe.bootstrap_state(
+            spark.createDataFrame(corpus, SCHEMA),
+            str(tmp_path / "ckpt_fresh2"),
+            str(src),
+        )
+
+
+def test_state_ttl_evicts_idle_bands(spark, tmp_path):
+    """state_ttl_seconds: a band idle past the TTL is evicted (timeout
+    fires on the next batch that runs without data for it), so a dup of
+    an expired doc is RE-admitted — the time-bounded dedup mode.
+    Without TTL the same replay is dropped (corpus-level mode)."""
+    import time as _time
+
+    from sarkac_spark.streaming.stateful_ingest_dedup import StatefulDedupPipeline
+
+    src = tmp_path / "src_ttl"
+    _write_epochs(spark, src, [[(1, GOOD_1, "web")]])
+    pipe = StatefulDedupPipeline(
+        spark,
+        str(tmp_path / "store_ttl"),
+        minhash=dict(MH),
+        state_ttl_seconds=1,
+    )
+
+    def _stream():
+        return (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+
+    # TTL mode refuses availableNow (with ProcessingTimeTimeout armed
+    # the operator always reports another batch may be needed, so the
+    # run would never terminate — and the same timer-only batches keep
+    # resetting processAllAvailable's no-new-data latch, so the drain
+    # is poll-the-store-then-stop)
+    with pytest.raises(ValueError, match="processing-time trigger"):
+        pipe.start(_stream(), str(tmp_path / "ckpt_ttl"))
+
+    def _drain(q, pred, timeout=180):
+        t0 = _time.time()
+        while _time.time() - t0 < timeout:
+            try:
+                if pred():
+                    break
+            except Exception:
+                pass
+            _time.sleep(1)
+        q.stop()
+        assert pred()
+
+    def _committed():
+        return {r.doc_id for r in pipe.committed().collect()}
+
+    q = pipe.start(_stream(), str(tmp_path / "ckpt_ttl"), trigger_seconds=0)
+    _drain(q, lambda: _committed() == {1})
+    _time.sleep(2.5)  # let doc 1's bands pass the 1 s idle TTL
+    # b001 carries no data for doc 1's bands -> its timeout fires and
+    # evicts them; b002 replays GOOD_1 against the evicted state
+    _write_epochs(
+        spark, src,
+        [[(1, GOOD_1, "web")], [(2, GOOD_3, "web")], [(3, GOOD_1, "web")]],
+    )
+    q = pipe.start(_stream(), str(tmp_path / "ckpt_ttl"), trigger_seconds=0)
+    _drain(q, lambda: _committed() == {1, 2, 3})
 
 
 def test_hot_band_stops_matching_and_growing(spark, tmp_path):

@@ -321,3 +321,61 @@ def test_compact_with_domain_cap_removed_from_config(spark, tmp_path):
     assert n == 2
     quota = spark.read.parquet(str(tmp_path / "store_quota"))
     assert [(r.source, r.n_admitted) for r in quota.collect()] == [("web", 2)]
+
+
+def test_engine_stateful_facade_parity(spark, tmp_path):
+    """engine="stateful" is a first-class facade switch: same quality
+    closures, same shared quota rule — on a chain-free corpus both
+    engines commit the SAME survivor set, and the stateful funnel maps
+    onto the parquet one (its `input` row counts post-quality docs,
+    i.e. the parquet arm's `quality` row; no pre-quality row exists
+    inside the stateful DAG). Also pins compact() delegation and the
+    process_batch guard."""
+    from sarkac_spark.streaming.streaming_curator import StreamingCuratorPipeline
+
+    # parquet arm (per-batch driven — the existing contract)
+    ref = _pipe(spark, tmp_path)
+    for i, rows in enumerate(_epochs()):
+        ref.process_batch(spark.createDataFrame(rows, SCHEMA), i)
+    want = {r.doc_id for r in ref.committed().collect()}
+
+    # stateful arm via the facade, driven through start()
+    src = tmp_path / "src_sf"
+    src.mkdir()
+    for i, rows in enumerate(_epochs()):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"b{i:03d}")
+        )
+    pipe = StreamingCuratorPipeline(
+        spark, str(tmp_path / "store_sf"), CONFIG, engine="stateful"
+    )
+    with pytest.raises(RuntimeError, match="stateful"):
+        pipe.process_batch(spark.createDataFrame(_epochs()[0], SCHEMA), 0)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = pipe.start(stream, str(tmp_path / "ckpt_sf"))
+    q.awaitTermination(300)
+    got = {r.doc_id for r in pipe.committed().collect()}
+    assert got == want == EXPECTED
+
+    ref_funnel = {
+        r.stage: r.n
+        for r in ref.funnel().groupBy("stage").agg(F.sum("n_docs").alias("n")).collect()
+    }
+    sf_funnel = {
+        r.stage: r.n
+        for r in pipe.funnel().groupBy("stage").agg(F.sum("n_docs").alias("n")).collect()
+    }
+    assert sf_funnel == {
+        "input": ref_funnel["quality"],
+        "dedup": ref_funnel["dedup"],
+        "domain_cap": ref_funnel["domain_cap"],
+    }
+
+    # compact() delegates to the stateful engine's fold
+    n = pipe.compact()
+    assert n == len(EXPECTED)
+    assert {r.doc_id for r in pipe.committed().collect()} == EXPECTED

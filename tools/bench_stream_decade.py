@@ -275,6 +275,113 @@ def stateful_point(
     }
 
 
+def bootstrap_point(
+    spark, work: Path, mult: int, batch: int, triggers: int,
+    base_seed: int = BASE_SEED,
+) -> dict:
+    """Bulk-onboard measurement (VERDICT r9 #1): seed the SAME corpus
+    the stateful arm's replay committed (its epoch-0 store — a deduped
+    corpus, the bootstrap precondition) via
+    ``StatefulDedupPipeline.bootstrap_state`` instead of the doc-by-doc
+    replay trigger, then run the same timed trigger mix. Reports
+    bootstrap_wall (the headline: replay seed_wall vs this) and the
+    per-trigger walls, which should match the stateful arm's. Requires
+    the stateful arm to have run first in this invocation (same mult)."""
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.curator import Curator
+    from sarkac_spark.session import ROCKSDB_PROVIDER
+    from sarkac_spark.streaming.stateful_ingest_dedup import StatefulDedupPipeline
+
+    n_seed = base_seed * mult
+    replay_store = work / f"stateful_x{mult}" / "store" / "epoch=0"
+    if not replay_store.exists():
+        raise RuntimeError(
+            f"bootstrap arm needs the stateful arm's committed seed at "
+            f"{replay_store} — run --arm stateful (same --mult) first"
+        )
+    root = work / f"bootstrap_x{mult}"
+    shutil.rmtree(root, ignore_errors=True)
+    src = root / "src"
+
+    seed_path = work / f"seed_{n_seed}.parquet"
+    tbl = pq.read_table(seed_path)
+    seed_texts = tbl.column("text").to_pylist()[: min(5000, n_seed)]
+    vocab = _vocab_for(n_seed)
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+    pipe = StatefulDedupPipeline(
+        spark,
+        str(root / "store"),
+        minhash=dict(MH),
+        domain_cap={"domain_col": "source", "cap": 10**9},
+    )
+    corpus = spark.read.parquet(str(replay_store)).select(
+        "doc_id", "text", "source"
+    )
+    t0 = time.monotonic()
+    n_corpus = pipe.bootstrap_state(corpus, str(root / "ckpt"), str(src))
+    bootstrap_wall = time.monotonic() - t0
+
+    # same trigger mix as the stateful arm (same rng seeds)
+    for e in range(1, triggers + 1):
+        rows = _trigger_batch(seed_texts, n_seed, e, batch, vocab)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    "source": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            src / f"b{e:03d}.parquet",
+        )
+    quality_fn = Curator(
+        spark, {"quality": {"min_score": 0.0}}, "doc_id", "text"
+    )._quality_stage({"min_score": 0.0})
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = pipe.start(quality_fn(stream), str(root / "ckpt"))
+    q.awaitTermination(3600)
+
+    def _as_dict(x):
+        if isinstance(x, str):
+            return json.loads(x)
+        if isinstance(x, dict):
+            return x
+        return json.loads(x.json)
+
+    progress = [_as_dict(x) for x in q.recentProgress]
+    prog = [
+        (p["batchId"], p["numInputRows"], p["durationMs"]["triggerExecution"])
+        for p in progress
+        if p["numInputRows"] > 0
+    ]
+    timed = [round(d / 1000.0, 3) for _, n, d in prog]
+    funnel = {(r.epoch, r.stage): r.n_docs for r in pipe.funnel().collect()}
+    admitted = [
+        int(funnel.get((e, "domain_cap"), -1)) for e in range(1, triggers + 1)
+    ]
+    return {
+        "arm": "bootstrap",
+        "mult": mult,
+        "n_seed": n_seed,
+        "n_corpus": n_corpus,
+        "bootstrap_wall": round(bootstrap_wall, 2),
+        "trigger_walls": timed,
+        "per_trigger_median": round(float(np.median(timed)), 3) if timed else None,
+        "admitted_per_trigger": admitted,
+        "batch": batch,
+    }
+
+
 def _events_file(path: Path, user_lo: int, user_hi: int, t_offset_s: int,
                  n_events: int, eid_base: int) -> None:
     rng = np.random.default_rng(7 + eid_base)
@@ -419,6 +526,11 @@ def main() -> int:
             r = stateful_point(spark, work, m, base_batch, triggers, base_seed)
             print(json.dumps(r))
             results.append(r)
+    if arm in ("bootstrap", "all"):
+        for m in mults:
+            r = bootstrap_point(spark, work, m, base_batch, triggers, base_seed)
+            print(json.dumps(r))
+            results.append(r)
     if arm in ("session", "all"):
         for k in [1_000 * m for m in mults]:
             r = session_point(spark, work, k, 2_000, max(3, triggers))
@@ -427,7 +539,7 @@ def main() -> int:
 
     # decade verdicts: per-trigger median ratio biggest/smallest point
     verdict = {}
-    for a in ("curator", "stateful", "session"):
+    for a in ("curator", "stateful", "bootstrap", "session"):
         pts = [r for r in results if r["arm"] == a and r["per_trigger_median"]]
         if len(pts) >= 2:
             ratio = round(
