@@ -90,8 +90,45 @@ from sarkac_spark.streaming.incremental_dedup import _is_empty_store_error
 from sarkac_spark.streaming.storeutil import atomic_swap, raise_if_half_swapped
 from sarkac_spark.streaming.streaming_curator import apply_domain_quota
 
-STATE_SCHEMA = "ids array<long>, lens array<int>, shs array<long>"
+# State value = three PACKED little-endian numpy buffers (member ids
+# <i8, per-member set lengths <i4, concatenated shingle hashes <i8).
+# Binary instead of array<long> on purpose: the per-key cost of the
+# keyed-state protocol is dominated by converting state values between
+# Python and Arrow element-by-element — with ~100 hashes/member that
+# conversion was ~ms/key and set the floor for BOTH the per-trigger
+# wall (2.5k keys/trigger) and the 2M-doc bootstrap (~10M keys). A
+# bytes field crosses the boundary as one memcpy; numpy
+# frombuffer/tobytes are the only (de)serializers. Explicit '<'
+# byte order so checkpoints are portable across executor
+# architectures. (Format note: state written by the r9 array<long>
+# schema is NOT readable by this build — Spark validates the state
+# schema at restart and fails loudly; rebuild via bootstrap_state.)
+STATE_SCHEMA = "ids binary, lens binary, shs binary"
 _EXACT_PREFIX = "xh|"
+
+
+def _unpack_state(state: GroupState):
+    """State bytes -> (ids <i8, lens <i4, shs <i8) numpy views."""
+    if state.exists:
+        ids_b, lens_b, shs_b = state.get
+        return (
+            np.frombuffer(ids_b or b"", dtype="<i8"),
+            np.frombuffer(lens_b or b"", dtype="<i4"),
+            np.frombuffer(shs_b or b"", dtype="<i8"),
+        )
+    return (
+        np.empty(0, dtype="<i8"),
+        np.empty(0, dtype="<i4"),
+        np.empty(0, dtype="<i8"),
+    )
+
+
+def _pack_state(ids, lens, shs) -> tuple[bytes, bytes, bytes]:
+    return (
+        np.asarray(ids, dtype="<i8").tobytes(),
+        np.asarray(lens, dtype="<i4").tobytes(),
+        np.asarray(shs, dtype="<i8").tobytes(),
+    )
 
 
 def _band_verdicts(
@@ -124,11 +161,7 @@ def _band_verdicts(
             state.remove()
             return
         exact = key[0].startswith(_EXACT_PREFIX)
-        if state.exists:
-            ids, lens, shs = state.get
-            ids, lens, shs = list(ids), list(lens), list(shs)
-        else:
-            ids, lens, shs = [], [], []
+        ids, lens, shs = _unpack_state(state)
 
         # band groups are df-capped small: concat so the lower-id-mate
         # rule sees the whole group, not one Arrow chunk at a time
@@ -141,19 +174,17 @@ def _band_verdicts(
             pdf = pdf.sort_values(id_col, kind="stable", ignore_index=True)
         dropped = np.zeros(n, dtype=bool)
 
-        hot = max_band_df is not None and len(ids) >= max_band_df
+        hot = max_band_df is not None and ids.size >= max_band_df
         if exact:
             # presence match: any prior member, or any lower-id batch
             # mate (identical digest => identical text)
-            if ids:
+            if ids.size:
                 dropped[:] = True
             else:
                 dropped[1:] = True
-        elif not hot and (ids or n > 1):
-            prior_flat = np.asarray(shs, dtype=np.int64)
-            prior_sizes = np.asarray(lens, dtype=np.int64)
-            ends = np.cumsum(prior_sizes)
-            starts = ends - prior_sizes
+        elif not hot and (ids.size or n > 1):
+            ends = np.cumsum(lens, dtype=np.int64)
+            starts = ends - lens
             batch_sets = [
                 np.asarray(x, dtype=np.int64) for x in pdf["sh_set"]
             ]
@@ -161,9 +192,8 @@ def _band_verdicts(
                 a = batch_sets[r]
                 if a.size == 0:
                     continue
-                if prior_flat.size and _any_match(
-                    a, prior_flat, prior_sizes, starts, ends,
-                    threshold, bottom_k,
+                if shs.size and _any_match(
+                    a, shs, lens, starts, ends, threshold, bottom_k
                 ):
                     dropped[r] = True
                     continue
@@ -174,20 +204,36 @@ def _band_verdicts(
 
         # seen-corpus append, bounded at the df cap; an exact band only
         # ever needs its FIRST member (presence is the whole verdict),
-        # so its state stays one entry however many replays land on it
+        # so its state stays one entry however many replays land on it.
+        # No append => no state.update: rewriting an identical value
+        # would only pay the serialization again.
         id_arr = pdf[id_col].to_numpy()
         sh_arr = None if exact else pdf["sh_set"].to_numpy()
+        add_ids: list = []
+        add_lens: list = []
+        add_shs: list = []
         for r in range(n):
-            if exact and ids:
+            if exact and (ids.size or add_ids):
                 break
-            if max_band_df is not None and len(ids) >= max_band_df:
+            if (
+                max_band_df is not None
+                and ids.size + len(add_ids) >= max_band_df
+            ):
                 break
-            ids.append(int(id_arr[r]))
-            s = [] if exact else [int(x) for x in sh_arr[r]]
-            lens.append(len(s))
-            shs.extend(s)
-        state.update((ids, lens, shs))
-        if ttl_seconds is not None:
+            add_ids.append(id_arr[r])
+            s = (
+                np.empty(0, dtype="<i8")
+                if exact
+                else np.asarray(sh_arr[r], dtype="<i8")
+            )
+            add_lens.append(s.size)
+            add_shs.append(s)
+        if add_ids:
+            ids = np.concatenate([ids, np.asarray(add_ids, dtype="<i8")])
+            lens = np.concatenate([lens, np.asarray(add_lens, dtype="<i4")])
+            shs = np.concatenate([shs, *add_shs])
+            state.update(_pack_state(ids, lens, shs))
+        if ttl_seconds is not None and state.exists:
             # sliding idle-TTL: every touch re-arms the clock
             state.setTimeoutDuration(int(ttl_seconds) * 1000)
 
@@ -220,32 +266,42 @@ def _seed_state(
             state.remove()
             return
         exact = key[0].startswith(_EXACT_PREFIX)
-        if state.exists:
-            ids, lens, shs = state.get
-            ids, lens, shs = list(ids), list(lens), list(shs)
-        else:
-            ids, lens, shs = [], [], []
+        ids, lens, shs = _unpack_state(state)
         cap = 1 if exact else max_band_df
+        if cap is not None and ids.size >= cap:
+            return
         chunks = list(pdfs)
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(
             chunks, ignore_index=True
         )
-        if cap is None or len(ids) < cap:
-            id_arr = pdf[id_col].to_numpy()
-            sh_col = None if exact else pdf["sh_set"].to_numpy()
-            if len(id_arr) > 1:
-                order = np.argsort(id_arr, kind="stable")
-                id_arr = id_arr[order]
-                if sh_col is not None:
-                    sh_col = sh_col[order]
-            for r in range(len(id_arr)):
-                if cap is not None and len(ids) >= cap:
-                    break
-                ids.append(int(id_arr[r]))
-                s = [] if exact else [int(x) for x in sh_col[r]]
-                lens.append(len(s))
-                shs.extend(s)
-        state.update((ids, lens, shs))
+        id_arr = pdf[id_col].to_numpy()
+        n = len(id_arr)
+        order = None
+        if n > 1:
+            order = np.argsort(id_arr, kind="stable")
+            id_arr = id_arr[order]
+        take = n if cap is None else min(n, int(cap - ids.size))
+        new_ids = np.asarray(id_arr[:take], dtype="<i8")
+        if exact:
+            new_lens = np.zeros(take, dtype="<i4")
+            new_sets: list = []
+        else:
+            sh_col = pdf["sh_set"].to_numpy()
+            if order is not None:
+                sh_col = sh_col[order]
+            new_sets = [
+                np.asarray(sh_col[r], dtype="<i8") for r in range(take)
+            ]
+            new_lens = np.fromiter(
+                (s.size for s in new_sets), dtype="<i4", count=take
+            )
+        state.update(
+            _pack_state(
+                np.concatenate([ids, new_ids]),
+                np.concatenate([lens, new_lens]),
+                np.concatenate([shs, *new_sets]) if new_sets else shs,
+            )
+        )
         if ttl_seconds is not None:
             state.setTimeoutDuration(int(ttl_seconds) * 1000)
         return
