@@ -23,6 +23,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import __spark_entry__ as entrymod
+from sarkac_spark.plans import plan_digest
 from sarkac_spark.session import get_spark
 
 # streaming pipeline comparison: one envelope source split into
@@ -165,6 +166,7 @@ def main() -> None:
     # min of 2 runs per query: wall-clock on a shared box is noisy (+/-20%
     # observed); the min is the stable, load-independent signal
     timings: dict[str, float] = {}
+    digests: dict[str, str] = {}
     for name, fn in qs.items():
         best = float("inf")
         for _ in range(2):
@@ -172,6 +174,13 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        try:
+            # plan-shape fingerprint (outside the timed region): lets
+            # tools/bench_diff.py attribute wall movers to "plan
+            # changed" vs "box drift" across rounds
+            digests[name] = plan_digest(fn(spark, sf_dir))
+        except Exception:  # noqa: BLE001 — fingerprint is best-effort
+            pass
 
     try:
         # same min-of-2 policy as the batch queries: the rescan arm alone
@@ -208,6 +217,7 @@ def main() -> None:
                         "sf": sf_val,
                         "n_queries": len(timings),
                         "queries": timings,
+                        "plan_digests": digests,
                     },
                     f,
                     indent=1,

@@ -425,18 +425,28 @@ def audio_fingerprint(
     media: DataFrame,
     id_col: str = "media_id",
     payload_col: str = "payload",
+    sample_decoder: Callable[[bytes], np.ndarray] | None = None,
 ) -> DataFrame:
     """Per-clip audio fingerprint over the REAL decode path: PCM WAV ->
     samples (``decode_wav``) -> ``afp_bands_from_samples``. Arrow
     ``mapInPandas`` like ``image_dhash``; output (id, dhash_bands
     array<int>) — feed straight into ``dedup_phash`` for banded
-    near-dup pairing."""
+    near-dup pairing.
+
+    ``sample_decoder`` is the codec injection point for COMPRESSED
+    audio (``image_dhash``'s ``pixel_decoder`` contract, audio flavor):
+    ``bytes -> 1-D float sample array``. Default is the dependency-free
+    PCM-WAV decode; non-WAV payloads then refuse loudly. An injected
+    decoder composes unchanged with ``dedup_phash`` because the
+    fingerprint kernel sees only samples — pinned by
+    ``test_injected_audio_codec_composes_with_dedup_phash``."""
+    decode = sample_decoder or (lambda raw: decode_wav(raw)[0])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for payload in pdf[payload_col]:
-                samples, _ = decode_wav(bytes(payload))
+                samples = np.asarray(decode(bytes(payload)))
                 out.append(afp_bands_from_samples(samples))
             yield pd.DataFrame({id_col: pdf[id_col], "dhash_bands": out})
 
@@ -469,6 +479,7 @@ def video_fingerprint(
     id_col: str = "media_id",
     frame_col: str = "frame_idx",
     payload_col: str = "payload",
+    pixel_decoder: Callable[[bytes], np.ndarray] | None = None,
 ) -> DataFrame:
     """Video near-dup signature from SAMPLED FRAMES: each frame (a PNM
     payload, e.g. produced by the ``frame_sample_plan`` + injected
@@ -484,12 +495,20 @@ def video_fingerprint(
     Input: one row per (video, sampled frame); output: (id,
     dhash_bands). Scale shape: the frame relation is the scan unit
     (decode cost ∝ sampled frames, not video bytes), the per-video
-    rollup is one grouped aggregation with frame-ordered assembly."""
+    rollup is one grouped aggregation with frame-ordered assembly.
+
+    ``pixel_decoder`` is the per-FRAME codec injection point (same
+    contract as ``image_dhash``: ``bytes -> integer pixel ndarray``) —
+    a real deployment injects its frame-grabber's output codec here;
+    default is the dependency-free binary-PNM decode. Pinned by
+    ``test_injected_video_codec_composes_with_dedup_phash``."""
+    decode = pixel_decoder or (lambda raw: decode_pnm(raw)[0])
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for payload in pdf[payload_col]:
-                pixels, _, _ = decode_pnm(bytes(payload))
+                pixels = np.asarray(decode(bytes(payload)))
                 out.append(dhash_bands_from_pixels(pixels))
             yield pd.DataFrame(
                 {

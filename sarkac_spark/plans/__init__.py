@@ -2,6 +2,7 @@ from sarkac_spark.plans.audit import (
     executed_plan,
     final_plan,
     has_broadcast_hash_join,
+    plan_digest,
     pushed_filters,
     read_schemas,
     shuffle_count,
@@ -11,6 +12,7 @@ __all__ = [
     "executed_plan",
     "final_plan",
     "has_broadcast_hash_join",
+    "plan_digest",
     "pushed_filters",
     "read_schemas",
     "shuffle_count",

@@ -56,3 +56,36 @@ def read_schemas(df: DataFrame) -> list[str]:
     """ReadSchema of every parquet scan — what actually gets read off
     disk; the column-pruning ground truth."""
     return re.findall(r"ReadSchema: (struct<[^\n]*>)", executed_plan(df))
+
+
+def plan_digest(df: DataFrame) -> str:
+    """Stable 12-hex fingerprint of the physical plan SHAPE — equal
+    across runs/sessions iff the plan is structurally the same. Strips
+    everything instance-specific before hashing: expression ids
+    (``#123``), codegen stage ids, plan node ids, file paths/sizes and
+    row-count statistics. ``bench.py`` persists one per query so
+    ``tools/bench_diff.py`` can answer 'did this wall move because the
+    PLAN changed, or is it box drift?' mechanically across rounds.
+
+    Known noise source (measured: 153/154 registry queries digest-stable
+    across same-session rebuilds): queries with MULTIPLE DISTINCT
+    aggregates (``profile_documents``) can flip the Expand grouping-key
+    ORDER between builds (Catalyst's RewriteDistinctAggregates iterates
+    an unordered set), which flips the digest with no semantic change.
+    Treat a digest change as evidence to confirm with
+    ``tools/plan_report.py``, not as proof by itself."""
+    import hashlib
+
+    s = executed_plan(df)
+    s = re.sub(r"#\d+[L]?", "#", s)  # expression ids
+    s = re.sub(r"\b([xyz])_\d+#", r"\1_#", s)  # session-global lambda-var counter
+    s = re.sub(r"_common_expr_\d+", "_common_expr_", s)  # CSE counter, also global
+    s = re.sub(r"gid# = \d+", "gid# = ", s)  # distinct-agg group ids, unordered
+    s = re.sub(r"\[(id|plan_id)=#?\d+\]", "", s)  # exchange/plan node ids
+    s = re.sub(r"\(\d+\)", "", s)  # codegen stage / ordinal markers
+    s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)
+    s = re.sub(r"(Location|InMemoryFileIndex)[^\n,\]]*", r"\1", s)
+    s = re.sub(r"file:[^\s,\]\)]*", "file:", s)  # absolute paths
+    s = re.sub(r"\d+\.\d+ [KMGT]?i?B", "", s)  # size annotations
+    s = re.sub(r"cachedcount=\d+|rowCount=\d+", "", s)
+    return hashlib.sha256(s.encode()).hexdigest()[:12]

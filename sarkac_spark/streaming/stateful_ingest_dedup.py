@@ -107,6 +107,61 @@ STATE_SCHEMA = "ids binary, lens binary, shs binary"
 _EXACT_PREFIX = "xh|"
 
 
+def _fs_entry_count(spark: SparkSession, path: str) -> int | None:
+    """Existence/size probe through the Hadoop FileSystem API, so the
+    bootstrap safety guards hold on ANY filesystem the deployment
+    actually uses (HDFS/S3/local) — ``os.path`` only sees the driver's
+    local disk. Returns ``None`` if ``path`` is absent, the child-entry
+    count for a directory, and ``-1`` for a plain file."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    if fs.getFileStatus(hpath).isDirectory():
+        return len(fs.listStatus(hpath))
+    return -1
+
+
+def _preflight_state_schema(spark: SparkSession, checkpoint_dir: str) -> None:
+    """Best-effort remediation hint for pre-binary (r9 ``array<long>``)
+    checkpoints: Spark's own state-schema validation fails the restart
+    loudly but without saying HOW to recover. Peek at the checkpoint's
+    recorded value schema (``state/0/0/_metadata/schema`` — a small
+    validation artifact holding the key/value schema JSON) and, if it
+    predates the packed-binary ``STATE_SCHEMA``, raise with the
+    rebuild path. Any read hiccup falls through to Spark's own check —
+    this guard only ever ADDS an error message, never blocks a legal
+    start."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(
+            checkpoint_dir.rstrip("/") + "/state/0/0/_metadata/schema"
+        )
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return
+        stream = fs.open(hpath)
+        try:
+            raw = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+    except Exception:  # noqa: BLE001 — advisory only
+        return
+    if b'"name":"ids","type":"binary"' not in raw and b'"shs"' in raw:
+        raise ValueError(
+            f"checkpoint {checkpoint_dir!r} holds band state written by a "
+            "pre-binary STATE_SCHEMA build (array<long> members); Spark "
+            "cannot migrate keyed state in place. Recover by discarding "
+            "the checkpoint and re-onboarding the committed corpus: "
+            "pipe.bootstrap_state(pipe.committed(), <fresh checkpoint>, "
+            "<fresh source_dir>), then point the stream at the new "
+            "source_dir."
+        )
+
+
 def _unpack_state(state: GroupState):
     """State bytes -> (ids <i8, lens <i4, shs <i8) numpy views."""
     if state.exists:
@@ -131,18 +186,26 @@ def _pack_state(ids, lens, shs) -> tuple[bytes, bytes, bytes]:
     )
 
 
-def _band_verdicts(
+def _verify_batch(
+    key0: str,
+    pdf: pd.DataFrame,
+    ids: np.ndarray,
+    lens: np.ndarray,
+    shs: np.ndarray,
     id_col: str,
     threshold: float,
     max_band_df: int | None,
     bottom_k: int | None,
-    ttl_seconds: int | None = None,
 ):
-    """The per-band stateful function: verify each new doc against the
-    band's seen members (state) and its lower-id batch mates, emit the
-    payload row + ``__dropped``, append the batch to state (seen-corpus
-    semantics; see module docstring). Exact bands (``xh|`` prefix)
-    match on presence — same text hash IS the same text.
+    """ENGINE-NEUTRAL verify+append core shared by the
+    ``applyInPandasWithState`` engine (``_band_verdicts``) and the
+    ``transformWithStateInPandas`` engine (``tws_ingest_dedup``): given
+    one band's batch rows (already concatenated) and its unpacked prior
+    state, return ``(out_pdf, new_state_or_None)`` where ``out_pdf``
+    carries the payload + ``__dropped`` and ``new_state`` is the packed
+    post-append state triple (``None`` = no append happened, state
+    unchanged). Keeping this a pure function is what makes the two
+    engines' verdicts bit-identical by construction.
 
     Hot-path shape: most groups are a single fresh doc on a band with
     no state (the decade/seed profile), so the verify work is gated
@@ -151,6 +214,146 @@ def _band_verdicts(
     sets per doc, segment sums via cumsum — no per-pair Python set
     ops). ``sh_set`` arrives sorted+distinct (``row_signatures``
     contract) and state segments are stored the same way."""
+    exact = key0.startswith(_EXACT_PREFIX)
+    n = len(pdf)
+    if n > 1:
+        pdf = pdf.sort_values(id_col, kind="stable", ignore_index=True)
+    dropped = np.zeros(n, dtype=bool)
+
+    hot = max_band_df is not None and ids.size >= max_band_df
+    if exact:
+        # presence match: any prior member, or any lower-id batch
+        # mate (identical digest => identical text)
+        if ids.size:
+            dropped[:] = True
+        else:
+            dropped[1:] = True
+    elif not hot and (ids.size or n > 1):
+        ends = np.cumsum(lens, dtype=np.int64)
+        starts = ends - lens
+        batch_sets = [np.asarray(x, dtype=np.int64) for x in pdf["sh_set"]]
+        for r in range(n):
+            a = batch_sets[r]
+            if a.size == 0:
+                continue
+            if shs.size and _any_match(
+                a, shs, lens, starts, ends, threshold, bottom_k
+            ):
+                dropped[r] = True
+                continue
+            for m in range(r):
+                if _jaccard_np(a, batch_sets[m], bottom_k) >= threshold:
+                    dropped[r] = True
+                    break
+
+    # seen-corpus append, bounded at the df cap; an exact band only
+    # ever needs its FIRST member (presence is the whole verdict),
+    # so its state stays one entry however many replays land on it.
+    # No append => no new state: rewriting an identical value would
+    # only pay the serialization again.
+    id_arr = pdf[id_col].to_numpy()
+    sh_arr = None if exact else pdf["sh_set"].to_numpy()
+    add_ids: list = []
+    add_lens: list = []
+    add_shs: list = []
+    for r in range(n):
+        if exact and (ids.size or add_ids):
+            break
+        if (
+            max_band_df is not None
+            and ids.size + len(add_ids) >= max_band_df
+        ):
+            break
+        add_ids.append(id_arr[r])
+        s = (
+            np.empty(0, dtype="<i8")
+            if exact
+            else np.asarray(sh_arr[r], dtype="<i8")
+        )
+        add_lens.append(s.size)
+        add_shs.append(s)
+    new_state = None
+    if add_ids:
+        new_state = _pack_state(
+            np.concatenate([ids, np.asarray(add_ids, dtype="<i8")]),
+            np.concatenate([lens, np.asarray(add_lens, dtype="<i4")]),
+            np.concatenate([shs, *add_shs]),
+        )
+
+    out = pdf.drop(columns=["sh_set", "band_key"])
+    out["__dropped"] = dropped
+    return out, new_state
+
+
+def _seed_members(
+    key0: str,
+    pdf: pd.DataFrame,
+    ids: np.ndarray,
+    lens: np.ndarray,
+    shs: np.ndarray,
+    id_col: str,
+    max_band_df: int | None,
+):
+    """ENGINE-NEUTRAL bootstrap core (shared like ``_verify_batch``):
+    install the corpus rows of one band as state members — capped,
+    id-ordered, no verify — and return the packed state triple, or
+    ``None`` when the band is already at cap. The membership equals
+    what a full replay of the (already-deduped) corpus would have
+    installed: replay sorts the batch by id and appends the first
+    ``max_band_df`` members; exact ``xh|`` bands keep one member."""
+    exact = key0.startswith(_EXACT_PREFIX)
+    cap = 1 if exact else max_band_df
+    if cap is not None and ids.size >= cap:
+        return None
+    id_arr = pdf[id_col].to_numpy()
+    n = len(id_arr)
+    order = None
+    if n > 1:
+        order = np.argsort(id_arr, kind="stable")
+        id_arr = id_arr[order]
+    take = n if cap is None else min(n, int(cap - ids.size))
+    new_ids = np.asarray(id_arr[:take], dtype="<i8")
+    if exact:
+        new_lens = np.zeros(take, dtype="<i4")
+        new_sets: list = []
+    else:
+        sh_col = pdf["sh_set"].to_numpy()
+        if order is not None:
+            sh_col = sh_col[order]
+        new_sets = [np.asarray(sh_col[r], dtype="<i8") for r in range(take)]
+        new_lens = np.fromiter(
+            (s.size for s in new_sets), dtype="<i4", count=take
+        )
+    return _pack_state(
+        np.concatenate([ids, new_ids]),
+        np.concatenate([lens, new_lens]),
+        np.concatenate([shs, *new_sets]) if new_sets else shs,
+    )
+
+
+def _concat_chunks(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame:
+    # band groups are df-capped small: concat so the lower-id-mate
+    # rule sees the whole group, not one Arrow chunk at a time
+    chunks = list(pdfs)
+    return chunks[0] if len(chunks) == 1 else pd.concat(
+        chunks, ignore_index=True
+    )
+
+
+def _band_verdicts(
+    id_col: str,
+    threshold: float,
+    max_band_df: int | None,
+    bottom_k: int | None,
+    ttl_seconds: int | None = None,
+):
+    """The per-band stateful function (``applyInPandasWithState``
+    engine): verify each new doc against the band's seen members
+    (state) and its lower-id batch mates via the shared
+    ``_verify_batch`` core, emit the payload row + ``__dropped``,
+    append the batch to state (seen-corpus semantics; see module
+    docstring). Exact bands (``xh|`` prefix) match on presence — same
+    text hash IS the same text."""
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -160,85 +363,23 @@ def _band_verdicts(
             # (the time-bounded dedup mode; see class docstring)
             state.remove()
             return
-        exact = key[0].startswith(_EXACT_PREFIX)
         ids, lens, shs = _unpack_state(state)
-
-        # band groups are df-capped small: concat so the lower-id-mate
-        # rule sees the whole group, not one Arrow chunk at a time
-        chunks = list(pdfs)
-        pdf = chunks[0] if len(chunks) == 1 else pd.concat(
-            chunks, ignore_index=True
+        out, new_state = _verify_batch(
+            key[0],
+            _concat_chunks(pdfs),
+            ids,
+            lens,
+            shs,
+            id_col,
+            threshold,
+            max_band_df,
+            bottom_k,
         )
-        n = len(pdf)
-        if n > 1:
-            pdf = pdf.sort_values(id_col, kind="stable", ignore_index=True)
-        dropped = np.zeros(n, dtype=bool)
-
-        hot = max_band_df is not None and ids.size >= max_band_df
-        if exact:
-            # presence match: any prior member, or any lower-id batch
-            # mate (identical digest => identical text)
-            if ids.size:
-                dropped[:] = True
-            else:
-                dropped[1:] = True
-        elif not hot and (ids.size or n > 1):
-            ends = np.cumsum(lens, dtype=np.int64)
-            starts = ends - lens
-            batch_sets = [
-                np.asarray(x, dtype=np.int64) for x in pdf["sh_set"]
-            ]
-            for r in range(n):
-                a = batch_sets[r]
-                if a.size == 0:
-                    continue
-                if shs.size and _any_match(
-                    a, shs, lens, starts, ends, threshold, bottom_k
-                ):
-                    dropped[r] = True
-                    continue
-                for m in range(r):
-                    if _jaccard_np(a, batch_sets[m], bottom_k) >= threshold:
-                        dropped[r] = True
-                        break
-
-        # seen-corpus append, bounded at the df cap; an exact band only
-        # ever needs its FIRST member (presence is the whole verdict),
-        # so its state stays one entry however many replays land on it.
-        # No append => no state.update: rewriting an identical value
-        # would only pay the serialization again.
-        id_arr = pdf[id_col].to_numpy()
-        sh_arr = None if exact else pdf["sh_set"].to_numpy()
-        add_ids: list = []
-        add_lens: list = []
-        add_shs: list = []
-        for r in range(n):
-            if exact and (ids.size or add_ids):
-                break
-            if (
-                max_band_df is not None
-                and ids.size + len(add_ids) >= max_band_df
-            ):
-                break
-            add_ids.append(id_arr[r])
-            s = (
-                np.empty(0, dtype="<i8")
-                if exact
-                else np.asarray(sh_arr[r], dtype="<i8")
-            )
-            add_lens.append(s.size)
-            add_shs.append(s)
-        if add_ids:
-            ids = np.concatenate([ids, np.asarray(add_ids, dtype="<i8")])
-            lens = np.concatenate([lens, np.asarray(add_lens, dtype="<i4")])
-            shs = np.concatenate([shs, *add_shs])
-            state.update(_pack_state(ids, lens, shs))
+        if new_state is not None:
+            state.update(new_state)
         if ttl_seconds is not None and state.exists:
             # sliding idle-TTL: every touch re-arms the clock
             state.setTimeoutDuration(int(ttl_seconds) * 1000)
-
-        out = pdf.drop(columns=["sh_set", "band_key"])
-        out["__dropped"] = dropped
         yield out
 
     return fn
@@ -265,44 +406,13 @@ def _seed_state(
         if ttl_seconds is not None and state.hasTimedOut:
             state.remove()
             return
-        exact = key[0].startswith(_EXACT_PREFIX)
         ids, lens, shs = _unpack_state(state)
-        cap = 1 if exact else max_band_df
-        if cap is not None and ids.size >= cap:
-            return
-        chunks = list(pdfs)
-        pdf = chunks[0] if len(chunks) == 1 else pd.concat(
-            chunks, ignore_index=True
+        new_state = _seed_members(
+            key[0], _concat_chunks(pdfs), ids, lens, shs, id_col, max_band_df
         )
-        id_arr = pdf[id_col].to_numpy()
-        n = len(id_arr)
-        order = None
-        if n > 1:
-            order = np.argsort(id_arr, kind="stable")
-            id_arr = id_arr[order]
-        take = n if cap is None else min(n, int(cap - ids.size))
-        new_ids = np.asarray(id_arr[:take], dtype="<i8")
-        if exact:
-            new_lens = np.zeros(take, dtype="<i4")
-            new_sets: list = []
-        else:
-            sh_col = pdf["sh_set"].to_numpy()
-            if order is not None:
-                sh_col = sh_col[order]
-            new_sets = [
-                np.asarray(sh_col[r], dtype="<i8") for r in range(take)
-            ]
-            new_lens = np.fromiter(
-                (s.size for s in new_sets), dtype="<i4", count=take
-            )
-        state.update(
-            _pack_state(
-                np.concatenate([ids, new_ids]),
-                np.concatenate([lens, new_lens]),
-                np.concatenate([shs, *new_sets]) if new_sets else shs,
-            )
-        )
-        if ttl_seconds is not None:
+        if new_state is not None:
+            state.update(new_state)
+        if ttl_seconds is not None and state.exists:
             state.setTimeoutDuration(int(ttl_seconds) * 1000)
         return
         yield  # pragma: no cover — makes fn a generator, like the hot path
@@ -533,6 +643,14 @@ class StatefulDedupPipeline:
         configured, every corpus doc counts against its domain's quota.
         Returns the corpus row count.
 
+        TTL mode (``state_ttl_seconds`` set) is supported: the seed
+        runs under the same ``ProcessingTimeTimeout`` the production
+        query will use (Spark pins the timeout mode at first start), so
+        it cannot use ``availableNow`` — the seed is driven by
+        back-to-back processing-time batches and stopped once the
+        corpus batch commits. Every bootstrapped band starts with a
+        freshly-armed TTL clock.
+
         Scale shape: the seed is the same O(corpus) band shuffle the
         replay pays, minus the per-group verify/pandas/payload costs
         that dominated it — measured at the 2M-doc decade point in
@@ -540,13 +658,14 @@ class StatefulDedupPipeline:
         bootstrapping (the first start pins the state partition
         count).
         """
-        if os.path.exists(checkpoint_dir):
+        if _fs_entry_count(self.spark, checkpoint_dir) is not None:
             raise ValueError(
                 f"bootstrap_state needs a FRESH checkpoint; {checkpoint_dir!r} "
                 "exists (an existing checkpoint already has band state — "
                 "bootstrapping over it would double-install members)"
             )
-        if os.path.isdir(source_dir) and os.listdir(source_dir):
+        src_entries = _fs_entry_count(self.spark, source_dir)
+        if src_entries is not None and src_entries != 0:
             raise ValueError(
                 f"bootstrap_state needs an empty source_dir; {source_dir!r} "
                 "has entries (pre-existing files would enter band state "
@@ -578,17 +697,52 @@ class StatefulDedupPipeline:
         )
         # noop sink still executes every group (state commits are a
         # side effect of draining the partition iterators)
-        q = (
-            seeded.writeStream.format("noop")
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
+        writer = seeded.writeStream.format("noop").option(
+            "checkpointLocation", checkpoint_dir
         )
-        q.awaitTermination()
+        if self.state_ttl_seconds is None:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+        else:
+            # ProcessingTimeTimeout (armed by a TTL) makes an
+            # availableNow run never terminate — same physics as the
+            # start() guard. Drive the seed with back-to-back batches,
+            # wait for the seed rows' batch to COMMIT (progress events
+            # are emitted post-commit), then stop. Timer-only batches
+            # report numInputRows=0, so summing per-batch input counts
+            # converges exactly on the corpus size.
+            import time as _time
 
-        # batch base layer for the downstream stores (epoch=-1: the
-        # compact() shape — never collides with a checkpoint epoch, and
-        # the replay-safety `epoch != current` filter never excludes it)
+            q = writer.trigger(processingTime="0 seconds").start()
+            try:
+                seen: dict[int, int] = {}
+                deadline = _time.time() + 3600
+                while sum(seen.values()) < n_docs or not seen:
+                    if q.exception() is not None:
+                        raise q.exception()
+                    for p in q.recentProgress:
+                        seen[int(p["batchId"])] = int(p["numInputRows"])
+                    if seen and sum(seen.values()) >= n_docs:
+                        break
+                    if _time.time() > deadline:
+                        raise RuntimeError(
+                            "bootstrap_state seed batch did not commit "
+                            "within 3600 s"
+                        )
+                    _time.sleep(0.2)
+            finally:
+                q.stop()
+            q.awaitTermination()
+
+        self._write_base_layer(corpus_df, n_docs)
+        return n_docs
+
+    def _write_base_layer(self, corpus_df: DataFrame, n_docs: int) -> None:
+        """Batch base layer for the downstream stores (epoch=-1: the
+        ``compact()`` shape — never collides with a checkpoint epoch,
+        and the replay-safety ``epoch != current`` filter never
+        excludes it). Shared by both onboarding paths (seed-trigger
+        bootstrap here, ``initialState`` in the TWS engine)."""
         corpus_df.write.mode("overwrite").parquet(
             os.path.join(self.store_dir, "epoch=-1")
         )
@@ -606,7 +760,6 @@ class StatefulDedupPipeline:
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(self.funnel_dir, "epoch=-1")
         )
-        return n_docs
 
     def commit_batch(self, verdicts: DataFrame, epoch_id: int) -> None:
         """foreachBatch half: fold per-band verdicts to per-doc (drop if
@@ -614,10 +767,12 @@ class StatefulDedupPipeline:
         quota / funnel stores per-epoch. Every relation here is
         batch-sized."""
         verdicts = verdicts.localCheckpoint(eager=True)
-        if not verdicts.take(1):
+        if self.state_ttl_seconds is not None and not verdicts.take(1):
             # timer-only batch (TTL mode runs one every trigger, data
             # or not): nothing to commit — skipping keeps an idle
-            # stream from littering empty epoch partitions
+            # stream from littering empty epoch partitions. Non-TTL
+            # mode still records input=0 epochs so funnel-based audits
+            # see every data batch the trigger actually ran.
             return
         per_doc = (
             verdicts.groupBy(self.id_col)
@@ -670,6 +825,7 @@ class StatefulDedupPipeline:
                 "another batch may be needed, so an availableNow run never "
                 "terminates — poll the committed store, then stop()"
             )
+        _preflight_state_schema(self.spark, checkpoint_dir)
         writer = (
             self.verdict_stream(doc_stream)
             .writeStream.foreachBatch(self.commit_batch)

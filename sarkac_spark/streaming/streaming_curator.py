@@ -326,6 +326,84 @@ class StreamingCuratorPipeline:
             corpus_df, checkpoint_dir, source_dir
         )
 
+    def backfill(
+        self,
+        corpus_df: DataFrame,
+        checkpoint_dir: str | None = None,
+        source_dir: str | None = None,
+    ) -> int:
+        """Bulk-load a large RAW corpus through the regime-appropriate
+        path instead of streaming it through per-trigger ingest.
+        BENCH_STREAM_TRANSPOSE measured the regime split: at 50k-doc
+        bulk triggers the keyed-state engine pays 4.6x over the batch
+        axis (floor-dominated) while the batch/parquet path amortizes
+        at 1.25x — so a backfill must NOT go through ``start()`` on the
+        stateful engine. Routing (both arms end with the stores in the
+        exact state streaming expects, so ``start()`` on a fresh
+        checkpoint continues incrementally):
+
+        - ``parquet`` engine: ONE batch trigger — ``process_batch`` at
+          ``epoch=-1`` (the ``compact()`` base-layer shape). The
+          signature store written by that pass IS the engine's state.
+        - ``stateful`` engine: batch-curate first (quality closure +
+          the parquet arm's batch dedup verdicts against an empty
+          store — the same within-batch rule both engines pin — + the
+          shared quota rule at zero priors), then bulk-onboard the
+          survivors via ``bootstrap_state`` (REQUIRES
+          ``checkpoint_dir`` + ``source_dir``: band state lives in the
+          streaming checkpoint). The epoch=-1 funnel records the
+          ONBOARDED count per stage (the ``bootstrap_state``
+          convention), not the raw-input funnel.
+
+        Returns the number of docs committed by the backfill."""
+        if self.engine != "stateful":
+            store = self._read_or_none(self.store_dir)
+            if store is not None and not store.filter(
+                F.col("epoch") == -1
+            ).isEmpty():
+                raise ValueError(
+                    "store already has an epoch=-1 base layer (a prior "
+                    "backfill or compact()) — a second backfill would "
+                    "overwrite it; stream the new corpus instead (the "
+                    "signature store dedups it against the base layer), "
+                    "or backfill into a fresh store"
+                )
+            self.process_batch(corpus_df, -1)
+            store = self._read_or_none(self.store_dir)
+            return (
+                0 if store is None
+                else store.filter(F.col("epoch") == -1).count()
+            )
+        if checkpoint_dir is None or source_dir is None:
+            raise ValueError(
+                "stateful-engine backfill onboards band state into the "
+                "streaming checkpoint: pass checkpoint_dir (fresh) and "
+                "source_dir (empty) — see "
+                "StatefulDedupPipeline.bootstrap_state"
+            )
+        d = corpus_df
+        if self._quality_fn is not None:
+            d = self._quality_fn(d)
+        # batch dedup with the engines' shared within-batch verdict
+        # rule: a scratch IncrementalDedupPipeline has no prior store,
+        # so dedup_batch is a pure within-corpus pass (nothing is ever
+        # written under the scratch dir)
+        import tempfile
+
+        scratch = IncrementalDedupPipeline(
+            self.spark,
+            tempfile.mkdtemp(prefix="backfill_scratch_"),
+            id_col=self.id_col,
+            text_col=self.text_col,
+            minhash=(self.config.get("dedup") or {}).get("minhash"),
+        )
+        d = scratch.dedup_batch(d, epoch_id=-1)
+        if "domain_cap" in self.config:
+            d = apply_domain_quota(
+                d, None, self.config["domain_cap"], self.id_col
+            )
+        return self._stateful.bootstrap_state(d, checkpoint_dir, source_dir)
+
     def compact(self, target_partitions: int | None = None) -> int:
         """Fold every committed epoch of all four stores into one base
         partition each (``epoch=-1``; the ``IncrementalDedupPipeline``

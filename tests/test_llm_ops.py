@@ -2307,3 +2307,126 @@ def test_injected_codec_composes_with_dedup_phash(spark):
     rows = {r.media_id: r.feature for r in feats.collect()}
     assert rows[1][:2] == [27.0, 24.0]
     assert rows[2][:2] == [54.0, 48.0]
+
+
+def test_injected_audio_codec_composes_with_dedup_phash(spark):
+    """The audio flavor of the codec-injection contract (VERDICT r10
+    ask #6): ZWAV = b"ZWAV" + zlib(PCM WAV). The injected sample
+    decoder drives audio_fingerprint -> dedup_phash end-to-end, bands
+    are bit-identical to the uncompressed path (the kernel sees only
+    samples), and the default path refuses the compressed payload
+    loudly."""
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from sarkac_spark.operators.multimodal import (
+        audio_fingerprint,
+        decode_wav,
+        dedup_phash,
+        wav_bytes,
+    )
+
+    def zwav(samples):
+        return b"ZWAV" + zlib.compress(wav_bytes(samples))
+
+    def zwav_samples(raw: bytes) -> np.ndarray:
+        assert raw[:4] == b"ZWAV", "not a ZWAV payload"
+        return decode_wav(zlib.decompress(raw[4:]))[0]
+
+    rng = np.random.default_rng(7)
+    base = (rng.standard_normal(4000) * 8000).astype(np.int16)
+    dup = np.repeat(base, 2)  # 2x sample-duplication: same energy shape
+    other = (rng.standard_normal(4000) * 8000).astype(np.int16)
+    media = spark.createDataFrame(
+        [(1, zwav(base)), (2, zwav(dup)), (3, zwav(other))],
+        "media_id long, payload binary",
+    )
+
+    with _pytest.raises((PythonException, Py4JJavaError)):
+        audio_fingerprint(media).collect()
+
+    fps = audio_fingerprint(media, sample_decoder=zwav_samples)
+    pairs = dedup_phash(fps, max_hamming=6, max_band_df=None)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+    plain = spark.createDataFrame(
+        [(1, wav_bytes(base)), (2, wav_bytes(dup)), (3, wav_bytes(other))],
+        "media_id long, payload binary",
+    )
+    a = {r.media_id: r.dhash_bands for r in fps.collect()}
+    b = {r.media_id: r.dhash_bands for r in audio_fingerprint(plain).collect()}
+    assert a == b
+
+
+def test_injected_video_codec_composes_with_dedup_phash(spark):
+    """The per-frame video flavor: compressed frame payloads (same ZPPM
+    format as the image test) decode through video_fingerprint's
+    pixel_decoder= seam; frame-major band assembly and the banded
+    pairing are unchanged, bands bit-identical to the uncompressed
+    path."""
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from sarkac_spark.operators.multimodal import (
+        dedup_phash,
+        decode_pnm,
+        video_fingerprint,
+    )
+
+    def p5(img):
+        h, w = img.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
+
+    def zppm(img):
+        return b"ZPPM" + zlib.compress(p5(img))
+
+    def zppm_pixels(raw: bytes) -> np.ndarray:
+        assert raw[:4] == b"ZPPM", "not a ZPPM payload"
+        return decode_pnm(zlib.decompress(raw[4:]))[0]
+
+    rng = np.random.default_rng(13)
+    f0 = rng.integers(0, 160, size=(24, 27), dtype=np.int64)
+    f1 = rng.integers(0, 160, size=(24, 27), dtype=np.int64)
+    g0 = rng.integers(0, 160, size=(24, 27), dtype=np.int64)
+    g1 = rng.integers(0, 160, size=(24, 27), dtype=np.int64)
+    up = lambda img: np.kron(img, np.ones((2, 2), dtype=np.int64))  # noqa: E731
+    rows = [
+        (1, 0, zppm(f0)), (1, 1, zppm(f1)),          # video 1
+        (2, 0, zppm(up(f0))), (2, 1, zppm(up(f1))),  # resized dup of 1
+        (3, 0, zppm(g0)), (3, 1, zppm(g1)),          # distinct video
+    ]
+    frames = spark.createDataFrame(
+        rows, "media_id long, frame_idx int, payload binary"
+    )
+
+    with _pytest.raises((PythonException, Py4JJavaError)):
+        video_fingerprint(frames).collect()
+
+    fps = video_fingerprint(frames, pixel_decoder=zppm_pixels)
+    pairs = dedup_phash(fps, max_hamming=12, max_band_df=None)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+    plain = spark.createDataFrame(
+        [(i, fi, p5(img if i != 2 else img)) for (i, fi, _), img in zip(
+            rows, [f0, f1, up(f0), up(f1), g0, g1]
+        )],
+        "media_id long, frame_idx int, payload binary",
+    )
+    a = {r.media_id: r.dhash_bands for r in fps.collect()}
+    b = {
+        r.media_id: r.dhash_bands
+        for r in video_fingerprint(plain).collect()
+    }
+    assert a == b

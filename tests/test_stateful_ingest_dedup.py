@@ -370,7 +370,9 @@ def test_state_ttl_evicts_idle_bands(spark, tmp_path):
     """state_ttl_seconds: a band idle past the TTL is evicted (timeout
     fires on the next batch that runs without data for it), so a dup of
     an expired doc is RE-admitted — the time-bounded dedup mode.
-    Without TTL the same replay is dropped (corpus-level mode)."""
+    Deterministic sequencing: the replay file is written only AFTER the
+    eviction is OBSERVED in query progress (stateOperators
+    numRowsRemoved), so the test never races the TTL clock."""
     import time as _time
 
     from sarkac_spark.streaming.stateful_ingest_dedup import StatefulDedupPipeline
@@ -381,7 +383,7 @@ def test_state_ttl_evicts_idle_bands(spark, tmp_path):
         spark,
         str(tmp_path / "store_ttl"),
         minhash=dict(MH),
-        state_ttl_seconds=1,
+        state_ttl_seconds=2,
     )
 
     def _stream():
@@ -399,32 +401,104 @@ def test_state_ttl_evicts_idle_bands(spark, tmp_path):
     with pytest.raises(ValueError, match="processing-time trigger"):
         pipe.start(_stream(), str(tmp_path / "ckpt_ttl"))
 
-    def _drain(q, pred, timeout=180):
+    def _poll(q, pred, timeout=180):
         t0 = _time.time()
         while _time.time() - t0 < timeout:
             try:
                 if pred():
-                    break
+                    return
             except Exception:
                 pass
-            _time.sleep(1)
-        q.stop()
-        assert pred()
+            if q is not None and q.exception() is not None:
+                raise q.exception()
+            _time.sleep(0.5)
+        raise AssertionError("condition not reached within timeout")
 
     def _committed():
         return {r.doc_id for r in pipe.committed().collect()}
 
     q = pipe.start(_stream(), str(tmp_path / "ckpt_ttl"), trigger_seconds=0)
-    _drain(q, lambda: _committed() == {1})
-    _time.sleep(2.5)  # let doc 1's bands pass the 1 s idle TTL
-    # b001 carries no data for doc 1's bands -> its timeout fires and
-    # evicts them; b002 replays GOOD_1 against the evicted state
-    _write_epochs(
-        spark, src,
-        [[(1, GOOD_1, "web")], [(2, GOOD_3, "web")], [(3, GOOD_1, "web")]],
+    _poll(q, lambda: _committed() == {1})
+    q.stop()
+    q.awaitTermination()
+    _time.sleep(6)  # doc 1's bands idle well past the 2 s TTL
+
+    # restart with one fresh doc only: its batch (or a timer batch
+    # right after) finds doc 1's bands expired and evicts them
+    spark.createDataFrame([(2, GOOD_3, "web")], SCHEMA).coalesce(1).write.parquet(
+        str(src / "b001")
     )
     q = pipe.start(_stream(), str(tmp_path / "ckpt_ttl"), trigger_seconds=0)
-    _drain(q, lambda: _committed() == {1, 2, 3})
+
+    def _evicted():
+        return any(
+            op.get("numRowsRemoved", 0) > 0
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+
+    _poll(q, lambda: _committed() == {1, 2})
+    _poll(q, _evicted)
+    # ONLY NOW write the replay of GOOD_1: the evicted state re-admits
+    spark.createDataFrame([(3, GOOD_1, "web")], SCHEMA).coalesce(1).write.parquet(
+        str(src / "b002")
+    )
+    _poll(q, lambda: _committed() == {1, 2, 3})
+    q.stop()
+    q.awaitTermination()
+
+
+def test_bootstrap_state_with_ttl_terminates_and_seeds(spark, tmp_path):
+    """r10 ADVICE (medium): ``bootstrap_state`` on a TTL-configured
+    pipeline used availableNow under ProcessingTimeTimeout — a run that
+    never terminates. The seed is now driven by back-to-back
+    processing-time batches and stopped once the corpus batch commits:
+    it RETURNS, installs band state with the TTL armed, and a dup of a
+    bootstrapped doc arriving within the TTL is dropped."""
+    import time as _time
+
+    from sarkac_spark.streaming.stateful_ingest_dedup import StatefulDedupPipeline
+
+    src = tmp_path / "src_bttl"
+    pipe = StatefulDedupPipeline(
+        spark,
+        str(tmp_path / "store_bttl"),
+        minhash=dict(MH),
+        state_ttl_seconds=3600,  # long TTL: nothing evicts mid-test
+    )
+    n = pipe.bootstrap_state(
+        spark.createDataFrame([(1, GOOD_1, "web"), (2, GOOD_2, "web")], SCHEMA),
+        str(tmp_path / "ckpt_bttl"),
+        str(src),
+    )
+    assert n == 2
+    assert {r.doc_id for r in pipe.committed().collect()} == {1, 2}
+
+    # dup of a bootstrapped doc (3) dropped, fresh doc (4) admitted
+    spark.createDataFrame(
+        [(3, GOOD_1, "web"), (4, GOOD_3, "web")], SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b001"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = pipe.start(stream, str(tmp_path / "ckpt_bttl"), trigger_seconds=0)
+    t0 = _time.time()
+    got = set()
+    while _time.time() - t0 < 180:
+        if q.exception() is not None:
+            raise q.exception()
+        try:
+            got = {r.doc_id for r in pipe.committed().collect()}
+        except Exception:
+            got = set()
+        if got == {1, 2, 4}:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    assert got == {1, 2, 4}
 
 
 def test_hot_band_stops_matching_and_growing(spark, tmp_path):
@@ -445,3 +519,31 @@ def test_hot_band_stops_matching_and_growing(spark, tmp_path):
     # 3 is an exact dup (xh band presence match, cap-independent);
     # 2 is a near dup but every shared band is hot => admitted
     assert {r.doc_id for r in pipe.committed().collect()} == {1, 2}
+
+
+def test_preflight_state_schema_flags_pre_binary_checkpoint(spark, tmp_path):
+    """r10 ADVICE: a checkpoint written by the r9 array<long> schema
+    fails Spark's own validation with no remediation; the start()
+    preflight adds the bootstrap_state pointer. Current-format and
+    absent checkpoints pass untouched."""
+    from sarkac_spark.streaming.stateful_ingest_dedup import (
+        _preflight_state_schema,
+    )
+
+    meta = tmp_path / "ckpt" / "state" / "0" / "0" / "_metadata"
+    meta.mkdir(parents=True)
+    (meta / "schema").write_bytes(
+        b'\x00\x02v2{"name":"band_key","type":"string"}'
+        b'{"fields":[{"name":"ids","type":{"type":"array","elementType":'
+        b'"long"}},{"name":"lens","type":{"type":"array"}},'
+        b'{"name":"shs","type":{"type":"array"}}]}'
+    )
+    with pytest.raises(ValueError, match="bootstrap_state"):
+        _preflight_state_schema(spark, str(tmp_path / "ckpt"))
+
+    (meta / "schema").write_bytes(
+        b'{"fields":[{"name":"ids","type":"binary"},'
+        b'{"name":"lens","type":"binary"},{"name":"shs","type":"binary"}]}'
+    )
+    _preflight_state_schema(spark, str(tmp_path / "ckpt"))  # no raise
+    _preflight_state_schema(spark, str(tmp_path / "absent"))  # no raise

@@ -379,3 +379,60 @@ def test_engine_stateful_facade_parity(spark, tmp_path):
     n = pipe.compact()
     assert n == len(EXPECTED)
     assert {r.doc_id for r in pipe.committed().collect()} == EXPECTED
+
+
+def test_backfill_routes_by_engine(spark, tmp_path):
+    """backfill(): the bulk-load entry (VERDICT r10 ask #4). Parquet
+    engine: one batch trigger committed as the epoch=-1 base layer;
+    streaming afterwards dedups incrementally against it. Stateful
+    engine: batch-curate then bootstrap_state — identical committed set
+    on the chain-free corpus — and streaming a dup of a backfilled doc
+    afterwards drops it. A second parquet backfill refuses (base-layer
+    overwrite guard), and the stateful arm refuses without the
+    checkpoint/source dirs."""
+    from sarkac_spark.streaming.streaming_curator import StreamingCuratorPipeline
+
+    raw = [r for rows in _epochs() for r in rows]  # the full raw corpus
+
+    # parquet arm
+    pq = _pipe(spark, tmp_path)
+    n = pq.backfill(spark.createDataFrame(raw, SCHEMA))
+    assert n == len(EXPECTED)
+    assert {r.doc_id for r in pq.committed().collect()} == EXPECTED
+    with pytest.raises(ValueError, match="epoch=-1 base layer"):
+        pq.backfill(spark.createDataFrame(raw, SCHEMA))
+    # streaming continues on the base layer: dup of committed doc 1
+    # dropped, fresh doc admitted
+    src = tmp_path / "src_bf_pq"
+    src.mkdir()
+    fresh = [(20, GOOD_A, "news"), (21, GOOD_D, "news")]
+    spark.createDataFrame(fresh, SCHEMA).coalesce(1).write.parquet(
+        str(src / "b000")
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src / "*"))
+    q = pq.start(stream, str(tmp_path / "ckpt_bf_pq"))
+    q.awaitTermination(300)
+    assert {r.doc_id for r in pq.committed().collect()} == EXPECTED | {21}
+
+    # stateful arm: same survivors, then incremental dedup vs band state
+    sf = StreamingCuratorPipeline(
+        spark, str(tmp_path / "store_bf_sf"), CONFIG, engine="stateful"
+    )
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        sf.backfill(spark.createDataFrame(raw, SCHEMA))
+    n = sf.backfill(
+        spark.createDataFrame(raw, SCHEMA),
+        checkpoint_dir=str(tmp_path / "ckpt_bf_sf"),
+        source_dir=str(tmp_path / "src_bf_sf"),
+    )
+    assert n == len(EXPECTED)
+    assert {r.doc_id for r in sf.committed().collect()} == EXPECTED
+    spark.createDataFrame(fresh, SCHEMA).coalesce(1).write.parquet(
+        str(tmp_path / "src_bf_sf" / "b001")
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(
+        str(tmp_path / "src_bf_sf" / "*")
+    )
+    q = sf.start(stream, str(tmp_path / "ckpt_bf_sf"))
+    q.awaitTermination(300)
+    assert {r.doc_id for r in sf.committed().collect()} == EXPECTED | {21}

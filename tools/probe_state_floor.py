@@ -14,11 +14,22 @@ key. This is the floor that bounds StatefulDedupPipeline.bootstrap_state
 it. The cost is CONSTANT per key and embarrassingly parallel — on a
 1000-executor cluster onboarding 1B docs (~5B keys) is ~5e9 * 1.6e-3
 core-s / 8000 cores ~ 17 min; the local-32-core wall is the wrong lens
-for it. No offline state writer exists to bypass the operator (the
+for it. No offline state writer is reachable FROM this operator (the
 state data source is read-only — probed: df.write.format("statestore")
-fails with STDS_COMMITTED_BATCH_UNAVAILABLE, there is no write path).
+fails with STDS_COMMITTED_BATCH_UNAVAILABLE, there is no write path);
+the API-level bypass is transformWithStateInPandas(initialState=...),
+environment-blocked here — see BASELINE.md §tws / tools/probe_tws.py.
+
+Round-11 addition (--cores-sweep): validate the "embarrassingly
+parallel" claim behind the 17-min extrapolation — run the
+distinct-keys probe under local[8]/local[16]/local[32] (fresh session
+per point, shuffle partitions = cores) and check wall ~ 1/cores. If the
+floor were a serial bottleneck (state-file commit, driver-side
+coordination), the wall would NOT fall with cores and the cluster
+extrapolation would be wrong.
 
 Usage: python tools/probe_state_floor.py [--rows 1000000]
+       python tools/probe_state_floor.py --cores-sweep 8,16,32 [--rows 500000]
 Run alone (timing measurement).
 """
 
@@ -68,8 +79,56 @@ def _run(spark, df, work: Path, tag: str) -> float:
     return round(time.monotonic() - t0, 1)
 
 
+def _sweep(cores_list: list[int], rows: int) -> int:
+    """One fresh session per core count (master is fixed at session
+    creation), distinct-keys probe each, fresh checkpoint each. Prints
+    per-point walls + the parallel-efficiency ratio."""
+    walls: dict[int, float] = {}
+    for c in cores_list:
+        spark = get_spark(
+            f"probe_state_floor_c{c}",
+            master=f"local[{c}]",
+            shuffle_partitions=c,
+            extra_conf={
+                "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled": "true",
+            },
+        )
+        work = Path(tempfile.mkdtemp(prefix=f"state_floor_c{c}_"))
+        try:
+            many = spark.range(rows).select(
+                F.concat(F.lit("k"), F.col("id")).alias("k"), F.col("id")
+            )
+            walls[c] = _run(spark, many, work, f"c{c}")
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+            spark.stop()
+    lo, hi = min(cores_list), max(cores_list)
+    ideal = hi / lo
+    actual = walls[lo] / walls[hi] if walls[hi] else float("nan")
+    print(
+        {
+            "rows": rows,
+            "walls_s": {str(c): walls[c] for c in cores_list},
+            "speedup_lo_to_hi": round(actual, 2),
+            "ideal_speedup": ideal,
+            "parallel_efficiency": round(actual / ideal, 2),
+        }
+    )
+    return 0
+
+
 def main() -> int:
     args = sys.argv[1:]
+    if "--cores-sweep" in args:
+        cores_list = [
+            int(x) for x in args[args.index("--cores-sweep") + 1].split(",")
+        ]
+        rows = (
+            int(args[args.index("--rows") + 1]) if "--rows" in args else 500_000
+        )
+        return _sweep(cores_list, rows)
     rows = int(args[args.index("--rows") + 1]) if "--rows" in args else 1_000_000
     spark = get_spark(
         "probe_state_floor",
