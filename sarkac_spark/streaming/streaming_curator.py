@@ -135,6 +135,14 @@ class StreamingCuratorPipeline:
       (``process_batch`` raises), and its funnel has no pre-quality
       row — its ``input`` stage counts post-quality docs (the parquet
       arm's ``quality`` row).
+    - ``"tws"`` — ``TwsDedupPipeline``: the ``transformWithStateInPandas``
+      twin of ``"stateful"`` (same stores/semantics/cores): no seed
+      trigger (``backfill()`` stashes the curated corpus and the next
+      ``start()`` onboards it as ``initialState`` during batch 0) and
+      native value-TTL (availableNow drains legal in TTL mode). Needs
+      the RocksDB provider + a ``google.protobuf`` runtime to RUN
+      (``tws_available()``; ``start()`` raises with the remediation
+      otherwise — see ``streaming/tws_ingest_dedup.py``).
     """
 
     def __init__(
@@ -152,9 +160,10 @@ class StreamingCuratorPipeline:
                 f"no streaming member for curation stage(s) {sorted(unknown)}; "
                 "run them as a batch pass over committed()"
             )
-        if engine not in ("parquet", "stateful"):
+        if engine not in ("parquet", "stateful", "tws"):
             raise ValueError(
-                f"unknown engine {engine!r}: expected 'parquet' or 'stateful'"
+                f"unknown engine {engine!r}: expected 'parquet', 'stateful' "
+                "or 'tws'"
             )
         self.spark = spark
         self.store_dir = store_dir
@@ -165,12 +174,21 @@ class StreamingCuratorPipeline:
         self.text_col = text_col
         self.engine = engine
         dedup_cfg = config.get("dedup") or {}
-        if engine == "stateful":
-            from sarkac_spark.streaming.stateful_ingest_dedup import (
-                StatefulDedupPipeline,
-            )
+        if engine in ("stateful", "tws"):
+            if engine == "tws":
+                # the transformWithStateInPandas twin: same stores and
+                # semantics, initialState onboarding + native value-TTL;
+                # needs a protobuf runtime to RUN (start() checks) —
+                # see streaming/tws_ingest_dedup.py
+                from sarkac_spark.streaming.tws_ingest_dedup import (
+                    TwsDedupPipeline as _Engine,
+                )
+            else:
+                from sarkac_spark.streaming.stateful_ingest_dedup import (
+                    StatefulDedupPipeline as _Engine,
+                )
 
-            self._stateful = StatefulDedupPipeline(
+            self._stateful = _Engine(
                 spark,
                 store_dir,
                 id_col=id_col,
@@ -249,10 +267,11 @@ class StreamingCuratorPipeline:
     # --- the trigger --------------------------------------------------------
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        if self.engine == "stateful":
+        if self._stateful is not None:
             raise RuntimeError(
-                "engine='stateful' owns its own stateful streaming query — "
-                "drive it with start(); there is no per-batch entry point"
+                f"engine={self.engine!r} owns its own stateful streaming "
+                "query — drive it with start(); there is no per-batch "
+                "entry point"
             )
         counts: list[tuple[str, int]] = [("input", batch.count())]
         d = batch
@@ -293,12 +312,23 @@ class StreamingCuratorPipeline:
         checkpoint_dir: str,
         trigger_seconds: int | None = None,
     ):
-        if self.engine == "stateful":
+        if self._stateful is not None:
             # quality gates are stateless closures — apply them to the
             # stream before the stateful engine's DAG (its composition
             # contract); dedup + quota live inside the engine
             if self._quality_fn is not None:
                 doc_stream = self._quality_fn(doc_stream)
+            if self.engine == "tws":
+                # a backfill() on this facade stashed the curated
+                # corpus: the TWS engine onboards it as initialState
+                # during batch 0 of THIS query (consumed once)
+                corpus = self.__dict__.pop("_tws_initial_corpus", None)
+                return self._stateful.start(
+                    doc_stream,
+                    checkpoint_dir,
+                    trigger_seconds,
+                    initial_corpus=corpus,
+                )
             return self._stateful.start(
                 doc_stream, checkpoint_dir, trigger_seconds
             )
@@ -314,9 +344,10 @@ class StreamingCuratorPipeline:
     def bootstrap_state(
         self, corpus_df: DataFrame, checkpoint_dir: str, source_dir: str
     ) -> int:
-        """Bulk-onboard an existing (already-curated) corpus — stateful
-        engine only; see ``StatefulDedupPipeline.bootstrap_state``."""
-        if self.engine != "stateful":
+        """Bulk-onboard an existing (already-curated) corpus — keyed-
+        state engines only; see ``StatefulDedupPipeline.bootstrap_state``
+        (the tws engine raises with its initialState pointer)."""
+        if self._stateful is None:
             raise RuntimeError(
                 "bootstrap_state is the keyed-state engine's bulk onboard; "
                 "the parquet engine seeds by committing the corpus as an "
@@ -356,7 +387,7 @@ class StreamingCuratorPipeline:
           convention), not the raw-input funnel.
 
         Returns the number of docs committed by the backfill."""
-        if self.engine != "stateful":
+        if self._stateful is None:
             store = self._read_or_none(self.store_dir)
             if store is not None and not store.filter(
                 F.col("epoch") == -1
@@ -374,7 +405,9 @@ class StreamingCuratorPipeline:
                 0 if store is None
                 else store.filter(F.col("epoch") == -1).count()
             )
-        if checkpoint_dir is None or source_dir is None:
+        if self.engine == "stateful" and (
+            checkpoint_dir is None or source_dir is None
+        ):
             raise ValueError(
                 "stateful-engine backfill onboards band state into the "
                 "streaming checkpoint: pass checkpoint_dir (fresh) and "
@@ -402,6 +435,14 @@ class StreamingCuratorPipeline:
             d = apply_domain_quota(
                 d, None, self.config["domain_cap"], self.id_col
             )
+        if self.engine == "tws":
+            # no seed trigger at all: write the base stores now, stash
+            # the survivors — the next start() hands them to the
+            # operator as initialState (batch-0 onboarding)
+            d = d.localCheckpoint(eager=True)
+            n = self._stateful.onboard_base_layer(d)
+            self._tws_initial_corpus = d
+            return n
         return self._stateful.bootstrap_state(d, checkpoint_dir, source_dir)
 
     def compact(self, target_partitions: int | None = None) -> int:
@@ -411,8 +452,8 @@ class StreamingCuratorPipeline:
         one summed row per domain; funnel rows fold to one summed row
         per stage. Swaps are crash-safe (``storeutil.atomic_swap``).
         Returns the compacted doc count."""
-        if self.engine == "stateful":
-            # the stateful engine folds its own text/quota/funnel
+        if self._stateful is not None:
+            # the keyed-state engines fold their own text/quota/funnel
             # stores (band state needs no compaction — the checkpoint
             # maintains it)
             return self._stateful.compact(target_partitions)

@@ -436,3 +436,49 @@ def test_backfill_routes_by_engine(spark, tmp_path):
     q = sf.start(stream, str(tmp_path / "ckpt_bf_sf"))
     q.awaitTermination(300)
     assert {r.doc_id for r in sf.committed().collect()} == EXPECTED | {21}
+
+
+def test_engine_tws_facade_switch(spark, tmp_path):
+    """engine="tws" wires the transformWithStateInPandas twin through
+    the facade: construction + routing work everywhere that does not
+    need the state server; start() raises the actionable protobuf
+    error in this sandbox (e2e parity is the pytest -m tws gate);
+    backfill() batch-curates, writes the base layer, and stashes the
+    survivors for initialState onboarding at the next start()."""
+    from sarkac_spark.streaming.streaming_curator import StreamingCuratorPipeline
+    from sarkac_spark.streaming.tws_ingest_dedup import tws_available
+
+    with pytest.raises(ValueError, match="tws"):
+        StreamingCuratorPipeline(
+            spark, str(tmp_path / "s0"), CONFIG, engine="nope"
+        )
+
+    pipe = StreamingCuratorPipeline(
+        spark, str(tmp_path / "store_tws"), CONFIG, engine="tws"
+    )
+    with pytest.raises(RuntimeError, match="start"):
+        pipe.process_batch(spark.createDataFrame(_epochs()[0], SCHEMA), 0)
+
+    # backfill: full batch curation (quality+dedup+quota) + base layer,
+    # no streaming query needed
+    raw = [r for rows in _epochs() for r in rows]
+    n = pipe.backfill(spark.createDataFrame(raw, SCHEMA))
+    assert n == len(EXPECTED)
+    assert {r.doc_id for r in pipe.committed().collect()} == EXPECTED
+    assert pipe._tws_initial_corpus is not None
+    funnel = {(r.stage, r.n_docs) for r in pipe.funnel().collect()}
+    assert funnel == {
+        ("input", n), ("dedup", n), ("domain_cap", n)
+    }  # base-layer convention: onboarded counts
+
+    # compact() delegates to the engine's fold
+    assert pipe.compact() == len(EXPECTED)
+
+    if not tws_available():
+        # start() refuses with the remediation instead of crashing in
+        # the JVM (PROBE_TWS.json records this sandbox's state)
+        stream = spark.readStream.schema(SCHEMA).parquet(
+            str(tmp_path / "none") + "/*"
+        )
+        with pytest.raises(RuntimeError, match="google.protobuf"):
+            pipe.start(stream, str(tmp_path / "ckpt_tws"))
