@@ -518,3 +518,58 @@ def test_round9_tpch_plan_shapes(spark, sf_dir):
     plan = _plan(ric)
     assert "TakeOrderedAndProject" in plan
     assert any("l_returnflag" in f for f in pushed_filters(ric)), pushed_filters(ric)
+
+
+def test_plan_digest_stable_and_discriminating(events, spark, sf_dir):
+    """plan_digest: equal across rebuilds of the same query in one
+    session (it strips expression ids, plan ids, lambda-var and CSE
+    counters), different across structurally different plans — the
+    property tools/bench_diff.py's drift attribution rests on."""
+    from sarkac_spark.plans import plan_digest
+
+    a1 = plan_digest(sigma_scan(events, windows=(3600,)))
+    a2 = plan_digest(sigma_scan(events, windows=(3600,)))
+    assert a1 == a2
+    tws_args = (events, ["event_type"], "value", "ts", [3600])
+    b = plan_digest(trailing_window_stats(*tws_args))
+    assert b == plan_digest(trailing_window_stats(*tws_args))
+    assert a1 != b
+    # a real plan change (extra filter) flips the digest
+    c = plan_digest(
+        sigma_scan(events.filter(F.col("value") > 0), windows=(3600,))
+    )
+    assert c != a1
+
+
+def test_bench_diff_verdicts():
+    """tools/bench_diff.py classification: plan-pinned box drift vs
+    plan-changed vs missing-old-digest, plus added/removed tracking.
+    Pure-python (no Spark)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import bench_diff
+
+    old = {
+        "value": 10.0,
+        "queries": {"a": 1.0, "b": 1.0, "c": 1.0, "gone": 1.0},
+        "plan_digests": {"a": "d1", "b": "d2"},
+    }
+    new = {
+        "value": 12.0,
+        "queries": {"a": 2.0, "b": 2.0, "c": 2.0, "fresh": 0.5},
+        "plan_digests": {"a": "d1", "b": "CHANGED", "c": "d3"},
+    }
+    rep = bench_diff.diff(old, new, 0.30)
+    by = {m["query"]: m for m in rep["movers"]}
+    assert by["a"]["verdict"].startswith("box-drift")
+    assert by["b"]["verdict"] == "PLAN-CHANGED"
+    assert "no old digest" in by["c"]["verdict"]
+    assert rep["added"] == ["fresh"] and rep["removed"] == ["gone"]
+    # under-threshold movers are not reported
+    assert bench_diff.diff(old, {**new, "queries": {**old["queries"]}}, 0.30)[
+        "movers"
+    ] == []
+    md = bench_diff.render(rep, "old.json", "new.json")
+    assert "PLAN-CHANGED" in md and "d2 -> CHANGED" in md
