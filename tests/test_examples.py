@@ -46,18 +46,20 @@ def test_batch_curation_job_smoke():
 def test_streaming_curation_job_smoke():
     """The ingest-time curation lifecycle doc (round 8): stream drops
     through StreamingCuratorPipeline with a restart, funnel audit,
-    quota check, and store compaction."""
+    quota check, store compaction, the keyed-state engine act, and
+    (round 11) the bulk-backfill + streamed-increment act."""
     out = subprocess.run(
         [sys.executable, str(REPO / "examples" / "streaming_curation_job.py")],
         capture_output=True,
         text=True,
-        timeout=400,
+        timeout=600,
         cwd=REPO,
         check=False,
     )
     assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
     assert "OK: " in out.stdout
     assert "funnel:" in out.stdout
+    assert "OK: backfill committed" in out.stdout
 
 
 def test_analytics_job_smoke():
