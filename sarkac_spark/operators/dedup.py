@@ -802,6 +802,74 @@ def dup_ngram_fraction(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_words: int = 12,
+    min_doc_df: int = 2,
+) -> DataFrame:
+    """MAXIMAL cross-corpus duplicated substrings per document — the
+    exact-substring-dedup evidence pass (the "remove any substring
+    repeated verbatim across the corpus" family, Lee et al. 2022):
+    rolling word ``k``-grams that appear in >= ``min_doc_df`` DISTINCT
+    documents are merged, where consecutive in a doc, into maximal runs
+    (gaps-and-islands: position minus per-doc rank is constant within a
+    run), and runs spanning >= ``min_words`` words are reported as
+    (id, span_start, span_words), word-indexed. Complements the two
+    existing members: ``span_dedup`` sees only FIXED non-overlapping
+    windows (a duplicated region straddling a boundary is invisible),
+    ``dup_ngram_fraction`` reports a per-doc share without positions.
+    This one localizes the verbatim region so a removal/masking pass
+    knows exactly what to cut.
+
+    Scale shape: occurrences collapse to (gram-hash -> distinct-doc df)
+    with map-side combine (shuffle 1); duplicated positions come from a
+    join back on the gram hash with per-occurrence fanout exactly 1
+    (shuffle 2 — no hot-key hazard however duplicated a gram is); the
+    run merge is a doc-partitioned window + grouped agg over ONLY the
+    duplicated positions (shuffle 3, usually a small fraction of the
+    corpus). No all-pairs structure at any duplication level. Gram
+    identity is the house 15-hex md5 prefix (``span_dedup``'s rule), so
+    the DuckDB oracle hashes identically."""
+    words = df.select(F.col(id_col), words_col(text_col).alias("__w"))
+    w = F.col("__w")
+    idx = F.sequence(F.lit(0), F.size(w) - k)
+    gram_hashes = F.transform(
+        idx,
+        lambda i: F.substring(
+            F.md5(F.array_join(F.slice(w, i + 1, k), " ")), 1, 15
+        ),
+    )
+    occ = words.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(F.size(w) >= k, gram_hashes).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("pos", "__gh"),
+    )
+    dup = (
+        occ.groupBy("__gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__ddf"))
+        .filter(F.col("__ddf") >= min_doc_df)
+        .select("__gh")
+    )
+    hits = occ.join(dup, "__gh").select(id_col, "pos")
+    rank = F.row_number().over(Window.partitionBy(id_col).orderBy("pos"))
+    return (
+        hits.withColumn("__grp", F.col("pos") - rank)
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).alias("span_words"),
+        )
+        .filter(F.col("span_words") >= min_words)
+        .select(id_col, "span_start", "span_words")
+    )
+
+
 def span_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -63,6 +63,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "cluster_split": q_cluster_split,
     "dup_ngram_frac": q_dup_ngram_frac,
+    "duplicate_spans": q_duplicate_spans,
     "snapshot_diff": q_snapshot_diff,
     "dedup_canonical": q_dedup_canonical,
     "dedup_simhash": q_dedup_simhash,
@@ -184,6 +185,29 @@ SELECT doc_id,
              / sum(cnt), 6) AS dup_frac
 FROM pdg JOIN gdf USING (g)
 GROUP BY doc_id
+""",
+    "duplicate_spans": f"""
+WITH ws AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+grams AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         substr(md5(array_to_string(
+           list_slice(w, u.i + 1, u.i + {REPEAT_K}), ' ')), 1, 15) AS gh
+  FROM ws, UNNEST(range(0, greatest(len(w) - {REPEAT_K} + 1, 0))) AS u(i)
+),
+dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gh)),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start,
+         max(pos) - min(pos) + {REPEAT_K} AS span_words
+  FROM runs GROUP BY doc_id, grp
+)
+SELECT doc_id, span_start, CAST(span_words AS INT) AS span_words
+FROM spans WHERE span_words >= {REPEAT_MIN_WORDS}
 """,
     "snapshot_diff": f"""
 WITH old AS (

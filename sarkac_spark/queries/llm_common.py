@@ -113,6 +113,8 @@ __all__ = [
     "MIX_WEIGHTS",
     "DUP_NGRAM_N",
     "DUP_NGRAM_MIN_DF",
+    "REPEAT_K",
+    "REPEAT_MIN_WORDS",
     "SNAP_ADD_CUTOFF",
     "SNAP_DEL_CUTOFF",
     "SNAP_EDIT_CUTOFF",
@@ -319,6 +321,14 @@ DUP_NGRAM_N = 3
 
 
 DUP_NGRAM_MIN_DF = 2
+
+
+# duplicate_spans (maximal duplicated-run merge): rolling-gram width and
+# the minimum merged-run length worth reporting (in words)
+REPEAT_K = 5
+
+
+REPEAT_MIN_WORDS = 12
 
 
 # snapshot-diff fixture: old/new corpus snapshots derived from the one

@@ -34,6 +34,7 @@ __all__ = [
     "q_dedup_canonical",
     "q_cluster_split",
     "q_dup_ngram_frac",
+    "q_duplicate_spans",
     "q_contamination_spans",
     "_minhash_sql",
     "_ngram_jaccard_sql",
@@ -600,6 +601,23 @@ def q_dup_ngram_frac(spark, sf_dir):
 
     return dup_ngram_fraction(
         _docs(spark, sf_dir), "doc_id", "text", n=DUP_NGRAM_N, min_df=DUP_NGRAM_MIN_DF
+    )
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """Maximal cross-corpus duplicated substrings (the exact-substring-
+    dedup evidence pass): consecutive rolling 5-grams shared by >= 2
+    distinct docs merge into maximal runs; runs of >= 12 words are the
+    verbatim regions a removal/masking pass would cut. Word-indexed
+    (doc_id, span_start, span_words)."""
+    from sarkac_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        k=REPEAT_K,
+        min_words=REPEAT_MIN_WORDS,
     )
 
 

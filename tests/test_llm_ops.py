@@ -2430,3 +2430,40 @@ def test_injected_video_codec_composes_with_dedup_phash(spark):
         for r in video_fingerprint(plain).collect()
     }
     assert a == b
+
+
+def test_duplicate_spans_merges_maximal_runs(spark):
+    """duplicate_spans: consecutive duplicated k-grams merge into ONE
+    maximal word-indexed run per region (two shared regions in a doc =
+    two rows, split by the gap); runs below min_words are filtered;
+    within-doc repetition alone does not count (distinct-doc df >= 2);
+    and a shared region is found at DIFFERENT word offsets in each doc
+    (the case span_dedup's fixed windows miss)."""
+    from sarkac_spark.operators.dedup import duplicate_spans
+
+    S = "alpha bravo charlie delta echo foxtrot golf hotel"      # 8 words
+    T = "india juliet kilo lima mike november"                   # 6 words
+    U = "oscar papa quebec romeo sierra tango"                   # 6 words
+    rows = [
+        (1, f"u1 u2 {S} z1 z2 z3 {T}"),   # S at pos 2..9, T at pos 13..18
+        (2, f"b1 {S} b2"),                # S at pos 1..8
+        (3, f"{T} c1 c2"),                # T at pos 0..5
+        (4, f"{U} filler1 filler2 {U}"),  # within-doc repeat only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_words)
+        for r in duplicate_spans(df, k=3, min_words=5).collect()
+    }
+    assert got == {
+        (1, 2, 8),   # S in doc 1: maximal, exact offset + length
+        (1, 13, 6),  # T in doc 1: second region, separate row
+        (2, 1, 8),   # S in doc 2 at a different offset
+        (3, 0, 6),   # T in doc 3
+    }
+    # min_words filters the 6-word runs, keeps the 8-word ones
+    got7 = {
+        (r.doc_id, r.span_start, r.span_words)
+        for r in duplicate_spans(df, k=3, min_words=7).collect()
+    }
+    assert got7 == {(1, 2, 8), (2, 1, 8)}
