@@ -739,6 +739,135 @@ def embedding_health(
     )
 
 
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Population covariance matrix of an embedding column, as rows
+    (i, j, cov) over the upper triangle (i <= j) — the input to the PCA
+    rotation (``pca_rotation``) and an audit in its own right
+    (off-diagonal mass = correlated dimensions = PQ subspaces that
+    violate the product-quantizer independence assumption).
+
+    Scale shape: double posexplode emits n*d(d+1)/2 multiply rows, but
+    the groupBy key space is only d(d+1)/2, so map-side partial
+    aggregation collapses each task's contribution to <= d^2 rows
+    before the shuffle — shuffle volume is O(tasks * d^2), independent
+    of n. The multiplies are the covariance's inherent FLOPs. One
+    grouped agg carries all four moments (n, sum xi, sum xj, sum xixj),
+    so no second pass for mean-centering. Doubles everywhere, rounded
+    to ``round_digits`` (the house cross-engine float rule)."""
+    e1 = df.select(
+        F.posexplode(F.col(vec_col)).alias("i", "xi"),
+        F.col(vec_col).alias("__v"),
+    )
+    e2 = e1.select(
+        "i",
+        F.col("xi").cast("double").alias("xi"),
+        F.posexplode("__v").alias("j", "xj"),
+    ).filter(F.col("j") >= F.col("i"))
+    xj = F.col("xj").cast("double")
+    return (
+        e2.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("xi").alias("__si"),
+            F.sum(xj).alias("__sj"),
+            F.sum(F.col("xi") * xj).alias("__sij"),
+        )
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("__sij") - F.col("__si") * F.col("__sj") / F.col("__n"))
+                / F.col("__n"),
+                round_digits,
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_rotation(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[float]]:
+    """PCA basis of the embedding column: returns (components, mean) —
+    ``components[r]`` is the r-th principal axis (descending variance).
+    The covariance relation is computed distributed
+    (``embedding_covariance``'s unrounded moments); only the d x d
+    matrix is collected (bounded by contract: d^2 values, never n), and
+    the eigendecomposition runs driver-side in numpy — the standard
+    split for d in the hundreds. Sign convention: each component's
+    largest-|coefficient| entry is made positive, so the basis is
+    deterministic across runs/platforms."""
+    import numpy as np
+
+    d = df.select(F.size(F.col(vec_col)).alias("d")).agg(
+        F.max("d")
+    ).collect()[0][0]
+    rows = (
+        embedding_covariance(df, vec_col, round_digits=12).collect()
+    )
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r.i, r.j] = r.cov
+        cov[r.j, r.i] = r.cov
+    mean = (
+        df.select(
+            F.posexplode(F.col(vec_col)).alias("i", "x")
+        )
+        .groupBy("i")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    mu = np.zeros(d)
+    for r in mean:
+        mu[r.i] = r.m
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1]
+    comps = vecs[:, order].T
+    for k in range(comps.shape[0]):
+        pivot = np.argmax(np.abs(comps[k]))
+        if comps[k, pivot] < 0:
+            comps[k] = -comps[k]
+    return comps.tolist(), mu.tolist()
+
+
+def apply_rotation(
+    df: DataFrame,
+    components: list[list[float]],
+    mean: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "rotated",
+    n_components: int | None = None,
+) -> DataFrame:
+    """Map-only projection onto a PCA basis: center on ``mean``, dot
+    with the first ``n_components`` axes (default all) — pure JVM HOFs
+    (zip_with + aggregate), no Python, no shuffle; the basis rides as
+    a literal (d x d doubles — kilobytes). Feeding PQ/IVF with the
+    rotated (decorrelated) vectors is the OPQ-lite preprocessing that
+    makes the product quantizer's per-subspace independence assumption
+    hold better."""
+    k = len(components) if n_components is None else int(n_components)
+    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), mean_lit, lambda x, m: x - m
+    )
+    comp_lits = [
+        F.array(*[F.lit(float(c)) for c in comp])
+        for comp in components[:k]
+    ]
+    dot = lambda v, c: F.aggregate(  # noqa: E731
+        F.zip_with(v, c, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn("__c", centered).withColumn(
+        out_col, F.array(*[dot(F.col("__c"), c) for c in comp_lits])
+    ).drop("__c")
+
+
 # --- embedding compression ----------------------------------------------------
 
 

@@ -56,6 +56,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "quantize_audit": q_quantize_audit,
     "embedding_health": q_embedding_health,
+    "embedding_covariance": q_embedding_covariance,
     "curation_pipeline": q_curation_pipeline,
     "dedup_minhash": q_dedup_minhash,
     "dedup_signatures": q_dedup_signatures,
@@ -185,6 +186,22 @@ SELECT doc_id,
              / sum(cnt), 6) AS dup_frac
 FROM pdg JOIN gdf USING (g)
 GROUP BY doc_id
+""",
+    "embedding_covariance": """
+WITH vs AS (SELECT embedding AS v FROM embeddings),
+pairs AS (
+  SELECT CAST(u.i AS INT) AS i, CAST(u2.j AS INT) AS j,
+         CAST(v[CAST(u.i AS INT) + 1] AS DOUBLE) AS xi,
+         CAST(v[CAST(u2.j AS INT) + 1] AS DOUBLE) AS xj
+  FROM vs,
+       UNNEST(range(0, len(v))) AS u(i),
+       UNNEST(range(0, len(v))) AS u2(j)
+  WHERE u2.j >= u.i
+)
+SELECT i, j,
+       round((sum(xi * xj) - sum(xi) * sum(xj) / count(*)) / count(*), 6)
+         AS cov
+FROM pairs GROUP BY i, j
 """,
     "duplicate_spans": f"""
 WITH ws AS (SELECT doc_id, {_WORDS} AS w FROM documents),

@@ -28,6 +28,7 @@ __all__ = [
     "q_ann_recall",
     "q_quantize_audit",
     "q_embedding_health",
+    "q_embedding_covariance",
     "q_hard_negatives",
     "_hard_negatives_sql",
     "q_pq_assign",
@@ -372,6 +373,17 @@ def q_embedding_health(spark, sf_dir):
     from sarkac_spark.operators.similarity import embedding_health
 
     return embedding_health(_embs(spark, sf_dir))
+
+
+def q_embedding_covariance(spark, sf_dir):
+    """Upper-triangle covariance matrix of the embedding store — the
+    PCA/OPQ-preprocessing input and the correlated-dimensions audit
+    (off-diagonal mass = PQ subspace-independence violations). Key
+    space is d(d+1)/2, so map-side combine bounds the shuffle at
+    O(tasks * d^2) regardless of corpus size."""
+    from sarkac_spark.operators.similarity import embedding_covariance
+
+    return embedding_covariance(_embs(spark, sf_dir))
 
 
 def q_hard_negatives(spark, sf_dir):

@@ -2467,3 +2467,65 @@ def test_duplicate_spans_merges_maximal_runs(spark):
         for r in duplicate_spans(df, k=3, min_words=7).collect()
     }
     assert got7 == {(1, 2, 8), (2, 1, 8)}
+
+
+def test_pca_rotation_decorrelates_and_composes(spark):
+    """pca_rotation/apply_rotation: orthonormal deterministic-sign
+    basis; the rotated store has (near-)diagonal covariance with
+    variances descending; centered norms are preserved (rotation, not a
+    scaling); truncation keeps the top-k axes; and the projection stays
+    JVM-side (no Python stage in the plan)."""
+    import numpy as np
+
+    from sarkac_spark.operators.similarity import (
+        apply_rotation,
+        embedding_covariance,
+        pca_rotation,
+    )
+    from sarkac_spark.plans import executed_plan
+
+    rng = np.random.default_rng(5)
+    # anisotropic, correlated 6-dim cloud
+    base = rng.standard_normal((300, 2))
+    mix = np.hstack(
+        [base @ rng.standard_normal((2, 4)) * [3.0, 1.5, 0.8, 0.3],
+         rng.standard_normal((300, 2)) * 0.1]
+    ) + [1.0, -2.0, 0.5, 0.0, 3.0, -1.0]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mix)],
+        "vec_id long, embedding array<float>",
+    )
+
+    comps, mu = pca_rotation(df)
+    C = np.array(comps)
+    assert np.allclose(C @ C.T, np.eye(6), atol=1e-8)  # orthonormal
+    # deterministic sign: largest-|coeff| entry positive per component
+    for row in C:
+        assert row[np.argmax(np.abs(row))] > 0
+
+    rot = apply_rotation(df, comps, mu)
+    assert "BatchEvalPython" not in executed_plan(rot)
+    X = np.array([r.rotated for r in rot.select("rotated").collect()])
+    cov = np.cov(X.T, bias=True)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 1e-6  # decorrelated
+    d = np.diag(cov)
+    assert np.all(np.diff(d) <= 1e-9)  # variance descending
+    centered = np.array(mix, dtype=np.float32) - np.array(mu)
+    assert np.allclose(
+        np.linalg.norm(X, axis=1), np.linalg.norm(centered, axis=1),
+        rtol=1e-5,
+    )  # norms preserved
+
+    top2 = apply_rotation(df, comps, mu, n_components=2)
+    X2 = np.array([r.rotated for r in top2.select("rotated").collect()])
+    assert X2.shape == (300, 2)
+    assert np.allclose(X2, X[:, :2], atol=1e-9)
+
+    # the covariance relation itself agrees with numpy on this corpus
+    got = {
+        (r.i, r.j): r.cov for r in embedding_covariance(df).collect()
+    }
+    want = np.cov(np.array(mix, dtype=np.float32).T, bias=True)
+    for (i, j), v in got.items():
+        assert abs(v - want[i, j]) < 1e-4, (i, j, v, want[i, j])
