@@ -739,6 +739,32 @@ def embedding_health(
     )
 
 
+def _covariance_moments(df: DataFrame, vec_col: str) -> DataFrame:
+    """Unrounded covariance moments per upper-triangle dimension pair:
+    (i, j, __n, __si, __sj, __sij). One corpus scan; the groupBy key
+    space is only d(d+1)/2, so map-side partial aggregation collapses
+    each task's contribution to <= d^2 rows before the shuffle.
+    ``embedding_covariance`` derives cov from it; ``pca_rotation``
+    additionally reads the means off the i==j rows — ONE scan serves
+    both, dimension included (max i + 1)."""
+    e1 = df.select(
+        F.posexplode(F.col(vec_col)).alias("i", "xi"),
+        F.col(vec_col).alias("__v"),
+    )
+    e2 = e1.select(
+        "i",
+        F.col("xi").cast("double").alias("xi"),
+        F.posexplode("__v").alias("j", "xj"),
+    ).filter(F.col("j") >= F.col("i"))
+    xj = F.col("xj").cast("double")
+    return e2.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("xi").alias("__si"),
+        F.sum(xj).alias("__sj"),
+        F.sum(F.col("xi") * xj).alias("__sij"),
+    )
+
+
 def embedding_covariance(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -751,40 +777,20 @@ def embedding_covariance(
     violate the product-quantizer independence assumption).
 
     Scale shape: double posexplode emits n*d(d+1)/2 multiply rows, but
-    the groupBy key space is only d(d+1)/2, so map-side partial
-    aggregation collapses each task's contribution to <= d^2 rows
-    before the shuffle — shuffle volume is O(tasks * d^2), independent
-    of n. The multiplies are the covariance's inherent FLOPs. One
-    grouped agg carries all four moments (n, sum xi, sum xj, sum xixj),
-    so no second pass for mean-centering. Doubles everywhere, rounded
-    to ``round_digits`` (the house cross-engine float rule)."""
-    e1 = df.select(
-        F.posexplode(F.col(vec_col)).alias("i", "xi"),
-        F.col(vec_col).alias("__v"),
-    )
-    e2 = e1.select(
+    shuffle volume is O(tasks * d^2), independent of n (see
+    ``_covariance_moments``). The multiplies are the covariance's
+    inherent FLOPs. One grouped agg carries all four moments (n,
+    sum xi, sum xj, sum xixj), so no second pass for mean-centering.
+    Doubles everywhere, rounded to ``round_digits`` (the house
+    cross-engine float rule)."""
+    return _covariance_moments(df, vec_col).select(
         "i",
-        F.col("xi").cast("double").alias("xi"),
-        F.posexplode("__v").alias("j", "xj"),
-    ).filter(F.col("j") >= F.col("i"))
-    xj = F.col("xj").cast("double")
-    return (
-        e2.groupBy("i", "j")
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.sum("xi").alias("__si"),
-            F.sum(xj).alias("__sj"),
-            F.sum(F.col("xi") * xj).alias("__sij"),
-        )
-        .select(
-            "i",
-            "j",
-            F.round(
-                (F.col("__sij") - F.col("__si") * F.col("__sj") / F.col("__n"))
-                / F.col("__n"),
-                round_digits,
-            ).alias("cov"),
-        )
+        "j",
+        F.round(
+            (F.col("__sij") - F.col("__si") * F.col("__sj") / F.col("__n"))
+            / F.col("__n"),
+            round_digits,
+        ).alias("cov"),
     )
 
 
@@ -794,36 +800,32 @@ def pca_rotation(
 ) -> tuple[list[list[float]], list[float]]:
     """PCA basis of the embedding column: returns (components, mean) —
     ``components[r]`` is the r-th principal axis (descending variance).
-    The covariance relation is computed distributed
-    (``embedding_covariance``'s unrounded moments); only the d x d
-    matrix is collected (bounded by contract: d^2 values, never n), and
-    the eigendecomposition runs driver-side in numpy — the standard
-    split for d in the hundreds. Sign convention: each component's
-    largest-|coefficient| entry is made positive, so the basis is
-    deterministic across runs/platforms."""
+    ONE distributed pass (``_covariance_moments`` — dimension, means
+    and covariance all come off the same d(d+1)/2-row relation); only
+    the d x d matrix is collected (bounded by contract: d^2 values,
+    never n), and the eigendecomposition runs driver-side in numpy —
+    the standard split for d in the hundreds. Sign convention: each
+    component's largest-|coefficient| entry is made positive, so the
+    basis is deterministic across runs/platforms."""
     import numpy as np
 
-    d = df.select(F.size(F.col(vec_col)).alias("d")).agg(
-        F.max("d")
-    ).collect()[0][0]
-    rows = (
-        embedding_covariance(df, vec_col, round_digits=12).collect()
-    )
-    cov = np.zeros((d, d))
-    for r in rows:
-        cov[r.i, r.j] = r.cov
-        cov[r.j, r.i] = r.cov
-    mean = (
-        df.select(
-            F.posexplode(F.col(vec_col)).alias("i", "x")
+    rows = _covariance_moments(df, vec_col).collect()
+    if not rows:
+        raise ValueError(
+            "cannot fit a PCA basis on an empty embedding store "
+            f"(no rows / no {vec_col!r} values)"
         )
-        .groupBy("i")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
-        .collect()
-    )
+    d = max(r["j"] for r in rows) + 1
+    cov = np.zeros((d, d))
     mu = np.zeros(d)
-    for r in mean:
-        mu[r.i] = r.m
+    for r in rows:
+        # dict-style access: Row.__getattr__ rejects __-prefixed names
+        n, si, sj, sij = r["__n"], r["__si"], r["__sj"], r["__sij"]
+        c = (sij - si * sj / n) / n
+        cov[r["i"], r["j"]] = c
+        cov[r["j"], r["i"]] = c
+        if r["i"] == r["j"]:
+            mu[r["i"]] = si / n
     vals, vecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(vals)[::-1]
     comps = vecs[:, order].T
@@ -850,13 +852,15 @@ def apply_rotation(
     makes the product quantizer's per-subspace independence assumption
     hold better."""
     k = len(components) if n_components is None else int(n_components)
-    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
+    # list-valued F.lit: ONE array literal per vector (O(d) plan nodes)
+    # instead of d separate lit() py4j round-trips — at d in the
+    # hundreds the per-element form costs minutes of plan construction
+    mean_lit = F.lit([float(m) for m in mean])
     centered = F.zip_with(
         F.col(vec_col).cast("array<double>"), mean_lit, lambda x, m: x - m
     )
     comp_lits = [
-        F.array(*[F.lit(float(c)) for c in comp])
-        for comp in components[:k]
+        F.lit([float(c) for c in comp]) for comp in components[:k]
     ]
     dot = lambda v, c: F.aggregate(  # noqa: E731
         F.zip_with(v, c, lambda a, b: a * b),

@@ -207,6 +207,9 @@ class StreamingCuratorPipeline:
                 text_col=text_col,
                 minhash=dedup_cfg.get("minhash"),
             )
+        # tws onboarding stash (set by backfill, read by start; kept
+        # across failed starts — see start()'s docstring)
+        self._tws_initial_corpus: DataFrame | None = None
         if "quality" in config:
             # drive the REAL batch stage builder (the curation_funnel
             # precedent): stream and batch quality verdicts are one
@@ -229,6 +232,12 @@ class StreamingCuratorPipeline:
                 raise_if_half_swapped(path)
                 return None
             raise
+
+    def _base_layer_exists(self) -> bool:
+        store = self._read_or_none(self.store_dir)
+        return store is not None and not store.filter(
+            F.col("epoch") == -1
+        ).isEmpty()
 
     def committed(self) -> DataFrame:
         """The curated corpus so far (full input schema)."""
@@ -311,7 +320,15 @@ class StreamingCuratorPipeline:
         doc_stream: DataFrame,
         checkpoint_dir: str,
         trigger_seconds: int | None = None,
+        initial_corpus: DataFrame | None = None,
     ):
+        """``initial_corpus`` (tws engine only): the already-curated
+        corpus to onboard as batch-0 ``initialState`` on a FRESH
+        checkpoint — normally supplied implicitly by a preceding
+        ``backfill()`` in the same process; pass ``committed()``
+        explicitly when starting a fresh checkpoint over an existing
+        base layer from a NEW process (the stash does not survive a
+        restart, the parquet base layer does)."""
         if self._stateful is not None:
             # quality gates are stateless closures — apply them to the
             # stream before the stateful engine's DAG (its composition
@@ -319,10 +336,29 @@ class StreamingCuratorPipeline:
             if self._quality_fn is not None:
                 doc_stream = self._quality_fn(doc_stream)
             if self.engine == "tws":
-                # a backfill() on this facade stashed the curated
-                # corpus: the TWS engine onboards it as initialState
-                # during batch 0 of THIS query (consumed once)
-                corpus = self.__dict__.pop("_tws_initial_corpus", None)
+                # NOT popped: a failed/retried start must not lose the
+                # onboarding corpus, and passing initialState to a
+                # restart is harmless (Spark consumes it only on the
+                # first batch of a fresh checkpoint)
+                corpus = initial_corpus or getattr(
+                    self, "_tws_initial_corpus", None
+                )
+                if corpus is None and self._base_layer_exists():
+                    from sarkac_spark.streaming.stateful_ingest_dedup import (
+                        _fs_entry_count,
+                    )
+
+                    if _fs_entry_count(self.spark, checkpoint_dir) is None:
+                        raise ValueError(
+                            "store has an epoch=-1 base layer but this is "
+                            "a FRESH checkpoint with no initial_corpus: "
+                            "batch 0 would install no band state, so "
+                            "replays of backfilled docs would re-admit "
+                            "and double-commit. Pass "
+                            "initial_corpus=pipe.committed() (the "
+                            "backfill stash does not survive a process "
+                            "restart)."
+                        )
                 return self._stateful.start(
                     doc_stream,
                     checkpoint_dir,
@@ -387,18 +423,18 @@ class StreamingCuratorPipeline:
           convention), not the raw-input funnel.
 
         Returns the number of docs committed by the backfill."""
+        if self.engine != "stateful" and self._base_layer_exists():
+            # the stateful arm is guarded by bootstrap_state's
+            # fresh-checkpoint check; parquet and tws must refuse here
+            # or the overwrite silently drops the first corpus
+            raise ValueError(
+                "store already has an epoch=-1 base layer (a prior "
+                "backfill or compact()) — a second backfill would "
+                "overwrite it; stream the new corpus instead (it dedups "
+                "against the existing state), or backfill into a fresh "
+                "store"
+            )
         if self._stateful is None:
-            store = self._read_or_none(self.store_dir)
-            if store is not None and not store.filter(
-                F.col("epoch") == -1
-            ).isEmpty():
-                raise ValueError(
-                    "store already has an epoch=-1 base layer (a prior "
-                    "backfill or compact()) — a second backfill would "
-                    "overwrite it; stream the new corpus instead (the "
-                    "signature store dedups it against the base layer), "
-                    "or backfill into a fresh store"
-                )
             self.process_batch(corpus_df, -1)
             store = self._read_or_none(self.store_dir)
             return (

@@ -471,6 +471,11 @@ def test_engine_tws_facade_switch(spark, tmp_path):
         ("input", n), ("dedup", n), ("domain_cap", n)
     }  # base-layer convention: onboarded counts
 
+    # a second backfill would overwrite the base layer: refused (same
+    # guard as the parquet arm)
+    with pytest.raises(ValueError, match="epoch=-1 base layer"):
+        pipe.backfill(spark.createDataFrame(raw, SCHEMA))
+
     # compact() delegates to the engine's fold
     assert pipe.compact() == len(EXPECTED)
 
@@ -482,3 +487,22 @@ def test_engine_tws_facade_switch(spark, tmp_path):
         )
         with pytest.raises(RuntimeError, match="google.protobuf"):
             pipe.start(stream, str(tmp_path / "ckpt_tws"))
+        # the failed start must NOT consume the onboarding stash — a
+        # retry still onboards the corpus (r11 review finding)
+        assert pipe._tws_initial_corpus is not None
+
+        # fresh checkpoint over an existing base layer from a NEW
+        # process (no stash): refuse before batch 0 can run stateless
+        pipe2 = StreamingCuratorPipeline(
+            spark, str(tmp_path / "store_tws"), CONFIG, engine="tws"
+        )
+        with pytest.raises(ValueError, match="initial_corpus"):
+            pipe2.start(stream, str(tmp_path / "ckpt_tws2"))
+        # supplying the corpus explicitly passes the guard (and then
+        # hits the documented protobuf refusal in this sandbox)
+        with pytest.raises(RuntimeError, match="google.protobuf"):
+            pipe2.start(
+                stream,
+                str(tmp_path / "ckpt_tws2"),
+                initial_corpus=pipe2.committed(),
+            )
