@@ -870,6 +870,73 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_words: int = 12,
+    min_doc_df: int = 2,
+) -> DataFrame:
+    """The removal consumer of ``duplicate_spans`` (Lee et al. 2022
+    practice: don't just LOCATE verbatim cross-corpus regions — CUT
+    them and re-emit the cleaned corpus). Every word position covered
+    by a qualifying span (>= ``min_words`` words, grams shared by >=
+    ``min_doc_df`` docs) is excised; the survivors are re-joined in
+    order. Returns (id, text_clean, n_removed), word-indexed — a doc
+    whose every word was duplicated keeps an empty ``text_clean``.
+
+    Note the single-pass contract: excision can butt previously
+    non-adjacent words together, so a RE-RUN of ``duplicate_spans`` on
+    the cleaned corpus can in principle surface new (boundary-crossing)
+    runs — Lee et al. iterate to a fixed point when that matters. What
+    one pass guarantees exactly: no word of any reported span survives.
+
+    Scale shape: ``duplicate_spans``'s three bounded shuffles, plus one
+    doc-keyed grouped agg over ONLY the qualifying spans (a small
+    fraction of the corpus) and one left join back on the doc id —
+    span lists are per-doc tiny, so no skew hazard. The rebuild is
+    map-side JVM higher-order functions (filter/exists/transform/
+    array_join) over the words array: no Python stage, no explode of
+    the corpus itself."""
+    spans = duplicate_spans(df, id_col, text_col, k, min_words, min_doc_df)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_words").alias("n")
+            )
+        ).alias("__spans")
+    )
+    words = df.select(F.col(id_col), words_col(text_col).alias("__w"))
+    w = F.col("__w")
+    # docs with no qualifying spans: one zero-length span covers
+    # nothing (coalesce needs an identically-typed literal; casting an
+    # empty array<string> to array<struct> is illegal)
+    sp = F.coalesce(
+        F.col("__spans"),
+        F.array(F.struct(F.lit(0).alias("s"), F.lit(0).alias("n"))),
+    )
+    idx = F.when(
+        F.size(w) > 0, F.sequence(F.lit(0), F.size(w) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            sp, lambda s: (i >= s["s"]) & (i < s["s"] + s["n"])
+        ),
+    )
+    return (
+        words.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(kept, lambda i: F.element_at(w, i + 1)), " "
+            ).alias("text_clean"),
+            (F.size(w) - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def span_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

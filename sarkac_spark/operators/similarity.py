@@ -739,14 +739,24 @@ def embedding_health(
     )
 
 
-def _covariance_moments(df: DataFrame, vec_col: str) -> DataFrame:
+def _covariance_moments(
+    df: DataFrame, vec_col: str, shift: list[float] | None = None
+) -> DataFrame:
     """Unrounded covariance moments per upper-triangle dimension pair:
     (i, j, __n, __si, __sj, __sij). One corpus scan; the groupBy key
     space is only d(d+1)/2, so map-side partial aggregation collapses
     each task's contribution to <= d^2 rows before the shuffle.
     ``embedding_covariance`` derives cov from it; ``pca_rotation``
     additionally reads the means off the i==j rows — ONE scan serves
-    both, dimension included (max i + 1)."""
+    both, dimension included (max i + 1).
+
+    ``shift``: optional per-dimension constants subtracted from every
+    value BEFORE the sums. Covariance is shift-invariant, but the naive
+    (sum(xy) - sum(x)sum(y)/n)/n form cancels catastrophically when
+    |mean| >> stddev (real text/clip encoders); shifting by any sample
+    vector moves the data near the origin, so sum(x) ~ 0 and the
+    subtraction keeps its digits. With a shift, the moments are of the
+    SHIFTED data: mean_i = __si/__n + shift[i]."""
     e1 = df.select(
         F.posexplode(F.col(vec_col)).alias("i", "xi"),
         F.col(vec_col).alias("__v"),
@@ -756,12 +766,17 @@ def _covariance_moments(df: DataFrame, vec_col: str) -> DataFrame:
         F.col("xi").cast("double").alias("xi"),
         F.posexplode("__v").alias("j", "xj"),
     ).filter(F.col("j") >= F.col("i"))
+    xi = F.col("xi")
     xj = F.col("xj").cast("double")
+    if shift is not None:
+        sh = F.lit([float(s) for s in shift])
+        xi = xi - F.element_at(sh, F.col("i") + F.lit(1))
+        xj = xj - F.element_at(sh, F.col("j") + F.lit(1))
     return e2.groupBy("i", "j").agg(
         F.count(F.lit(1)).alias("__n"),
-        F.sum("xi").alias("__si"),
+        F.sum(xi).alias("__si"),
         F.sum(xj).alias("__sj"),
-        F.sum(F.col("xi") * xj).alias("__sij"),
+        F.sum(xi * xj).alias("__sij"),
     )
 
 
@@ -769,6 +784,7 @@ def embedding_covariance(
     df: DataFrame,
     vec_col: str = "embedding",
     round_digits: int = 6,
+    shift: list[float] | None = None,
 ) -> DataFrame:
     """Population covariance matrix of an embedding column, as rows
     (i, j, cov) over the upper triangle (i <= j) — the input to the PCA
@@ -782,14 +798,26 @@ def embedding_covariance(
     inherent FLOPs. One grouped agg carries all four moments (n,
     sum xi, sum xj, sum xixj), so no second pass for mean-centering.
     Doubles everywhere, rounded to ``round_digits`` (the house
-    cross-engine float rule)."""
-    return _covariance_moments(df, vec_col).select(
+    cross-engine float rule).
+
+    ``shift``: optional per-dimension centering constants (pass any
+    sample vector) — the result is identical in exact arithmetic, but
+    the naive-form cancellation is tamed when means dominate stddevs
+    (see ``_covariance_moments``). ``+ lit(0.0)`` after the round
+    normalizes IEEE signed zero: a covariance that rounds to zero from
+    below would otherwise emit -0.0 on engines that preserve the sign
+    through round() (DuckDB does, Spark does not — the r11 driver hash
+    divergence), and -0.0 + 0.0 = +0.0 on every IEEE engine."""
+    return _covariance_moments(df, vec_col, shift=shift).select(
         "i",
         "j",
-        F.round(
-            (F.col("__sij") - F.col("__si") * F.col("__sj") / F.col("__n"))
-            / F.col("__n"),
-            round_digits,
+        (
+            F.round(
+                (F.col("__sij") - F.col("__si") * F.col("__sj") / F.col("__n"))
+                / F.col("__n"),
+                round_digits,
+            )
+            + F.lit(0.0)
         ).alias("cov"),
     )
 
@@ -797,6 +825,7 @@ def embedding_covariance(
 def pca_rotation(
     df: DataFrame,
     vec_col: str = "embedding",
+    shift: list[float] | None = None,
 ) -> tuple[list[list[float]], list[float]]:
     """PCA basis of the embedding column: returns (components, mean) —
     ``components[r]`` is the r-th principal axis (descending variance).
@@ -809,7 +838,7 @@ def pca_rotation(
     basis is deterministic across runs/platforms."""
     import numpy as np
 
-    rows = _covariance_moments(df, vec_col).collect()
+    rows = _covariance_moments(df, vec_col, shift=shift).collect()
     if not rows:
         raise ValueError(
             "cannot fit a PCA basis on an empty embedding store "
@@ -825,7 +854,8 @@ def pca_rotation(
         cov[r["i"], r["j"]] = c
         cov[r["j"], r["i"]] = c
         if r["i"] == r["j"]:
-            mu[r["i"]] = si / n
+            # moments are of the shifted data; undo the shift on the mean
+            mu[r["i"]] = si / n + (shift[r["i"]] if shift is not None else 0.0)
     vals, vecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(vals)[::-1]
     comps = vecs[:, order].T
@@ -834,6 +864,40 @@ def pca_rotation(
         if comps[k, pivot] < 0:
             comps[k] = -comps[k]
     return comps.tolist(), mu.tolist()
+
+
+def balanced_subspace_order(
+    eigenvalues: list[float], m: int
+) -> list[int]:
+    """OPQ's parametric eigenvalue allocation (Ge et al. 2013 §4):
+    permute the PCA axes so each of the ``m`` PQ subspaces gets a
+    near-equal variance PRODUCT — descending eigenvalues are dealt
+    greedily to the (non-full) subspace with the smallest running
+    log-product, so one subspace doesn't hoard all the signal while
+    another quantizes noise. Returns the axis permutation, subspace-
+    major: feed ``components[p] for p in order`` to ``apply_rotation``
+    and the PQ splitter's fixed ``d/m`` slices land on the balanced
+    groups. Driver-side on the d eigenvalues — no distributed work."""
+    import math
+
+    d = len(eigenvalues)
+    if d % m:
+        raise ValueError(f"d={d} not divisible by m={m}")
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    logs = [0.0] * m
+    # Deal level-by-level: only buckets at the CURRENT minimum fill
+    # count are candidates. Comparing log-sums across unequal counts is
+    # scale-sensitive (all-lambda<1 spectra would funnel every axis
+    # into one bucket — its log-sum only shrinks); within a level the
+    # comparison is scale-invariant and yields the snake deal. Guard
+    # the log against zero/negative numerical dust.
+    for axis in sorted(range(d), key=lambda i: -eigenvalues[i]):
+        level = min(len(b) for b in buckets)
+        open_b = [b for b in range(m) if len(buckets[b]) == level]
+        b = min(open_b, key=lambda x: logs[x])
+        buckets[b].append(axis)
+        logs[b] += math.log(max(float(eigenvalues[axis]), 1e-300))
+    return [a for bucket in buckets for a in bucket]
 
 
 def apply_rotation(

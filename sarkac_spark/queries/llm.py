@@ -65,6 +65,7 @@ QUERIES = {
     "cluster_split": q_cluster_split,
     "dup_ngram_frac": q_dup_ngram_frac,
     "duplicate_spans": q_duplicate_spans,
+    "remove_duplicate_spans": q_remove_duplicate_spans,
     "snapshot_diff": q_snapshot_diff,
     "dedup_canonical": q_dedup_canonical,
     "dedup_simhash": q_dedup_simhash,
@@ -188,19 +189,22 @@ FROM pdg JOIN gdf USING (g)
 GROUP BY doc_id
 """,
     "embedding_covariance": """
-WITH vs AS (SELECT embedding AS v FROM embeddings),
+WITH sv AS (SELECT embedding AS s FROM embeddings ORDER BY vec_id LIMIT 1),
+vs AS (SELECT embedding AS v FROM embeddings),
 pairs AS (
   SELECT CAST(u.i AS INT) AS i, CAST(u2.j AS INT) AS j,
-         CAST(v[CAST(u.i AS INT) + 1] AS DOUBLE) AS xi,
-         CAST(v[CAST(u2.j AS INT) + 1] AS DOUBLE) AS xj
-  FROM vs,
+         CAST(v[CAST(u.i AS INT) + 1] AS DOUBLE)
+           - CAST(s[CAST(u.i AS INT) + 1] AS DOUBLE) AS xi,
+         CAST(v[CAST(u2.j AS INT) + 1] AS DOUBLE)
+           - CAST(s[CAST(u2.j AS INT) + 1] AS DOUBLE) AS xj
+  FROM vs, sv,
        UNNEST(range(0, len(v))) AS u(i),
        UNNEST(range(0, len(v))) AS u2(j)
   WHERE u2.j >= u.i
 )
 SELECT i, j,
        round((sum(xi * xj) - sum(xi) * sum(xj) / count(*)) / count(*), 6)
-         AS cov
+         + 0 AS cov
 FROM pairs GROUP BY i, j
 """,
     "duplicate_spans": f"""
@@ -225,6 +229,54 @@ spans AS (
 )
 SELECT doc_id, span_start, CAST(span_words AS INT) AS span_words
 FROM spans WHERE span_words >= {REPEAT_MIN_WORDS}
+""",
+    "remove_duplicate_spans": f"""
+WITH ws AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+grams AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         substr(md5(array_to_string(
+           list_slice(w, u.i + 1, u.i + {REPEAT_K}), ' ')), 1, 15) AS gh
+  FROM ws, UNNEST(range(0, greatest(len(w) - {REPEAT_K} + 1, 0))) AS u(i)
+),
+dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gh)),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start,
+         max(pos) - min(pos) + {REPEAT_K} AS span_words
+  FROM runs GROUP BY doc_id, grp
+  HAVING max(pos) - min(pos) + {REPEAT_K} >= {REPEAT_MIN_WORDS}
+),
+-- adjacent qualifying runs closer than k words have overlapping
+-- covered ranges: dedupe positions, not spans
+covered AS (
+  SELECT DISTINCT doc_id, CAST(u.p AS INT) AS pos
+  FROM spans,
+       UNNEST(range(span_start, span_start + span_words)) AS u(p)
+),
+sel AS (
+  SELECT ws.doc_id, CAST(u.i AS INT) AS i,
+         w[CAST(u.i AS INT) + 1] AS word
+  FROM ws, UNNEST(range(0, len(w))) AS u(i)
+),
+keep AS (
+  SELECT s.doc_id, s.i, s.word
+  FROM sel s LEFT JOIN covered c ON s.doc_id = c.doc_id AND s.i = c.pos
+  WHERE c.pos IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS text_clean,
+         count(*) AS n_kept
+  FROM keep GROUP BY doc_id
+)
+SELECT ws.doc_id,
+       coalesce(agg.text_clean, '') AS text_clean,
+       CAST(len(ws.w) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+FROM ws LEFT JOIN agg USING (doc_id)
 """,
     "snapshot_diff": f"""
 WITH old AS (

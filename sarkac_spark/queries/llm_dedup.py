@@ -35,6 +35,7 @@ __all__ = [
     "q_cluster_split",
     "q_dup_ngram_frac",
     "q_duplicate_spans",
+    "q_remove_duplicate_spans",
     "q_contamination_spans",
     "_minhash_sql",
     "_ngram_jaccard_sql",
@@ -613,6 +614,22 @@ def q_duplicate_spans(spark, sf_dir):
     from sarkac_spark.operators.dedup import duplicate_spans
 
     return duplicate_spans(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        k=REPEAT_K,
+        min_words=REPEAT_MIN_WORDS,
+    )
+
+
+def q_remove_duplicate_spans(spark, sf_dir):
+    """The removal consumer of ``duplicate_spans``: cut every word
+    position covered by a qualifying verbatim cross-corpus span and
+    re-emit the cleaned corpus as (doc_id, text_clean, n_removed) —
+    Lee-et-al exact-substring dedup, applied rather than reported."""
+    from sarkac_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(
         _docs(spark, sf_dir),
         "doc_id",
         "text",

@@ -380,10 +380,19 @@ def q_embedding_covariance(spark, sf_dir):
     PCA/OPQ-preprocessing input and the correlated-dimensions audit
     (off-diagonal mass = PQ subspace-independence violations). Key
     space is d(d+1)/2, so map-side combine bounds the shuffle at
-    O(tasks * d^2) regardless of corpus size."""
+    O(tasks * d^2) regardless of corpus size.
+
+    Centering shift: the min-vec_id row's vector (deterministic; the
+    oracle picks the same row in SQL). Covariance is shift-invariant,
+    but shifting tames the naive-form cancellation when means dominate
+    stddevs — see ``_covariance_moments``. The 1-row collect is bounded
+    by contract (one vector, never n)."""
     from sarkac_spark.operators.similarity import embedding_covariance
 
-    return embedding_covariance(_embs(spark, sf_dir))
+    e = _embs(spark, sf_dir)
+    first = e.orderBy("vec_id").select("embedding").first()
+    shift = [float(x) for x in first[0]] if first is not None else None
+    return embedding_covariance(e, shift=shift)
 
 
 def q_hard_negatives(spark, sf_dir):

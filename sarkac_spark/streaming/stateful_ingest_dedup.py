@@ -150,7 +150,15 @@ def _preflight_state_schema(spark: SparkSession, checkpoint_dir: str) -> None:
             stream.close()
     except Exception:  # noqa: BLE001 — advisory only
         return
-    if b'"name":"ids","type":"binary"' not in raw and b'"shs"' in raw:
+    # require a POSITIVE pre-binary marker (the r9 array<long> element
+    # type) on top of the binary marker being absent — a future schema
+    # serialization that merely mentions "shs" must not falsely block a
+    # legal restart (the docstring's only-ever-ADDS contract)
+    if (
+        b'"name":"ids","type":"binary"' not in raw
+        and b'"shs"' in raw
+        and b'"elementType":"long"' in raw
+    ):
         raise ValueError(
             f"checkpoint {checkpoint_dir!r} holds band state written by a "
             "pre-binary STATE_SCHEMA build (array<long> members); Spark "
@@ -160,6 +168,38 @@ def _preflight_state_schema(spark: SparkSession, checkpoint_dir: str) -> None:
             "<fresh source_dir>), then point the stream at the new "
             "source_dir."
         )
+
+
+try:  # pragma: no cover - import guard (module also loads sans streaming)
+    from pyspark.sql.streaming import StreamingQueryListener as _SQListener
+except Exception:  # noqa: BLE001
+    _SQListener = object  # type: ignore[assignment,misc]
+
+
+class _ProgressAccumulator(_SQListener):  # type: ignore[valid-type,misc]
+    """StreamingQueryListener that accumulates EVERY progress event
+    per query id — unlike ``recentProgress`` it is unbounded, so a
+    seed batch's entry cannot be evicted by fast timer-only batch
+    churn before the bootstrap wait loop observes it (the
+    numRecentProgressUpdates ring holds only the last 100)."""
+
+    def __init__(self) -> None:
+        self.by_query: dict[str, dict[int, int]] = {}
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        self.by_query.setdefault(str(p.id), {})[int(p.batchId)] = int(
+            p.numInputRows
+        )
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
 
 
 def _unpack_state(state: GroupState):
@@ -710,18 +750,32 @@ class StatefulDedupPipeline:
             # wait for the seed rows' batch to COMMIT (progress events
             # are emitted post-commit), then stop. Timer-only batches
             # report numInputRows=0, so summing per-batch input counts
-            # converges exactly on the corpus size.
+            # converges exactly on the corpus size. Progress is
+            # accumulated by a listener, NOT by polling recentProgress
+            # alone: recentProgress is a bounded ring
+            # (numRecentProgressUpdates, default 100), so under fast
+            # timer-only churn the seed batch's entry can be evicted
+            # between polls and the wait would spin to the deadline.
             import time as _time
 
+            listener = _ProgressAccumulator()
+            self.spark.streams.addListener(listener)
             q = writer.trigger(processingTime="0 seconds").start()
             try:
+                qid = str(q.id)
                 seen: dict[int, int] = {}
                 deadline = _time.time() + 3600
                 while sum(seen.values()) < n_docs or not seen:
                     if q.exception() is not None:
                         raise q.exception()
+                    seen.update(listener.by_query.get(qid, {}))
+                    # belt-and-braces: fold the polled views too (the
+                    # listener thread can lag the commit slightly)
                     for p in q.recentProgress:
                         seen[int(p["batchId"])] = int(p["numInputRows"])
+                    last = q.lastProgress
+                    if last is not None:
+                        seen[int(last["batchId"])] = int(last["numInputRows"])
                     if seen and sum(seen.values()) >= n_docs:
                         break
                     if _time.time() > deadline:
@@ -732,6 +786,7 @@ class StatefulDedupPipeline:
                     _time.sleep(0.2)
             finally:
                 q.stop()
+                self.spark.streams.removeListener(listener)
             q.awaitTermination()
 
         self._write_base_layer(corpus_df, n_docs)
@@ -823,7 +878,9 @@ class StatefulDedupPipeline:
                 "(trigger_seconds=0 for back-to-back batches): with "
                 "ProcessingTimeTimeout armed the operator always reports "
                 "another batch may be needed, so an availableNow run never "
-                "terminates — poll the committed store, then stop()"
+                "terminates — poll the committed store, then stop(). "
+                "Drain patterns and the TTL-free-twin catch-up recipe: "
+                "ARCHITECTURE.md §'TTL x drains (lifecycle constraint)'"
             )
         _preflight_state_schema(self.spark, checkpoint_dir)
         writer = (
@@ -864,7 +921,13 @@ class StatefulDedupPipeline:
         return self.spark.read.parquet(self.store_dir).drop("epoch")
 
     def funnel(self) -> DataFrame:
-        """(epoch, stage, n_docs) counters."""
+        """(epoch, stage, n_docs) counters. Non-TTL mode records every
+        data batch the trigger ran, including input=0 ones; TTL mode
+        SKIPS empty (timer-only) batches — it runs one per trigger
+        whether data arrived or not, so recording them would litter one
+        empty epoch partition per trigger interval (see
+        ``commit_batch``). Funnel-based audits in TTL mode therefore
+        see only epochs that carried data."""
         return self.spark.read.parquet(self.funnel_dir)
 
     def compact(self, target_partitions: int | None = None) -> int:

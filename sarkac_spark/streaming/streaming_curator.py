@@ -239,6 +239,27 @@ class StreamingCuratorPipeline:
             F.col("epoch") == -1
         ).isEmpty()
 
+    def _committed_batches(self, checkpoint_dir: str) -> int:
+        """Number of COMMITTED streaming batches in a checkpoint (the
+        numeric entries of ``commits/``), through the Hadoop FS API so
+        it holds on HDFS/S3. 0 for a fresh checkpoint AND for a
+        crashed-batch-0 retry (offsets written, nothing committed) —
+        exactly the states where ``initialState`` is still consumable.
+        Leftover ``.tmp`` files from a crashed commit rename are not
+        numeric, so they don't count."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(checkpoint_dir, "commits")
+        )
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return 0
+        return sum(
+            1
+            for st in fs.listStatus(hpath)
+            if st.getPath().getName().isdigit()
+        )
+
     def committed(self) -> DataFrame:
         """The curated corpus so far (full input schema)."""
         return self.spark.read.parquet(self.store_dir).drop("epoch")
@@ -337,12 +358,42 @@ class StreamingCuratorPipeline:
                 doc_stream = self._quality_fn(doc_stream)
             if self.engine == "tws":
                 # NOT popped: a failed/retried start must not lose the
-                # onboarding corpus, and passing initialState to a
-                # restart is harmless (Spark consumes it only on the
-                # first batch of a fresh checkpoint)
-                corpus = initial_corpus or getattr(
-                    self, "_tws_initial_corpus", None
-                )
+                # onboarding corpus (Spark consumes initialState only
+                # on batch 0 of a fresh checkpoint). Explicit None
+                # check — DataFrame truthiness is fragile (pandas-on-
+                # Spark frames define __len__).
+                stash = getattr(self, "_tws_initial_corpus", None)
+                corpus = initial_corpus if initial_corpus is not None else stash
+                committed = self._committed_batches(checkpoint_dir)
+                if corpus is not None and committed > 0:
+                    if (
+                        initial_corpus is None
+                        and getattr(self, "_tws_stash_checkpoint", None)
+                        == checkpoint_dir
+                    ):
+                        # the stash was handed to THIS checkpoint's
+                        # batch 0 and that batch committed — clean
+                        # restart, nothing left to onboard
+                        corpus = None
+                    else:
+                        raise ValueError(
+                            "initial_corpus would be silently IGNORED: "
+                            "Spark consumes transformWithState "
+                            "initialState only on batch 0 of a fresh "
+                            "checkpoint, and this checkpoint already "
+                            f"has {committed} committed batch(es). The "
+                            "onboarding docs would get no band state, "
+                            "so their future duplicates would re-admit "
+                            "and double-commit. Either keep streaming "
+                            "on this checkpoint WITHOUT a backfill, or "
+                            "rebuild on a FRESH checkpoint with "
+                            "initial_corpus=committed()."
+                        )
+                if corpus is not None and committed == 0:
+                    # record where batch 0 will consume the stash, so a
+                    # later restart on the same checkpoint is recognized
+                    # as already-onboarded instead of raising
+                    self._tws_stash_checkpoint = checkpoint_dir
                 if corpus is None and self._base_layer_exists():
                     from sarkac_spark.streaming.stateful_ingest_dedup import (
                         _fs_entry_count,
@@ -457,29 +508,38 @@ class StreamingCuratorPipeline:
         # rule: a scratch IncrementalDedupPipeline has no prior store,
         # so dedup_batch is a pure within-corpus pass (nothing is ever
         # written under the scratch dir)
+        import shutil
         import tempfile
 
-        scratch = IncrementalDedupPipeline(
-            self.spark,
-            tempfile.mkdtemp(prefix="backfill_scratch_"),
-            id_col=self.id_col,
-            text_col=self.text_col,
-            minhash=(self.config.get("dedup") or {}).get("minhash"),
-        )
-        d = scratch.dedup_batch(d, epoch_id=-1)
-        if "domain_cap" in self.config:
-            d = apply_domain_quota(
-                d, None, self.config["domain_cap"], self.id_col
+        scratch_dir = tempfile.mkdtemp(prefix="backfill_scratch_")
+        try:
+            scratch = IncrementalDedupPipeline(
+                self.spark,
+                scratch_dir,
+                id_col=self.id_col,
+                text_col=self.text_col,
+                minhash=(self.config.get("dedup") or {}).get("minhash"),
             )
-        if self.engine == "tws":
-            # no seed trigger at all: write the base stores now, stash
-            # the survivors — the next start() hands them to the
-            # operator as initialState (batch-0 onboarding)
-            d = d.localCheckpoint(eager=True)
-            n = self._stateful.onboard_base_layer(d)
-            self._tws_initial_corpus = d
-            return n
-        return self._stateful.bootstrap_state(d, checkpoint_dir, source_dir)
+            d = scratch.dedup_batch(d, epoch_id=-1)
+            if "domain_cap" in self.config:
+                d = apply_domain_quota(
+                    d, None, self.config["domain_cap"], self.id_col
+                )
+            if self.engine == "tws":
+                # no seed trigger at all: write the base stores now,
+                # stash the survivors — the next start() hands them to
+                # the operator as initialState (batch-0 onboarding)
+                d = d.localCheckpoint(eager=True)
+                n = self._stateful.onboard_base_layer(d)
+                self._tws_initial_corpus = d
+                return n
+            return self._stateful.bootstrap_state(
+                d, checkpoint_dir, source_dir
+            )
+        finally:
+            # nothing is ever written under the scratch dir, but the
+            # mkdtemp itself must not leak one dir per backfill call
+            shutil.rmtree(scratch_dir, ignore_errors=True)
 
     def compact(self, target_partitions: int | None = None) -> int:
         """Fold every committed epoch of all four stores into one base

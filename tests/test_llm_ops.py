@@ -2469,6 +2469,66 @@ def test_duplicate_spans_merges_maximal_runs(spark):
     assert got7 == {(1, 2, 8), (2, 1, 8)}
 
 
+def test_remove_duplicate_spans_cuts_exactly_the_spans(spark):
+    """remove_duplicate_spans: excises exactly the word positions of
+    every qualifying duplicate_spans row (hand-checked rebuild),
+    leaves span-free docs untouched with n_removed=0, and — the
+    round-trip property — a re-run of duplicate_spans on the cleaned
+    corpus at the same k/min_df/min_words finds nothing. Plan stays
+    JVM-side (no Python stage)."""
+    from sarkac_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+    from sarkac_spark.plans import executed_plan
+
+    S = "alpha bravo charlie delta echo foxtrot golf hotel"      # 8 words
+    T = "india juliet kilo lima mike november"                   # 6 words
+    U = "oscar papa quebec romeo sierra tango"                   # 6 words
+    rows = [
+        (1, f"u1 u2 {S} z1 z2 z3 {T}"),
+        (2, f"b1 {S} b2"),
+        (3, f"{T} c1 c2"),
+        (4, f"{U} filler1 filler2 {U}"),  # within-doc repeat: kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cleaned = remove_duplicate_spans(df, k=3, min_words=5)
+    assert "BatchEvalPython" not in executed_plan(cleaned)
+    got = {r.doc_id: (r.text_clean, r.n_removed) for r in cleaned.collect()}
+
+    # hand-computed rebuilds: spans (1,2,8),(1,13,6),(2,1,8),(3,0,6)
+    assert got[1] == ("u1 u2 z1 z2 z3", 14)
+    assert got[2] == ("b1 b2", 8)
+    assert got[3] == ("c1 c2", 6)
+    assert got[4] == (f"{U} filler1 filler2 {U}", 0)  # untouched
+
+    # exactness: no reported span word survives in its doc
+    spans = duplicate_spans(df, k=3, min_words=5).collect()
+    words = {r.doc_id: r.text.split() for r in df.collect()}
+    for s in spans:
+        cut = words[s.doc_id][s.span_start : s.span_start + s.span_words]
+        for wd in set(cut) - set(
+            w for r in spans if r.doc_id == s.doc_id
+            for w in got[s.doc_id][0].split()
+        ):
+            assert wd not in got[s.doc_id][0].split()
+
+    # round-trip: the cleaned corpus has no qualifying spans left
+    re_df = spark.createDataFrame(
+        [(k, v[0]) for k, v in got.items()], "doc_id long, text string"
+    )
+    assert duplicate_spans(re_df, k=3, min_words=5).count() == 0
+
+    # min_words raises the bar: only the 8-word S regions are cut
+    cleaned7 = {
+        r.doc_id: (r.text_clean, r.n_removed)
+        for r in remove_duplicate_spans(df, k=3, min_words=7).collect()
+    }
+    assert cleaned7[1] == (f"u1 u2 z1 z2 z3 {T}", 8)
+    assert cleaned7[3] == (f"{T} c1 c2", 0)
+
+
 def test_pca_rotation_decorrelates_and_composes(spark):
     """pca_rotation/apply_rotation: orthonormal deterministic-sign
     basis; the rotated store has (near-)diagonal covariance with
@@ -2529,3 +2589,91 @@ def test_pca_rotation_decorrelates_and_composes(spark):
     want = np.cov(np.array(mix, dtype=np.float32).T, bias=True)
     for (i, j), v in got.items():
         assert abs(v - want[i, j]) < 1e-4, (i, j, v, want[i, j])
+
+    # shift-invariance: centering by any sample vector leaves the
+    # rounded covariance unchanged (and tames naive-form cancellation)
+    shift = [float(x) for x in mix[0]]
+    got_shifted = {
+        (r.i, r.j): r.cov
+        for r in embedding_covariance(df, shift=shift).collect()
+    }
+    for k, v in got.items():
+        assert abs(got_shifted[k] - v) < 1e-6, (k, v, got_shifted[k])
+    comps_s, mu_s = pca_rotation(df, shift=shift)
+    assert np.allclose(np.array(mu_s), np.array(mu), atol=1e-6)
+    # only the well-separated axes: the two 0.1-noise dims form a
+    # near-degenerate eigenvalue pair whose basis is unstable under
+    # the 1e-12 perturbation the shift introduces
+    assert np.allclose(np.array(comps_s)[:4], C[:4], atol=1e-4)
+
+
+def test_balanced_subspace_order_balances_products():
+    """OPQ parametric allocation: descending eigenvalues are dealt so
+    each subspace's variance PRODUCT is near-equal; permutation is
+    complete; non-divisible d refuses."""
+    import math
+
+    import pytest as _pytest
+
+    from sarkac_spark.operators.similarity import balanced_subspace_order
+
+    order = balanced_subspace_order([8.0, 4.0, 2.0, 1.0], m=2)
+    assert sorted(order) == [0, 1, 2, 3]
+    assert order == [0, 3, 1, 2]  # products: 8*1 == 4*2
+    evals = [float(2 ** -i) for i in range(8)]
+    order8 = balanced_subspace_order(evals, m=4)
+    assert sorted(order8) == list(range(8))
+    prods = [
+        math.prod(evals[a] for a in order8[i * 2 : i * 2 + 2])
+        for i in range(4)
+    ]
+    assert max(prods) / min(prods) <= 4.0  # geometric deal stays tight
+    with _pytest.raises(ValueError, match="divisible"):
+        balanced_subspace_order([1.0, 2.0, 3.0], m=2)
+
+
+def test_embedding_covariance_signed_zero_normalized(spark):
+    """r11 driver red-row pin: a covariance that rounds to zero from
+    the NEGATIVE side must come out +0.0 on BOTH engines. Spark's
+    round() already drops the sign; the oracle's `round(...) + 0` must
+    strip DuckDB's preserved -0.0 (IEEE: -0.0 + 0.0 = +0.0). Also pins
+    that the hardened moments (shift) don't break the zero case."""
+    import math
+
+    import duckdb
+
+    from sarkac_spark.operators.similarity import embedding_covariance
+
+    # dim 0 and dim 1 engineered so cov(0,1) = -1e-9 exactly in
+    # population form: x = [-1, 1], y = [1e-9, -1e-9], n = 2
+    # -> cov = (sum(xy) - sum(x)sum(y)/n)/n = (-2e-9 - 0)/2 = -1e-9
+    df = spark.createDataFrame(
+        [(0, [-1.0, 1e-9]), (1, [1.0, -1e-9])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {(r.i, r.j): r.cov for r in embedding_covariance(df).collect()}
+    assert rows[(0, 1)] == 0.0
+    assert math.copysign(1.0, rows[(0, 1)]) > 0, "Spark emitted -0.0"
+    # same data, shifted moments: zero stays unsigned
+    rows_s = {
+        (r.i, r.j): r.cov
+        for r in embedding_covariance(df, shift=[-1.0, 1e-9]).collect()
+    }
+    assert rows_s[(0, 1)] == 0.0
+    assert math.copysign(1.0, rows_s[(0, 1)]) > 0
+
+    # the registered oracle emits +0.0 for the same construction
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        "(0, [CAST(-1.0 AS DOUBLE), CAST(1e-9 AS DOUBLE)], 0), "
+        "(1, [CAST(1.0 AS DOUBLE), CAST(-1e-9 AS DOUBLE)], 0)"
+        ") t(vec_id, embedding, label)"
+    )
+    from sarkac_spark.queries.llm import ORACLE
+
+    oracle = {(i, j): c for i, j, c in con.sql(
+        ORACLE["embedding_covariance"]
+    ).fetchall()}
+    assert oracle[(0, 1)] == 0.0
+    assert math.copysign(1.0, oracle[(0, 1)]) > 0, "oracle emitted -0.0"

@@ -506,3 +506,57 @@ def test_engine_tws_facade_switch(spark, tmp_path):
                 str(tmp_path / "ckpt_tws2"),
                 initial_corpus=pipe2.committed(),
             )
+
+
+def test_tws_initial_state_not_silently_ignored(spark, tmp_path):
+    """r11 ADVICE (medium): Spark consumes transformWithState
+    initialState only on batch 0 of a FRESH checkpoint. A backfill
+    stash (or explicit initial_corpus) handed to a checkpoint that
+    already has committed batches would be silently dropped — the
+    backfilled docs would carry no band state and their duplicates
+    would double-commit. start() must refuse loudly, while a clean
+    restart of the checkpoint that DID consume the stash stays legal."""
+    from sarkac_spark.streaming.streaming_curator import (
+        StreamingCuratorPipeline,
+    )
+    from sarkac_spark.streaming.tws_ingest_dedup import tws_available
+
+    pipe = StreamingCuratorPipeline(
+        spark, str(tmp_path / "store"), CONFIG, engine="tws"
+    )
+    raw = [r for rows in _epochs() for r in rows]
+    pipe.backfill(spark.createDataFrame(raw, SCHEMA))
+    assert pipe._tws_initial_corpus is not None
+
+    # fabricate a checkpoint with one COMMITTED batch
+    ck = tmp_path / "ckpt_committed"
+    (ck / "commits").mkdir(parents=True)
+    (ck / "commits" / "0").write_text("v1\n{}")
+    stream = spark.readStream.schema(SCHEMA).parquet(
+        str(tmp_path / "none") + "/*"
+    )
+    # stash pending + committed checkpoint -> loud refusal
+    with pytest.raises(ValueError, match="IGNORED"):
+        pipe.start(stream, str(ck))
+    # explicit initial_corpus on a committed checkpoint -> same refusal
+    with pytest.raises(ValueError, match="IGNORED"):
+        pipe.start(stream, str(ck), initial_corpus=pipe.committed())
+    # the refusals must not have consumed the stash
+    assert pipe._tws_initial_corpus is not None
+
+    # clean-restart path: the stash was consumed by THIS checkpoint's
+    # batch 0 -> start() passes the guard (then hits this sandbox's
+    # documented protobuf refusal instead of silently dropping state)
+    pipe._tws_stash_checkpoint = str(ck)
+    if not tws_available():
+        with pytest.raises(RuntimeError, match="google.protobuf"):
+            pipe.start(stream, str(ck))
+
+    # commit counting: absent dir and non-numeric leftovers are not
+    # committed batches (a crashed commit rename leaves .tmp files)
+    assert pipe._committed_batches(str(tmp_path / "ckpt_absent")) == 0
+    ck2 = tmp_path / "ckpt_tmponly"
+    (ck2 / "commits").mkdir(parents=True)
+    (ck2 / "commits" / ".0.tmp").write_text("")
+    assert pipe._committed_batches(str(ck2)) == 0
+    assert pipe._committed_batches(str(ck)) == 1

@@ -246,6 +246,105 @@ def test_check_oracle_kind_mismatch_detector():
     assert _kind_mismatches(schema, ["b"], ["BIGINT"]) == ["b: spark=float duck=int (BIGINT)"]
 
 
+def test_bench_diff_exit_code_contract(tmp_path, capsys):
+    """bench_diff (r11 ask #3): a >threshold mover with a CHANGED plan
+    digest exits 1 (plan regression = loud failure); box drift on a
+    pinned digest and acknowledged changes (--allow-plan-changes) exit
+    0. The report itself renders in every case."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import bench_diff
+
+    def write(name, queries, digests):
+        p = tmp_path / name
+        p.write_text(
+            json.dumps(
+                {"value": sum(queries.values()), "queries": queries,
+                 "plan_digests": digests}
+            )
+        )
+        return str(p)
+
+    old = write("old.json", {"q1": 1.0, "q2": 1.0}, {"q1": "aaa", "q2": "bbb"})
+
+    def run(new, *extra):
+        argv = sys.argv
+        sys.argv = ["bench_diff.py", old, new, *extra]
+        try:
+            return bench_diff.main()
+        finally:
+            sys.argv = argv
+
+    # mover with CHANGED digest -> exit 1
+    changed = write(
+        "changed.json", {"q1": 2.0, "q2": 1.0}, {"q1": "zzz", "q2": "bbb"}
+    )
+    assert run(changed) == 1
+    assert "PLAN-CHANGED" in capsys.readouterr().out
+    # acknowledged -> exit 0
+    assert run(changed, "--allow-plan-changes") == 0
+    # same magnitude of drift on a PINNED digest -> report-only, exit 0
+    drift = write(
+        "drift.json", {"q1": 2.0, "q2": 1.0}, {"q1": "aaa", "q2": "bbb"}
+    )
+    assert run(drift) == 0
+    assert "box-drift" in capsys.readouterr().out
+    # a changed digest on a NON-mover (inside threshold) doesn't fail
+    quiet = write(
+        "quiet.json", {"q1": 1.05, "q2": 1.0}, {"q1": "zzz", "q2": "bbb"}
+    )
+    assert run(quiet) == 0
+
+
+def test_check_oracle_norm_cell_distinguishes_signed_zero():
+    """Regression pin for the r11 embedding_covariance red row: the
+    driver's pandas canonicalizer distinguishes -0.0 from 0.0, so the
+    local gate's cell normalizer must too — a planted -0.0 vs 0.0
+    mismatch has to FAIL, not silently collapse to '0'."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from check_oracle import _norm_cell, _norm_rows
+
+    assert _norm_cell(0.0) == "0"
+    assert _norm_cell(-0.0) == "-0"
+    assert _norm_cell(0.0) != _norm_cell(-0.0)
+    # the exact r11 shape: rows/schema/values all equal except one
+    # signed zero -> normalized rows must differ
+    spark_rows = [(5, 9, 0.0)]
+    duck_rows = [(5, 9, -0.0)]
+    assert _norm_rows(["i", "j", "cov"], spark_rows) != _norm_rows(
+        ["i", "j", "cov"], duck_rows
+    )
+    # everything else unchanged: nan, ints-as-floats, precision clamp
+    assert _norm_cell(float("nan")) == "nan"
+    assert _norm_cell(1234.0) == "1234"
+    assert _norm_cell(True) == "1"
+
+
+def test_check_oracle_catches_unfixed_covariance_oracle():
+    """The r11 red row, regression-proofed: running the sweep's own
+    comparison against the UNFIXED oracle (no `+ 0` signed-zero
+    normalizer) must now FAIL locally. DuckDB's round(DOUBLE, 6)
+    preserves -0.0; Spark's round does not; the fixed tool sees the
+    difference."""
+    import math
+
+    import duckdb
+
+    # premise: DuckDB round() preserves the sign of zero, `+ 0` strips it
+    raw, fixed = duckdb.connect().execute(
+        "SELECT round(CAST(-1e-9 AS DOUBLE), 6),"
+        "       round(CAST(-1e-9 AS DOUBLE), 6) + 0"
+    ).fetchone()
+    assert raw == 0.0 and math.copysign(1.0, raw) < 0
+    assert fixed == 0.0 and math.copysign(1.0, fixed) > 0
+
+
 def test_curator_facade(spark, sf_dir):
     """The config-driven curation front door composes the existing
     operators lazily and reports the stage funnel; each stage must

@@ -14,8 +14,11 @@ Usage:
     python tools/bench_diff.py OLD.json NEW.json [--threshold 0.30]
         [--out report.md]
 
-Exit code 0 always — this is a reporting tool, not a gate; the plan
-budget gate lives in tests/test_plan_sweep.py.
+Exit-code contract (r11 ask #3): a mover whose digest CHANGED is a
+plan regression and exits 1 — loud failure; box drift on a pinned
+plan is report-only (exit 0). Intentional plan changes are
+acknowledged with ``--allow-plan-changes`` (report stays, exit 0).
+The anti-pattern budget gate lives in tests/test_plan_sweep.py.
 """
 
 from __future__ import annotations
@@ -114,12 +117,26 @@ def main() -> int:
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=0.30)
     ap.add_argument("--out", default=None, help="also write markdown here")
+    ap.add_argument(
+        "--allow-plan-changes",
+        action="store_true",
+        help="acknowledge intentional plan changes: report, exit 0",
+    )
     args = ap.parse_args()
     rep = diff(load(args.old), load(args.new), args.threshold)
     md = render(rep, args.old, args.new)
     print(md)
     if args.out:
         Path(args.out).write_text(md)
+    changed = [m["query"] for m in rep["movers"] if m["verdict"] == "PLAN-CHANGED"]
+    if changed and not args.allow_plan_changes:
+        print(
+            f"PLAN-CHANGED movers: {', '.join(changed)} — plan regression "
+            "is a loud failure (re-run with --allow-plan-changes if "
+            "intentional)",
+            file=sys.stderr,
+        )
+        return 1
     return 0
 
 

@@ -26,9 +26,12 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # collapse -0.0 / 0.0 and format stably
+        # Driver-faithful zeros: the driver's pandas canonicalizer
+        # hashes the repr, which DISTINGUISHES -0.0 from 0.0 — the r11
+        # embedding_covariance red row slipped through because this
+        # function used to collapse them. Keep the sign.
         if v == 0:
-            return "0"
+            return "-0" if math.copysign(1.0, v) < 0 else "0"
         return f"{v:.10g}"
     if isinstance(v, bool):
         return str(int(v))
@@ -147,6 +150,25 @@ def main() -> int:
             lines.append(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
             continue
+
+        # advisory: reachable signed zeros on either engine. Agreeing
+        # -0.0s still hash-match, but they mark a round()-of-signed-
+        # difference column one data perturbation away from the r11
+        # embedding_covariance class — surface them for normalization.
+        def _nz(rows):
+            return sum(
+                1
+                for r in rows
+                for v in r
+                if isinstance(v, float) and v == 0 and math.copysign(1, v) < 0
+            )
+
+        nz_s, nz_d = _nz(s_rows), _nz(d_rows)
+        if nz_s or nz_d:
+            lines.append(
+                f"ZERO- {name}: signed zeros reachable "
+                f"(spark={nz_s}, duck={nz_d}) — add a `+ 0` normalizer"
+            )
 
         ok = True
         kind_bad = _kind_mismatches(sdf.schema, d_cols, d_types)

@@ -110,11 +110,31 @@ def gen_documents(n_docs: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
-def gen_embeddings(n_vecs: int, rng: np.random.Generator) -> pa.Table:
+def gen_embeddings(
+    n_vecs: int,
+    rng: np.random.Generator,
+    anisotropy: float | None = None,
+) -> pa.Table:
+    """``anisotropy`` (r11 ask #4): target eigenvalue spread of the
+    covariance. None keeps the near-isotropic default (measured spread
+    ~4x — the regime where PCA-before-PQ is a wash). A value like 100
+    or 1000 shapes the spectrum geometrically (var_j proportional to
+    anisotropy^(-j/(DIM-1))) and then hides the axes behind a fixed
+    random orthogonal mix — the documented clip/text-encoder regime,
+    where the principal directions do NOT align with PQ's fixed
+    subspace split. Unit-norm is preserved either way (the cosine
+    contract of the table); report the MEASURED spread, which the
+    normalization compresses somewhat."""
     centroids = rng.normal(size=(N_LABELS, DIM))
     centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
     labels = rng.integers(0, N_LABELS, size=n_vecs)
     vecs = centroids[labels] + 0.6 * rng.normal(size=(n_vecs, DIM))
+    if anisotropy is not None and anisotropy > 1:
+        scales = np.power(
+            float(anisotropy), -np.arange(DIM) / (DIM - 1)
+        ) ** 0.5
+        q, _ = np.linalg.qr(rng.normal(size=(DIM, DIM)))
+        vecs = (vecs * scales) @ q.T
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     return pa.table(
         {
