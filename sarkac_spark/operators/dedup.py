@@ -877,6 +877,7 @@ def remove_duplicate_spans(
     k: int = 5,
     min_words: int = 12,
     min_doc_df: int = 2,
+    mask_token: str | None = None,
 ) -> DataFrame:
     """The removal consumer of ``duplicate_spans`` (Lee et al. 2022
     practice: don't just LOCATE verbatim cross-corpus regions — CUT
@@ -891,6 +892,14 @@ def remove_duplicate_spans(
     the cleaned corpus can in principle surface new (boundary-crossing)
     runs — Lee et al. iterate to a fixed point when that matters. What
     one pass guarantees exactly: no word of any reported span survives.
+
+    ``mask_token``: instead of excising, replace each covered word with
+    the token — word COUNT and offsets are preserved, so downstream
+    position-indexed metadata (span labels, alignment anchors) stays
+    valid; excision (the default) is the Lee-et-al corpus-cleaning
+    shape. Masking cannot butt words together, but runs of the mask
+    token are themselves shared across cleaned docs — don't feed a
+    masked corpus back into a dedup pass without dropping the token.
 
     Scale shape: ``duplicate_spans``'s three bounded shuffles, plus one
     doc-keyed grouped agg over ONLY the qualifying spans (a small
@@ -919,19 +928,29 @@ def remove_duplicate_spans(
     idx = F.when(
         F.size(w) > 0, F.sequence(F.lit(0), F.size(w) - 1)
     ).otherwise(F.array().cast("array<int>"))
-    kept = F.filter(
-        idx,
-        lambda i: ~F.exists(
-            sp, lambda s: (i >= s["s"]) & (i < s["s"] + s["n"])
-        ),
+    covered = lambda i: F.exists(  # noqa: E731
+        sp, lambda s: (i >= s["s"]) & (i < s["s"] + s["n"])
     )
+    kept = F.filter(idx, lambda i: ~covered(i))
+    if mask_token is None:
+        text_clean = F.array_join(
+            F.transform(kept, lambda i: F.element_at(w, i + 1)), " "
+        )
+    else:
+        text_clean = F.array_join(
+            F.transform(
+                idx,
+                lambda i: F.when(covered(i), F.lit(mask_token)).otherwise(
+                    F.element_at(w, i + 1)
+                ),
+            ),
+            " ",
+        )
     return (
         words.join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
-            F.array_join(
-                F.transform(kept, lambda i: F.element_at(w, i + 1)), " "
-            ).alias("text_clean"),
+            text_clean.alias("text_clean"),
             (F.size(w) - F.size(kept)).cast("long").alias("n_removed"),
         )
     )

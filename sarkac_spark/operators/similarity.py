@@ -836,6 +836,19 @@ def pca_rotation(
     the standard split for d in the hundreds. Sign convention: each
     component's largest-|coefficient| entry is made positive, so the
     basis is deterministic across runs/platforms."""
+    comps, mu, _, _ = _collect_pca(df, vec_col, shift)
+    return comps, mu
+
+
+def _collect_pca(
+    df: DataFrame, vec_col: str, shift: list[float] | None = None
+) -> tuple[list[list[float]], list[float], list[float], float]:
+    """Shared driver-side PCA assembly: ONE distributed moments pass,
+    d x d collect (bounded by contract), eigh. Returns (components,
+    mean, eigenvalues, offdiag_mass) with components/eigenvalues
+    descending and the deterministic sign convention applied;
+    offdiag_mass = sum|off-diagonal| / sum|diagonal| of the covariance
+    (the correlated-dimensions audit number)."""
     import numpy as np
 
     rows = _covariance_moments(df, vec_col, shift=shift).collect()
@@ -863,7 +876,60 @@ def pca_rotation(
         pivot = np.argmax(np.abs(comps[k]))
         if comps[k, pivot] < 0:
             comps[k] = -comps[k]
-    return comps.tolist(), mu.tolist()
+    diag = np.abs(np.diag(cov)).sum()
+    off = np.abs(cov).sum() - diag
+    offdiag_mass = float(off / max(diag, 1e-300))
+    return comps.tolist(), mu.tolist(), vals[order].tolist(), offdiag_mass
+
+
+def opq_rotation_decision(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    spread_threshold: float = 20.0,
+    offdiag_threshold: float = 3.0,
+) -> dict:
+    """The MEASURED gate for rotating an embedding store before a PQ
+    (re-)index — tools/probe_pca_pq.py, BENCH_PCA_PQ.json:
+
+    - near-isotropic corpora (eigenvalue spread ~2-4x, off-diag/diag
+      mass ~1-2): rotation is a wash (r11 null result, re-confirmed);
+    - anisotropic corpora (spread 100-1000x, the clip/text-encoder
+      regime): PLAIN PCA rotation makes PQ distortion WORSE (0.89-
+      0.93x — it concentrates all variance into the first subspaces),
+      while the eigenvalue-BALANCED order (``balanced_subspace_order``)
+      improves it 1.61-2.12x.
+
+    So the wired default is: rotate with the balanced order when
+    ``eig_spread > spread_threshold`` OR ``offdiag_mass >
+    offdiag_threshold`` (thresholds sit between the measured wash
+    regime [2.3 / 1.27] and the measured win regime [100 / 7.2]);
+    never rotate with the plain descending order. Returns a dict with
+    the audit numbers, the decision, and — when rotate is True —
+    ``components`` already balanced-permuted plus ``mean``, ready for
+    ``apply_rotation`` at index build (queries must ride the same
+    rotation; this is a re-index decision, not a per-query one).
+
+    Cost: one covariance moments pass (shuffle O(tasks x d^2)) and a
+    d x d driver collect — the same bounded contract as
+    ``pca_rotation``."""
+    comps, mu, evals, offdiag = _collect_pca(df, vec_col)
+    top = max(evals[0], 1e-300)
+    bot = max(evals[-1], 1e-300)
+    spread = top / bot
+    rotate = spread > spread_threshold or offdiag > offdiag_threshold
+    out = {
+        "rotate": rotate,
+        "eig_spread": spread,
+        "offdiag_mass": offdiag,
+        "spread_threshold": spread_threshold,
+        "offdiag_threshold": offdiag_threshold,
+    }
+    if rotate:
+        order = balanced_subspace_order(evals, m)
+        out["components"] = [comps[p] for p in order]
+        out["mean"] = mu
+    return out
 
 
 def balanced_subspace_order(

@@ -2528,6 +2528,21 @@ def test_remove_duplicate_spans_cuts_exactly_the_spans(spark):
     assert cleaned7[1] == (f"u1 u2 z1 z2 z3 {T}", 8)
     assert cleaned7[3] == (f"{T} c1 c2", 0)
 
+    # mask mode: word count and offsets preserved, covered words
+    # replaced, n_removed counts the masked words
+    masked = {
+        r.doc_id: (r.text_clean, r.n_removed)
+        for r in remove_duplicate_spans(
+            df, k=3, min_words=5, mask_token="<dup>"
+        ).collect()
+    }
+    m1 = masked[1][0].split()
+    assert len(m1) == len(rows[0][1].split())
+    assert m1[:2] == ["u1", "u2"] and m1[10:13] == ["z1", "z2", "z3"]
+    assert set(m1[2:10]) == {"<dup>"} and set(m1[13:]) == {"<dup>"}
+    assert masked[1][1] == 14
+    assert masked[4] == (rows[3][1], 0)
+
 
 def test_pca_rotation_decorrelates_and_composes(spark):
     """pca_rotation/apply_rotation: orthonormal deterministic-sign
@@ -2630,6 +2645,45 @@ def test_balanced_subspace_order_balances_products():
     assert max(prods) / min(prods) <= 4.0  # geometric deal stays tight
     with _pytest.raises(ValueError, match="divisible"):
         balanced_subspace_order([1.0, 2.0, 3.0], m=2)
+
+
+def test_opq_rotation_decision_gate(spark):
+    """opq_rotation_decision (r11 ask #4): near-isotropic stores stay
+    unrotated (the re-confirmed null regime); anisotropic stores get
+    rotate=True with a balanced-permuted orthonormal basis ready for
+    apply_rotation. Audit numbers ride along either way."""
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from gen_scale_data import gen_embeddings
+
+    from sarkac_spark.operators.similarity import opq_rotation_decision
+
+    def to_df(table):
+        return spark.createDataFrame(
+            table.to_pandas(), "vec_id long, embedding array<float>, label int"
+        )
+
+    iso = opq_rotation_decision(
+        to_df(gen_embeddings(400, np.random.default_rng(3))), m=8
+    )
+    assert iso["rotate"] is False
+    assert iso["eig_spread"] < 20 and iso["offdiag_mass"] < 3
+    assert "components" not in iso
+
+    aniso = opq_rotation_decision(
+        to_df(gen_embeddings(400, np.random.default_rng(3), anisotropy=200)),
+        m=8,
+    )
+    assert aniso["rotate"] is True
+    assert aniso["eig_spread"] > 20
+    C = np.array(aniso["components"])
+    assert C.shape == (64, 64)
+    assert np.allclose(C @ C.T, np.eye(64), atol=1e-8)  # still a rotation
+    assert len(aniso["mean"]) == 64
 
 
 def test_embedding_covariance_signed_zero_normalized(spark):
