@@ -320,10 +320,14 @@ def test_check_oracle_norm_cell_distinguishes_signed_zero():
     assert _norm_rows(["i", "j", "cov"], spark_rows) != _norm_rows(
         ["i", "j", "cov"], duck_rows
     )
-    # everything else unchanged: nan, ints-as-floats, precision clamp
+    # nan is still collapsed; floats are full-precision (shortest
+    # round-trip repr — a 12th-digit divergence must FAIL, same
+    # blind-spot class as the signed zero)
     assert _norm_cell(float("nan")) == "nan"
-    assert _norm_cell(1234.0) == "1234"
+    assert _norm_cell(1234.0) == "1234.0"
     assert _norm_cell(True) == "1"
+    a, b = 1.00000000001, 1.000000000011
+    assert _norm_cell(a) != _norm_cell(b)
 
 
 def test_check_oracle_catches_unfixed_covariance_oracle():

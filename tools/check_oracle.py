@@ -32,7 +32,13 @@ def _norm_cell(v):
         # function used to collapse them. Keep the sign.
         if v == 0:
             return "-0" if math.copysign(1.0, v) < 0 else "0"
-        return f"{v:.10g}"
+        # full precision (shortest round-trip repr), not %.10g: the
+        # driver hashes exact values, so a 12th-significant-digit
+        # divergence the old format collapsed would be a driver red
+        # row this tool called green (same blind-spot class as the
+        # signed zero). House round-6 rule means green queries are
+        # bit-identical anyway; this makes violations loud locally.
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
