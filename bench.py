@@ -200,12 +200,16 @@ def main() -> None:
     # tail keeps only the top-10 map (see below), which made
     # round-over-round regression attribution below the top-10
     # impossible from the committed artifacts (VERDICT r9). Default
-    # BENCH_LOCAL_full.json at the repo root; override with
-    # SPARK_GRAFT_BENCH_OUT (empty string disables).
-    out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        str(Path(__file__).resolve().parent / "BENCH_LOCAL_full.json"),
+    # BENCH_LOCAL_full.json at the repo root — but ONLY for the
+    # headline sf0.1 (a quick sf0.01 smoke must not clobber the
+    # committed sf0.1 record). Override with SPARK_GRAFT_BENCH_OUT
+    # (empty string disables).
+    default_out = (
+        str(Path(__file__).resolve().parent / "BENCH_LOCAL_full.json")
+        if sf_val == 0.1
+        else ""
     )
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", default_out)
     if out_path:
         try:
             with open(out_path, "w") as f:

@@ -901,6 +901,12 @@ def remove_duplicate_spans(
     token are themselves shared across cleaned docs — don't feed a
     masked corpus back into a dedup pass without dropping the token.
 
+    Docs with NO qualifying span pass through byte-identical (original
+    ``text_col``, rebuild skipped) — only spanned docs are re-joined,
+    which normalizes their whitespace to single spaces. At corpus scale
+    the untouched majority therefore costs no HOF work and diffs clean
+    against the input.
+
     Scale shape: ``duplicate_spans``'s three bounded shuffles, plus one
     doc-keyed grouped agg over ONLY the qualifying spans (a small
     fraction of the corpus) and one left join back on the doc id —
@@ -916,11 +922,14 @@ def remove_duplicate_spans(
             )
         ).alias("__spans")
     )
-    words = df.select(F.col(id_col), words_col(text_col).alias("__w"))
+    words = df.select(
+        F.col(id_col), F.col(text_col), words_col(text_col).alias("__w")
+    )
     w = F.col("__w")
-    # docs with no qualifying spans: one zero-length span covers
-    # nothing (coalesce needs an identically-typed literal; casting an
-    # empty array<string> to array<struct> is illegal)
+    # docs with no qualifying spans take the pass-through branch below;
+    # the coalesce keeps the HOF lambdas null-safe regardless of branch
+    # evaluation order (an empty array<string> cast to array<struct> is
+    # illegal, hence the typed one-element zero span)
     sp = F.coalesce(
         F.col("__spans"),
         F.array(F.struct(F.lit(0).alias("s"), F.lit(0).alias("n"))),
@@ -933,11 +942,11 @@ def remove_duplicate_spans(
     )
     kept = F.filter(idx, lambda i: ~covered(i))
     if mask_token is None:
-        text_clean = F.array_join(
+        rebuilt = F.array_join(
             F.transform(kept, lambda i: F.element_at(w, i + 1)), " "
         )
     else:
-        text_clean = F.array_join(
+        rebuilt = F.array_join(
             F.transform(
                 idx,
                 lambda i: F.when(covered(i), F.lit(mask_token)).otherwise(
@@ -946,12 +955,21 @@ def remove_duplicate_spans(
             ),
             " ",
         )
+    # span-free docs (the corpus majority) pass through byte-identical
+    # and skip the rebuild entirely — CASE short-circuits per row in
+    # codegen, so the HOF chain only runs for spanned docs
+    untouched = F.col("__spans").isNull()
     return (
         words.join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
-            text_clean.alias("text_clean"),
-            (F.size(w) - F.size(kept)).cast("long").alias("n_removed"),
+            F.when(untouched, F.col(text_col))
+            .otherwise(rebuilt)
+            .alias("text_clean"),
+            F.when(untouched, F.lit(0))
+            .otherwise(F.size(w) - F.size(kept))
+            .cast("long")
+            .alias("n_removed"),
         )
     )
 

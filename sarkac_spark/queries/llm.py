@@ -109,6 +109,31 @@ QUERIES = {
 }
 
 
+# Shared by the duplicate_spans oracle and its removal consumer — ONE
+# definition of "qualifying span" so the two can never silently diverge
+# on min_doc_df / run-merge / min-length semantics.
+_SPAN_CTES = f"""ws AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+grams AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         substr(md5(array_to_string(
+           list_slice(w, u.i + 1, u.i + {REPEAT_K}), ' ')), 1, 15) AS gh
+  FROM ws, UNNEST(range(0, greatest(len(w) - {REPEAT_K} + 1, 0))) AS u(i)
+),
+dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gh)),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start,
+         max(pos) - min(pos) + {REPEAT_K} AS span_words
+  FROM runs GROUP BY doc_id, grp
+  HAVING max(pos) - min(pos) + {REPEAT_K} >= {REPEAT_MIN_WORDS}
+)"""
+
+
 ORACLE = {
     "dedup_phash": _dedup_phash_sql(),
     "ivf_drift_trend": _ivf_drift_trend_sql(),
@@ -208,49 +233,13 @@ SELECT i, j,
 FROM pairs GROUP BY i, j
 """,
     "duplicate_spans": f"""
-WITH ws AS (SELECT doc_id, {_WORDS} AS w FROM documents),
-grams AS (
-  SELECT doc_id, CAST(u.i AS INT) AS pos,
-         substr(md5(array_to_string(
-           list_slice(w, u.i + 1, u.i + {REPEAT_K}), ' ')), 1, 15) AS gh
-  FROM ws, UNNEST(range(0, greatest(len(w) - {REPEAT_K} + 1, 0))) AS u(i)
-),
-dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
-hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gh)),
-runs AS (
-  SELECT doc_id, pos,
-         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM hits
-),
-spans AS (
-  SELECT doc_id, min(pos) AS span_start,
-         max(pos) - min(pos) + {REPEAT_K} AS span_words
-  FROM runs GROUP BY doc_id, grp
-)
+WITH {_SPAN_CTES}
 SELECT doc_id, span_start, CAST(span_words AS INT) AS span_words
-FROM spans WHERE span_words >= {REPEAT_MIN_WORDS}
+FROM spans
 """,
     "remove_duplicate_spans": f"""
-WITH ws AS (SELECT doc_id, {_WORDS} AS w FROM documents),
-grams AS (
-  SELECT doc_id, CAST(u.i AS INT) AS pos,
-         substr(md5(array_to_string(
-           list_slice(w, u.i + 1, u.i + {REPEAT_K}), ' ')), 1, 15) AS gh
-  FROM ws, UNNEST(range(0, greatest(len(w) - {REPEAT_K} + 1, 0))) AS u(i)
-),
-dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
-hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gh)),
-runs AS (
-  SELECT doc_id, pos,
-         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM hits
-),
-spans AS (
-  SELECT doc_id, min(pos) AS span_start,
-         max(pos) - min(pos) + {REPEAT_K} AS span_words
-  FROM runs GROUP BY doc_id, grp
-  HAVING max(pos) - min(pos) + {REPEAT_K} >= {REPEAT_MIN_WORDS}
-),
+WITH {_SPAN_CTES},
+sp_docs AS (SELECT DISTINCT doc_id FROM spans),
 -- adjacent qualifying runs closer than k words have overlapping
 -- covered ranges: dedupe positions, not spans
 covered AS (
@@ -258,10 +247,12 @@ covered AS (
   FROM spans,
        UNNEST(range(span_start, span_start + span_words)) AS u(p)
 ),
+-- rebuild ONLY the spanned docs (mirrors the Spark pass-through: the
+-- span-free majority keeps its original text byte-identical)
 sel AS (
   SELECT ws.doc_id, CAST(u.i AS INT) AS i,
          w[CAST(u.i AS INT) + 1] AS word
-  FROM ws, UNNEST(range(0, len(w))) AS u(i)
+  FROM ws JOIN sp_docs USING (doc_id), UNNEST(range(0, len(w))) AS u(i)
 ),
 keep AS (
   SELECT s.doc_id, s.i, s.word
@@ -273,10 +264,16 @@ agg AS (
          count(*) AS n_kept
   FROM keep GROUP BY doc_id
 )
-SELECT ws.doc_id,
-       coalesce(agg.text_clean, '') AS text_clean,
-       CAST(len(ws.w) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
-FROM ws LEFT JOIN agg USING (doc_id)
+SELECT d.doc_id,
+       CASE WHEN sd.doc_id IS NULL THEN d.text
+            ELSE coalesce(agg.text_clean, '') END AS text_clean,
+       CASE WHEN sd.doc_id IS NULL THEN 0
+            ELSE len(ws.w) - coalesce(agg.n_kept, 0)
+       END::BIGINT AS n_removed
+FROM documents d
+LEFT JOIN sp_docs sd USING (doc_id)
+LEFT JOIN ws USING (doc_id)
+LEFT JOIN agg USING (doc_id)
 """,
     "snapshot_diff": f"""
 WITH old AS (

@@ -785,8 +785,14 @@ class StatefulDedupPipeline:
                         )
                     _time.sleep(0.2)
             finally:
-                q.stop()
-                self.spark.streams.removeListener(listener)
+                # removeListener must run even if stop() throws (py4j /
+                # stream-teardown errors are routine): the accumulator
+                # is deliberately unbounded, so a leaked registration
+                # would grow with every later query in the session
+                try:
+                    q.stop()
+                finally:
+                    self.spark.streams.removeListener(listener)
             q.awaitTermination()
 
         self._write_base_layer(corpus_df, n_docs)

@@ -389,10 +389,17 @@ class StreamingCuratorPipeline:
                             "rebuild on a FRESH checkpoint with "
                             "initial_corpus=committed()."
                         )
-                if corpus is not None and committed == 0:
+                if (
+                    corpus is not None
+                    and committed == 0
+                    and initial_corpus is None
+                ):
                     # record where batch 0 will consume the stash, so a
                     # later restart on the same checkpoint is recognized
-                    # as already-onboarded instead of raising
+                    # as already-onboarded instead of raising. Only when
+                    # the STASH is what batch 0 consumes — an explicit
+                    # initial_corpus must not mark a still-unconsumed
+                    # stash as handled
                     self._tws_stash_checkpoint = checkpoint_dir
                 if corpus is None and self._base_layer_exists():
                     from sarkac_spark.streaming.stateful_ingest_dedup import (
@@ -532,6 +539,12 @@ class StreamingCuratorPipeline:
                 d = d.localCheckpoint(eager=True)
                 n = self._stateful.onboard_base_layer(d)
                 self._tws_initial_corpus = d
+                # a NEW stash is unconsumed by definition: forget any
+                # already-onboarded marker from a prior backfill, or
+                # start() on that checkpoint would take the clean-restart
+                # branch and silently drop THIS stash (the exact
+                # silent-ignore its guard exists to make loud)
+                self._tws_stash_checkpoint = None
                 return n
             return self._stateful.bootstrap_state(
                 d, checkpoint_dir, source_dir

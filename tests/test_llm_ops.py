@@ -2503,16 +2503,24 @@ def test_remove_duplicate_spans_cuts_exactly_the_spans(spark):
     assert got[3] == ("c1 c2", 6)
     assert got[4] == (f"{U} filler1 filler2 {U}", 0)  # untouched
 
-    # exactness: no reported span word survives in its doc
+    # exactness: text_clean is EXACTLY the words at positions not
+    # covered by any reported span, in order — recomputed here
+    # independently from the duplicate_spans evidence
     spans = duplicate_spans(df, k=3, min_words=5).collect()
     words = {r.doc_id: r.text.split() for r in df.collect()}
+    covered: dict[int, set[int]] = {}
     for s in spans:
-        cut = words[s.doc_id][s.span_start : s.span_start + s.span_words]
-        for wd in set(cut) - set(
-            w for r in spans if r.doc_id == s.doc_id
-            for w in got[s.doc_id][0].split()
-        ):
-            assert wd not in got[s.doc_id][0].split()
+        covered.setdefault(s.doc_id, set()).update(
+            range(s.span_start, s.span_start + s.span_words)
+        )
+    for doc_id, ws in words.items():
+        cov = covered.get(doc_id, set())
+        expect = " ".join(w for i, w in enumerate(ws) if i not in cov)
+        if cov:
+            assert got[doc_id] == (expect, len(cov))
+        else:
+            # span-free docs pass through byte-identical (no rebuild)
+            assert got[doc_id] == (dict(rows)[doc_id], 0)
 
     # round-trip: the cleaned corpus has no qualifying spans left
     re_df = spark.createDataFrame(
@@ -2542,6 +2550,18 @@ def test_remove_duplicate_spans_cuts_exactly_the_spans(spark):
     assert set(m1[2:10]) == {"<dup>"} and set(m1[13:]) == {"<dup>"}
     assert masked[1][1] == 14
     assert masked[4] == (rows[3][1], 0)
+
+    # untouched docs keep their ORIGINAL bytes — tabs, newlines, runs
+    # of spaces are NOT collapsed by a needless rebuild
+    df_ws = spark.createDataFrame(
+        [(10, "solo\tdoc  with\nirregular   spacing")],
+        "doc_id long, text string",
+    )
+    r = remove_duplicate_spans(df_ws, k=3, min_words=5).collect()[0]
+    assert (r.text_clean, r.n_removed) == (
+        "solo\tdoc  with\nirregular   spacing",
+        0,
+    )
 
 
 def test_pca_rotation_decorrelates_and_composes(spark):

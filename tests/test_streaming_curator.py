@@ -552,6 +552,27 @@ def test_tws_initial_state_not_silently_ignored(spark, tmp_path):
         with pytest.raises(RuntimeError, match="google.protobuf"):
             pipe.start(stream, str(ck))
 
+        # an EXPLICIT initial_corpus on a fresh checkpoint must not
+        # mark the still-pending stash as consumed — only batch 0
+        # actually fed the STASH may move the marker (r12 review)
+        with pytest.raises(RuntimeError, match="google.protobuf"):
+            pipe.start(
+                stream,
+                str(tmp_path / "ckpt_fresh"),
+                initial_corpus=pipe.committed(),
+            )
+        assert pipe._tws_stash_checkpoint == str(ck)
+
+    # a NEW backfill stash invalidates any already-onboarded marker:
+    # otherwise start() on that checkpoint would take the clean-restart
+    # branch and silently drop the fresh stash (r12 review)
+    pipe3 = StreamingCuratorPipeline(
+        spark, str(tmp_path / "store3"), CONFIG, engine="tws"
+    )
+    pipe3._tws_stash_checkpoint = "stale-ck"
+    pipe3.backfill(spark.createDataFrame(raw, SCHEMA))
+    assert pipe3._tws_stash_checkpoint is None
+
     # commit counting: absent dir and non-numeric leftovers are not
     # committed batches (a crashed commit rename leaves .tmp files)
     assert pipe._committed_batches(str(tmp_path / "ckpt_absent")) == 0
