@@ -890,8 +890,9 @@ def remove_duplicate_spans(
     Note the single-pass contract: excision can butt previously
     non-adjacent words together, so a RE-RUN of ``duplicate_spans`` on
     the cleaned corpus can in principle surface new (boundary-crossing)
-    runs — Lee et al. iterate to a fixed point when that matters. What
-    one pass guarantees exactly: no word of any reported span survives.
+    runs — ``remove_duplicate_spans_fp`` iterates to that fixed point
+    when it matters. What one pass guarantees exactly: no word of any
+    reported span survives.
 
     ``mask_token``: instead of excising, replace each covered word with
     the token — word COUNT and offsets are preserved, so downstream
@@ -972,6 +973,66 @@ def remove_duplicate_spans(
             .alias("n_removed"),
         )
     )
+
+
+def remove_duplicate_spans_fp(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_words: int = 12,
+    min_doc_df: int = 2,
+    max_iters: int = 3,
+) -> DataFrame:
+    """``remove_duplicate_spans`` iterated to a fixed point (the full
+    Lee et al. 2022 discipline): excision butts previously
+    non-adjacent words together, which can assemble NEW qualifying
+    cross-doc runs — e.g. two docs sharing a prefix and a suffix
+    around different middles become identical once the middles (each
+    independently duplicated elsewhere) are cut. One pass guarantees
+    only "no reported span survives"; the fixed point guarantees "the
+    cleaned corpus has no qualifying span at all".
+
+    Stops when a pass removes nothing or after ``max_iters`` passes
+    (each real-world pass shrinks total duplicated mass sharply, so
+    2-3 passes reach the fixed point in practice — Lee et al. report
+    one extra pass sufficing). Returns the same (id, text_clean,
+    n_removed) schema as the single-pass operator with ``n_removed``
+    summed across passes.
+
+    Scale shape: ``max_iters`` sequential full passes, each the
+    single-pass operator's bounded-shuffle plan over the CURRENT
+    corpus (monotonically shrinking). Each pass result is
+    ``localCheckpoint``-ed to truncate lineage (same device as
+    ``backfill``); the convergence probe per pass is a single-row
+    aggregate — bounded driver traffic, no per-doc collect."""
+    acc = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("text_clean"),
+        F.lit(0).cast("long").alias("n_removed"),
+    )
+    for _ in range(max_iters):
+        step = remove_duplicate_spans(
+            acc.select(F.col(id_col), F.col("text_clean").alias("__txt")),
+            id_col,
+            "__txt",
+            k,
+            min_words,
+            min_doc_df,
+        ).localCheckpoint(eager=True)
+        removed = step.agg(F.sum("n_removed").alias("r")).first()["r"] or 0
+        if removed == 0:
+            break
+        acc = (
+            acc.select(F.col(id_col), F.col("n_removed").alias("__acc"))
+            .join(step, id_col)
+            .select(
+                F.col(id_col),
+                F.col("text_clean"),
+                (F.col("__acc") + F.col("n_removed")).alias("n_removed"),
+            )
+        )
+    return acc
 
 
 def span_dedup(

@@ -66,6 +66,7 @@ QUERIES = {
     "dup_ngram_frac": q_dup_ngram_frac,
     "duplicate_spans": q_duplicate_spans,
     "remove_duplicate_spans": q_remove_duplicate_spans,
+    "remove_duplicate_spans_fp": q_remove_duplicate_spans_fp,
     "snapshot_diff": q_snapshot_diff,
     "dedup_canonical": q_dedup_canonical,
     "dedup_simhash": q_dedup_simhash,
@@ -109,28 +110,79 @@ QUERIES = {
 }
 
 
-# Shared by the duplicate_spans oracle and its removal consumer — ONE
-# definition of "qualifying span" so the two can never silently diverge
-# on min_doc_df / run-merge / min-length semantics.
-_SPAN_CTES = f"""ws AS (SELECT doc_id, {_WORDS} AS w FROM documents),
-grams AS (
+# Shared by the duplicate_spans oracle and its removal consumers — ONE
+# definition of "qualifying span" so they can never silently diverge
+# on min_doc_df / run-merge / min-length semantics. Parameterized by
+# source relation + CTE suffix so the fixed-point oracle can chain
+# passes (pass 1 over documents, pass 2 over pass 1's output).
+
+
+def _span_ctes(src: str, x: str = "") -> str:
+    """Evidence CTEs over ``src(doc_id, text)`` ending in
+    ``spans{x}(doc_id, span_start, span_words)``."""
+    return f"""ws{x} AS (SELECT doc_id, {_WORDS} AS w FROM {src}),
+grams{x} AS (
   SELECT doc_id, CAST(u.i AS INT) AS pos,
          substr(md5(array_to_string(
            list_slice(w, u.i + 1, u.i + {REPEAT_K}), ' ')), 1, 15) AS gh
-  FROM ws, UNNEST(range(0, greatest(len(w) - {REPEAT_K} + 1, 0))) AS u(i)
+  FROM ws{x}, UNNEST(range(0, greatest(len(w) - {REPEAT_K} + 1, 0))) AS u(i)
 ),
-dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
-hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gh)),
-runs AS (
+dup{x} AS (
+  SELECT gh FROM grams{x} GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+),
+hits{x} AS (SELECT doc_id, pos FROM grams{x} JOIN dup{x} USING (gh)),
+runs{x} AS (
   SELECT doc_id, pos,
          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM hits
+  FROM hits{x}
 ),
-spans AS (
+spans{x} AS (
   SELECT doc_id, min(pos) AS span_start,
          max(pos) - min(pos) + {REPEAT_K} AS span_words
-  FROM runs GROUP BY doc_id, grp
+  FROM runs{x} GROUP BY doc_id, grp
   HAVING max(pos) - min(pos) + {REPEAT_K} >= {REPEAT_MIN_WORDS}
+)"""
+
+
+def _span_removal_pass(src: str, x: str) -> str:
+    """One full excision pass over ``src(doc_id, text)``: evidence CTEs
+    plus the rebuild, ending in ``cleaned{x}(doc_id, text, n_removed)``.
+    Mirrors the Spark pass-through: only spanned docs are rebuilt."""
+    return f"""{_span_ctes(src, x)},
+sp_docs{x} AS (SELECT DISTINCT doc_id FROM spans{x}),
+covered{x} AS (
+  SELECT DISTINCT doc_id, CAST(u.p AS INT) AS pos
+  FROM spans{x},
+       UNNEST(range(span_start, span_start + span_words)) AS u(p)
+),
+sel{x} AS (
+  SELECT ws{x}.doc_id, CAST(u.i AS INT) AS i,
+         w[CAST(u.i AS INT) + 1] AS word
+  FROM ws{x} JOIN sp_docs{x} USING (doc_id),
+       UNNEST(range(0, len(w))) AS u(i)
+),
+keep{x} AS (
+  SELECT s.doc_id, s.i, s.word
+  FROM sel{x} s
+  LEFT JOIN covered{x} c ON s.doc_id = c.doc_id AND s.i = c.pos
+  WHERE c.pos IS NULL
+),
+agg{x} AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS text_clean,
+         count(*) AS n_kept
+  FROM keep{x} GROUP BY doc_id
+),
+cleaned{x} AS (
+  SELECT d.doc_id,
+         CASE WHEN sd.doc_id IS NULL THEN d.text
+              ELSE coalesce(a.text_clean, '') END AS text,
+         CASE WHEN sd.doc_id IS NULL THEN 0
+              ELSE len(wx.w) - coalesce(a.n_kept, 0)
+         END::BIGINT AS n_removed
+  FROM {src} d
+  LEFT JOIN sp_docs{x} sd USING (doc_id)
+  LEFT JOIN ws{x} wx USING (doc_id)
+  LEFT JOIN agg{x} a USING (doc_id)
 )"""
 
 
@@ -233,47 +285,23 @@ SELECT i, j,
 FROM pairs GROUP BY i, j
 """,
     "duplicate_spans": f"""
-WITH {_SPAN_CTES}
+WITH {_span_ctes("documents")}
 SELECT doc_id, span_start, CAST(span_words AS INT) AS span_words
 FROM spans
 """,
     "remove_duplicate_spans": f"""
-WITH {_SPAN_CTES},
-sp_docs AS (SELECT DISTINCT doc_id FROM spans),
--- adjacent qualifying runs closer than k words have overlapping
--- covered ranges: dedupe positions, not spans
-covered AS (
-  SELECT DISTINCT doc_id, CAST(u.p AS INT) AS pos
-  FROM spans,
-       UNNEST(range(span_start, span_start + span_words)) AS u(p)
-),
--- rebuild ONLY the spanned docs (mirrors the Spark pass-through: the
--- span-free majority keeps its original text byte-identical)
-sel AS (
-  SELECT ws.doc_id, CAST(u.i AS INT) AS i,
-         w[CAST(u.i AS INT) + 1] AS word
-  FROM ws JOIN sp_docs USING (doc_id), UNNEST(range(0, len(w))) AS u(i)
-),
-keep AS (
-  SELECT s.doc_id, s.i, s.word
-  FROM sel s LEFT JOIN covered c ON s.doc_id = c.doc_id AND s.i = c.pos
-  WHERE c.pos IS NULL
-),
-agg AS (
-  SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS text_clean,
-         count(*) AS n_kept
-  FROM keep GROUP BY doc_id
-)
-SELECT d.doc_id,
-       CASE WHEN sd.doc_id IS NULL THEN d.text
-            ELSE coalesce(agg.text_clean, '') END AS text_clean,
-       CASE WHEN sd.doc_id IS NULL THEN 0
-            ELSE len(ws.w) - coalesce(agg.n_kept, 0)
-       END::BIGINT AS n_removed
-FROM documents d
-LEFT JOIN sp_docs sd USING (doc_id)
-LEFT JOIN ws USING (doc_id)
-LEFT JOIN agg USING (doc_id)
+WITH {_span_removal_pass("documents", "0")}
+SELECT doc_id, text AS text_clean, n_removed FROM cleaned0
+""",
+    # chained passes are exact: a pass over an already-fixed corpus
+    # removes nothing, so SQL unrolled to max_iters always equals the
+    # early-breaking Spark loop at the same max_iters
+    "remove_duplicate_spans_fp": f"""
+WITH {_span_removal_pass("documents", "0")},
+{_span_removal_pass("cleaned0", "1")}
+SELECT c1.doc_id, c1.text AS text_clean,
+       (c0.n_removed + c1.n_removed)::BIGINT AS n_removed
+FROM cleaned1 c1 JOIN cleaned0 c0 USING (doc_id)
 """,
     "snapshot_diff": f"""
 WITH old AS (

@@ -36,6 +36,7 @@ __all__ = [
     "q_dup_ngram_frac",
     "q_duplicate_spans",
     "q_remove_duplicate_spans",
+    "q_remove_duplicate_spans_fp",
     "q_contamination_spans",
     "_minhash_sql",
     "_ngram_jaccard_sql",
@@ -635,6 +636,25 @@ def q_remove_duplicate_spans(spark, sf_dir):
         "text",
         k=REPEAT_K,
         min_words=REPEAT_MIN_WORDS,
+    )
+
+
+def q_remove_duplicate_spans_fp(spark, sf_dir):
+    """``remove_duplicate_spans`` iterated to a fixed point (full Lee
+    et al. discipline): excision can butt words into NEW qualifying
+    cross-doc runs, so repeat until a pass removes nothing. Registered
+    at max_iters=2 — exact vs the 2-pass unrolled oracle whether or
+    not the corpus converges in one pass (a pass over a fixed corpus
+    is a no-op on both engines)."""
+    from sarkac_spark.operators.dedup import remove_duplicate_spans_fp
+
+    return remove_duplicate_spans_fp(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        k=REPEAT_K,
+        min_words=REPEAT_MIN_WORDS,
+        max_iters=2,
     )
 
 

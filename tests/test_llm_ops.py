@@ -2564,6 +2564,59 @@ def test_remove_duplicate_spans_cuts_exactly_the_spans(spark):
     )
 
 
+def test_remove_duplicate_spans_fp_reaches_fixed_point(spark):
+    """Fixed-point excision: cutting the duplicated middles makes docs
+    1 and 3 identical — a NEW qualifying run only a second pass can
+    see. The fp operator cuts it; single-pass provably cannot."""
+    from sarkac_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+        remove_duplicate_spans_fp,
+    )
+
+    Q1 = "q1a q1b q1c q1d"
+    Q2 = "q2a q2b q2c q2d"
+    D = "d1 d2 d3 d4 d5 d6 d7"
+    rows = [(1, f"{Q1} {D} {Q2}"), (2, f"e1 {D} e2"), (3, f"{Q1} {Q2}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # pass 1 cuts only D (the sole >=7-word cross-doc run): docs 1 and
+    # 3 become identical, doc 2 keeps its unique frame
+    one = {
+        r.doc_id: (r.text_clean, r.n_removed)
+        for r in remove_duplicate_spans(df, k=3, min_words=7).collect()
+    }
+    assert one[1] == (f"{Q1} {Q2}", 7)
+    assert one[2] == ("e1 e2", 7)
+    assert one[3] == (f"{Q1} {Q2}", 0)
+
+    got = {
+        r.doc_id: (r.text_clean, r.n_removed)
+        for r in remove_duplicate_spans_fp(
+            df, k=3, min_words=7, max_iters=3
+        ).collect()
+    }
+    assert got[1] == ("", 15)   # 7 (pass 1: D) + 8 (pass 2: Q1 Q2)
+    assert got[2] == ("e1 e2", 7)
+    assert got[3] == ("", 8)
+
+    # the fixed point holds: no qualifying span remains at the same
+    # k / min_words / min_doc_df
+    re_df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in got.items()], "doc_id long, text string"
+    )
+    assert duplicate_spans(re_df, k=3, min_words=7).count() == 0
+
+    # max_iters=1 degenerates to the single-pass operator
+    lim = {
+        r.doc_id: (r.text_clean, r.n_removed)
+        for r in remove_duplicate_spans_fp(
+            df, k=3, min_words=7, max_iters=1
+        ).collect()
+    }
+    assert lim == one
+
+
 def test_pca_rotation_decorrelates_and_composes(spark):
     """pca_rotation/apply_rotation: orthonormal deterministic-sign
     basis; the rotated store has (near-)diagonal covariance with
