@@ -712,6 +712,29 @@ def doc_spans(
     )
 
 
+def paragraph_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary: str = r"\n{2,}",
+) -> DataFrame:
+    """Structural-boundary span segmentation — the real-deployment
+    splitter ``span_dedup``'s fixed-window mode stands in for: one row
+    per non-blank boundary-delimited segment (paragraph by default),
+    (id, pos, span) with ``pos`` the ordinal among kept segments.
+    Map-only split + posexplode, same shape as ``doc_spans``. A doc
+    with no boundary match is one span: its own trimmed text; a doc
+    with only blank segments emits nothing (dropped downstream, like
+    an empty doc in window mode)."""
+    segs = F.transform(
+        F.split(F.col(text_col), boundary), lambda s: F.trim(s)
+    )
+    kept = F.filter(segs, lambda s: s != F.lit(""))
+    return df.select(
+        F.col(id_col), F.posexplode(kept).alias("pos", "span")
+    )
+
+
 def hot_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1040,6 +1063,8 @@ def span_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     span_words: int = 10,
+    boundary: str | None = None,
+    joiner: str = " ",
 ) -> DataFrame:
     """C4/Dolma-style sub-document dedup: drop every later occurrence of
     a repeated text span ACROSS the whole corpus, keeping only the first
@@ -1049,9 +1074,12 @@ def span_dedup(
     Exact-duplicate paragraphs — boilerplate headers, license blocks,
     navigation chrome — are the dominant repetition mode in web-scale
     training data, and document-level dedup never sees them. Real
-    deployments split on structural boundaries (newlines / sentence
-    breaks); the test corpus has none, so the unit here is a fixed
-    ``span_words``-word window — same plan, different splitter.
+    deployments split on structural boundaries: pass ``boundary`` (a
+    split regex, e.g. ``r"\\n{2,}"`` for paragraphs) to dedup
+    boundary-delimited segments via ``paragraph_spans`` and rejoin the
+    survivors with ``joiner`` (use ``"\\n\\n"`` to round-trip the
+    paragraph structure). Default is the fixed ``span_words``-word
+    window (``doc_spans``) — same plan, different splitter.
 
     Scale shape: explode to one row per span (map-only), ONE shuffle on
     the span's 60-bit md5 to pick global first occurrences, one shuffle
@@ -1069,7 +1097,11 @@ def span_dedup(
     Returns (id, text_dedup, n_spans, n_kept); documents whose every
     span was a later duplicate keep an empty text_dedup.
     """
-    spans = doc_spans(df, id_col, text_col, span_words)
+    spans = (
+        paragraph_spans(df, id_col, text_col, boundary)
+        if boundary is not None
+        else doc_spans(df, id_col, text_col, span_words)
+    )
     # span joins the hash in the grouping key: the 60-bit prefix is only
     # a shuffle-narrowing key, so a hash collision between distinct spans
     # lands them in distinct groups instead of silently dropping one.
@@ -1096,7 +1128,7 @@ def span_dedup(
                     ),
                     lambda s: s.getField("span"),
                 ),
-                " ",
+                joiner,
             ).alias("text_dedup"),
             F.count(F.lit(1)).alias("n_kept"),
         )

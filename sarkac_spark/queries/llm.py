@@ -84,6 +84,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "span_dedup": q_span_dedup,
+    "paragraph_dedup": q_paragraph_dedup,
     "hot_spans": q_hot_spans,
     "temperature_sample": q_temperature_sample,
     "vocab_coverage": q_vocab_coverage,
@@ -471,6 +472,39 @@ first AS (
 totals AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1),
 rebuilt AS (
   SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text_dedup,
+         count(*) AS n_kept
+  FROM first WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(r.text_dedup, '') AS text_dedup, t.n_spans,
+       coalesce(r.n_kept, 0) AS n_kept
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+""",
+    # structural-boundary variant of span_dedup: RE2's '\\n{{2,}}'
+    # pattern-escape matches Java's on the Spark side; the joiner is
+    # built from chr(10) because a DuckDB plain string literal does
+    # NOT interpret backslash escapes
+    "paragraph_dedup": """
+WITH segs AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split_regex(text, '\\n{2,}'),
+                          s -> trim(s)),
+           s -> s <> '') AS ps
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos, ps[CAST(u.i AS INT) + 1] AS span
+  FROM segs, UNNEST(range(0, len(ps))) AS u(i)
+),
+first AS (
+  SELECT doc_id, pos, span, row_number() OVER (
+    PARTITION BY substr(md5(span), 1, 15) ORDER BY doc_id, pos) AS rn
+  FROM spans
+),
+totals AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(span, chr(10) || chr(10) ORDER BY pos) AS text_dedup,
          count(*) AS n_kept
   FROM first WHERE rn = 1 GROUP BY doc_id
 )

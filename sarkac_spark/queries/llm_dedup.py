@@ -17,6 +17,7 @@ __all__ = [
     "q_dedup_simhash",
     "q_hot_spans",
     "q_span_dedup",
+    "q_paragraph_dedup",
     "q_ngram_jaccard",
     "q_decontamination",
     "q_semantic_dedup",
@@ -179,6 +180,24 @@ def q_span_dedup(spark, sf_dir):
     from sarkac_spark.operators.dedup import span_dedup
 
     return span_dedup(_docs(spark, sf_dir), "doc_id", "text", span_words=SPAN_WORDS)
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """span_dedup in its real-deployment shape: structural-boundary
+    segments (blank-line paragraphs) instead of fixed word windows —
+    the splitter that catches whole boilerplate paragraphs (headers,
+    license blocks, navigation chrome) as units. Corpus docs without
+    boundaries degenerate to whole-doc exact dedup, which is precisely
+    the semantics: one segment, first occurrence kept."""
+    from sarkac_spark.operators.dedup import span_dedup
+
+    return span_dedup(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        boundary=r"\n{2,}",
+        joiner="\n\n",
+    )
 
 
 def q_ngram_jaccard(spark, sf_dir):

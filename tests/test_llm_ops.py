@@ -777,6 +777,35 @@ def test_span_dedup_fully_duplicate_doc_empties(spark):
     assert out[2].text_dedup == "" and out[2].n_kept == 0 and out[2].n_spans == 1
 
 
+def test_span_dedup_paragraph_boundary_mode(spark):
+    """span_dedup with boundary=: segments are blank-line paragraphs,
+    duplicates drop whole boilerplate blocks, survivors rejoin with
+    the paragraph joiner, blank segments vanish, and a boundary-free
+    doc degenerates to whole-doc exact dedup."""
+    from sarkac_spark.operators.dedup import span_dedup
+
+    B = "license boilerplate block"
+    rows = [
+        (1, f"intro one\n\n{B}\n\nbody one"),
+        (2, f"{B}\n\nbody two"),
+        (3, "solo doc no boundaries"),
+        (4, "body one"),  # whole doc equals doc 1's third paragraph
+        (5, "\n\nalpha beta\n\n   \n\ngamma"),  # blank segments vanish
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_dedup, r.n_spans, r.n_kept)
+        for r in span_dedup(
+            df, boundary=r"\n{2,}", joiner="\n\n"
+        ).collect()
+    }
+    assert got[1] == (f"intro one\n\n{B}\n\nbody one", 3, 3)
+    assert got[2] == ("body two", 2, 1)  # B kept only at (1, 1)
+    assert got[3] == ("solo doc no boundaries", 1, 1)
+    assert got[4] == ("", 1, 0)  # later occurrence of doc 1's paragraph
+    assert got[5] == ("alpha beta\n\ngamma", 2, 2)
+
+
 def test_hot_spans_audit(spark):
     """The boilerplate audit surfaces the planted hot span first, with
     exact occurrence/doc counts, and respects min_df and top_k."""
