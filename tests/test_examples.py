@@ -62,6 +62,25 @@ def test_streaming_curation_job_smoke():
     assert "OK: backfill committed" in out.stdout
 
 
+def test_span_dedup_job_smoke():
+    """The exact-substring dedup lifecycle doc (round 12): evidence
+    pass, removal with byte-identical pass-through, fixed-point
+    iteration, and paragraph-boundary units — each stop asserts its
+    invariant internally."""
+    out = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "span_dedup_job.py")],
+        capture_output=True,
+        text=True,
+        timeout=400,
+        cwd=REPO,
+        check=False,
+    )
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    assert "OK: evidence pass localized 2 spans" in out.stdout
+    assert "OK: fixed point reached" in out.stdout
+    assert "OK: paragraph mode dropped" in out.stdout
+
+
 def test_analytics_job_smoke():
     """The analytics lifecycle doc (late round 8): bloom-gated join ==
     plain join, distributed top-10, batch sessionize, and the
