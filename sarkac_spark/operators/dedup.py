@@ -724,12 +724,15 @@ def paragraph_spans(
     (id, pos, span) with ``pos`` the ordinal among kept segments.
     Map-only split + posexplode, same shape as ``doc_spans``. A doc
     with no boundary match is one span: its own trimmed text; a doc
-    with only blank segments emits nothing (dropped downstream, like
-    an empty doc in window mode)."""
+    that is empty or all-blank emits ONE empty span — the same
+    contract as window mode (``words_col('')`` yields one ``''``
+    token), so switching modes never changes the output row set and
+    join-backs by doc id keep every document."""
     segs = F.transform(
         F.split(F.col(text_col), boundary), lambda s: F.trim(s)
     )
     kept = F.filter(segs, lambda s: s != F.lit(""))
+    kept = F.when(F.size(kept) > 0, kept).otherwise(F.array(F.lit("")))
     return df.select(
         F.col(id_col), F.posexplode(kept).alias("pos", "span")
     )

@@ -486,11 +486,15 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
     "paragraph_dedup": """
 WITH segs AS (
   SELECT doc_id,
-         list_filter(
-           list_transform(string_split_regex(text, '\\n{2,}'),
-                          s -> trim(s)),
-           s -> s <> '') AS ps
-  FROM documents
+         CASE WHEN len(psf) = 0 THEN [''] ELSE psf END AS ps
+  FROM (
+    SELECT doc_id,
+           list_filter(
+             list_transform(string_split_regex(text, '\\n{2,}'),
+                            s -> trim(s)),
+             s -> s <> '') AS psf
+    FROM documents
+  )
 ),
 spans AS (
   SELECT doc_id, CAST(u.i AS INT) AS pos, ps[CAST(u.i AS INT) + 1] AS span

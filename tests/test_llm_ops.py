@@ -805,6 +805,24 @@ def test_span_dedup_paragraph_boundary_mode(spark):
     assert got[4] == ("", 1, 0)  # later occurrence of doc 1's paragraph
     assert got[5] == ("alpha beta\n\ngamma", 2, 2)
 
+    # empty / all-blank docs emit ONE ''-span — the same row contract
+    # as window mode (words_col('') yields one '' token), so switching
+    # modes never drops documents from the output
+    blank_df = spark.createDataFrame(
+        [(6, ""), (7, " \n\n  "), (8, "word")], "doc_id long, text string"
+    )
+    win_ids = {r.doc_id for r in span_dedup(blank_df, span_words=10).collect()}
+    par = {
+        r.doc_id: (r.text_dedup, r.n_spans, r.n_kept)
+        for r in span_dedup(
+            blank_df, boundary=r"\n{2,}", joiner="\n\n"
+        ).collect()
+    }
+    assert set(par) == win_ids == {6, 7, 8}
+    assert par[6] == ("", 1, 1)  # first ''-span keeps (vacuously)
+    assert par[7] == ("", 1, 0)  # later ''-span deduped against doc 6
+    assert par[8] == ("word", 1, 1)
+
 
 def test_hot_spans_audit(spark):
     """The boilerplate audit surfaces the planted hot span first, with
