@@ -83,6 +83,12 @@ def sigma_scan(
     group_cols = list(group_cols)
     as_of = df.agg(F.max(ts_col).alias("__as_of"))
     facts = df.crossJoin(F.broadcast(as_of))
+    if score_df is None:
+        # facts feeds the stats aggregation AND the scoring target —
+        # two corpus derivations without a barrier (r12). In streaming
+        # mode (score_df given) facts feeds only the stats leg, so the
+        # barrier would be pure materialization cost there — skip it.
+        facts = facts.localCheckpoint(eager=False)
     stats = trailing_window_stats(
         facts,
         group_cols,
@@ -251,6 +257,11 @@ def online_sigma_scan(
         ).alias("__cnt"),
     )
 
+    # barrier: ``pref`` feeds the real-rows leg AND the probe leg; the
+    # window pass (union + per-series sort + prefix sums — the
+    # expensive stage) would otherwise run twice (r12)
+    pref = pref.localCheckpoint(eager=False)
+
     rows = pref.filter("__is_real")
     probes = pref.filter(~F.col("__is_real")).select(
         *group_cols,
@@ -333,7 +344,10 @@ def robust_sigma_scan(
     group_cols = list(group_cols)
     windows = sorted(set(windows))
     as_of = df.agg(F.max(ts_col).alias("__as_of"))
-    facts = df.crossJoin(F.broadcast(as_of))
+    # barrier: facts feeds THREE legs (median agg, MAD join+agg, final
+    # scoring join) — without it the corpus re-derived per leg (r12:
+    # 13 runtime scans for robust_sigma)
+    facts = df.crossJoin(F.broadcast(as_of)).localCheckpoint(eager=False)
 
     med_aggs: list[F.Column] = []
     for w in windows:

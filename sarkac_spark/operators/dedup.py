@@ -289,8 +289,20 @@ def dedup_minhash(
     ``max_band_df`` (on by default) bounds the band self-join's fanout —
     see MINHASH_MAX_BAND_DF; hot bands audit via ``minhash_hot_bands``."""
     hashed = _hashed_shingles(df, id_col, text_col, shingle_n)
-    doc = hashed.groupBy(id_col).agg(
-        *_minhash_aggs(k), F.collect_set("h60").alias("__sh_set")
+    # The doc-level aggregate feeds THREE legs (band keys, set_a, set_b)
+    # plus the band-cap's count leg. Catalyst prunes each leg to a
+    # DIFFERENT aggregate (mh_* only vs __sh_set only), so the pruned
+    # exchanges never canonicalize equal and ReuseExchange recovers only
+    # part of it — measured r12: 9 corpus scans / 19 exchanges at
+    # runtime. One lazy localCheckpoint materializes the shingle
+    # explode + md5 + agg ONCE (O(corpus) rows of sigs+hash-sets,
+    # memory-and-disk — far cheaper than re-scanning and re-hashing the
+    # corpus per leg; guide §8's "fingerprint once, decide on the small
+    # relation" shape). Lazy, so merely building the plan runs no job.
+    doc = (
+        hashed.groupBy(id_col)
+        .agg(*_minhash_aggs(k), F.collect_set("h60").alias("__sh_set"))
+        .localCheckpoint(eager=False)
     )
     cands = minhash_lsh_candidates(
         doc.select(id_col, *[f"mh_{i}" for i in range(k)]),
@@ -446,8 +458,12 @@ def cross_contamination(
     semi-join (map-combined hot-key count, no unsplittable window task
     — see its docstring). ``None`` restores the uncapped measure.
     """
-    t = shingles(train, id_col, text_col, n=shingle_n).select(
-        F.col(id_col).alias("train_id"), _h60(F.col("shingle")).alias("h")
+    # barrier before the cap: its count + probe legs would otherwise
+    # re-run the train-side shingle explode (unshared exchanges, r12)
+    t = (
+        shingles(train, id_col, text_col, n=shingle_n)
+        .select(F.col(id_col).alias("train_id"), _h60(F.col("shingle")).alias("h"))
+        .localCheckpoint(eager=False)
     )
     t = _df_cap(t, "h", max_train_df)
     e = shingles(eval_df, id_col, text_col, n=shingle_n).select(
@@ -516,8 +532,11 @@ def contamination_spans(
             )
         ).alias("g"),
     ).select("eval_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
-    t = shingles(train, id_col, text_col, n=shingle_n).select(
-        F.col(id_col).alias("train_id"), _h60(F.col("shingle")).alias("h")
+    # same barrier-before-cap as cross_contamination (r12)
+    t = (
+        shingles(train, id_col, text_col, n=shingle_n)
+        .select(F.col(id_col).alias("train_id"), _h60(F.col("shingle")).alias("h"))
+        .localCheckpoint(eager=False)
     )
     t = _df_cap(t, "h", max_train_df)
     m = e.join(t, "h").select("eval_id", "train_id", "pos").distinct()
@@ -565,7 +584,33 @@ def ngram_jaccard_pairs(
     ``inverted_index(df, min_df=max_df + 1, max_df=2**62)``.
     ``max_df=None`` restores the uncapped exact measure for small
     corpora. At large n prefer ``dedup_minhash`` (LSH candidates)."""
-    sh = _df_cap(shingles(df, id_col, text_col, n=shingle_n), "shingle", max_df)
+    # raw shingles feed the df-cap's count AND probe legs (their
+    # exchanges carry different payloads, so they never collapse into
+    # one — measured r12); materialize the explode once
+    return ngram_jaccard_pairs_from_shingles(
+        shingles(df, id_col, text_col, n=shingle_n).localCheckpoint(eager=False),
+        id_col,
+        threshold=threshold,
+        max_df=max_df,
+    )
+
+
+def ngram_jaccard_pairs_from_shingles(
+    sh_raw: DataFrame,
+    id_col: str,
+    threshold: float = 0.5,
+    max_df: int | None = 256,
+) -> DataFrame:
+    """``ngram_jaccard_pairs`` over a prebuilt (id, shingle) relation —
+    the seam that lets callers computing shingles for OTHER purposes
+    too (minhash_recall's sketch arm) share one materialization instead
+    of re-exploding the corpus per arm."""
+    # the capped shingle relation feeds THREE legs (sizes, join side a,
+    # join side b) with different downstream keys (id vs shingle), so
+    # no exchange is shared between them — without a barrier the corpus
+    # is re-shingled per leg (measured r12 as part of minhash_recall's
+    # 24 runtime corpus scans). Materialize it once, lazily.
+    sh = _df_cap(sh_raw, "shingle", max_df).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed(id_col, "id_a")
     b = sh.withColumnRenamed(id_col, "id_b")
@@ -810,7 +855,13 @@ def dup_ngram_fraction(
             F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
         ).alias("__g"),
     )
-    per_doc_gram = occ.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__cnt"))
+    # barrier: ``per_doc_gram`` feeds the gram-df agg AND the join-back
+    # — without it the corpus n-gram explode re-ran per leg (r12)
+    per_doc_gram = (
+        occ.groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint(eager=False)
+    )
     gram_df = per_doc_gram.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
     return (
         per_doc_gram.join(gram_df, "__g")
@@ -868,6 +919,9 @@ def duplicate_spans(
             F.md5(F.array_join(F.slice(w, i + 1, k), " ")), 1, 15
         ),
     )
+    # barrier: ``occ`` feeds the duplicated-gram df agg AND the
+    # position join-back — without it the posexplode + md5 pass re-ran
+    # per leg (r12)
     occ = words.select(
         F.col(id_col),
         F.posexplode(
@@ -875,7 +929,7 @@ def duplicate_spans(
                 F.array().cast("array<string>")
             )
         ).alias("pos", "__gh"),
-    )
+    ).localCheckpoint(eager=False)
     dup = (
         occ.groupBy("__gh")
         .agg(F.count_distinct(F.col(id_col)).alias("__ddf"))
@@ -1100,11 +1154,13 @@ def span_dedup(
     Returns (id, text_dedup, n_spans, n_kept); documents whose every
     span was a later duplicate keep an empty text_dedup.
     """
+    # barrier: ``spans`` feeds the first-occurrence agg AND the per-doc
+    # totals — without it the span explode re-ran per leg (r12)
     spans = (
         paragraph_spans(df, id_col, text_col, boundary)
         if boundary is not None
         else doc_spans(df, id_col, text_col, span_words)
-    )
+    ).localCheckpoint(eager=False)
     # span joins the hash in the grouping key: the 60-bit prefix is only
     # a shuffle-narrowing key, so a hash collision between distinct spans
     # lands them in distinct groups instead of silently dropping one.
@@ -1218,7 +1274,15 @@ def winnow_pairs(
 
     Output: (id_a, id_b, n_shared), id_a < id_b.
     """
-    fps = _df_cap(winnow_fingerprints(df, id_col, text_col, k=k, w=w), "fp", max_df)
+    # two materialization barriers (r12): raw fingerprints feed the
+    # df-cap's count + probe legs (unshared exchanges), and the capped
+    # relation feeds both self-join sides — without them the HOF-heavy
+    # winnow pass (md5 per gram + window minima) ran up to 6x at
+    # runtime for one query.
+    raw = winnow_fingerprints(df, id_col, text_col, k=k, w=w).localCheckpoint(
+        eager=False
+    )
+    fps = _df_cap(raw, "fp", max_df).localCheckpoint(eager=False)
     a = fps.withColumnRenamed(id_col, "id_a")
     b = fps.withColumnRenamed(id_col, "id_b")
     return (
@@ -1312,10 +1376,15 @@ def dedup_minhash_incremental(
     """
     hashed = _hashed_shingles(df, id_col, text_col, shingle_n)
     flags = df.select(F.col(id_col), F.col(new_col).alias("__new"))
+    # same three-leg reuse as dedup_minhash (band keys / set_a / set_b):
+    # materialize the doc aggregate once instead of re-deriving the
+    # shingle explode per pruned leg — see dedup_minhash for the
+    # ReuseExchange-doesn't-fire-across-prunings rationale.
     doc = (
         hashed.groupBy(id_col)
         .agg(*_minhash_aggs(k), F.collect_set("h60").alias("__sh_set"))
         .join(flags, id_col)
+        .localCheckpoint(eager=False)
     )
     band_keys = _band_keys_expr(k, bands)
     banded = _cap_band_df(

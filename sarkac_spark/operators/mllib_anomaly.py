@@ -297,14 +297,21 @@ def projection_density_score(
             for t in range(n_tables)
         ]
     )
-    assigned = with_dots.select(
-        F.col(id_col), F.explode(tables).alias("tb")
-    ).select(id_col, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    # two barriers (r12): ``assigned`` feeds the occupancy agg AND the
+    # join-back (partial-agg vs raw exchanges never collapse), and
+    # ``per_id`` feeds the threshold agg AND the final projection —
+    # without them the corpus dots pass ran 4x at runtime.
+    assigned = (
+        with_dots.select(F.col(id_col), F.explode(tables).alias("tb"))
+        .select(id_col, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+        .localCheckpoint(eager=False)
+    )
     occ = assigned.groupBy("t", "bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
     per_id = (
         assigned.join(occ, ["t", "bucket"])
         .groupBy(id_col)
         .agg(F.round(F.avg("bucket_n"), 6).alias("mean_bucket_size"))
+        .localCheckpoint(eager=False)
     )
     thr = per_id.agg(
         F.round(
@@ -348,7 +355,13 @@ def minhash_table_pairs(
         _hashed_shingles,
     )
 
-    hashed = _hashed_shingles(df, id_col, text_col, shingle_n)
+    # the hashed-shingle relation feeds FOUR legs (signatures, set side
+    # a, set side b, sizes) under different downstream keys — without a
+    # barrier the shingle explode + md5 re-ran per leg (r12: 10 runtime
+    # corpus scans for minhash_scoring). Materialize it once, lazily.
+    hashed = _hashed_shingles(df, id_col, text_col, shingle_n).localCheckpoint(
+        eager=False
+    )
     sig_aggs = [
         F.min(
             (

@@ -340,6 +340,15 @@ def dedup_phash(
     """
     from sarkac_spark.operators.dedup import _df_cap
 
+    # ``hashes`` is usually the output of a mapInPandas DECODE stage —
+    # the dominant cost at scale (guide §4) — and this operator
+    # references it three times (band explode, __ba side, __bb side)
+    # under different downstream keys. Catalyst cannot reuse a subtree
+    # across those prunings, so without a barrier the decode re-runs
+    # per leg (measured r12: 16 MapInPandas invocations at runtime for
+    # dedup_video). One lazy localCheckpoint runs the decode exactly
+    # once; the materialized relation is just (id, band ints).
+    hashes = hashes.localCheckpoint(eager=False)
     banded = hashes.select(
         F.col(id_col),
         F.posexplode("dhash_bands").alias("band_idx", "band_val"),

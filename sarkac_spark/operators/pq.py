@@ -415,8 +415,12 @@ def _subvectors(
     id_col: str,
     vec_col: str,
     out_id: str | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, m, sv) — one row per (vector, subspace), map-only explode."""
+    """(id, [carry...,] m, sv) — one row per (vector, subspace),
+    map-only explode. ``carry`` columns ride along unchanged (the
+    fused bucket+code pass uses it to keep the IVF bucket on the
+    row)."""
     v = F.col(vec_col).cast("array<double>")
     sub = len(codebooks[0][0])
     parts = F.array(
@@ -429,9 +433,12 @@ def _subvectors(
         ]
     )
     name = out_id or id_col
+    carry_cols = [F.col(c) for c in carry]
     return df.select(
-        F.col(id_col).alias(name), F.explode(parts).alias("__s")
-    ).select(name, F.col("__s.m").alias("m"), F.col("__s.sv").alias("sv"))
+        F.col(id_col).alias(name), *carry_cols, F.explode(parts).alias("__s")
+    ).select(
+        name, *carry_cols, F.col("__s.m").alias("m"), F.col("__s.sv").alias("sv")
+    )
 
 
 def pq_assign_long(
@@ -439,13 +446,18 @@ def pq_assign_long(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, m, code) — one row per subspace, each vector snapped to its
-    nearest centroid (round-6 distance, centroid-index tie-break via a
-    lexicographic min over (d, c) structs). The codebooks ride a
-    broadcast dim join (see ``_codebook_dim``); per-vector cost is the
-    inherent m x k x sub multiplies. The long form is what ADC joins
-    consume, ``pq_assign`` pivots it for humans."""
+    """(id, [carry...,] m, code) — one row per subspace, each vector
+    snapped to its nearest centroid (round-6 distance, centroid-index
+    tie-break via a lexicographic min over (d, c) structs). The
+    codebooks ride a broadcast dim join (see ``_codebook_dim``);
+    per-vector cost is the inherent m x k x sub multiplies. The long
+    form is what ADC joins consume, ``pq_assign`` pivots it for humans.
+    ``carry`` columns pass through untouched — the seam that lets
+    ``ivfpq_store``/``ivfpq_topk`` keep the IVF bucket on the row and
+    derive (bucket, id, m, code) in ONE map-only corpus pass instead
+    of shuffle-joining two separate corpus derivations (r12)."""
     # collapse the dim to ONE row per subspace (m, [(c, cent), ...]) so
     # assignment stays MAP-ONLY: broadcast join on m, then an argmin
     # HOF over the k-element centroid array — no groupBy shuffle
@@ -454,7 +466,7 @@ def pq_assign_long(
         .groupBy("m")
         .agg(F.array_sort(F.collect_list(F.struct("c", "cent"))).alias("cents"))
     )
-    sub = _subvectors(df, codebooks, id_col, vec_col)
+    sub = _subvectors(df, codebooks, id_col, vec_col, carry=carry)
     scored = F.transform(
         F.col("cents"),
         lambda s: F.struct(
@@ -463,7 +475,7 @@ def pq_assign_long(
         ),
     )
     return sub.join(F.broadcast(cbm), "m").select(
-        id_col, "m", F.array_min(scored).getField("c").alias("code")
+        id_col, *carry, "m", F.array_min(scored).getField("c").alias("code")
     )
 
 
@@ -620,8 +632,19 @@ def ivfpq_topk(
     """
     from sarkac_spark.operators.similarity import assign_buckets
 
-    corpus_b = assign_buckets(df, centroids, id_col, vec_col, n_best=1).select(
-        F.col(id_col), F.col("bucket")
+    # ONE map-only corpus pass computes bucket AND codes together
+    # (both are per-row expressions over broadcast dims); the old shape
+    # derived them as two separate corpus scans and re-attached the
+    # codes with a corpus-sized shuffle join on the id (r12: 12 runtime
+    # parquet scans for this query). Candidates now come straight off
+    # the fused relation via the broadcast probe join — the plan is
+    # map-only until the per-(query, candidate) ADC sum.
+    codes_b = pq_assign_long(
+        assign_buckets(df, centroids, id_col, vec_col, n_best=1),
+        codebooks,
+        id_col,
+        "vec",
+        carry=("bucket",),
     )
     queries = df.filter(F.col(id_col) < n_queries)
     probes = assign_buckets(
@@ -630,20 +653,18 @@ def ivfpq_topk(
     # no distinct needed: each corpus vector lives in exactly ONE bucket
     # (n_best=1) and a query's probed buckets are distinct, so a
     # (query, candidate) pair can only arise once
-    cand = (
-        corpus_b.join(F.broadcast(probes), "bucket")
+    cand_codes = (
+        codes_b.join(F.broadcast(probes), "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", id_col)
+        .select("query_id", id_col, "m", "code")
     )
-    codes = pq_assign_long(df, codebooks, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
     tab = _adc_tables(q, codebooks)
     adist = (
-        cand.join(codes, id_col)
-        .join(F.broadcast(tab), ["query_id", "m", "code"])
+        cand_codes.join(F.broadcast(tab), ["query_id", "m", "code"])
         .groupBy("query_id", id_col)
         .agg(
             F.sum(F.round(F.col("d") * 1_000_000).cast("long")).alias(
@@ -733,11 +754,15 @@ def ivfpq_store(
     --scaled-nlist, BASELINE.md §d)."""
     from sarkac_spark.operators.similarity import assign_buckets
 
-    corpus_b = assign_buckets(df, centroids, id_col, vec_col, n_best=1).select(
-        F.col(id_col), F.col("bucket")
-    )
-    codes = pq_assign_long(df, codebooks, id_col, vec_col)
-    return corpus_b.join(codes, id_col).select("bucket", id_col, "m", "code")
+    # fused bucket+code pass (see ivfpq_topk): ONE corpus scan, no
+    # corpus-sized shuffle join re-attaching codes to buckets
+    return pq_assign_long(
+        assign_buckets(df, centroids, id_col, vec_col, n_best=1),
+        codebooks,
+        id_col,
+        "vec",
+        carry=("bucket",),
+    ).select("bucket", id_col, "m", "code")
 
 
 def ivfpq_query_store(

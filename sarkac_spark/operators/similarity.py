@@ -1112,12 +1112,18 @@ def semantic_dedup(
         F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
     ).withColumn("__dots", sign_dots(F.col("__v"), dim, n_bits, salt))
     bucket = bucket_from_dots(F.col("__dots"), n_bits)
+    # barriers (r12): ``av`` feeds the reps aggregation AND the member
+    # join-back; ``reps`` feeds three legs (lo, hi, membership join).
+    # Without them the corpus scan + sign-dot pass re-ran per leg
+    # (7 runtime scans for one semantic_dedup query).
     av = staged.select(
         "__id", bucket.alias("bucket"), "__v", norm(F.col("__v")).alias("__n")
-    )
+    ).localCheckpoint(eager=False)
     if tau < 1.0:
-        reps = av.groupBy("bucket", "__v", "__n").agg(
-            F.min("__id").alias("rep_id")
+        reps = (
+            av.groupBy("bucket", "__v", "__n")
+            .agg(F.min("__id").alias("rep_id"))
+            .localCheckpoint(eager=False)
         )
         lo = reps.select(
             F.col("rep_id").alias("lo_id"),

@@ -484,7 +484,14 @@ def tfidf_top_terms(
     words = df.select(
         F.col(id_col), F.explode(words_col(text_col)).alias("term")
     ).withColumn("term", F.lower(F.col("term")))
-    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # barrier: ``tf`` feeds the document-frequency agg AND the scored
+    # join under different keys — without it the term explode re-ran
+    # per leg (r12)
+    tf = (
+        words.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
     scored = (
@@ -661,12 +668,16 @@ def bigram_transitions(
     w = F.expr(f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')")
     shifted = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0)))
     bg = F.explode(F.arrays_zip(w.alias("head"), shifted.alias("nxt"))).alias("bg")
+    # barrier: ``pairs`` feeds the head totals AND the final join —
+    # without it the corpus bigram explode re-ran per leg (r12); the
+    # materialized relation is |observed bigrams| rows, tiny vs corpus
     pairs = (
         df.select(bg)
         .select(F.col("bg.head").alias("head"), F.col("bg.nxt").alias("nxt"))
         .filter(F.col("nxt").isNotNull())
         .groupBy("head", "nxt")
         .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint(eager=False)
     )
     heads = pairs.groupBy("head").agg(F.sum("n_ab").cast("long").alias("n_a"))
     rk = Window.partitionBy("head").orderBy(F.col("n_ab").desc(), F.col("nxt"))
@@ -765,6 +776,9 @@ def doc_lm_score(
     w = F.expr(f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')")
     shifted = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0)))
     bg = F.explode(F.arrays_zip(w.alias("head"), shifted.alias("nxt"))).alias("bg")
+    # barrier: ``doc_bigrams`` feeds FOUR legs (pair counts, the two
+    # vocab union sides, the final scoring join) — without it the
+    # corpus bigram explode re-ran per leg (r12: 9 runtime scans)
     doc_bigrams = (
         df.select(F.col(id_col), bg)
         .select(
@@ -773,6 +787,7 @@ def doc_lm_score(
             F.col("bg.nxt").alias("nxt"),
         )
         .filter(F.col("nxt").isNotNull())
+        .localCheckpoint(eager=False)
     )
     pairs = doc_bigrams.groupBy("head", "nxt").agg(
         F.count(F.lit(1)).alias("n_ab")
@@ -828,9 +843,11 @@ def group_vocab_jaccard(
         .select("g", F.lower(F.col("w")).alias("term"))
         .distinct()
     )
+    # barrier: ``by_term`` feeds the vocab-size leg AND the pair-combo
+    # leg; the runtime ReusedExchange only partially covered it (r12)
     by_term = vocab.groupBy("term").agg(
         F.array_sort(F.collect_set("g")).alias("gs")
-    )
+    ).localCheckpoint(eager=False)
     sizes = (
         by_term.select(F.explode("gs").alias("g"))
         .groupBy("g")

@@ -270,7 +270,9 @@ def q_delta_curation(spark, sf_dir):
     from sarkac_spark.operators.profiling import snapshot_diff
 
     old, new = _snapshot_pair(_docs(spark, sf_dir))
-    diff = snapshot_diff(old, new, "doc_id", "text")
+    # barrier: ``diff`` feeds the work list AND the final roll-up join
+    # — without it the snapshot full-outer diff re-ran per leg (r12)
+    diff = snapshot_diff(old, new, "doc_id", "text").localCheckpoint(eager=False)
     work_ids = diff.filter(F.col("status").isin("added", "changed")).select("doc_id")
     scored = logistic_quality_score(
         new.join(work_ids, "doc_id", "left_semi"), "doc_id", "text"

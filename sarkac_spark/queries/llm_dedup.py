@@ -407,18 +407,25 @@ def q_minhash_recall(spark, sf_dir):
     many does minhash banding surface as candidates at the configured
     (k, bands) operating point — 'measure the sketch, don't trust it'."""
     from sarkac_spark.operators.dedup import (
-        _hashed_shingles,
+        _h60,
         _minhash_aggs,
         minhash_lsh_candidates,
-        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_from_shingles,
+        shingles,
     )
 
     d = _docs(spark, sf_dir)
-    truth = ngram_jaccard_pairs(
-        d, "doc_id", "text", threshold=JACCARD_THRESHOLD, max_df=NGRAM_MAX_DF
+    # both arms (exact truth + minhash sketch) start from the SAME
+    # shingle explode; materialize it once (r12: the two arms plus
+    # their internal legs re-scanned the corpus 24x at runtime)
+    sh_raw = shingles(d, "doc_id", "text", 3).localCheckpoint(eager=False)
+    truth = ngram_jaccard_pairs_from_shingles(
+        sh_raw, "doc_id", threshold=JACCARD_THRESHOLD, max_df=NGRAM_MAX_DF
     ).select("id_a", "id_b")
     sigs = (
-        _hashed_shingles(d, "doc_id", "text", 3)
+        sh_raw.select(
+            F.col("doc_id"), (_h60(F.col("shingle")) % MINHASH_P).alias("h")
+        )
         .groupBy("doc_id")
         .agg(*_minhash_aggs(MINHASH_K))
     )

@@ -482,10 +482,14 @@ def q_pq_recall(spark, sf_dir):
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("d"), F.col("neighbor_id"))
+    # the exact arm is referenced twice (hits join + base); without a
+    # barrier the corpus-sized brute-force scoring pass runs twice —
+    # same device as ann_recall's checkpointed top-k relations (r12)
     exact = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
     approx = pq_adc_topk(
         _embs(spark, sf_dir), PQ_CODEBOOKS, n_queries=N_QUERIES, k=TOPK

@@ -276,13 +276,22 @@ def q_cms_term_counts(spark, sf_dir):
     from sarkac_spark.operators.dedup import words_col
     from sarkac_spark.operators.sketch import cms_estimate, count_min_sketch
 
+    # barriers (r12): ``toks`` feeds the exact counts AND the sketch
+    # build (the token explode would re-run), and ``top`` feeds the
+    # probe leg AND the final join (the exact-count agg + top-k would
+    # re-run)
     toks = (
         _docs(spark, sf_dir)
         .select(F.explode(words_col("text")).alias("term"))
         .select(F.lower(F.col("term")).alias("term"))
+        .localCheckpoint(eager=False)
     )
     exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("true_count"))
-    top = exact.orderBy(F.col("true_count").desc(), "term").limit(CMS_TOP)
+    top = (
+        exact.orderBy(F.col("true_count").desc(), "term")
+        .limit(CMS_TOP)
+        .localCheckpoint(eager=False)
+    )
     sk = count_min_sketch(toks, "term", depth=CMS_DEPTH, width=CMS_WIDTH)
     est = cms_estimate(
         sk, top.select("term"), "term", depth=CMS_DEPTH, width=CMS_WIDTH
@@ -338,10 +347,13 @@ def q_hll_distinct(spark, sf_dir):
     from sarkac_spark.operators.dedup import words_col
     from sarkac_spark.operators.sketch import hll_distinct
 
+    # barrier: ``toks`` feeds the exact distinct count AND the HLL
+    # register build — the token explode would otherwise re-run (r12)
     toks = (
         _docs(spark, sf_dir)
         .select("lang", F.explode(words_col("text")).alias("w"))
         .select("lang", F.lower(F.col("w")).alias("term"))
+        .localCheckpoint(eager=False)
     )
     exact = toks.groupBy("lang").agg(
         F.countDistinct("term").alias("true_distinct")
@@ -563,7 +575,12 @@ FROM est JOIN exact USING (lang)
 def _lang_shingles(spark, sf_dir):
     from sarkac_spark.operators.dedup import shingles
 
-    return shingles(_docs(spark, sf_dir), "lang", "text", n=3)
+    # barrier: both consumers (bloom_vocab, corpus_overlap) filter this
+    # relation into 2 sides and reference each side twice — without it
+    # the corpus shingle explode re-ran up to 4x at runtime (r12)
+    return shingles(_docs(spark, sf_dir), "lang", "text", n=3).localCheckpoint(
+        eager=False
+    )
 
 
 def q_bloom_vocab(spark, sf_dir):
@@ -577,7 +594,13 @@ def q_bloom_vocab(spark, sf_dir):
     from sarkac_spark.operators.sketch import bloom_build, bloom_might_contain
 
     sh = _lang_shingles(spark, sf_dir)
-    corpus = sh.filter(F.col("lang") != "en").select("shingle").distinct()
+    # corpus feeds the bloom build AND the exact `seen` audit join
+    corpus = (
+        sh.filter(F.col("lang") != "en")
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     probes = sh.filter(F.col("lang") == "en").select("shingle").distinct()
     bloom = bloom_build(corpus, "shingle", m_bits=BLOOM_M, k_hashes=BLOOM_K)
     flags = bloom_might_contain(bloom, probes, "shingle", BLOOM_M, BLOOM_K)
@@ -599,8 +622,13 @@ def q_corpus_overlap(spark, sf_dir):
     from sarkac_spark.operators.sketch import hll_overlap
 
     sh = _lang_shingles(spark, sf_dir)
-    a = sh.filter(F.col("lang") == "en").select("shingle")
-    b = sh.filter(F.col("lang") != "en").select("shingle")
+    # each side feeds the HLL estimate AND the exact-overlap audit
+    a = sh.filter(F.col("lang") == "en").select("shingle").localCheckpoint(
+        eager=False
+    )
+    b = sh.filter(F.col("lang") != "en").select("shingle").localCheckpoint(
+        eager=False
+    )
     est = hll_overlap(a, b, "shingle", b=OVERLAP_B)
     true = a.distinct().join(b.distinct(), "shingle").agg(
         F.count(F.lit(1)).alias("true_overlap")
