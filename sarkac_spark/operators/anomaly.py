@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from sarkac_spark.config import MIN_EVENTS_FOR_STATS, humanize_duration
 from sarkac_spark.operators.stats import trailing_window_stats
+from sarkac_spark.plans.audit import lazy_checkpoint
 
 
 def score_three_sigma(
@@ -88,7 +89,14 @@ def sigma_scan(
         # two corpus derivations without a barrier (r12). In streaming
         # mode (score_df given) facts feeds only the stats leg, so the
         # barrier would be pure materialization cost there — skip it.
-        facts = facts.localCheckpoint(eager=False)
+        # The explicit not-null filter re-establishes the scan pushdown
+        # the inner stats join used to inject (a null group can never
+        # match it), which the barrier would otherwise hide from the
+        # scan — result-identical, and the materialized relation skips
+        # unjoinable rows.
+        for g in group_cols:
+            facts = facts.filter(F.col(g).isNotNull())
+        facts = facts.transform(lazy_checkpoint)
     stats = trailing_window_stats(
         facts,
         group_cols,
@@ -151,6 +159,7 @@ def online_sigma_scan(
     min_count: int = MIN_EVENTS_FOR_STATS,
     id_cols: Sequence[str] = ("event_id",),
     round_digits: int | None = 6,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact-online sigma scan: each row is scored against the trailing
     stats of the *strictly earlier* points of its own series — the
@@ -259,8 +268,12 @@ def online_sigma_scan(
 
     # barrier: ``pref`` feeds the real-rows leg AND the probe leg; the
     # window pass (union + per-series sort + prefix sums — the
-    # expensive stage) would otherwise run twice (r12)
-    pref = pref.localCheckpoint(eager=False)
+    # expensive stage) would otherwise run twice (r12).
+    # ``materialize=False`` skips it — the naked-plan mode the
+    # frame-shape assertions in test_plans.py inspect (a checkpoint
+    # hides the window subtree behind a LogicalRDD).
+    if materialize:
+        pref = pref.transform(lazy_checkpoint)
 
     rows = pref.filter("__is_real")
     probes = pref.filter(~F.col("__is_real")).select(
@@ -346,8 +359,13 @@ def robust_sigma_scan(
     as_of = df.agg(F.max(ts_col).alias("__as_of"))
     # barrier: facts feeds THREE legs (median agg, MAD join+agg, final
     # scoring join) — without it the corpus re-derived per leg (r12:
-    # 13 runtime scans for robust_sigma)
-    facts = df.crossJoin(F.broadcast(as_of)).localCheckpoint(eager=False)
+    # 13 runtime scans for robust_sigma). Not-null pre-filter on the
+    # group keys: same pushdown-restoring, result-identical move as
+    # sigma_scan (null groups can never match the inner stats joins).
+    facts = df.crossJoin(F.broadcast(as_of))
+    for g in group_cols:
+        facts = facts.filter(F.col(g).isNotNull())
+    facts = facts.transform(lazy_checkpoint)
 
     med_aggs: list[F.Column] = []
     for w in windows:

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
+from sarkac_spark.plans.audit import lazy_checkpoint
 
 # 60-bit hash from the md5 hex prefix: fits a signed 64-bit long in both
 # engines (Spark: conv(hex,16,10) cast long; DuckDB: ('0x'||hex)::bigint).
@@ -302,7 +303,7 @@ def dedup_minhash(
     doc = (
         hashed.groupBy(id_col)
         .agg(*_minhash_aggs(k), F.collect_set("h60").alias("__sh_set"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     cands = minhash_lsh_candidates(
         doc.select(id_col, *[f"mh_{i}" for i in range(k)]),
@@ -463,7 +464,7 @@ def cross_contamination(
     t = (
         shingles(train, id_col, text_col, n=shingle_n)
         .select(F.col(id_col).alias("train_id"), _h60(F.col("shingle")).alias("h"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     t = _df_cap(t, "h", max_train_df)
     e = shingles(eval_df, id_col, text_col, n=shingle_n).select(
@@ -536,7 +537,7 @@ def contamination_spans(
     t = (
         shingles(train, id_col, text_col, n=shingle_n)
         .select(F.col(id_col).alias("train_id"), _h60(F.col("shingle")).alias("h"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     t = _df_cap(t, "h", max_train_df)
     m = e.join(t, "h").select("eval_id", "train_id", "pos").distinct()
@@ -588,7 +589,7 @@ def ngram_jaccard_pairs(
     # exchanges carry different payloads, so they never collapse into
     # one — measured r12); materialize the explode once
     return ngram_jaccard_pairs_from_shingles(
-        shingles(df, id_col, text_col, n=shingle_n).localCheckpoint(eager=False),
+        shingles(df, id_col, text_col, n=shingle_n).transform(lazy_checkpoint),
         id_col,
         threshold=threshold,
         max_df=max_df,
@@ -610,7 +611,7 @@ def ngram_jaccard_pairs_from_shingles(
     # no exchange is shared between them — without a barrier the corpus
     # is re-shingled per leg (measured r12 as part of minhash_recall's
     # 24 runtime corpus scans). Materialize it once, lazily.
-    sh = _df_cap(sh_raw, "shingle", max_df).localCheckpoint(eager=False)
+    sh = _df_cap(sh_raw, "shingle", max_df).transform(lazy_checkpoint)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed(id_col, "id_a")
     b = sh.withColumnRenamed(id_col, "id_b")
@@ -860,7 +861,7 @@ def dup_ngram_fraction(
     per_doc_gram = (
         occ.groupBy(id_col, "__g")
         .agg(F.count(F.lit(1)).alias("__cnt"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     gram_df = per_doc_gram.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
     return (
@@ -929,7 +930,7 @@ def duplicate_spans(
                 F.array().cast("array<string>")
             )
         ).alias("pos", "__gh"),
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_checkpoint)
     dup = (
         occ.groupBy("__gh")
         .agg(F.count_distinct(F.col(id_col)).alias("__ddf"))
@@ -1160,7 +1161,7 @@ def span_dedup(
         paragraph_spans(df, id_col, text_col, boundary)
         if boundary is not None
         else doc_spans(df, id_col, text_col, span_words)
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_checkpoint)
     # span joins the hash in the grouping key: the 60-bit prefix is only
     # a shuffle-narrowing key, so a hash collision between distinct spans
     # lands them in distinct groups instead of silently dropping one.
@@ -1282,7 +1283,7 @@ def winnow_pairs(
     raw = winnow_fingerprints(df, id_col, text_col, k=k, w=w).localCheckpoint(
         eager=False
     )
-    fps = _df_cap(raw, "fp", max_df).localCheckpoint(eager=False)
+    fps = _df_cap(raw, "fp", max_df).transform(lazy_checkpoint)
     a = fps.withColumnRenamed(id_col, "id_a")
     b = fps.withColumnRenamed(id_col, "id_b")
     return (
@@ -1384,7 +1385,7 @@ def dedup_minhash_incremental(
         hashed.groupBy(id_col)
         .agg(*_minhash_aggs(k), F.collect_set("h60").alias("__sh_set"))
         .join(flags, id_col)
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     band_keys = _band_keys_expr(k, bands)
     banded = _cap_band_df(

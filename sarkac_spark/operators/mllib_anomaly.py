@@ -36,6 +36,7 @@ from pyspark.ml.clustering import KMeans
 from pyspark.ml.feature import BucketedRandomProjectionLSH, MinHashLSH
 from pyspark.ml.functions import array_to_vector, vector_to_array
 from pyspark.ml.linalg import VectorUDT  # noqa: F401  (schema docs)
+from sarkac_spark.plans.audit import lazy_checkpoint
 
 
 def kmeans_anomaly(
@@ -304,14 +305,14 @@ def projection_density_score(
     assigned = (
         with_dots.select(F.col(id_col), F.explode(tables).alias("tb"))
         .select(id_col, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     occ = assigned.groupBy("t", "bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
     per_id = (
         assigned.join(occ, ["t", "bucket"])
         .groupBy(id_col)
         .agg(F.round(F.avg("bucket_n"), 6).alias("mean_bucket_size"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     thr = per_id.agg(
         F.round(

@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+from sarkac_spark.plans.audit import lazy_checkpoint
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -348,7 +349,7 @@ def dedup_phash(
     # per leg (measured r12: 16 MapInPandas invocations at runtime for
     # dedup_video). One lazy localCheckpoint runs the decode exactly
     # once; the materialized relation is just (id, band ints).
-    hashes = hashes.localCheckpoint(eager=False)
+    hashes = hashes.transform(lazy_checkpoint)
     banded = hashes.select(
         F.col(id_col),
         F.posexplode("dhash_bands").alias("band_idx", "band_val"),

@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
+from sarkac_spark.plans.audit import lazy_checkpoint
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -1118,12 +1119,12 @@ def semantic_dedup(
     # (7 runtime scans for one semantic_dedup query).
     av = staged.select(
         "__id", bucket.alias("bucket"), "__v", norm(F.col("__v")).alias("__n")
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_checkpoint)
     if tau < 1.0:
         reps = (
             av.groupBy("bucket", "__v", "__n")
             .agg(F.min("__id").alias("rep_id"))
-            .localCheckpoint(eager=False)
+            .transform(lazy_checkpoint)
         )
         lo = reps.select(
             F.col("rep_id").alias("lo_id"),

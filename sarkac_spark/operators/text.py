@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 
 from sarkac_spark.functions.ranking import rank_topk
 from sarkac_spark.operators.dedup import _h60, words_col
+from sarkac_spark.plans.audit import lazy_checkpoint
 
 # tiny per-language stopword profiles — an n-gram/stopword-ratio heuristic
 # (fastText-style lang-id is out of scope: no model files in this env)
@@ -490,7 +491,7 @@ def tfidf_top_terms(
     tf = (
         words.groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
@@ -677,7 +678,7 @@ def bigram_transitions(
         .filter(F.col("nxt").isNotNull())
         .groupBy("head", "nxt")
         .agg(F.count(F.lit(1)).alias("n_ab"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     heads = pairs.groupBy("head").agg(F.sum("n_ab").cast("long").alias("n_a"))
     rk = Window.partitionBy("head").orderBy(F.col("n_ab").desc(), F.col("nxt"))
@@ -787,7 +788,7 @@ def doc_lm_score(
             F.col("bg.nxt").alias("nxt"),
         )
         .filter(F.col("nxt").isNotNull())
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     pairs = doc_bigrams.groupBy("head", "nxt").agg(
         F.count(F.lit(1)).alias("n_ab")
@@ -847,7 +848,7 @@ def group_vocab_jaccard(
     # leg; the runtime ReusedExchange only partially covered it (r12)
     by_term = vocab.groupBy("term").agg(
         F.array_sort(F.collect_set("g")).alias("gs")
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_checkpoint)
     sizes = (
         by_term.select(F.explode("gs").alias("g"))
         .groupBy("g")

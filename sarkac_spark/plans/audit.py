@@ -22,6 +22,64 @@ def executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# rdd id -> (resolved) child plan text of a lazy_checkpoint barrier.
+# Lets resolved_plan()/plan_digest() hash THROUGH materialization
+# barriers: without this, any plan change upstream of a checkpoint is
+# invisible to the digest (the barrier plans as `Scan ExistingRDD`) and
+# bench_diff would call a real plan regression "drift". Process-local,
+# grows with checkpoints created this session (~KBs each) — acceptable
+# for bench/test processes, which are short-lived.
+_CKPT_CHILD_PLANS: dict[int, str] = {}
+
+
+def lazy_checkpoint(df: DataFrame) -> DataFrame:
+    """``df.localCheckpoint(eager=False)`` + digest transparency.
+
+    The house materialization barrier (compute a multiply-referenced
+    relation once per action) with the child plan registered under the
+    checkpoint RDD's id, so ``resolved_plan``/``plan_digest`` keep
+    seeing the full computation. The child was already planned to
+    create the RDD, so capturing its plan text here is free."""
+    try:
+        child_text = resolved_plan(df)  # resolves nested barriers too
+    except Exception:  # noqa: BLE001 — transparency is best-effort
+        child_text = None
+    out = df.localCheckpoint(eager=False)
+    if child_text is not None:
+        try:
+            rid = out._jdf.queryExecution().analyzed().rdd().id()
+            _CKPT_CHILD_PLANS[rid] = child_text
+        except Exception:  # noqa: BLE001
+            pass
+    return out
+
+
+def _ckpt_children_text(df: DataFrame) -> str:
+    """Registered child-plan text for every lazy_checkpoint leaf in
+    ``df``'s analyzed plan (empty when there are none)."""
+    out: list[str] = []
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                child = _CKPT_CHILD_PLANS.get(leaf.rdd().id())
+                if child:
+                    out.append(child)
+    except Exception:  # noqa: BLE001
+        return ""
+    if not out:
+        return ""
+    return "\n-- checkpointed subtree --\n" + "\n".join(out)
+
+
+def resolved_plan(df: DataFrame) -> str:
+    """``executed_plan`` plus the registered subtree text of every
+    lazy_checkpoint barrier in the tree — the digest input that stays
+    sensitive to changes on either side of a barrier."""
+    return executed_plan(df) + _ckpt_children_text(df)
+
+
 def final_plan(df: DataFrame) -> str:
     """The AQE-FINAL plan string — triggers one ``collect()`` so the
     adaptive re-plan actually happens. Shows runtime facts the initial
@@ -76,7 +134,7 @@ def plan_digest(df: DataFrame) -> str:
     ``tools/plan_report.py``, not as proof by itself."""
     import hashlib
 
-    s = executed_plan(df)
+    s = resolved_plan(df)
     s = re.sub(r"#\d+[L]?", "#", s)  # expression ids
     s = re.sub(r"\b([xyz])_\d+#", r"\1_#", s)  # session-global lambda-var counter
     s = re.sub(r"_common_expr_\d+", "_common_expr_", s)  # CSE counter, also global

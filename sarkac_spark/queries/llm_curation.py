@@ -8,6 +8,7 @@ registry lives in llm.py."""
 from __future__ import annotations
 
 from sarkac_spark.queries.llm_common import *  # noqa: F401,F403
+from sarkac_spark.plans.audit import lazy_checkpoint
 
 __all__ = [
     "q_pack_sequences",
@@ -272,7 +273,7 @@ def q_delta_curation(spark, sf_dir):
     old, new = _snapshot_pair(_docs(spark, sf_dir))
     # barrier: ``diff`` feeds the work list AND the final roll-up join
     # — without it the snapshot full-outer diff re-ran per leg (r12)
-    diff = snapshot_diff(old, new, "doc_id", "text").localCheckpoint(eager=False)
+    diff = snapshot_diff(old, new, "doc_id", "text").transform(lazy_checkpoint)
     work_ids = diff.filter(F.col("status").isin("added", "changed")).select("doc_id")
     scored = logistic_quality_score(
         new.join(work_ids, "doc_id", "left_semi"), "doc_id", "text"
@@ -379,7 +380,7 @@ def q_curation_funnel(spark, sf_dir):
         # Known-benign noise: later rebuilds in the same session log
         # "ERROR DAGScheduler: Failed to update accumulator" from the
         # checkpointed stages — results unaffected (oracle green).
-        d = fn(d).localCheckpoint(eager=False)
+        d = fn(d).transform(lazy_checkpoint)
         frames.append(
             d.agg(
                 F.lit(f"{i}_{name}").alias("stage"),

@@ -8,6 +8,7 @@ llm.py."""
 from __future__ import annotations
 
 from sarkac_spark.queries.llm_common import *  # noqa: F401,F403
+from sarkac_spark.plans.audit import lazy_checkpoint
 
 __all__ = [
     "q_dedup_exact",
@@ -418,7 +419,7 @@ def q_minhash_recall(spark, sf_dir):
     # both arms (exact truth + minhash sketch) start from the SAME
     # shingle explode; materialize it once (r12: the two arms plus
     # their internal legs re-scanned the corpus 24x at runtime)
-    sh_raw = shingles(d, "doc_id", "text", 3).localCheckpoint(eager=False)
+    sh_raw = shingles(d, "doc_id", "text", 3).transform(lazy_checkpoint)
     truth = ngram_jaccard_pairs_from_shingles(
         sh_raw, "doc_id", threshold=JACCARD_THRESHOLD, max_df=NGRAM_MAX_DF
     ).select("id_a", "id_b")

@@ -7,6 +7,7 @@ constants; the QUERIES/ORACLE registry lives in llm.py."""
 from __future__ import annotations
 
 from sarkac_spark.queries.llm_common import *  # noqa: F401,F403
+from sarkac_spark.plans.audit import lazy_checkpoint
 
 __all__ = [
     "q_embedding_neardup",
@@ -193,7 +194,7 @@ def q_text_ivfpq(spark, sf_dir):
     # results are unaffected (oracle stays green). Not a defect.
     emb = hash_embed(
         _docs(spark, sf_dir), "doc_id", "text", dim=EMB_DIM
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_checkpoint)
     centroids = emb.filter(F.col("doc_id") < N_CENTROIDS).select(
         F.col("doc_id").alias("centroid_id"), "embedding"
     )
@@ -353,9 +354,9 @@ def q_ann_recall(spark, sf_dir):
     exactly the same reason."""
     from sarkac_spark.operators.similarity import ann_recall
 
-    exact = q_cosine_topk(spark, sf_dir).localCheckpoint(eager=False)
-    ivf = q_ivf_topk(spark, sf_dir).localCheckpoint(eager=False)
-    lsh = q_lsh_topk(spark, sf_dir).localCheckpoint(eager=False)
+    exact = q_cosine_topk(spark, sf_dir).transform(lazy_checkpoint)
+    ivf = q_ivf_topk(spark, sf_dir).transform(lazy_checkpoint)
+    lsh = q_lsh_topk(spark, sf_dir).transform(lazy_checkpoint)
     return ann_recall(exact, ivf, "ivf", k=TOPK).unionByName(
         ann_recall(exact, lsh, "lsh", k=TOPK)
     )
@@ -489,7 +490,7 @@ def q_pq_recall(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     approx = pq_adc_topk(
         _embs(spark, sf_dir), PQ_CODEBOOKS, n_queries=N_QUERIES, k=TOPK

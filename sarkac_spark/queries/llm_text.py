@@ -7,6 +7,7 @@ constants; the QUERIES/ORACLE registry lives in llm.py."""
 from __future__ import annotations
 
 from sarkac_spark.queries.llm_common import *  # noqa: F401,F403
+from sarkac_spark.plans.audit import lazy_checkpoint
 
 __all__ = [
     "q_doc_lm_score",
@@ -284,13 +285,13 @@ def q_cms_term_counts(spark, sf_dir):
         _docs(spark, sf_dir)
         .select(F.explode(words_col("text")).alias("term"))
         .select(F.lower(F.col("term")).alias("term"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("true_count"))
     top = (
         exact.orderBy(F.col("true_count").desc(), "term")
         .limit(CMS_TOP)
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     sk = count_min_sketch(toks, "term", depth=CMS_DEPTH, width=CMS_WIDTH)
     est = cms_estimate(
@@ -353,7 +354,7 @@ def q_hll_distinct(spark, sf_dir):
         _docs(spark, sf_dir)
         .select("lang", F.explode(words_col("text")).alias("w"))
         .select("lang", F.lower(F.col("w")).alias("term"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     exact = toks.groupBy("lang").agg(
         F.countDistinct("term").alias("true_distinct")
@@ -599,7 +600,7 @@ def q_bloom_vocab(spark, sf_dir):
         sh.filter(F.col("lang") != "en")
         .select("shingle")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     probes = sh.filter(F.col("lang") == "en").select("shingle").distinct()
     bloom = bloom_build(corpus, "shingle", m_bits=BLOOM_M, k_hashes=BLOOM_K)

@@ -36,9 +36,19 @@ def test_sigma_scan_stats_join_is_broadcast(events):
 
 
 def test_sigma_scan_filter_pushdown(events):
+    # streaming mode (score_df given) has no materialization barrier —
+    # the group-key not-null predicate must reach the parquet scan
+    # there, where per-trigger re-scans make pushdown matter most
     assert "IsNotNull(event_type)" in ";".join(
-        pushed_filters(sigma_scan(events, windows=(3600,)))
+        pushed_filters(sigma_scan(events, windows=(3600,), score_df=events))
     )
+    # batch mode (r12): facts are materialized once behind a lazy
+    # checkpoint; the same predicate is applied explicitly BEFORE the
+    # barrier (sigma_scan filters group keys pre-checkpoint), so the
+    # query-side plan reads the ExistingRDD, not a parquet re-scan
+    plan = _plan(sigma_scan(events, windows=(3600,)))
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
 
 
 def test_trailing_stats_single_shuffle(events):
@@ -89,7 +99,10 @@ def test_top_customers_uses_distributed_topk(spark, sf_dir):
 def test_online_sigma_uses_no_sliding_frames(events):
     from sarkac_spark.operators.anomaly import online_sigma_scan
 
-    plan = _plan(online_sigma_scan(events, window_seconds=86400))
+    # materialize=False: the naked plan (the r12 lazy checkpoint that
+    # runs the window pass once per action would otherwise hide the
+    # window subtree behind a LogicalRDD scan)
+    plan = _plan(online_sigma_scan(events, window_seconds=86400, materialize=False))
     # the trailing stats must come from add-only (unboundedpreceding)
     # prefix frames — Spark re-scans sliding RANGE frames per row,
     # which is O(rows x frame) and collapses at scale
@@ -134,14 +147,17 @@ def test_dedup_minhash_bounded_corpus_scans(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     df = dedup_minhash(docs, "doc_id", "text")
     plan = _plan(df)
-    # the shingle explode legs must stay bounded: signature+set come from
-    # one aggregation. 4 pruned static copies for the dedup itself plus 2
-    # for the band-cap's hot-count leg (round 6) — never the 6+-scan
-    # inverted-index re-join shape GROWING with features. The cap's
-    # copies are the same doc-agg subtree, so they must collapse at
-    # runtime: the AQE-final plan shows ReusedExchange (asserted below).
-    assert plan.count("Scan parquet") <= 6
-    assert "ReusedExchange" in final_plan(df)
+    # r12: the doc-level signature+set aggregation is materialized ONCE
+    # behind a lazy localCheckpoint (ReuseExchange could not collapse
+    # the differently-pruned legs — measured 9 runtime corpus scans
+    # before). The visible plan must therefore contain NO parquet
+    # re-scan of the corpus (all legs read the checkpointed relation)
+    # and the band/set legs appear as ExistingRDD scans.
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+    # the candidate/verify tail stays bounded: band explode + cap +
+    # self-join + two set joins, never a shape growing with features
+    assert plan.count("Exchange hashpartitioning") <= 12
 
 
 def test_supplier_nation_revenue_broadcasts_dims(spark, sf_dir):
