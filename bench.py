@@ -60,9 +60,13 @@ def _stream_source(spark, workdir: str):
     src = os.path.join(workdir, "env_src")
     for i in range(STREAM_BATCHES):
         part = msgs[i * STREAM_MSGS_PER_BATCH : (i + 1) * STREAM_MSGS_PER_BATCH]
+        # repartition(1), not coalesce(1): coalescing a parallelized
+        # local relation measured ~3.6 s per tiny write on this box
+        # (defeats the local-table write fast path); this loop runs
+        # outside the timed region but inside the bench's wall clock
         spark.createDataFrame(
             part, "topic string, key string, value string, ts timestamp"
-        ).coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        ).repartition(1).write.parquet(os.path.join(src, f"b{i}"))
     return (
         spark.readStream.schema(
             "topic string, key string, value string, ts timestamp"

@@ -887,6 +887,7 @@ def duplicate_spans(
     k: int = 5,
     min_words: int = 12,
     min_doc_df: int = 2,
+    words_df: DataFrame | None = None,
 ) -> DataFrame:
     """MAXIMAL cross-corpus duplicated substrings per document — the
     exact-substring-dedup evidence pass (the "remove any substring
@@ -910,8 +911,16 @@ def duplicate_spans(
     duplicated positions (shuffle 3, usually a small fraction of the
     corpus). No all-pairs structure at any duplication level. Gram
     identity is the house 15-hex md5 prefix (``span_dedup``'s rule), so
-    the DuckDB oracle hashes identically."""
-    words = df.select(F.col(id_col), words_col(text_col).alias("__w"))
+    the DuckDB oracle hashes identically.
+
+    ``words_df``: a prebuilt ``(id_col, __w)`` relation to use instead
+    of splitting ``text_col`` here — callers that already hold the
+    words array (the removal pass) share one corpus split/scan."""
+    words = (
+        words_df.select(F.col(id_col), "__w")
+        if words_df is not None
+        else df.select(F.col(id_col), words_col(text_col).alias("__w"))
+    )
     w = F.col("__w")
     idx = F.sequence(F.lit(0), F.size(w) - k)
     gram_hashes = F.transform(
@@ -995,17 +1004,22 @@ def remove_duplicate_spans(
     span lists are per-doc tiny, so no skew hazard. The rebuild is
     map-side JVM higher-order functions (filter/exists/transform/
     array_join) over the words array: no Python stage, no explode of
-    the corpus itself."""
-    spans = duplicate_spans(df, id_col, text_col, k, min_words, min_doc_df)
+    the corpus itself. The words relation is split ONCE behind a
+    materialization barrier and shared by the span-locating leg (via
+    ``duplicate_spans``'s ``words_df``) and the rebuild leg — one
+    corpus scan + split instead of two (r12)."""
+    words = df.select(
+        F.col(id_col), F.col(text_col), words_col(text_col).alias("__w")
+    ).transform(lazy_checkpoint)
+    spans = duplicate_spans(
+        df, id_col, text_col, k, min_words, min_doc_df, words_df=words
+    )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(
             F.struct(
                 F.col("span_start").alias("s"), F.col("span_words").alias("n")
             )
         ).alias("__spans")
-    )
-    words = df.select(
-        F.col(id_col), F.col(text_col), words_col(text_col).alias("__w")
     )
     w = F.col("__w")
     # docs with no qualifying spans take the pass-through branch below;

@@ -162,6 +162,10 @@ class SigmaStreamPipeline:
         self.payload_schemas = payload_schemas or {}
         self._state_dir = cfg.store_dir.rstrip("/") + "_cooldown_state"
         self.anomaly_batches = 0
+        # task dim built once, not per trigger (r12): the DSL is fixed
+        # for the pipeline's lifetime and createDataFrame per micro-
+        # batch was pure driver overhead
+        self._tasks_df: DataFrame | None = None
 
     # -- step 1: DSL field extraction (P1-P4) ------------------------------
 
@@ -280,9 +284,11 @@ class SigmaStreamPipeline:
             keep_ts=True,
             score_df=extracted,
         )
-        tasks = self.spark.createDataFrame(
-            self.dsl.tasks(), "topic string, path string, window_seconds long"
-        )
+        if self._tasks_df is None:
+            self._tasks_df = self.spark.createDataFrame(
+                self.dsl.tasks(), "topic string, path string, window_seconds long"
+            )
+        tasks = self._tasks_df
         anomalies = anomalies.join(
             F.broadcast(tasks), on=["topic", "path", "window_seconds"], how="semi"
         )

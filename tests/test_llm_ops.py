@@ -2516,6 +2516,34 @@ def test_duplicate_spans_merges_maximal_runs(spark):
     assert got7 == {(1, 2, 8), (2, 1, 8)}
 
 
+def test_duplicate_spans_words_df_parity(spark):
+    """duplicate_spans(words_df=prebuilt) — the r12 shared-scan seam
+    used by remove_duplicate_spans — returns exactly the rows of the
+    self-splitting path, for a prebuilt relation built with the same
+    words_col splitter (with or without extra columns present)."""
+    from pyspark.sql import functions as F
+
+    from sarkac_spark.operators.dedup import duplicate_spans, words_col
+
+    S = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [(1, f"u1 u2 {S}"), (2, f"b1 {S} b2"), (3, "lone wolf text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {
+        (r.doc_id, r.span_start, r.span_words)
+        for r in duplicate_spans(df, k=3, min_words=5).collect()
+    }
+    prebuilt = df.select(
+        F.col("doc_id"), F.col("text"), words_col("text").alias("__w")
+    )
+    via = {
+        (r.doc_id, r.span_start, r.span_words)
+        for r in duplicate_spans(
+            df, k=3, min_words=5, words_df=prebuilt
+        ).collect()
+    }
+    assert via == base and base  # non-empty parity
+
+
 def test_remove_duplicate_spans_cuts_exactly_the_spans(spark):
     """remove_duplicate_spans: excises exactly the word positions of
     every qualifying duplicate_spans row (hand-checked rebuild),
