@@ -576,12 +576,15 @@ FROM est JOIN exact USING (lang)
 def _lang_shingles(spark, sf_dir):
     from sarkac_spark.operators.dedup import shingles
 
-    # barrier: both consumers (bloom_vocab, corpus_overlap) filter this
-    # relation into 2 sides and reference each side twice — without it
-    # the corpus shingle explode re-ran up to 4x at runtime (r12)
-    return shingles(_docs(spark, sf_dir), "lang", "text", n=3).localCheckpoint(
-        eager=False
-    )
+    # NO barrier here (r12 wave 4): the two consumers split this
+    # relation into COMPLEMENTARY lang sides, so without a barrier the
+    # lang predicate pushes into the parquet scan and each side's
+    # explode prunes to its own partition — one full corpus of explode
+    # work total. A barrier here materialized the corpus-sized
+    # occurrence relation (larger than the input) AND swallowed the
+    # pushdown; the multiply-referenced relations are the per-side
+    # DISTINCT shingle sets (vocab-sized), barriered in the consumers.
+    return shingles(_docs(spark, sf_dir), "lang", "text", n=3)
 
 
 def q_bloom_vocab(spark, sf_dir):
@@ -623,17 +626,27 @@ def q_corpus_overlap(spark, sf_dir):
     from sarkac_spark.operators.sketch import hll_overlap
 
     sh = _lang_shingles(spark, sf_dir)
-    # each side feeds the HLL estimate AND the exact-overlap audit
-    a = sh.filter(F.col("lang") == "en").select("shingle").localCheckpoint(
-        eager=False
+    # each side feeds the HLL estimate AND the exact-overlap audit.
+    # Barrier the DISTINCT sets, not the occurrence lists (r12 wave 4):
+    # HLL registers are duplicate-invariant (per-register max of rho, so
+    # repeated shingles can't move any register) and the exact overlap
+    # is a distinct-set join — both consumers are therefore identical on
+    # the deduped relation, which is vocab-sized where the occurrence
+    # list is corpus-sized. Result-identical, oracle-verified.
+    a = (
+        sh.filter(F.col("lang") == "en")
+        .select("shingle")
+        .distinct()
+        .transform(lazy_checkpoint)
     )
-    b = sh.filter(F.col("lang") != "en").select("shingle").localCheckpoint(
-        eager=False
+    b = (
+        sh.filter(F.col("lang") != "en")
+        .select("shingle")
+        .distinct()
+        .transform(lazy_checkpoint)
     )
     est = hll_overlap(a, b, "shingle", b=OVERLAP_B)
-    true = a.distinct().join(b.distinct(), "shingle").agg(
-        F.count(F.lit(1)).alias("true_overlap")
-    )
+    true = a.join(b, "shingle").agg(F.count(F.lit(1)).alias("true_overlap"))
     return est.crossJoin(F.broadcast(true))
 
 
