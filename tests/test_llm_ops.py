@@ -1368,6 +1368,43 @@ def test_count_min_sketch_guarantees(spark):
     assert miss.est_count == 0
 
 
+def test_sketch_aggregate_proxy_equivalences(spark):
+    """Pins the two invariances the r12 wave-4 query rewrites rely on:
+    (1) a count-weighted CMS built from the (term, count) aggregate is
+    BIT-identical to the unweighted sketch built from the occurrence
+    list (per-bucket sums commute with pre-aggregation), and (2) HLL
+    registers/estimates are duplicate-invariant (per-register max), so
+    building from the distinct set equals building from occurrences.
+    These let the queries materialize vocab-sized aggregates instead of
+    corpus-sized occurrence lists with zero result change."""
+    from sarkac_spark.operators.sketch import (
+        count_min_sketch,
+        hll_distinct,
+    )
+
+    occurrences = spark.createDataFrame(
+        [(t,) for t in ["x"] * 7 + ["y"] * 3 + ["z"] * 1 + ["w"] * 5],
+        "term string",
+    )
+    counts = occurrences.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+
+    sk_occ = {
+        (r.d, r.bucket): r.cnt
+        for r in count_min_sketch(occurrences, "term", depth=4, width=8).collect()
+    }
+    sk_agg = {
+        (r.d, r.bucket): r.cnt
+        for r in count_min_sketch(
+            counts, "term", depth=4, width=8, weight_col="c"
+        ).collect()
+    }
+    assert sk_occ == sk_agg
+
+    est_occ = hll_distinct(occurrences, "term", b=8).collect()
+    est_dst = hll_distinct(occurrences.distinct(), "term", b=8).collect()
+    assert [tuple(r) for r in est_occ] == [tuple(r) for r in est_dst]
+
+
 def test_dedup_simhash_matches_bruteforce(spark):
     """Exactness of the banded candidate path: with max_hamming <=
     bands-1 the pigeonhole guarantee makes banding lossless, so the
