@@ -585,11 +585,18 @@ def ngram_jaccard_pairs(
     ``inverted_index(df, min_df=max_df + 1, max_df=2**62)``.
     ``max_df=None`` restores the uncapped exact measure for small
     corpora. At large n prefer ``dedup_minhash`` (LSH candidates)."""
-    # raw shingles feed the df-cap's count AND probe legs (their
-    # exchanges carry different payloads, so they never collapse into
-    # one — measured r12); materialize the explode once
+    # NO barrier on the raw shingles here (r12 wave 4): its only two
+    # consumers are the df-cap's count leg and the probe leg, and
+    # materializing the corpus-sized occurrence relation to save ONE
+    # re-explode measured SLOWER than the re-explode itself (stacked
+    # under the capped barrier below it was 1.15x). The capped relation
+    # — smaller (hot shingles gone) and feeding THREE differently-keyed
+    # legs — keeps its barrier inside
+    # ``ngram_jaccard_pairs_from_shingles``. Callers that DO hold more
+    # consumers of the raw explode (minhash_recall's sketch arm) pass
+    # their own barriered relation through the ``_from_shingles`` seam.
     return ngram_jaccard_pairs_from_shingles(
-        shingles(df, id_col, text_col, n=shingle_n).transform(lazy_checkpoint),
+        shingles(df, id_col, text_col, n=shingle_n),
         id_col,
         threshold=threshold,
         max_df=max_df,
