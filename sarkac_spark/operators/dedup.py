@@ -928,6 +928,25 @@ def duplicate_spans(
         if words_df is not None
         else df.select(F.col(id_col), words_col(text_col).alias("__w"))
     )
+    # barrier: ``occ`` feeds the duplicated-gram df agg AND the
+    # position join-back — without it the posexplode + md5 pass re-ran
+    # per leg (r12)
+    occ = _gram_occ(words, id_col, k).transform(lazy_checkpoint)
+    dup = (
+        occ.groupBy("__gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__ddf"))
+        .filter(F.col("__ddf") >= min_doc_df)
+        .select("__gh")
+    )
+    hits = occ.join(dup, "__gh").select(id_col, "pos")
+    return _runs_from_hits(hits, id_col, k, min_words)
+
+
+def _gram_occ(words: DataFrame, id_col: str, k: int) -> DataFrame:
+    """(id, pos, __gh) rolling word ``k``-gram occurrence relation from
+    a ``(id_col, __w)`` words relation — ``duplicate_spans``'s explode,
+    shared by the restricted fixed-point pass (which rebuilds it for
+    touched docs only)."""
     w = F.col("__w")
     idx = F.sequence(F.lit(0), F.size(w) - k)
     gram_hashes = F.transform(
@@ -936,24 +955,22 @@ def duplicate_spans(
             F.md5(F.array_join(F.slice(w, i + 1, k), " ")), 1, 15
         ),
     )
-    # barrier: ``occ`` feeds the duplicated-gram df agg AND the
-    # position join-back — without it the posexplode + md5 pass re-ran
-    # per leg (r12)
-    occ = words.select(
+    return words.select(
         F.col(id_col),
         F.posexplode(
             F.when(F.size(w) >= k, gram_hashes).otherwise(
                 F.array().cast("array<string>")
             )
         ).alias("pos", "__gh"),
-    ).transform(lazy_checkpoint)
-    dup = (
-        occ.groupBy("__gh")
-        .agg(F.count_distinct(F.col(id_col)).alias("__ddf"))
-        .filter(F.col("__ddf") >= min_doc_df)
-        .select("__gh")
     )
-    hits = occ.join(dup, "__gh").select(id_col, "pos")
+
+
+def _runs_from_hits(
+    hits: DataFrame, id_col: str, k: int, min_words: int
+) -> DataFrame:
+    """Gaps-and-islands merge of duplicated gram positions into maximal
+    runs >= ``min_words`` — ``duplicate_spans``'s tail, shared by the
+    restricted fixed-point pass."""
     rank = F.row_number().over(Window.partitionBy(id_col).orderBy("pos"))
     return (
         hits.withColumn("__grp", F.col("pos") - rank)
@@ -1021,13 +1038,36 @@ def remove_duplicate_spans(
     spans = duplicate_spans(
         df, id_col, text_col, k, min_words, min_doc_df, words_df=words
     )
-    per_doc = spans.groupBy(id_col).agg(
+    return _span_removal_select(
+        words.join(_spans_per_doc(spans, id_col), id_col, "left"),
+        id_col,
+        text_col,
+        mask_token,
+    )
+
+
+def _spans_per_doc(spans: DataFrame, id_col: str) -> DataFrame:
+    """(id, __spans: array<struct<s,n>>) per-doc span lists from a
+    ``duplicate_spans``-shaped relation."""
+    return spans.groupBy(id_col).agg(
         F.collect_list(
             F.struct(
                 F.col("span_start").alias("s"), F.col("span_words").alias("n")
             )
         ).alias("__spans")
     )
+
+
+def _span_removal_select(
+    joined: DataFrame,
+    id_col: str,
+    text_col: str,
+    mask_token: str | None,
+) -> DataFrame:
+    """Final projection of the removal pass over a relation holding
+    ``(id_col, text_col, __w, __spans)`` — ``remove_duplicate_spans``'s
+    rebuild, shared by the restricted fixed-point pass (which feeds it
+    a CONDITIONAL ``__w``, split only for spanned docs)."""
     w = F.col("__w")
     # docs with no qualifying spans take the pass-through branch below;
     # the coalesce keeps the HOF lambdas null-safe regardless of branch
@@ -1062,18 +1102,15 @@ def remove_duplicate_spans(
     # and skip the rebuild entirely — CASE short-circuits per row in
     # codegen, so the HOF chain only runs for spanned docs
     untouched = F.col("__spans").isNull()
-    return (
-        words.join(per_doc, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.when(untouched, F.col(text_col))
-            .otherwise(rebuilt)
-            .alias("text_clean"),
-            F.when(untouched, F.lit(0))
-            .otherwise(F.size(w) - F.size(kept))
-            .cast("long")
-            .alias("n_removed"),
-        )
+    return joined.select(
+        F.col(id_col),
+        F.when(untouched, F.col(text_col)).otherwise(rebuilt).alias(
+            "text_clean"
+        ),
+        F.when(untouched, F.lit(0))
+        .otherwise(F.size(w) - F.size(kept))
+        .cast("long")
+        .alias("n_removed"),
     )
 
 
@@ -1085,6 +1122,7 @@ def remove_duplicate_spans_fp(
     min_words: int = 12,
     min_doc_df: int = 2,
     max_iters: int = 3,
+    restricted: bool = True,
 ) -> DataFrame:
     """``remove_duplicate_spans`` iterated to a fixed point (the full
     Lee et al. 2022 discipline): excision butts previously
@@ -1102,26 +1140,63 @@ def remove_duplicate_spans_fp(
     n_removed) schema as the single-pass operator with ``n_removed``
     summed across passes.
 
-    Scale shape: ``max_iters`` sequential full passes, each the
-    single-pass operator's bounded-shuffle plan over the CURRENT
-    corpus (monotonically shrinking). Each pass result is
-    ``localCheckpoint``-ed to truncate lineage (same device as
-    ``backfill``); the convergence probe per pass is a single-row
+    Scale shape with ``restricted`` (default, r12): pass 1 is the
+    single-pass operator's bounded-shuffle plan with its occurrence
+    relation and full gram->doc-df aggregate kept on executor-local
+    checkpoints; every LATER pass recomputes grams only for the docs
+    the previous pass excised and updates the doc-df relation
+    incrementally from their old/new gram SETS, instead of re-splitting
+    and re-counting the whole corpus. Pass p >= 2 therefore costs the
+    duplicated fraction (plus narrow scans of the materialized
+    occurrence relation), not a full corpus pass — at 100 TB the fixed
+    point is ~one pass + the duplicated tail, not ``max_iters`` passes.
+    Result-identical to ``restricted=False`` (the literal re-run), see
+    ``_restricted_span_pass`` for the equivalence argument. Each pass
+    result is ``localCheckpoint``-ed to truncate lineage (same device
+    as ``backfill``); the convergence probe per pass is a single-row
     aggregate — bounded driver traffic, no per-doc collect."""
     acc = df.select(
         F.col(id_col),
         F.col(text_col).alias("text_clean"),
         F.lit(0).cast("long").alias("n_removed"),
     )
-    for _ in range(max_iters):
-        step = remove_duplicate_spans(
-            acc.select(F.col(id_col), F.col("text_clean").alias("__txt")),
-            id_col,
-            "__txt",
-            k,
-            min_words,
-            min_doc_df,
-        ).localCheckpoint(eager=True)
+    occ = gdf = prev_step = None
+    for it in range(max_iters):
+        cur = acc.select(F.col(id_col), F.col("text_clean").alias("__txt"))
+        if not restricted:
+            step = remove_duplicate_spans(
+                cur, id_col, "__txt", k, min_words, min_doc_df
+            )
+        elif it == 0:
+            # the single-pass plan, with occ (already barriered there)
+            # and the UNFILTERED gram doc-df agg exposed on checkpoints
+            # for the later passes' incremental update
+            words = cur.select(
+                F.col(id_col), F.col("__txt"), words_col("__txt").alias("__w")
+            ).transform(lazy_checkpoint)
+            occ = _gram_occ(
+                words.select(F.col(id_col), "__w"), id_col, k
+            ).transform(lazy_checkpoint)
+            gdf = (
+                occ.groupBy("__gh")
+                .agg(F.count_distinct(F.col(id_col)).alias("__ddf"))
+                .transform(lazy_checkpoint)
+            )
+            dup = gdf.filter(F.col("__ddf") >= min_doc_df).select("__gh")
+            hits = occ.join(dup, "__gh").select(id_col, "pos")
+            spans = _runs_from_hits(hits, id_col, k, min_words)
+            step = _span_removal_select(
+                words.join(_spans_per_doc(spans, id_col), id_col, "left"),
+                id_col,
+                "__txt",
+                None,
+            )
+        else:
+            step, occ, gdf = _restricted_span_pass(
+                cur, prev_step, occ, gdf, id_col, k, min_words, min_doc_df
+            )
+        step = step.localCheckpoint(eager=True)
+        prev_step = step
         removed = step.agg(F.sum("n_removed").alias("r")).first()["r"] or 0
         if removed == 0:
             break
@@ -1135,6 +1210,105 @@ def remove_duplicate_spans_fp(
             )
         )
     return acc
+
+
+def _restricted_span_pass(
+    cur: DataFrame,
+    prev_step: DataFrame,
+    occ: DataFrame,
+    gdf: DataFrame,
+    id_col: str,
+    k: int,
+    min_words: int,
+    min_doc_df: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One detection+removal pass of ``remove_duplicate_spans_fp``
+    RESTRICTED to the docs that can differ from the previous pass —
+    result-identical to re-running the full single-pass operator over
+    ``cur``, by this argument:
+
+    - ``occ``/``gdf`` describe the corpus BEFORE the previous pass's
+      excision; ``prev_step`` (eagerly checkpointed) says which docs it
+      touched (``n_removed > 0`` — every qualifying span covers >= 1
+      word, so touched <=> had a span) and what their text is now.
+      The current corpus's gram doc-df is then EXACTLY
+      ``gdf + delta``, where ``delta(g)`` sums, over touched docs, the
+      per-doc membership change in the doc's distinct gram SET (old
+      from ``occ``, new from the re-split of the touched docs only) —
+      untouched docs' contributions are unchanged by definition.
+    - A doc untouched by the previous pass has the same gram positions,
+      so its duplicated-position set can only change through grams
+      whose df crossed ``min_doc_df``: downward crossings SHRINK the
+      set (maximal runs were already < ``min_words``, sub-runs stay
+      so — no new span), and upward crossings can only come from
+      ``delta`` grams (seam grams assembled by excision). Hence every
+      doc that can gain a qualifying span is either touched or holds an
+      upward-crossing gram — exactly the candidate set scanned here;
+      all other docs pass through byte-identical, which is also what
+      the full pass does to span-free docs.
+
+    Returns (step, occ', gdf') where occ'/gdf' describe the corpus the
+    pass detected on (= ``cur``), for the next pass. Only the touched
+    re-split and set-delta aggregates shuffle; everything else is
+    narrow scans of the checkpointed ``occ``/``gdf``."""
+    touched = prev_step.filter(F.col("n_removed") > 0)
+    words_new = touched.select(
+        F.col(id_col), words_col("text_clean").alias("__w")
+    )
+    occ_new = _gram_occ(words_new, id_col, k).transform(lazy_checkpoint)
+    old_set = (
+        occ.join(touched.select(id_col), id_col, "semi")
+        .select(id_col, "__gh")
+        .distinct()
+    )
+    new_set = occ_new.select(id_col, "__gh").distinct()
+    delta = (
+        old_set.select("__gh", F.lit(-1).alias("__d"))
+        .unionByName(new_set.select("__gh", F.lit(1).alias("__d")))
+        .groupBy("__gh")
+        .agg(F.sum("__d").alias("__d"))
+        .filter(F.col("__d") != 0)
+    )
+    gdf_aff = delta.join(gdf, "__gh", "left").select(
+        "__gh",
+        (F.coalesce(F.col("__ddf"), F.lit(0)) + F.col("__d")).alias("__ddf"),
+    )
+    gdf_next = (
+        gdf.join(delta.select("__gh"), "__gh", "left_anti")
+        .unionByName(gdf_aff.filter(F.col("__ddf") > 0))
+    )
+    # grams whose df crossed min_doc_df upward: only these can give an
+    # UNtouched doc new duplicated positions
+    up = (
+        gdf_aff.filter(F.col("__ddf") >= min_doc_df)
+        .join(
+            gdf.filter(F.col("__ddf") >= min_doc_df).select("__gh"),
+            "__gh",
+            "left_anti",
+        )
+        .select("__gh")
+    )
+    occ_keep = occ.join(touched.select(id_col), id_col, "left_anti")
+    neighbors = (
+        occ_keep.join(up, "__gh", "semi").select(id_col).distinct()
+    )
+    cand_occ = occ.join(neighbors, id_col, "semi").unionByName(occ_new)
+    dup = gdf_next.filter(F.col("__ddf") >= min_doc_df).select("__gh")
+    hits = cand_occ.join(dup, "__gh").select(id_col, "pos")
+    spans = _runs_from_hits(hits, id_col, k, min_words)
+    # rebuild over the full current corpus, but split ONLY spanned docs
+    # (the conditional __w short-circuits inside the row projection) —
+    # the pass-through majority costs no HOF work and keeps its bytes
+    joined = cur.join(_spans_per_doc(spans, id_col), id_col, "left").select(
+        F.col(id_col),
+        F.col("__txt"),
+        F.col("__spans"),
+        F.when(
+            F.col("__spans").isNotNull(), words_col("__txt")
+        ).alias("__w"),
+    )
+    step = _span_removal_select(joined, id_col, "__txt", None)
+    return step, occ_keep.unionByName(occ_new), gdf_next
 
 
 def span_dedup(

@@ -2729,6 +2729,63 @@ def test_remove_duplicate_spans_fp_reaches_fixed_point(spark):
     assert lim == one
 
 
+def test_remove_duplicate_spans_fp_restricted_equals_full_rerun(spark):
+    """The r12 restricted fixed point (pass >= 2 recomputes grams only
+    for touched docs + updates gram doc-df incrementally) is
+    row-identical to ``restricted=False`` (the literal full re-run) —
+    on the two documented hazard corpora and on randomized high-
+    duplication corpora at max_iters 2 and 3.
+
+    Hazard (a): gram df must be counted over the FULL current corpus —
+    a subset-restricted recount undercounts grams shared with untouched
+    docs. Hazard (b): an UNtouched doc can gain a qualifying span in
+    pass 2 when a touched doc's excision seam assembles a gram the
+    untouched doc already held at df = min_doc_df - 1."""
+    import random
+
+    from sarkac_spark.operators.dedup import remove_duplicate_spans_fp
+
+    def run(df, **kw):
+        return sorted(
+            (r.doc_id, r.text_clean, r.n_removed)
+            for r in remove_duplicate_spans_fp(df, **kw).collect()
+        )
+
+    # hazard corpus: cutting D makes docs 1 and 3 identical; doc 3 is
+    # UNTOUCHED in pass 1 (n_removed=0) and is cut in pass 2 only via
+    # doc 1's seam grams raising its bridge grams' df to 2 (hazard b);
+    # the bridge grams' df=2 count needs doc 3 itself (hazard a)
+    Q1, Q2, D = "q1a q1b q1c q1d", "q2a q2b q2c q2d", "d1 d2 d3 d4 d5 d6 d7"
+    rows = [(1, f"{Q1} {D} {Q2}"), (2, f"e1 {D} e2"), (3, f"{Q1} {Q2}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for mi in (1, 2, 3):
+        kw = dict(k=3, min_words=7, max_iters=mi)
+        assert run(df, restricted=True, **kw) == run(
+            df, restricted=False, **kw
+        ), f"hazard corpus diverged at max_iters={mi}"
+
+    # randomized: tiny vocab + short docs => dense duplication, lots of
+    # threshold crossings in both directions across passes
+    rng = random.Random(12)
+    for trial in range(4):
+        rows = [
+            (
+                i,
+                " ".join(
+                    rng.choice("t0 t1 t2 t3 t4 t5 t6 t7".split())
+                    for _ in range(rng.randint(4, 24))
+                ),
+            )
+            for i in range(40)
+        ]
+        rdf = spark.createDataFrame(rows, "doc_id long, text string")
+        for mi in (2, 3):
+            kw = dict(k=2, min_words=4, min_doc_df=3, max_iters=mi)
+            assert run(rdf, restricted=True, **kw) == run(
+                rdf, restricted=False, **kw
+            ), f"random corpus trial={trial} diverged at max_iters={mi}"
+
+
 def test_pca_rotation_decorrelates_and_composes(spark):
     """pca_rotation/apply_rotation: orthonormal deterministic-sign
     basis; the rotated store has (near-)diagonal covariance with
