@@ -1262,6 +1262,12 @@ def _restricted_span_pass(
         .distinct()
     )
     new_set = occ_new.select(id_col, "__gh").distinct()
+    # deliberately NOT barriered although three legs reference it
+    # (gdf_aff, gdf_next's anti-join, ``up``): the repeated aggregation
+    # is touched-sized and its occ inputs are already-materialized
+    # checkpoints, so re-running it costs less than materializing it —
+    # measured 3.80 vs 4.26 s min-of-5 interleaved at sf0.1 (r12 wave-5
+    # probe, same lesson as the wave-4 barrier unstacking)
     delta = (
         old_set.select("__gh", F.lit(-1).alias("__d"))
         .unionByName(new_set.select("__gh", F.lit(1).alias("__d")))
