@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from sarkac_spark.plans.audit import lazy_checkpoint
+
 # Seeded sf0.01 fit of fit_pq_codebooks(seed=7, maxIter=20) over the
 # driver embeddings, rounded to 4 decimals - the literal codebooks the
 # oracle-checked scoring path uses (KMEANS_SCORING_CENTERS precedent).
@@ -632,24 +634,36 @@ def ivfpq_topk(
     """
     from sarkac_spark.operators.similarity import assign_buckets
 
-    # ONE map-only corpus pass computes bucket AND codes together
-    # (both are per-row expressions over broadcast dims); the old shape
-    # derived them as two separate corpus scans and re-attached the
-    # codes with a corpus-sized shuffle join on the id (r12: 12 runtime
-    # parquet scans for this query). Candidates now come straight off
-    # the fused relation via the broadcast probe join — the plan is
-    # map-only until the per-(query, candidate) ADC sum.
-    codes_b = pq_assign_long(
-        assign_buckets(df, centroids, id_col, vec_col, n_best=1),
-        codebooks,
-        id_col,
-        "vec",
-        carry=("bucket",),
-    )
+    # ONE map-only corpus pass: bucket argmax, then a broadcast
+    # semi-join on the UNION of probed buckets prunes the corpus
+    # BEFORE the PQ code argmin runs — codes are only ever consumed
+    # for candidates, so quantizing non-probed buckets' vectors was
+    # pure waste (r12 wave 6; guide §1.2 "don't compute things you
+    # throw away"). The pruned fraction is (probed buckets / nlist):
+    # ~1 locally (10 queries x nprobe 2 cover all 8 toy buckets), but
+    # at a deployment nlist the candidates are a vanishing corpus
+    # fraction — and code assignment is the ROW-AMPLIFYING leg (the
+    # subvector explode runs m rows per vector through a broadcast
+    # join + argmin HOF), so pruning it first removes an m x corpus
+    # row stream, not just flops. The prior
+    # r12 shape fused codes+bucket into the same corpus projection
+    # (itself replacing two corpus scans + a corpus-sized shuffle
+    # join); this keeps that single-scan, broadcast-only plan — the
+    # semi-join key is the map-side bucket, never a shuffle.
     queries = df.filter(F.col(id_col) < n_queries)
-    probes = assign_buckets(
-        queries, centroids, id_col, vec_col, n_best=nprobe
-    ).select(F.col(id_col).alias("query_id"), "bucket")
+    # probes is referenced twice (the semi-join's distinct-bucket build
+    # side and the query-attach join); it is |queries| x nprobe rows, so
+    # materialize it once rather than re-running its scan+window subtree
+    # per consumer (the wave-1 shared-subtree rule, at probe size)
+    probes = (
+        assign_buckets(queries, centroids, id_col, vec_col, n_best=nprobe)
+        .select(F.col(id_col).alias("query_id"), "bucket")
+        .transform(lazy_checkpoint)
+    )
+    cand = assign_buckets(df, centroids, id_col, vec_col, n_best=1).join(
+        F.broadcast(probes.select("bucket").distinct()), "bucket", "semi"
+    )
+    codes_b = pq_assign_long(cand, codebooks, id_col, "vec", carry=("bucket",))
     # no distinct needed: each corpus vector lives in exactly ONE bucket
     # (n_best=1) and a query's probed buckets are distinct, so a
     # (query, candidate) pair can only arise once

@@ -170,6 +170,57 @@ def test_ivfpq_candidates_are_bucket_pruned(spark, sf_dir):
         assert corpus_b[r.neighbor_id] in probes[r.query_id]
 
 
+def test_ivfpq_topk_matches_bruteforce_over_probed_buckets(spark, sf_dir):
+    """r12 wave 6 pins: pruning PQ coding to the probed buckets' union
+    (the candidates-first semi-join) loses no candidate — the operator's
+    output equals, rank for rank, the brute-force ranking of exactly
+    {probed-bucket members minus self} by the UNPRUNED ADC distance with
+    the house (distance, id) tie-break."""
+    from sarkac_spark.operators.pq import ivfpq_topk, pq_adc_topk
+    from sarkac_spark.operators.similarity import assign_buckets
+    from sarkac_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    k = 3
+    got = [
+        (r.query_id, r.rank, r.neighbor_id, r.adist_micro)
+        for r in ivfpq_topk(
+            emb, PQ_CODEBOOKS, cents, n_queries=3, k=k, nprobe=2
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    adc = pq_adc_topk(emb, PQ_CODEBOOKS, n_queries=3, k=10**9).collect()
+    bucket = {
+        r.vec_id: r.bucket
+        for r in assign_buckets(emb, cents, n_best=1)
+        .select("vec_id", "bucket")
+        .collect()
+    }
+    probes: dict[int, set[int]] = {}
+    for r in (
+        assign_buckets(emb.filter(F.col("vec_id") < 3), cents, n_best=2)
+        .select("vec_id", "bucket")
+        .collect()
+    ):
+        probes.setdefault(r.vec_id, set()).add(r.bucket)
+    per_q: dict[int, list[tuple[int, int]]] = {}
+    for r in adc:
+        if bucket[r.neighbor_id] in probes[r.query_id]:
+            per_q.setdefault(r.query_id, []).append(
+                (r.adist_micro, r.neighbor_id)
+            )
+    want = [
+        (q, i, n, d)
+        for q in sorted(per_q)
+        for i, (d, n) in enumerate(sorted(per_q[q])[:k], 1)
+    ]
+    assert got == want
+
+
 def test_pq_rerank_improves_or_matches_adc_recall(spark, sf_dir):
     """Two-stage re-rank recall vs exact L2 must dominate the raw ADC
     ranking's (the shortlist contains ADC's top-k, so re-ranking can
