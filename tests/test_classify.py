@@ -79,6 +79,7 @@ def test_unknown_weight_feature_raises(corpus):
         logistic_quality_score(corpus, weights_milli={"not_a_feature": 1})
 
 
+@pytest.mark.slow  # measured >=14 s in the r13 duration profile
 def test_fit_quantize_score_round_trip(corpus):
     """The distillation loop: fit MLlib LR on gopher weak labels, feed
     the quantized milli-weights back into the relational scorer, and
@@ -105,6 +106,7 @@ def test_fit_quantize_score_round_trip(corpus):
     assert not any(scored[i] for i in range(40, 80))
 
 
+@pytest.mark.slow  # measured >=14 s in the r13 duration profile
 def test_fit_fraction_subsamples_deterministically(corpus):
     w1, b1 = fit_quality_lr(corpus, fit_fraction=0.7)
     w2, b2 = fit_quality_lr(corpus, fit_fraction=0.7)

@@ -4,6 +4,14 @@ discovery/stateful/restart demo must run in smoke mode)."""
 
 from __future__ import annotations
 
+import pytest
+
+# e2e tier: real streaming queries / subprocess sessions — minutes each.
+# Excluded from the default (driver-verify) fast run; the builder's
+# once-per-round full run includes them (pytest -m "slow or not slow").
+pytestmark = pytest.mark.slow
+
+
 import subprocess
 import sys
 from pathlib import Path

@@ -5,6 +5,14 @@ and the checkpointed pipeline survives a kill-resume."""
 from __future__ import annotations
 
 import pytest
+
+# e2e tier: real streaming queries / subprocess sessions — minutes each.
+# Excluded from the default (driver-verify) fast run; the builder's
+# once-per-round full run includes them (pytest -m "slow or not slow").
+pytestmark = pytest.mark.slow
+
+
+import pytest
 from pyspark.sql import functions as F
 
 BETA = "spark shuffles data between stages when aggregations regroup rows by key"

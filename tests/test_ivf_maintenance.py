@@ -5,6 +5,8 @@ the same `ann_recall` machinery the audit queries use."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -85,6 +87,7 @@ def _mean_recall(spark, corpus, centroids, queries):
     return rec.agg(F.avg("recall")).collect()[0][0]
 
 
+@pytest.mark.slow  # measured >=14 s in the r13 duration profile
 def test_drift_skews_buckets_and_decision_fires(spark):
     corpus, stale, _ = _frames(spark)
     stats = {r.bucket: r.share for r in ivf_bucket_stats(corpus, stale).collect()}
@@ -97,6 +100,7 @@ def test_drift_skews_buckets_and_decision_fires(spark):
     assert float(d.max_share) == stats[0]
 
 
+@pytest.mark.slow  # measured >=14 s in the r13 duration profile
 def test_refit_recovers_recall_after_drift(spark):
     corpus, stale, queries = _frames(spark)
     before = _mean_recall(spark, corpus, stale, queries)
@@ -116,6 +120,7 @@ def test_refit_recovers_recall_after_drift(spark):
     assert cents2 is new_cents  # healthy => input relation untouched
 
 
+@pytest.mark.slow  # measured >=14 s in the r13 duration profile
 def test_refit_is_deterministic_and_capped(spark):
     corpus, _, _ = _frames(spark)
     a = refit_ivf_centroids(corpus, 4, max_train_rows=30).collect()

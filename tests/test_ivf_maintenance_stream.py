@@ -5,6 +5,14 @@ restores recall, and replayed epochs never double-count."""
 
 from __future__ import annotations
 
+import pytest
+
+# e2e tier: real streaming queries / subprocess sessions — minutes each.
+# Excluded from the default (driver-verify) fast run; the builder's
+# once-per-round full run includes them (pytest -m "slow or not slow").
+pytestmark = pytest.mark.slow
+
+
 from pyspark.sql import functions as F
 
 from tests.test_ivf_maintenance import _axis, _drifted_corpus, _lcg_noise, _unit

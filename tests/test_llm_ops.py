@@ -551,6 +551,7 @@ def test_payload_stats(media):
     assert rows[3].n_bytes is None
 
 
+@pytest.mark.slow  # measured >=14 s in the r13 duration profile
 def test_extract_features_stub_and_injected(media):
     # default decoder must refuse; exact wrapping of the python-worker
     # error varies with worker reuse, so only the failure itself is asserted
@@ -897,6 +898,7 @@ def test_vocab_coverage_curve(spark):
         assert out[i].oov_rate == round(1 - out[i].cum_coverage, 6)
 
 
+@pytest.mark.slow  # measured >=14 s in the r13 duration profile
 def test_star_components_match_min_label_on_paths_and_random(spark):
     """Star contraction must produce identical components to min-label
     propagation — including on a long path, where min-label would need
@@ -1282,6 +1284,7 @@ def test_ivf_nprobe_widens_recall(spark, sf_dir):
     assert sum(r2.values()) > sum(r1.values())  # strictly better on the fixture
 
 
+@pytest.mark.slow  # measured >=14 s in the r13 duration profile
 def test_round3_ops_invariant_to_input_order(spark):
     """Determinism under physical reordering: repartitioning and
     reversing the input must not change a single output row for
@@ -1405,6 +1408,7 @@ def test_sketch_aggregate_proxy_equivalences(spark):
     assert [tuple(r) for r in est_occ] == [tuple(r) for r in est_dst]
 
 
+@pytest.mark.slow  # measured >=14 s in the r13 duration profile
 def test_dedup_simhash_matches_bruteforce(spark):
     """Exactness of the banded candidate path: with max_hamming <=
     bands-1 the pigeonhole guarantee makes banding lossless, so the
@@ -1441,6 +1445,7 @@ def test_dedup_simhash_matches_bruteforce(spark):
     assert len(rows) == len({(r.id_a, r.id_b) for r in rows})
 
 
+@pytest.mark.slow  # measured >=14 s in the r13 duration profile
 def test_round4_ops_invariant_to_input_order(spark):
     """Round-4-touched operators under the same physical-reordering
     property: dedup_simhash (first-matching-band pair emission must be a
@@ -1701,6 +1706,7 @@ def test_minhash_recall_query(spark, sf_dir):
     assert r.recall >= 0.8
 
 
+@pytest.mark.slow  # measured >=14 s in the r13 duration profile
 def test_histogram_quantiles_property(spark):
     """Property over adversarial distributions (skew, duplicates,
     negatives, tiny groups): the upper-edge estimate never undershoots
@@ -2448,6 +2454,7 @@ def test_injected_audio_codec_composes_with_dedup_phash(spark):
     assert a == b
 
 
+@pytest.mark.slow  # measured >=14 s in the r13 duration profile
 def test_injected_video_codec_composes_with_dedup_phash(spark):
     """The per-frame video flavor: compressed frame payloads (same ZPPM
     format as the image test) decode through video_fingerprint's
@@ -2676,6 +2683,7 @@ def test_remove_duplicate_spans_cuts_exactly_the_spans(spark):
     )
 
 
+@pytest.mark.slow  # measured >=14 s in the r13 duration profile
 def test_remove_duplicate_spans_fp_reaches_fixed_point(spark):
     """Fixed-point excision: cutting the duplicated middles makes docs
     1 and 3 identical — a NEW qualifying run only a second pass can
@@ -2729,6 +2737,7 @@ def test_remove_duplicate_spans_fp_reaches_fixed_point(spark):
     assert lim == one
 
 
+@pytest.mark.slow  # measured >=14 s in the r13 duration profile
 def test_remove_duplicate_spans_fp_restricted_equals_full_rerun(spark):
     """The r12 restricted fixed point (pass >= 2 recomputes grams only
     for touched docs + updates gram doc-df incrementally) is

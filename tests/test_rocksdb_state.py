@@ -16,6 +16,14 @@ no second SparkSession needed.
 from __future__ import annotations
 
 import pytest
+
+# e2e tier: real streaming queries / subprocess sessions — minutes each.
+# Excluded from the default (driver-verify) fast run; the builder's
+# once-per-round full run includes them (pytest -m "slow or not slow").
+pytestmark = pytest.mark.slow
+
+
+import pytest
 from pyspark.sql import functions as F
 
 from sarkac_spark.session import ROCKSDB_PROVIDER

@@ -3,6 +3,7 @@ usage shape) and MLlib anomaly operators."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sarkac_spark.operators.mllib_anomaly import kmeans_anomaly
@@ -56,6 +57,7 @@ def test_sarkac_analyse_lifecycle(spark, tmp_path):
     assert st["storedEvents"] == 96 * 2  # two fields per message
 
 
+@pytest.mark.slow  # measured >=14 s in the r13 duration profile
 def test_live_discovery_tracks_new_topic(spark, tmp_path):
     """The headline reference feature: an undeclared topic appears on the
     stream; discovery flattens its payload, merges the DSL, and the next
@@ -188,6 +190,7 @@ def test_facade_stateful_engine(spark, tmp_path):
     assert s._listener is None  # close() detached the listener
 
 
+@pytest.mark.slow  # measured >=14 s in the r13 duration profile
 def test_facade_stateful_discovery_sidecar_and_restart(spark, tmp_path):
     """Discovery on the SCALE engine: a stateless control-plane sidecar
     query samples topics, merges the DSL, and flags a restart; the
@@ -321,6 +324,7 @@ def test_facade_unknown_engine_raises(spark, tmp_path):
         s.analyse(spark.readStream.format("rate").load())
 
 
+@pytest.mark.slow  # measured >=14 s in the r13 duration profile
 def test_anomaly_storm_bus_emission_is_capped(spark, tmp_path, monkeypatch):
     """Round-6 ask #6: an anomaly storm must not grow the driver heap —
     the per-epoch bus emission collects at most `anomaly_emit_cap` rows

@@ -5,6 +5,14 @@ pinned-equivalence contract as stateful_sigma ≡ online_sigma."""
 
 from __future__ import annotations
 
+import pytest
+
+# e2e tier: real streaming queries / subprocess sessions — minutes each.
+# Excluded from the default (driver-verify) fast run; the builder's
+# once-per-round full run includes them (pytest -m "slow or not slow").
+pytestmark = pytest.mark.slow
+
+
 import datetime as dt
 import math
 

@@ -3,6 +3,14 @@ must carry the last-emit timestamp across micro-batches."""
 
 from __future__ import annotations
 
+import pytest
+
+# e2e tier: real streaming queries / subprocess sessions — minutes each.
+# Excluded from the default (driver-verify) fast run; the builder's
+# once-per-round full run includes them (pytest -m "slow or not slow").
+pytestmark = pytest.mark.slow
+
+
 import datetime as dt
 
 from pyspark.sql import functions as F

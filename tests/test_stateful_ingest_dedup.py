@@ -8,6 +8,14 @@ admission rule."""
 from __future__ import annotations
 
 import pytest
+
+# e2e tier: real streaming queries / subprocess sessions — minutes each.
+# Excluded from the default (driver-verify) fast run; the builder's
+# once-per-round full run includes them (pytest -m "slow or not slow").
+pytestmark = pytest.mark.slow
+
+
+import pytest
 from pyspark.sql import functions as F
 
 SCHEMA = "doc_id long, text string, source string"

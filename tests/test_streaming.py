@@ -4,6 +4,14 @@ and the Kafka builder configs (no broker available — builders only)."""
 
 from __future__ import annotations
 
+import pytest
+
+# e2e tier: real streaming queries / subprocess sessions — minutes each.
+# Excluded from the default (driver-verify) fast run; the builder's
+# once-per-round full run includes them (pytest -m "slow or not slow").
+pytestmark = pytest.mark.slow
+
+
 import json
 
 import pytest

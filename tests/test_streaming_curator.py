@@ -6,6 +6,14 @@ double-counts on replay, and emits Curator.report()-named funnel rows."""
 from __future__ import annotations
 
 import pytest
+
+# e2e tier: real streaming queries / subprocess sessions — minutes each.
+# Excluded from the default (driver-verify) fast run; the builder's
+# once-per-round full run includes them (pytest -m "slow or not slow").
+pytestmark = pytest.mark.slow
+
+
+import pytest
 from pyspark.sql import functions as F
 
 SCHEMA = "doc_id long, text string, source string"

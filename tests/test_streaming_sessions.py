@@ -4,6 +4,14 @@ checkpointed state survives a kill-resume."""
 
 from __future__ import annotations
 
+import pytest
+
+# e2e tier: real streaming queries / subprocess sessions — minutes each.
+# Excluded from the default (driver-verify) fast run; the builder's
+# once-per-round full run includes them (pytest -m "slow or not slow").
+pytestmark = pytest.mark.slow
+
+
 from datetime import datetime, timedelta
 
 from pyspark.sql import functions as F

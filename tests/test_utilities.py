@@ -545,6 +545,7 @@ def test_curator_incremental_dedup_stage(spark, sf_dir):
         cur.report(batch, corpus_df=corpus.unionByName(batch.limit(1)))
 
 
+@pytest.mark.slow  # measured >=14 s in the r13 duration profile
 def test_formats_jsonl_csv_orc_roundtrip(spark, tmp_path):
     """Ingestion formats: declared-schema JSONL/CSV reads route broken
     lines into the corrupt-record audit instead of failing or silently
