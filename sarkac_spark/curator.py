@@ -239,12 +239,23 @@ class Curator:
         def fn(df: DataFrame) -> DataFrame:
             cols = df.columns
             if cfg.get("exact"):
-                from sarkac_spark.operators.dedup import dedup_exact
+                from pyspark.sql.window import Window
 
-                canon = dedup_exact(df, self.id_col, self.text_col).select(
-                    F.col("canonical_id").alias(self.id_col)
+                # keep min(id) per text digest, as ONE window over the
+                # digest — result-identical to the former
+                # dedup_exact-agg + semi-join-back shape but with a
+                # single corpus exchange instead of two plus a join
+                # (r13; guide §2.4 "remove shuffles outright"): the
+                # semi join re-shuffled the full-width corpus by id
+                # AFTER the digest agg had already shuffled it by hash.
+                w = Window.partitionBy(
+                    F.md5(F.col(self.text_col))
+                ).orderBy(F.col(self.id_col))
+                df = (
+                    df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
                 )
-                df = df.join(canon, self.id_col, "semi")
             mh = cfg.get("minhash")
             if mh:
                 from sarkac_spark.operators.dedup import dedup_minhash

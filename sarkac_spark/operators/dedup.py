@@ -269,9 +269,15 @@ def dedup_minhash(
     threshold: float = 0.5,
     shingle_n: int = 3,
     max_band_df: int | None = MINHASH_MAX_BAND_DF,
+    barrier: bool = True,
 ) -> DataFrame:
     """MinHash -> LSH banding -> exact-Jaccard verification. Returns
     near-duplicate pairs (id_a, id_b, jaccard >= threshold).
+
+    ``barrier=False`` drops the doc-aggregate materialization barrier
+    (each consumer leg then re-derives the shingle+agg subtree) — the
+    A/B seam bench.py's SPARK_GRAFT_AB hook measures; results are
+    identical either way.
 
     Single-pass shape (plan-audited): the corpus is scanned, shingled,
     and hashed ONCE; one grouped aggregation computes the k-minhash
@@ -300,11 +306,11 @@ def dedup_minhash(
     # memory-and-disk — far cheaper than re-scanning and re-hashing the
     # corpus per leg; guide §8's "fingerprint once, decide on the small
     # relation" shape). Lazy, so merely building the plan runs no job.
-    doc = (
-        hashed.groupBy(id_col)
-        .agg(*_minhash_aggs(k), F.collect_set("h60").alias("__sh_set"))
-        .transform(lazy_checkpoint)
+    doc = hashed.groupBy(id_col).agg(
+        *_minhash_aggs(k), F.collect_set("h60").alias("__sh_set")
     )
+    if barrier:
+        doc = doc.transform(lazy_checkpoint)
     cands = minhash_lsh_candidates(
         doc.select(id_col, *[f"mh_{i}" for i in range(k)]),
         id_col,

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from sarkac_spark.plans.audit import lazy_checkpoint
+from sarkac_spark.plans.audit import is_small_input, lazy_checkpoint
 
 # Seeded sf0.01 fit of fit_pq_codebooks(seed=7, maxIter=20) over the
 # driver embeddings, rounded to 4 decimals - the literal codebooks the
@@ -617,6 +617,7 @@ def ivfpq_topk(
     n_queries: int = 10,
     k: int = 3,
     nprobe: int = 2,
+    small_input: bool | None = None,
 ) -> DataFrame:
     """The classic IVF-PQ layout (Jégou et al. §V): the IVF coarse
     quantizer prunes to ``nprobe`` buckets' candidates, then the PQ
@@ -626,52 +627,79 @@ def ivfpq_topk(
 
     Output: (query_id, neighbor_id, adist_micro, rank), k per query.
 
-    Plan: corpus bucket assignment is the map-only ``assign_buckets``
-    argmax (no shuffle), candidates come from one equi-join on the
-    bucket key against the broadcast probe dim, and the ADC sum/rank
-    run only over in-bucket candidates — the candidate volume is
-    corpus/buckets x nprobe per query, the IVF pruning knob.
+    Two result-identical plan shapes, gated on input size
+    (``small_input=None`` derives it from ``df``'s backing files via
+    ``is_small_input``; pass the flag explicitly when ``df`` is already
+    behind a checkpoint and its file size is invisible):
+
+    - **Scale shape** (the default when size is unknown): ONE map-only
+      corpus pass computes the bucket argmax, a broadcast semi-join on
+      the union of probed buckets prunes the corpus BEFORE the PQ code
+      argmin runs — codes are only consumed for candidates, so
+      quantizing non-probed buckets was pure waste (guide §1.2). The
+      surviving fraction is (probed buckets / nlist); at a deployment
+      nlist the candidates are a vanishing corpus fraction, and code
+      assignment is the ROW-AMPLIFYING leg (m rows/vector through a
+      broadcast join + argmin HOF), so pruning first removes an
+      m x corpus row stream. Single corpus scan, broadcast-only joins,
+      no corpus-sized shuffle. Batch-size assumption: the semi-join
+      only pays off while n_queries x nprobe buckets stay well under
+      nlist; a batch large enough to probe every bucket makes it pure
+      plan weight (it still never changes results).
+    - **Small-input shape**: the two-scan plan (bucket pass + a
+      full-corpus code pass joined on the id). On toy corpora the
+      probed fraction is ~1 (10 queries x nprobe 2 cover all 8 toy
+      buckets) and the fused pass + probe checkpoint + semi machinery
+      cost more in sequential stages than the second scan they save —
+      measured r13 interleaved min-of-4 at sf0.1: two-scan 2.93 s vs
+      fused 3.90 s (ivfpq_topk), 5.7 s vs 6.78 s (text_ivfpq); at the
+      x100 generated corpus the ordering flips (BENCH_SCALE_R13.json).
     """
     from sarkac_spark.operators.similarity import assign_buckets
 
-    # ONE map-only corpus pass: bucket argmax, then a broadcast
-    # semi-join on the UNION of probed buckets prunes the corpus
-    # BEFORE the PQ code argmin runs — codes are only ever consumed
-    # for candidates, so quantizing non-probed buckets' vectors was
-    # pure waste (r12 wave 6; guide §1.2 "don't compute things you
-    # throw away"). The pruned fraction is (probed buckets / nlist):
-    # ~1 locally (10 queries x nprobe 2 cover all 8 toy buckets), but
-    # at a deployment nlist the candidates are a vanishing corpus
-    # fraction — and code assignment is the ROW-AMPLIFYING leg (the
-    # subvector explode runs m rows per vector through a broadcast
-    # join + argmin HOF), so pruning it first removes an m x corpus
-    # row stream, not just flops. The prior
-    # r12 shape fused codes+bucket into the same corpus projection
-    # (itself replacing two corpus scans + a corpus-sized shuffle
-    # join); this keeps that single-scan, broadcast-only plan — the
-    # semi-join key is the map-side bucket, never a shuffle.
+    if small_input is None:
+        small_input = is_small_input(df)
     queries = df.filter(F.col(id_col) < n_queries)
-    # probes is referenced twice (the semi-join's distinct-bucket build
-    # side and the query-attach join); it is |queries| x nprobe rows, so
-    # materialize it once rather than re-running its scan+window subtree
-    # per consumer (the wave-1 shared-subtree rule, at probe size)
-    probes = (
-        assign_buckets(queries, centroids, id_col, vec_col, n_best=nprobe)
-        .select(F.col(id_col).alias("query_id"), "bucket")
-        .transform(lazy_checkpoint)
-    )
-    cand = assign_buckets(df, centroids, id_col, vec_col, n_best=1).join(
-        F.broadcast(probes.select("bucket").distinct()), "bucket", "semi"
-    )
-    codes_b = pq_assign_long(cand, codebooks, id_col, "vec", carry=("bucket",))
-    # no distinct needed: each corpus vector lives in exactly ONE bucket
-    # (n_best=1) and a query's probed buckets are distinct, so a
-    # (query, candidate) pair can only arise once
-    cand_codes = (
-        codes_b.join(F.broadcast(probes), "bucket")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", id_col, "m", "code")
-    )
+    if small_input:
+        corpus_b = assign_buckets(df, centroids, id_col, vec_col, n_best=1).select(
+            F.col(id_col), F.col("bucket")
+        )
+        probes = assign_buckets(
+            queries, centroids, id_col, vec_col, n_best=nprobe
+        ).select(F.col(id_col).alias("query_id"), "bucket")
+        # no distinct needed: each corpus vector lives in exactly ONE
+        # bucket (n_best=1) and a query's probed buckets are distinct,
+        # so a (query, candidate) pair can only arise once
+        cand = (
+            corpus_b.join(F.broadcast(probes), "bucket")
+            .filter(F.col(id_col) != F.col("query_id"))
+            .select("query_id", id_col)
+        )
+        codes = pq_assign_long(df, codebooks, id_col, vec_col)
+        cand_codes = cand.join(codes, id_col).select(
+            "query_id", id_col, "m", "code"
+        )
+    else:
+        # probes is referenced twice (the semi-join's distinct-bucket
+        # build side and the query-attach join); it is |queries| x
+        # nprobe rows, so materialize it once rather than re-running
+        # its scan+window subtree per consumer (the wave-1
+        # shared-subtree rule, at probe size)
+        probes = (
+            assign_buckets(queries, centroids, id_col, vec_col, n_best=nprobe)
+            .select(F.col(id_col).alias("query_id"), "bucket")
+            .transform(lazy_checkpoint)
+        )
+        cand = assign_buckets(df, centroids, id_col, vec_col, n_best=1).join(
+            F.broadcast(probes.select("bucket").distinct()), "bucket", "semi"
+        )
+        codes_b = pq_assign_long(cand, codebooks, id_col, "vec", carry=("bucket",))
+        # (same no-distinct argument as the small branch)
+        cand_codes = (
+            codes_b.join(F.broadcast(probes), "bucket")
+            .filter(F.col(id_col) != F.col("query_id"))
+            .select("query_id", id_col, "m", "code")
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),

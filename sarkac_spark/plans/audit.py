@@ -12,7 +12,9 @@ by ``tests/test_plans.py`` and handy interactively:
 
 from __future__ import annotations
 
+import os
 import re
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame
 
@@ -52,6 +54,64 @@ def lazy_checkpoint(df: DataFrame) -> DataFrame:
         except Exception:  # noqa: BLE001
             pass
     return out
+
+
+# Default floor for the size-gated plan shapes (see input_size_bytes):
+# below this, a query takes its overhead-light small-input branch; at or
+# above (or when the size is unknowable — non-file source, checkpointed
+# input), it takes the scale shape. 64 MB sits an order of magnitude
+# above the ~6 MB x100 documents corpus where the r13 interleaved A/B
+# still favored the small-input shapes, and far below any input where
+# an extra corpus scan could matter (a scan is ~seconds at 64 MB,
+# hours at 100 TB). Override per session with
+# spark.conf.set("spark.sarkac.smallInputBytes", ...) or the
+# SARKAC_SMALL_INPUT_BYTES env var.
+SMALL_INPUT_BYTES = 64 * 1024 * 1024
+
+
+def input_size_bytes(df: DataFrame) -> int | None:
+    """Best-effort total size of the files backing ``df``'s scans, or
+    ``None`` when it cannot be known (non-file relation, checkpoint/RDD
+    leaf, unreadable path). Callers MUST treat ``None`` as "large": the
+    scale shape is always correct, merely heavier than necessary on toy
+    inputs — so unknown never downgrades to the small-input branch."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — metadata probe only
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return None  # remote storage: size unknown here, treat as large
+        try:
+            total += os.path.getsize(unquote(u.path))
+        except OSError:
+            return None
+    return total
+
+
+def is_small_input(df: DataFrame, threshold: int | None = None) -> bool:
+    """Size gate for dual-shape operators: True iff ``df``'s backing
+    files are measurably smaller than the small-input floor. The floor
+    is ``spark.sarkac.smallInputBytes`` (session conf) falling back to
+    ``$SARKAC_SMALL_INPUT_BYTES`` then ``SMALL_INPUT_BYTES``."""
+    if threshold is None:
+        try:
+            threshold = int(
+                df.sparkSession.conf.get(
+                    "spark.sarkac.smallInputBytes",
+                    os.environ.get(
+                        "SARKAC_SMALL_INPUT_BYTES", str(SMALL_INPUT_BYTES)
+                    ),
+                )
+            )
+        except Exception:  # noqa: BLE001
+            threshold = SMALL_INPUT_BYTES
+    size = input_size_bytes(df)
+    return size is not None and size < threshold
 
 
 def _ckpt_children_text(df: DataFrame) -> str:

@@ -7,6 +7,8 @@ registry lives in llm.py."""
 
 from __future__ import annotations
 
+from pyspark.sql.window import Window as W
+
 from sarkac_spark.queries.llm_common import *  # noqa: F401,F403
 from sarkac_spark.plans.audit import lazy_checkpoint
 
@@ -185,10 +187,16 @@ def q_curation_pipeline(spark, sf_dir):
     the dedup side reduces to (hash -> min id), always the cheapest
     full-corpus dedup."""
     d = _docs(spark, sf_dir)
-    canon = dedup_exact(d, "doc_id", "text").select(
-        F.col("canonical_id").alias("doc_id")
+    # keep min(id) per digest as ONE window instead of the former
+    # dedup_exact agg + semi-join-back (r13, guide §2.4): the semi
+    # re-shuffled the full-width corpus by id after the digest agg had
+    # already shuffled it by hash — same survivors, one exchange fewer
+    w = W.partitionBy(F.md5(F.col("text"))).orderBy(F.col("doc_id"))
+    kept = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    kept = d.join(canon, "doc_id", "semi")
     good = quality_score(kept, "text").filter(
         F.col("quality_score") >= QUALITY_CUTOFF
     )
@@ -349,7 +357,7 @@ CURATION_FUNNEL_CONFIG = {
 }
 
 
-def q_curation_funnel(spark, sf_dir):
+def q_curation_funnel(spark, sf_dir, stage_barriers: bool = True):
     """Curator.report() as an oracle-checked query: the per-stage
     survivor funnel of a full curation pass (gopher+classifier quality
     gate → exact+MinHash dedup → per-source quota), one row per stage
@@ -380,7 +388,11 @@ def q_curation_funnel(spark, sf_dir):
         # Known-benign noise: later rebuilds in the same session log
         # "ERROR DAGScheduler: Failed to update accumulator" from the
         # checkpointed stages — results unaffected (oracle green).
-        d = fn(d).transform(lazy_checkpoint)
+        # (stage_barriers=False is the A/B seam bench.py's
+        # SPARK_GRAFT_AB hook measures — results identical either way)
+        d = fn(d)
+        if stage_barriers:
+            d = d.transform(lazy_checkpoint)
         frames.append(
             d.agg(
                 F.lit(f"{i}_{name}").alias("stage"),

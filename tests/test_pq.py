@@ -4,6 +4,7 @@ degenerate codebook."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sarkac_spark.operators.pq import (
@@ -130,10 +131,13 @@ def test_pq_recall_floor(spark, sf_dir):
     assert mean >= 0.1
 
 
-def test_ivfpq_candidates_are_bucket_pruned(spark, sf_dir):
+@pytest.mark.parametrize("small", [True, False])
+def test_ivfpq_candidates_are_bucket_pruned(spark, sf_dir, small):
     """IVF-PQ returns a subset of the probed buckets' members, ranked by
     the SAME ADC distance pq_adc_topk would give them — pruning changes
-    the candidate set, never the distance arithmetic."""
+    the candidate set, never the distance arithmetic. Both size-gate
+    branches (r13: two-scan small-input shape, fused+semi scale shape)
+    are pinned."""
     from sarkac_spark.operators.pq import ivfpq_topk, pq_adc_topk
     from sarkac_spark.operators.similarity import assign_buckets
     from sarkac_spark.sources.tables import load_table
@@ -142,7 +146,10 @@ def test_ivfpq_candidates_are_bucket_pruned(spark, sf_dir):
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    got = ivfpq_topk(emb, PQ_CODEBOOKS, cents, n_queries=3, k=3, nprobe=2)
+    got = ivfpq_topk(
+        emb, PQ_CODEBOOKS, cents, n_queries=3, k=3, nprobe=2,
+        small_input=small,
+    )
     rows = got.collect()
     assert {r.query_id for r in rows} <= {0, 1, 2}
     # every returned neighbor's ADC distance equals the unpruned one
@@ -170,12 +177,14 @@ def test_ivfpq_candidates_are_bucket_pruned(spark, sf_dir):
         assert corpus_b[r.neighbor_id] in probes[r.query_id]
 
 
-def test_ivfpq_topk_matches_bruteforce_over_probed_buckets(spark, sf_dir):
+@pytest.mark.parametrize("small", [True, False])
+def test_ivfpq_topk_matches_bruteforce_over_probed_buckets(spark, sf_dir, small):
     """r12 wave 6 pins: pruning PQ coding to the probed buckets' union
     (the candidates-first semi-join) loses no candidate — the operator's
     output equals, rank for rank, the brute-force ranking of exactly
     {probed-bucket members minus self} by the UNPRUNED ADC distance with
-    the house (distance, id) tie-break."""
+    the house (distance, id) tie-break. Parametrized over the r13 size
+    gate so BOTH plan shapes keep this completeness contract."""
     from sarkac_spark.operators.pq import ivfpq_topk, pq_adc_topk
     from sarkac_spark.operators.similarity import assign_buckets
     from sarkac_spark.sources.tables import load_table
@@ -188,7 +197,8 @@ def test_ivfpq_topk_matches_bruteforce_over_probed_buckets(spark, sf_dir):
     got = [
         (r.query_id, r.rank, r.neighbor_id, r.adist_micro)
         for r in ivfpq_topk(
-            emb, PQ_CODEBOOKS, cents, n_queries=3, k=k, nprobe=2
+            emb, PQ_CODEBOOKS, cents, n_queries=3, k=k, nprobe=2,
+            small_input=small,
         )
         .orderBy("query_id", "rank")
         .collect()
@@ -369,3 +379,35 @@ def test_ivfpq_store_query_equals_on_the_fly(spark, sf_dir, tmp_path):
     assert re.search(r"PartitionFilters: \[[^\]]*bucket", probed_plan), (
         probed_plan[:4000]
     )
+
+
+def test_ivfpq_size_gate_branches(spark, sf_dir):
+    """The r13 input-size gate: toy parquet inputs take the two-scan
+    small-input branch (no probes checkpoint in the plan), forcing
+    small_input=False takes the fused+semi scale branch (probes behind
+    an ExistingRDD checkpoint), and the derived default at sf0.001
+    equals the small branch — with identical results from both."""
+    from sarkac_spark.operators.pq import ivfpq_topk
+    from sarkac_spark.plans.audit import executed_plan, is_small_input
+    from sarkac_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert is_small_input(emb)  # ~KBs of parquet vs the 64 MB floor
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    kw = dict(n_queries=3, k=3, nprobe=2)
+    small = ivfpq_topk(emb, PQ_CODEBOOKS, cents, small_input=True, **kw)
+    scale = ivfpq_topk(emb, PQ_CODEBOOKS, cents, small_input=False, **kw)
+    auto = ivfpq_topk(emb, PQ_CODEBOOKS, cents, **kw)
+    # plan shapes: the scale branch prunes the corpus with a broadcast
+    # LeftSemi on the probed-bucket union before coding; the small
+    # branch has no semi-join anywhere (the codebook dims appear as
+    # ExistingRDD scans in BOTH branches, so the semi is the
+    # discriminator)
+    assert "LeftSemi" in executed_plan(scale)
+    assert "LeftSemi" not in executed_plan(small)
+    # the derived gate picks the small branch on toy inputs
+    assert "LeftSemi" not in executed_plan(auto)
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(small) == rows(scale) == rows(auto)
