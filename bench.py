@@ -200,16 +200,48 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Optional in-record A/B for seam-bearing queries (VERDICT r12 #5):
+    # both shapes of each dual-shape query, interleaved in THIS process
+    # so the box's documented within-session drift cancels. Off unless
+    # SPARK_GRAFT_AB is set — the driver's runs are unchanged; the rows
+    # land under "ab" in the local record file only, never in the
+    # driver-facing "queries" map or the total.
+    ab_rows: dict[str, dict[str, float]] = {}
+    if os.environ.get("SPARK_GRAFT_AB"):
+        try:
+            from sarkac_spark.queries.ab_seams import ab_variants
+
+            for name, variants in ab_variants().items():
+                best: dict[str, float] = {v: float("inf") for v in variants}
+                for _ in range(3):
+                    for v, fn in variants.items():
+                        t0 = time.perf_counter()
+                        fn(spark, sf_dir).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                        best[v] = min(best[v], time.perf_counter() - t0)
+                ab_rows[name] = {v: round(s, 3) for v, s in best.items()}
+        except Exception as e:  # noqa: BLE001 — A/B is evidence, not the bench
+            print(f"ab seam bench failed: {e}", file=sys.stderr)
+
     # Persist the FULL per-query record to a file: the driver's stdout
     # tail keeps only the top-10 map (see below), which made
     # round-over-round regression attribution below the top-10
     # impossible from the committed artifacts (VERDICT r9). Default
-    # BENCH_LOCAL_full.json at the repo root — but ONLY for the
-    # headline sf0.1 (a quick sf0.01 smoke must not clobber the
-    # committed sf0.1 record). Override with SPARK_GRAFT_BENCH_OUT
-    # (empty string disables).
+    # BENCH_LOCAL_<cpus>c.json at the repo root — UNTRACKED (gitignored)
+    # so a driver/judge re-run can never silently overwrite a committed
+    # evidence record (that happened to BENCH_LOCAL_full.json in r12:
+    # the committed file at the r12 gate is the DRIVER's 8-core run,
+    # not the builder's record — VERDICT r12 "what's wrong" #4). Only
+    # written for the headline sf0.1 (a quick sf0.01 smoke must not
+    # clobber an sf0.1 record either). Committed records are explicit
+    # SPARK_GRAFT_BENCH_OUT copies (empty string disables entirely).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
     default_out = (
-        str(Path(__file__).resolve().parent / "BENCH_LOCAL_full.json")
+        str(
+            Path(__file__).resolve().parent
+            / f"BENCH_LOCAL_{cpus or 'auto'}c.json"
+        )
         if sf_val == 0.1
         else ""
     )
@@ -226,6 +258,7 @@ def main() -> None:
                         "n_queries": len(timings),
                         "queries": timings,
                         "plan_digests": digests,
+                        **({"ab": ab_rows} if ab_rows else {}),
                     },
                     f,
                     indent=1,

@@ -33,7 +33,7 @@ def main() -> int:
     tag = sys.argv[1]
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = OUT_ROOT / "r12"
+    out_dir = OUT_ROOT / os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     spark = get_spark("dump_plans")
