@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
-from sarkac_spark.plans.audit import lazy_checkpoint
+from sarkac_spark.plans.audit import is_small_input, lazy_checkpoint
 
 # 60-bit hash from the md5 hex prefix: fits a signed 64-bit long in both
 # engines (Spark: conv(hex,16,10) cast long; DuckDB: ('0x'||hex)::bigint).
@@ -269,15 +269,23 @@ def dedup_minhash(
     threshold: float = 0.5,
     shingle_n: int = 3,
     max_band_df: int | None = MINHASH_MAX_BAND_DF,
-    barrier: bool = True,
+    barrier: bool | None = None,
 ) -> DataFrame:
     """MinHash -> LSH banding -> exact-Jaccard verification. Returns
     near-duplicate pairs (id_a, id_b, jaccard >= threshold).
 
-    ``barrier=False`` drops the doc-aggregate materialization barrier
-    (each consumer leg then re-derives the shingle+agg subtree) — the
-    A/B seam bench.py's SPARK_GRAFT_AB hook measures; results are
-    identical either way.
+    ``barrier`` controls the doc-aggregate materialization barrier;
+    the default ``None`` size-gates it (``is_small_input``: off below
+    the 64 MB floor, ON when large or unknown). Measured r13,
+    interleaved same-process A/B: the barrier is a wash at sf0.1
+    (2.37 vs 2.35 s), LOSES 1.6x at the x10 generated corpus (15.4 vs
+    9.5 s — materializing O(corpus) sig+set rows costs more than the
+    legs' recompute at 7 MB), and returns to a wash at x100 / 84 MB
+    (89.5 vs 86.8 s, BENCH_SCALE_R13_x100_c32.json) — i.e. the
+    materialization amortizes as the corpus grows, and at deployment
+    scale each avoided leg is a full corpus re-scan. Results are
+    identical either way (the flag only inserts/removes a
+    localCheckpoint).
 
     Single-pass shape (plan-audited): the corpus is scanned, shingled,
     and hashed ONCE; one grouped aggregation computes the k-minhash
@@ -309,6 +317,10 @@ def dedup_minhash(
     doc = hashed.groupBy(id_col).agg(
         *_minhash_aggs(k), F.collect_set("h60").alias("__sh_set")
     )
+    if barrier is None:
+        # unknown input size (checkpointed/non-file df) gates to True:
+        # the barrier shape is always correct, merely heavier on toy data
+        barrier = not is_small_input(df)
     if barrier:
         doc = doc.transform(lazy_checkpoint)
     cands = minhash_lsh_candidates(

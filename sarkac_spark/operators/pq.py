@@ -652,8 +652,14 @@ def ivfpq_topk(
       buckets) and the fused pass + probe checkpoint + semi machinery
       cost more in sequential stages than the second scan they save —
       measured r13 interleaved min-of-4 at sf0.1: two-scan 2.93 s vs
-      fused 3.90 s (ivfpq_topk), 5.7 s vs 6.78 s (text_ivfpq); at the
-      x100 generated corpus the ordering flips (BENCH_SCALE_R13.json).
+      fused 3.90 s (ivfpq_topk), 5.7 s vs 6.78 s (text_ivfpq). At the
+      x100 generated corpus (~50-84 MB) the gap closes to a wash
+      (text_ivfpq 119.6 vs 119.4 s, BENCH_SCALE_R13_x100_c32.json) but
+      does NOT flip for these toy-nlist constants — the scale shape's
+      payoff needs a deployment nlist where the probed fraction is
+      small (the sqrt-n store arm in tools/bench_scale_decade.py
+      measures that regime), which is why unknown-size inputs default
+      to it while measurably-small ones do not.
     """
     from sarkac_spark.operators.similarity import assign_buckets
 

@@ -142,22 +142,27 @@ def test_lsh_assign_is_map_only(spark, sf_dir):
 def test_dedup_minhash_bounded_corpus_scans(spark, sf_dir):
     from sarkac_spark.operators.dedup import dedup_minhash
 
-    from sarkac_spark.plans.audit import final_plan
-
     docs = load_table(spark, sf_dir, "documents")
-    df = dedup_minhash(docs, "doc_id", "text")
-    plan = _plan(df)
-    # r12: the doc-level signature+set aggregation is materialized ONCE
-    # behind a lazy localCheckpoint (ReuseExchange could not collapse
-    # the differently-pruned legs — measured 9 runtime corpus scans
-    # before). The visible plan must therefore contain NO parquet
-    # re-scan of the corpus (all legs read the checkpointed relation)
-    # and the band/set legs appear as ExistingRDD scans.
+    # scale branch (barrier=True; also the derived default when input
+    # size is large or unknowable): the doc-level signature+set
+    # aggregation is materialized ONCE behind a lazy localCheckpoint
+    # (r12 — ReuseExchange could not collapse the differently-pruned
+    # legs; 9 runtime corpus scans before). Visible plan: NO parquet
+    # re-scan, legs read the checkpointed relation.
+    plan = _plan(dedup_minhash(docs, "doc_id", "text", barrier=True))
     assert plan.count("Scan parquet") == 0
     assert "Scan ExistingRDD" in plan
     # the candidate/verify tail stays bounded: band explode + cap +
     # self-join + two set joins, never a shape growing with features
     assert plan.count("Exchange hashpartitioning") <= 12
+    # small-input branch (r13 size gate — the derived default on the
+    # toy fixture): no barrier, so the legs re-derive the agg subtree;
+    # the scan fan-out must stay the BOUNDED r11 shape (the three
+    # sig/set legs + band-cap leg), never growing with features
+    plan_small = _plan(dedup_minhash(docs, "doc_id", "text"))
+    n_scans = plan_small.count("Scan parquet")
+    assert 1 <= n_scans <= 12
+    assert plan_small.count("Exchange hashpartitioning") <= 28
 
 
 def test_supplier_nation_revenue_broadcasts_dims(spark, sf_dir):

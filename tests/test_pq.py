@@ -104,6 +104,7 @@ def test_fitted_codebooks_beat_degenerate(spark, sf_dir):
     assert fitted < 0.7 * degenerate
 
 
+@pytest.mark.slow  # measured >=13 s in the r13 duration profile
 def test_fit_pq_codebooks_shape_and_determinism(spark):
     import random
 

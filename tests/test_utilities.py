@@ -400,6 +400,7 @@ def test_curator_facade(spark, sf_dir):
         Curator(spark, {"nope": {}})
 
 
+@pytest.mark.slow  # measured >=13 s in the r13 duration profile
 def test_audit_report_tool(spark, sf_dir):
     """tools/audit_report.run_audits emits the four QA audits as a
     JSON-serializable report with bounded row counts — the one-command
@@ -422,6 +423,7 @@ def test_audit_report_tool(spark, sf_dir):
     assert any("recall" in c for c in recall_cols)
 
 
+@pytest.mark.slow  # measured >=13 s in the r13 duration profile
 def test_curator_winnow_chunk_pack_stages(spark, sf_dir):
     """Round-5 stages: winnow (local-overlap drop) equals the hand-built
     keep-lowest-id composition; chunk/pack reshape the output into the

@@ -68,6 +68,9 @@ def main() -> int:
         runs = int(args[args.index("--runs") + 1])
     if "--queries" in args:
         only = set(args[args.index("--queries") + 1].split(","))
+    ab_rounds = max(runs, 3)
+    if "--ab-rounds" in args:
+        ab_rounds = int(args[args.index("--ab-rounds") + 1])
 
     from gen_scale_data import generate
 
@@ -119,7 +122,7 @@ def main() -> int:
             rows = {}
             for name, variants in ab_variants().items():
                 best = {v: float("inf") for v in variants}
-                for _ in range(max(runs, 3)):
+                for _ in range(ab_rounds):
                     for v, fn in variants.items():
                         spark.sparkContext.setJobDescription(
                             f"scale_r13 ab {name}:{v} x{m}"
